@@ -3,36 +3,47 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: query-fleet rollup — ingest events, extract JSON props,
+    dedup latest per user (W1/W2), roll up per event_type."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.operators.dedup import latest_per_group
+    from lakehouse_dba_tools_spark.operators.flatten import json_field
+    from lakehouse_dba_tools_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF0001, "events")
+    ev = json_field(ev, "props", "k", alias="k_str")
+    latest = latest_per_group(ev, ["user_id"], "ts", tie_break=["event_id"])
+    return latest.groupBy("event_type").agg(
+        F.count("*").alias("n_users_latest"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("k_str").cast("bigint")).alias("sum_k"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lakehouse_dba_tools_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lakehouse_dba_tools_spark.queries import ORACLE
+
+    return dict(ORACLE)

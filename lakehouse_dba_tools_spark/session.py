@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference tunes its sessions by hand (shuffle partitions = cores ×
+workers × 2, `resources/TPC-datagen-notebook.scala:110`; parquet/ORC
+vectorization `:130-137`; Delta autoMerge `tasks/Query History API to
+Delta_withmetrics.py:35`). We centralize the open-source equivalents:
+AQE (supersedes manual shuffle sizing at runtime), Arrow for the
+pandas-UDF path, UTC session time zone (oracle comparability), and a
+shuffle-partition default matched to local cores but overridable for
+cluster deployments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "lakehouse_dba_tools_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster, pass ``master=None`` with an external conf and a
+    ``shuffle_partitions`` sized to ~2-3× total executor cores; AQE will
+    coalesce/split at runtime so the static number only needs the right
+    order of magnitude.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching — the scale path for 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDF / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # CBO: the reference ANALYZEs tables for stats (QH:260); make
+        # Catalyst actually consume them.
+        .config("spark.sql.cbo.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) is rejected by the vectorized reader;
+        # read as long (ns since epoch) and convert in the loader
+        # (sources/tables.py) — lossless for µs-aligned data.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

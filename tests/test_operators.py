@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key, latest_per_group
+from lakehouse_dba_tools_spark.operators.flatten import flatten_all, splat_structs, with_epoch_timestamps
+from lakehouse_dba_tools_spark.operators.reconcile import (
+    append_with_reconcile,
+    conform_to_schema,
+    diff_schemas,
+)
+from lakehouse_dba_tools_spark.operators.sessionize import sessionize
+from lakehouse_dba_tools_spark.operators.unions import schema_template, tagged_union, union_all
+from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+
+
+def test_dedup_by_key_first_and_last(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")], "k string, ord int, v string"
+    )
+    first = {r.k: r.v for r in dedup_by_key(df, ["k"], ["ord"]).collect()}
+    assert first == {"a": "x", "b": "z"}
+    last = {r.k: r.v for r in latest_per_group(df, ["k"], "ord").collect()}
+    assert last == {"a": "y", "b": "z"}
+
+
+def test_splat_and_flatten(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "b": "x"}, {"c": {"d": 3}})],
+        "id int, m struct<a:int,b:string>, n struct<c:struct<d:int>>",
+    )
+    out = splat_structs(df, ["m"])
+    assert set(out.columns) == {"id", "n", "a", "b"}
+    flat = flatten_all(df)
+    assert set(flat.columns) == {"id", "m_a", "m_b", "n_c_d"}
+    assert flat.collect()[0].n_c_d == 3
+
+
+def test_with_epoch_timestamps(spark):
+    df = spark.createDataFrame([(1700000000123,)], "t_ms long")
+    out = with_epoch_timestamps(df, {"t_ms": "t"}).collect()[0]
+    assert out.t == dt.datetime(2023, 11, 14, 22, 13, 20, 123000)
+
+
+def test_schema_reconcile_null_pads_and_drops(spark):
+    dest = spark.createDataFrame([(1, "a", 2.0)], "id int, name string, score double")
+    src = spark.createDataFrame([(2, "extra")], "id int, surprise string")
+    d = diff_schemas(dest, src)
+    assert d.matched == ["id"] and d.only_in_source == ["surprise"]
+    conformed = conform_to_schema(src, dest)
+    assert conformed.columns == ["id", "name", "score"]
+    row = conformed.collect()[0]
+    assert row.id == 2 and row.name is None and row.score is None
+    appended = append_with_reconcile(dest, src)
+    assert appended.count() == 2
+    evolved = append_with_reconcile(dest, src, allow_new_columns=True)
+    assert set(evolved.columns) == {"id", "name", "score", "surprise"}
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    source = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")
+    got = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_upsert_dedups_source(spark):
+    target = spark.createDataFrame([(1, "old", 0)], "k int, v string, ord int")
+    source = spark.createDataFrame(
+        [(1, "mid", 5), (1, "latest", 9)], "k int, v string, ord int"
+    )
+    got = merge_upsert(target, source, ["k"], source_order=["ord"]).collect()
+    assert len(got) == 1 and got[0].v == "latest"
+
+
+def test_union_fold_and_template(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    frames = [a, a, a, a, a]
+    assert union_all(frames).count() == 5
+    assert schema_template(a).count() == 0
+    tagged = tagged_union({"one": a, "two": a})
+    assert {r.source for r in tagged.collect()} == {"one", "two"}
+
+
+def test_sessionize_gap_boundaries(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=50)),  # 40min gap → new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize(df, gap_minutes=30.0).collect()
+    sess = {(r.user_id, r.ts.minute): r.session_id for r in out}
+    assert sess[(1, 0)] == 1 and sess[(1, 10)] == 1 and sess[(1, 50)] == 2
+    assert sess[(2, 0)] == 1

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's DuckDB-oracle differential check.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same sf dir, compares row count, column names, and order-insensitive
+values. Usage:
+
+    python tools/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df, float_tol=1e-9):
+    """pandas frame → sorted list-of-tuples with normalized values."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, 9))
+            elif hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                row.append(tuple(round(float(x), 6) for x in v))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def main() -> int:
+    import duckdb
+
+    from lakehouse_dba_tools_spark import get_session
+    from lakehouse_dba_tools_spark.queries import ORACLE, QUERIES
+    from lakehouse_dba_tools_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_session(app_name="diffcheck")
+    con = duckdb.connect()
+    import os
+
+    for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = n_skip = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLE:
+            print(f"SKIP {name}: no oracle ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            duck_pd = con.sql(ORACLE[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(spark_pd) != len(duck_pd):
+            problems.append(f"rowcount spark={len(spark_pd)} duck={len(duck_pd)}")
+        sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
+        if sc != dc:
+            problems.append(f"columns spark={sc} duck={dc}")
+        if not problems:
+            a, b = normalize(spark_pd), normalize(duck_pd)
+            if a != b:
+                bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {bad}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
