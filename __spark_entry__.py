@@ -38,12 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from lakehouse_dba_tools_spark.queries import QUERIES
+    from lakehouse_dba_tools_spark import registry
 
-    return dict(QUERIES)
+    registry.load_all()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from lakehouse_dba_tools_spark.queries import ORACLE
+    from lakehouse_dba_tools_spark import registry
 
-    return dict(ORACLE)
+    registry.load_all()
+    return dict(registry.ORACLE)

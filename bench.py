@@ -28,8 +28,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from lakehouse_dba_tools_spark import get_session
-    from lakehouse_dba_tools_spark.queries import QUERIES
+    from lakehouse_dba_tools_spark import get_session, registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
 
     spark = get_session(app_name="bench")
 

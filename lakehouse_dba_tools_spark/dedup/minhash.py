@@ -1,0 +1,156 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (all JVM-side until the final pair join):
+
+1. shingle   : word k-shingles per doc — one projection, no shuffle
+2. minhash   : H permutations h_i(x) = (a_i·x + b_i) mod p over
+               xxhash64(shingle); signature computed as H
+               transform+array_min expressions in ONE projection —
+               no explode, no shuffle
+3. banding   : split the signature into b bands of r rows
+               (b·r = H); band key = hash(band values). Explode to
+               (doc, band_idx, band_key) — b rows per doc, tiny
+4. bucket-join: self-join on (band_idx, band_key) with doc_a < doc_b →
+               candidate pairs. THE only shuffle of the pipeline, on
+               the band key; AQE handles hot buckets
+5. verify    : exact Jaccard on distinct-shingle arrays for candidates
+
+Scale: the shuffle payload is (id, band_key) pairs, never text. Hot
+buckets (boilerplate docs) are the skew risk — ``max_bucket_size``
+caps them (standard practice: a bucket with >N docs is boilerplate;
+handle via exact-hash dedup instead).
+
+Determinism: permutation coefficients come from a seeded
+``random.Random``; same seed → identical signatures and candidates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.functions.text import word_shingles
+
+# 31-bit Mersenne prime: keeps a·x + b within int64 (a, x < 2^31 →
+# product < 2^62). Plenty of hash space for minhash permutations.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num_perm)]
+
+
+def with_shingle_set(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct word k-shingles."""
+    return df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("shingles")
+    )
+
+
+def with_minhash_signature(
+    shingled: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """Append ``signature: array<bigint>`` of length ``num_perm``.
+
+    h_i over the 61-bit Mersenne prime; xxhash64 folded to non-negative.
+    One projection — whole-stage codegen keeps this a single pass.
+    """
+    coeffs = _perm_coeffs(num_perm, seed)
+
+    def perm(a: int, b: int):
+        # Factory keeps the lambda unary (PySpark inspects lambda arity).
+        return lambda s: ((F.abs(F.xxhash64(s)) % MERSENNE_P) * a + b) % MERSENNE_P
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), perm(a, b))) for a, b in coeffs]
+    )
+    return shingled.withColumn("signature", sig)
+
+
+def band_keys(
+    signed: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Explode the signature into (id, band_idx, band_key) — b rows/doc."""
+    return signed.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    shingled = with_shingle_set(df, text_col, id_col, k)
+    signed = with_minhash_signature(shingled, num_perm, seed)
+    bk = band_keys(signed, id_col, bands, num_perm // bands)
+    # Skew guard: drop boilerplate buckets (scale rule — a huge bucket
+    # means near-identical boilerplate; route those to exact dedup).
+    sized = bk.groupBy("band_idx", "band_key").agg(
+        F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
+    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform("ids", lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    return pairs
+
+
+def verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold."""
+    shingled = with_shingle_set(df, text_col, id_col, k)
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k, num_perm, bands, seed)
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

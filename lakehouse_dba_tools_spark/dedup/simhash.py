@@ -1,0 +1,124 @@
+"""SimHash near-duplicate fingerprinting.
+
+64-bit SimHash: each token hashes to 64 bits; bit positions vote
++1/-1; the sign vector is the fingerprint. Near-dups have small
+Hamming distance.
+
+Implementation is a hybrid respecting the UDF hierarchy:
+- token hashing stays JVM-side (``xxhash64`` in a ``transform``),
+- the 64-way bit-vote is a vectorized pandas UDF over the hash
+  arrays (numpy bit tricks) — Arrow-batched, no per-row Python.
+
+Candidate generation: split the 64-bit fingerprint into ``chunks``
+16-bit pieces; docs sharing any piece (Hamming pigeonhole: distance
+≤ chunks-1 guarantees a shared piece) bucket-join — same shuffle
+shape as MinHash banding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_dba_tools_spark.functions.text import tokens
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """Vectorized 64-bit simhash from per-token int64 hash arrays."""
+    out = np.zeros(len(hash_arrays), dtype=np.int64)
+    for i, hashes in enumerate(hash_arrays):
+        if hashes is None or len(hashes) == 0:
+            continue
+        h = np.asarray(hashes, dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 votes summed)
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — JVM tokenizes+hashes, numpy folds the bits."""
+    token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    return df.select(F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Pairs sharing ≥1 of ``chunks`` fingerprint pieces (id_a < id_b)."""
+    bits_per = 64 // chunks
+    mask = (1 << bits_per) - 1
+    fp = with_simhash(df, text_col, id_col)
+    pieces = fp.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * bits_per).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("piece_idx", "piece"),
+    )
+    buckets = (
+        pieces.groupBy("piece_idx", "piece")
+        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+
+def hamming_distance(col_a, col_b):
+    """Population count of XOR — JVM-side bit_count."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Candidates verified by Hamming distance ≤ max_hamming."""
+    fp = with_simhash(df, text_col, id_col)
+    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -27,22 +27,10 @@ from lakehouse_dba_tools_spark.operators.pivot import pivot_agg
 from lakehouse_dba_tools_spark.operators.sessionize import sessionize
 from lakehouse_dba_tools_spark.operators.unions import schema_template, union_all
 from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+from lakehouse_dba_tools_spark.registry import ORACLE, QUERIES, register  # noqa: F401
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------------

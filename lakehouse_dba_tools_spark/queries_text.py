@@ -1,0 +1,196 @@
+"""Text-analysis & document-dedup queries over the `documents` table.
+
+North-star training-data-pipeline operators (SURVEY.md §7 M6): each
+oracle re-expresses the Spark column algebra in DuckDB list/regex SQL.
+DuckDB list slices are INCLUSIVE (toks[i:i+k-1] is a k-slice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.dedup.exact import content_groups
+from lakehouse_dba_tools_spark.dedup.minhash import lsh_candidate_pairs, verified_near_dups
+from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
+from lakehouse_dba_tools_spark.dedup.simhash import simhash_near_dups, with_simhash
+from lakehouse_dba_tools_spark.functions import text as TX
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring functions/text.py
+_D_TOKS = r"string_split_regex(trim(text), '\s+')"
+_D_SHINGLES3 = (
+    f"list_distinct(case when len({_D_TOKS}) >= 3 then "
+    f"list_transform(generate_series(1, len({_D_TOKS}) - 2), "
+    f"i -> array_to_string(({_D_TOKS})[i:i+2], ' ')) "
+    f"else [array_to_string({_D_TOKS}, ' ')] end)"
+)
+
+
+@register(
+    "doc_exact_dedup_groups",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def doc_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return content_groups(docs)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT lang,
+           count(*)                                                      AS n_docs,
+           round(avg(len({_D_TOKS})), 4)                                 AS avg_tokens,
+           max(len({_D_TOKS}))                                           AS max_tokens,
+           round(avg(len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))), 4)                  AS avg_bpe_tokens,
+           round(avg(n_chars), 4)                                        AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.token_count("text")), 4).alias("avg_tokens"),
+        F.max(TX.token_count("text")).alias("max_tokens"),
+        F.round(F.avg(TX.bpe_ish_token_count("text")), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_D_TOKS}) AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text) AS alpha,
+             len(list_filter(list_transform({_D_TOKS}, t -> lower(t)),
+                 t -> t IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+               / len({_D_TOKS}) AS stop,
+             list_sum(list_transform({_D_TOKS}, t -> length(t)))::DOUBLE
+               / len({_D_TOKS}) AS awl
+      FROM documents
+    )
+    SELECT doc_id, n_tok AS token_count, round(alpha, 6) AS alpha_ratio,
+           round(stop, 6) AS stopword_ratio,
+           round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(alpha * 2, 1.0) + 0.2 * least(stop * 5, 1.0)
+                 + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS quality
+    FROM feats
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("token_count"),
+        F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(TX.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(list_transform({_D_TOKS}, t -> lower(t)), "
+            f"t -> t IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(TX.STOPWORDS.items())
+    }
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    case = " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in hits)
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents),
+    m AS (SELECT *, {mx} AS mx FROM h)
+    SELECT lang, CASE WHEN mx = 0 THEN 'und' {case} END AS detected, count(*) AS n
+    FROM m GROUP BY lang, detected
+    """
+
+
+@register("doc_langid_confusion", _langid_oracle())
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column (confusion
+    matrix — the synthetic corpus is English-vocab so most rows detect
+    'en'; the query verifies the deterministic argmax, not accuracy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.detect_language("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, list_min(list_transform({_D_SHINGLES3}, s -> md5(s))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.min_shingle_fingerprint("text", k=3).alias("fingerprint")
+    )
+
+
+# Brute-force baselines are capped to a fixed id range: they exist as
+# the CORRECTNESS oracle for the LSH scale paths, not as the scale path
+# (the cap is a no-op at sf≤0.01 where the corpus is 500 docs).
+BRUTE_DOC_CAP = 600
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents
+                WHERE doc_id < {BRUTE_DOC_CAP})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < BRUTE_DOC_CAP)
+    return jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+# --- LSH / SimHash paths: algorithm-specific candidate sets; no ANSI-SQL
+# twin (driver records rows-only). Correctness is pinned by unit tests
+# against the exact-jaccard oracle queries above.
+@register("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, k=3, num_perm=64, bands=16, seed=42)
+
+
+@register("minhash_verified_near_dups")
+def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return verified_near_dups(docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5)
+
+
+@register("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_simhash(docs)
+
+
+@register("simhash_near_dups")
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=8, chunks=4)

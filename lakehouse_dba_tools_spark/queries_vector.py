@@ -1,0 +1,126 @@
+"""Embedding similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k is the oracle-checked baseline (DuckDB
+``list_cosine_similarity`` twin); LSH/IVF are the scale paths
+(rows-only check; recall pinned by unit tests against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.similarity.search import (
+    brute_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_topk,
+)
+from lakehouse_dba_tools_spark.similarity.vector import as_double, l2_norm
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+N_QUERY = 20  # first N vec_ids used as the query set
+TOP_K = 5
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(as_double("embedding")), 6).alias("l2")
+    )
+
+
+@register(
+    "cosine_topk_brute",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(cv, qv), 9) AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_topk(emb, queries, k=TOP_K)
+
+
+@register("cosine_topk_lsh")
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=TOP_K, n_planes=6, n_tables=8, dim=64, seed=42)
+
+
+@register("cosine_topk_ivf")
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=TOP_K, n_centroids=16, nprobe=4, seed=42)
+
+
+# Cap for the O(n²) exact baseline — no-op at sf≤0.01 (500 vectors);
+# the LSH variant below stays uncapped (it IS the scale path).
+BRUTE_VEC_CAP = 600
+
+
+@register(
+    "embedding_near_dups_exact",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {BRUTE_VEC_CAP})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(round(list_cosine_similarity(a.v, b.v), 9), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.4
+    """,
+)
+def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold scan (the oracle for the LSH near-dup path).
+    Threshold 0.4 matches this corpus's similarity range (max ≈ 0.51)."""
+    from lakehouse_dba_tools_spark.similarity.vector import dot, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < BRUTE_VEC_CAP)
+    v = emb.select("vec_id", l2_normalize(as_double("embedding")).alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 9).alias("sim9")
+        )
+        .filter(F.col("sim9") >= 0.4)
+        .select("id_a", "id_b", F.round("sim9", 6).alias("sim"))
+    )
+
+
+@register("embedding_near_dups_lsh")
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, threshold=0.4, n_planes=4, n_tables=8, dim=64, seed=42
+    )

@@ -1,0 +1,29 @@
+"""Shared query registry: name → Spark callable (+ optional DuckDB
+oracle SQL). Query modules register into this; ``__spark_entry__``
+exports it to the driver."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (registration side effects)."""
+    from lakehouse_dba_tools_spark import queries, queries_text, queries_vector  # noqa: F401

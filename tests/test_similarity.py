@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.similarity.search import brute_topk, ivf_topk, lsh_topk
+from lakehouse_dba_tools_spark.similarity.vector import as_double, cosine, l2_norm
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>")
+    row = df.select(
+        l2_norm(F.col("a")).alias("n"),
+        F.round(cosine(F.col("a"), F.col("b")), 6).alias("c"),
+    ).collect()[0]
+    assert row.n == 5.0
+    assert row.c == 0.96
+
+
+def test_brute_topk_self_is_rank1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_topk(emb, q, k=3)
+    r1 = {r.query_id: r.neighbor_id for r in top.filter("rank = 1").collect()}
+    assert r1 == {i: i for i in range(5)}
+
+
+def _recall(approx, exact):
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    return hits / total
+
+
+def test_lsh_and_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_topk(emb, q, k=3)
+    lsh = lsh_topk(emb, q, k=3, n_planes=6, n_tables=8, dim=64, seed=42)
+    ivf = ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4, seed=42)
+    assert _recall(lsh, exact) >= 0.5
+    assert _recall(ivf, exact) >= 0.6
+    # rank-1 self matches always survive (bucket contains the query itself)
+    assert _recall(lsh.filter("rank = 1"), exact.filter("rank = 1")) == 1.0

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.dedup.exact import content_groups, drop_exact_duplicates
+from lakehouse_dba_tools_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    verified_near_dups,
+    with_minhash_signature,
+    with_shingle_set,
+)
+from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
+from lakehouse_dba_tools_spark.dedup.simhash import simhash_near_dups, with_simhash
+from lakehouse_dba_tools_spark.functions import text as TX
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely different text about spark query engines and shuffles"),
+            (4, "the quick brown fox jumps over the lazy dog again and again today"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = content_groups(docs).collect()
+    assert len(groups) == 3
+    dup = [g for g in groups if g.n_copies == 2][0]
+    assert dup.keeper_id == 1
+    kept = drop_exact_duplicates(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_minhash_signature_properties(spark):
+    docs = _docs(spark)
+    sh = with_shingle_set(docs, k=3)
+    sig = with_minhash_signature(sh, num_perm=32, seed=7)
+    rows = {r.doc_id: r.signature for r in sig.collect()}
+    assert all(len(s) == 32 for s in rows.values())
+    # identical docs → identical signatures
+    assert rows[1] == rows[4]
+    # near-identical docs agree on most permutations
+    agree = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert agree >= 20
+    # unrelated docs agree on almost none
+    agree_far = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_far <= 5
+
+
+def test_lsh_finds_near_dups_and_skips_far(spark):
+    docs = _docs(spark)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, k=3).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    verified = {(r.id_a, r.id_b): r.jaccard for r in verified_near_dups(docs, threshold=0.5).collect()}
+    assert verified[(1, 4)] == 1.0
+    assert 0.5 <= verified[(1, 2)] < 1.0
+
+
+def test_lsh_recall_vs_exact_jaccard_fixture(spark, sf_dir):
+    """On the fixture corpus, banded MinHash (b=16, r=4) must recover
+    every exact-Jaccard≥0.5 pair (they're mutated prefixes, J≈0.9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in verified_near_dups(docs, threshold=0.5).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_orders_similarity(spark):
+    docs = _docs(spark)
+    fps = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    assert fps[1] == fps[4]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+    near = {(r.id_a, r.id_b) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (1, 4) in near
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("The quick  brown fox, it is!",)], "text string")
+    row = df.select(
+        TX.token_count("text").alias("tc"),
+        TX.bpe_ish_token_count("text").alias("bpe"),
+        F.round(TX.alpha_ratio("text"), 3).alias("alpha"),
+        TX.detect_language("text").alias("lang"),
+        TX.min_shingle_fingerprint("text", 3).alias("fp"),
+    ).collect()[0]
+    assert row.tc == 6
+    assert row.bpe == 8  # 6 words + comma + bang
+    assert row.lang == "en"
+    assert len(row.fp) == 32
+
+
+def test_detect_language_tie_and_zero(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",), ("der die das und",)], "text string")
+    out = [r[0] for r in df.select(TX.detect_language("text")).collect()]
+    assert out == ["und", "de"]

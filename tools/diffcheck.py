@@ -42,9 +42,11 @@ def normalize(df, float_tol=1e-9):
 def main() -> int:
     import duckdb
 
-    from lakehouse_dba_tools_spark import get_session
-    from lakehouse_dba_tools_spark.queries import ORACLE, QUERIES
+    from lakehouse_dba_tools_spark import get_session, registry
     from lakehouse_dba_tools_spark.sources.tables import TABLE_NAMES
+
+    registry.load_all()
+    ORACLE, QUERIES = registry.ORACLE, registry.QUERIES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
