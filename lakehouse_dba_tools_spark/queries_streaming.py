@@ -1,0 +1,108 @@
+"""Streaming queries — bounded replays of the events stream.
+
+Each runs a real Structured Streaming query (file micro-batches,
+watermarks) to completion and returns the result table. The tumbling /
+session rollups have batch-SQL oracles: on a bounded replay the final
+streaming state must equal the batch computation — that equivalence IS
+the correctness property of the streaming operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.streaming.windows import (
+    run_stream_to_table,
+    session_window_rollup,
+    stream_events,
+    tumbling_rollup,
+)
+
+
+@register(
+    "streaming_hourly_rollup",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY hour_epoch, event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_table(tumbling_rollup(ev), spark)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) streaming result == batch lag/cumsum
+    sessionization — cross-checked against the window-function oracle."""
+    ev = stream_events(spark, sf_dir)
+    out = run_stream_to_table(session_window_rollup(ev, gap="30 minutes"), spark)
+    return out.select(
+        "user_id",
+        F.col("session_start_epoch"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_upsert_pipeline",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def streaming_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-merge sink (reference QH MERGE ETL, streaming
+    form): dedup latest-per-user within each batch, upsert into a
+    parquet target; final target == batch latest-event-per-user (the
+    oracle), proving MERGE idempotency across micro-batches."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.streaming.windows import stream_upsert_to_parquet
+
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    path = f"{tmp}/target"
+    try:
+        stream_upsert_to_parquet(
+            spark,
+            ev.select("user_id", "event_id", "event_type", "value", "ts"),
+            path,
+            keys=["user_id"],
+            source_order=["ts", "event_id"],
+        )
+        final = spark.read.parquet(path)
+        rows = final.select(
+            "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+        )
+        out = rows.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

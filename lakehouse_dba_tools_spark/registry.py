@@ -26,4 +26,9 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module (registration side effects)."""
-    from lakehouse_dba_tools_spark import queries, queries_text, queries_vector  # noqa: F401
+    from lakehouse_dba_tools_spark import (  # noqa: F401
+        queries,
+        queries_streaming,
+        queries_text,
+        queries_vector,
+    )

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.dedup import latest_per_group
+from lakehouse_dba_tools_spark.sources.tables import load_table
+from lakehouse_dba_tools_spark.streaming.windows import (
+    run_stream_to_table,
+    sliding_rollup,
+    stream_events,
+    stream_upsert_to_parquet,
+    tumbling_rollup,
+)
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream_out = run_stream_to_table(tumbling_rollup(stream_events(spark, sf_dir)), spark)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("hour_epoch"), "event_type", "n", "sum_value")
+    )
+    assert stream_out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_out).count() == 0
+
+
+def test_sliding_window_overlap(spark, sf_dir):
+    out = run_stream_to_table(
+        sliding_rollup(stream_events(spark, sf_dir), width="1 hour", slide="30 minutes"), spark
+    )
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    # every event lands in exactly 2 overlapping windows
+    assert out.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+
+
+def test_multibatch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """Drive the SAME stream twice into one target — MERGE idempotency
+    must leave the second run a no-op (reference QH re-run semantics)."""
+    target = str(tmp_path / "target")
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "value", "ts")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    stream_upsert_to_parquet(
+        spark, ev, target, keys=["user_id"], source_order=["ts", "event_id"], checkpoint_dir=ck1
+    )
+    first = {(r.user_id, r.event_id) for r in spark.read.parquet(target).collect()}
+    ev2 = stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "value", "ts")
+    stream_upsert_to_parquet(
+        spark, ev2, target, keys=["user_id"], source_order=["ts", "event_id"], checkpoint_dir=ck2
+    )
+    second = {(r.user_id, r.event_id) for r in spark.read.parquet(target).collect()}
+    assert first == second
+    expected = {
+        (r.user_id, r.event_id)
+        for r in latest_per_group(
+            load_table(spark, sf_dir, "events"), ["user_id"], "ts", tie_break=["event_id"]
+        ).collect()
+    }
+    assert first == expected
+
+
+def test_stateful_running_profile(spark, sf_dir):
+    from lakehouse_dba_tools_spark.streaming.stateful import running_user_profile
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "value", F.col("ts").cast("double").alias("epoch")
+    )
+    profile = running_user_profile(ev)
+    out = run_stream_to_table(profile, spark, mode="update")
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+    want = {r.user_id: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
