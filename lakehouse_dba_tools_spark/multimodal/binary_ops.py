@@ -1,0 +1,126 @@
+"""Opaque-binary column operators: decode / feature-extract / resize /
+frame-sample plumbing for image/audio/video payloads.
+
+The Spark-side architecture is real and tested: binary columns with
+typed metadata structs, Arrow-batched ``mapInPandas`` operators with
+explicit output schemas, and partition-size guidance for multi-MB
+payloads. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the decode kernels are STUBS: ``mode='fake'`` runs a
+deterministic byte-level fake (tested); ``mode='real'`` raises
+``NotImplementedError`` where the codec call belongs.
+
+Scale notes for binary pipelines:
+- keep payloads in their own column; project metadata-only frames for
+  any join/filter so the bytes never enter a shuffle;
+- ``spark.sql.files.maxPartitionBytes`` should be sized so a batch of
+  payloads fits executor memory (Arrow batches hold the whole column
+  slice);
+- feature outputs are fixed-size arrays → columnar-friendly, shuffle
+  them instead of the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, media_type string, width int, height int, n_frames int"
+)
+FEATURE_DIM = 32
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic binary payload column + metadata from
+    text (stands in for real image/video bytes; same schema/partition
+    shape a real pipeline would carry)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    h = F.abs(F.xxhash64(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        payload.alias("media"),
+        F.when(h % 3 == 0, "image/png")
+        .when(h % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        (h % 1920 + 1).cast("int").alias("width"),
+        (h % 1080 + 1).cast("int").alias("height"),
+        (h % 300 + 1).cast("int").alias("n_frames"),
+    )
+
+
+def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decode needs PIL/ffmpeg/torchaudio on the cluster image; "
+        "plug the codec here — the Spark plumbing (schema, batching, "
+        "partitioning) is already in place"
+    )
+
+
+def _decode_fake(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in 'decoder': byte histogram folded to
+    FEATURE_DIM buckets, L1-normalized — a stable fake embedding."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
+    total = hist.sum() or 1.0
+    return hist / total
+
+
+def extract_features(
+    media: DataFrame, mode: str = "fake", batch_hint: int = 0
+) -> DataFrame:
+    """media frame → (doc_id, media_type, feature array<double>, content_sha)
+    via mapInPandas — the canonical binary feature-extraction operator."""
+    decode = _decode_fake if mode == "fake" else _decode_real
+    out_schema = (
+        "doc_id long, media_type string, feature array<double>, content_sha string"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p, t).tolist() for p, t in zip(pdf["media"], pdf["media_type"])]
+            shas = [hashlib.sha256(p).hexdigest() for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "content_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(op, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30, mode: str = "fake") -> DataFrame:
+    """video → one row per sampled frame (frame_idx + frame feature).
+    Fake mode derives per-frame features by salting the payload hash;
+    real mode is the ffmpeg seek+decode point."""
+    if mode != "fake":
+        raise NotImplementedError("real frame sampling needs ffmpeg — see _decode_real")
+    out_schema = "doc_id long, frame_idx int, frame_feature array<double>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, payload, n_frames in zip(pdf["doc_id"], pdf["media"], pdf["n_frames"]):
+                for fi in range(0, int(n_frames), every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    feats.append(_decode_fake(payload + fi.to_bytes(4, "little"), "frame").tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_feature": feats})
+
+    return media.filter(F.col("media_type") == "video/mp4").mapInPandas(op, schema=out_schema)
+
+
+def resize_stub(media: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
+    """resize operator: fake mode passes bytes through and updates the
+    metadata (the real kernel swaps payload bytes too)."""
+    if mode != "fake":
+        raise NotImplementedError("real resize needs PIL — see _decode_real")
+    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))

@@ -1,0 +1,116 @@
+"""Maintenance-audit, workload-harness, and multimodal queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.maintenance.audit import column_stats_report, file_detail_report
+from lakehouse_dba_tools_spark.multimodal.binary_ops import attach_fake_media, extract_features, sample_frames
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import TABLE_NAMES, load_table, register_views
+from lakehouse_dba_tools_spark.workload.harness import SqlUnit, latency_summary, run_workload
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value,
+                   count(*) - count({c}) AS num_nulls,
+                   count(DISTINCT {c}) AS num_distinct
+            FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("column_stats_profile", _profile_oracle())
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE/DESCRIBE EXTENDED analog (reference TPC:2121-2151): one
+    aggregation pass over the table, transposed to a per-column report.
+    Exact distinct here for oracle parity; approx (HLL) is the scale
+    default in maintenance/audit.py."""
+    orders = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    return column_stats_report(orders, approx_distinct=False).drop("data_type")
+
+
+@register("file_detail_audit")
+def file_detail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL analog (TPC:1855-1883): parquet footer metadata,
+    no data scan. Driver-side footers only — rows-only check."""
+    import os
+
+    paths = {
+        t: os.path.join(sf_dir, f"{t}.parquet")
+        for t in TABLE_NAMES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    }
+    return file_detail_report(spark, paths)
+
+
+@register(
+    "workload_stress_summary",
+    """
+    SELECT 'count_lineitem' AS unit_name, 4 AS n_runs, 4 AS n_ok,
+           1 AS min_rows, 1 AS max_rows
+    UNION ALL
+    SELECT 'flag_rollup', 4, 4,
+           (SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)),
+           (SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem))
+    UNION ALL
+    SELECT 'top_orders', 4, 4, 10, 10
+    """,
+)
+def workload_stress_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbstress analog (reference DBS:93-175): units × parallel
+    connections × repeats through a thread pool; deterministic summary
+    columns exported (latencies analyzed separately via
+    latency_summary's p50/p95)."""
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    units = [
+        SqlUnit("count_lineitem", "SELECT count(*) AS n FROM lineitem", parallel=2, repeats=2),
+        SqlUnit(
+            "flag_rollup",
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS q "
+            "FROM lineitem GROUP BY 1, 2",
+            parallel=2,
+            repeats=2,
+        ),
+        SqlUnit(
+            "top_orders",
+            "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+            parallel=2,
+            repeats=2,
+        ),
+    ]
+    results = run_workload(spark, units)
+    return latency_summary(results).select(
+        "unit_name", "n_runs", "n_ok", "min_rows", "max_rows"
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (fake decode
+    kernel — deterministic byte histogram; real codec is the stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_features(media, mode="fake")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "content_sha",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_l1"),
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, every_n=30, mode="fake")
+    return frames.select("doc_id", "frame_idx", F.size("frame_feature").alias("dim"))

@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.maintenance.audit import (
+    column_stats_report,
+    file_detail_report,
+    rowcount_report,
+)
+from lakehouse_dba_tools_spark.maintenance.compact import (
+    optimize_cluster,
+    optimize_compact,
+    vacuum_staging,
+)
+from lakehouse_dba_tools_spark.multimodal.binary_ops import (
+    attach_fake_media,
+    extract_features,
+    resize_stub,
+    sample_frames,
+)
+from lakehouse_dba_tools_spark.sources.tables import load_table
+from lakehouse_dba_tools_spark.workload.harness import (
+    SqlUnit,
+    latency_summary,
+    run_workload,
+    strip_sql_comments,
+)
+
+
+def test_rowcount_and_file_detail(spark, sf_dir):
+    dfs = {t: load_table(spark, sf_dir, t) for t in ("region", "nation")}
+    counts = {r.table_name: r.n_rows for r in rowcount_report(dfs).collect()}
+    assert counts["region"] == 5 and counts["nation"] == 25
+    detail = file_detail_report(
+        spark, {t: os.path.join(sf_dir, f"{t}.parquet") for t in dfs}
+    ).collect()
+    by_name = {r.table_name: r for r in detail}
+    assert by_name["region"].num_rows == 5
+    assert by_name["region"].size_bytes > 0
+
+
+def test_column_stats_native_ordering(spark):
+    df = spark.createDataFrame([(9,), (100,), (None,)], "x int")
+    row = column_stats_report(df, approx_distinct=False).collect()[0]
+    assert row.min_value == "9" and row.max_value == "100"
+    assert row.num_nulls == 1 and row.num_distinct == 2
+
+
+def test_compact_and_cluster_preserve_data(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders")
+    src.repartition(8).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 8
+    optimize_compact(spark, path)
+    assert len(glob.glob(path + "/*.parquet")) < 8
+    after = spark.read.parquet(path)
+    assert after.count() == src.count()
+
+    optimize_cluster(spark, path, ["o_custkey"], num_files=2)
+    clustered = spark.read.parquet(path)
+    assert clustered.count() == src.count()
+    # clustering: each file owns a disjoint o_custkey range
+    ranges = (
+        clustered.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+    assert vacuum_staging(path) == []
+
+
+def test_workload_harness(spark, sf_dir):
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    units = [
+        SqlUnit("ok_unit", "SELECT count(*) AS n FROM nation", parallel=2, repeats=3),
+        SqlUnit("bad_unit", "SELECT * FROM missing_table", parallel=1, repeats=2),
+    ]
+    results = run_workload(spark, units)
+    summary = {r.unit_name: r for r in latency_summary(results).collect()}
+    assert summary["ok_unit"].n_runs == 6 and summary["ok_unit"].n_ok == 6
+    assert summary["bad_unit"].n_runs == 2 and summary["bad_unit"].n_ok == 0
+    assert summary["ok_unit"].p50_ms > 0
+
+
+def test_strip_sql_comments():
+    sql = "-- header\nSELECT 1 /* inline\nmultiline */ AS x;\n-- trailer"
+    assert strip_sql_comments(sql) == "SELECT 1  AS x"
+
+
+def test_multimodal_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+
+    feats = extract_features(media, mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 32 for r in rows)
+    # determinism: same input → same features
+    again = extract_features(media, mode="fake").collect()
+    assert {r.doc_id: r.content_sha for r in rows} == {r.doc_id: r.content_sha for r in again}
+    # histogram is L1-normalized
+    assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in rows)
+
+    frames = sample_frames(media, every_n=30, mode="fake")
+    fcount = frames.groupBy("doc_id").count()
+    meta = {r.doc_id: r.n_frames for r in media.filter("media_type = 'video/mp4'").collect()}
+    for r in fcount.collect():
+        assert r["count"] == (meta[r.doc_id] + 29) // 30
+
+    resized = resize_stub(media, 224, 224)
+    assert resized.select(F.min("width"), F.max("height")).collect()[0] == (224, 224)
+
+
+def test_multimodal_real_mode_is_stubbed(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    media = attach_fake_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, mode="real").collect()
