@@ -1,0 +1,240 @@
+"""Ingest, schema-reconcile, as-of join, and remaining relational
+operators (SURVEY.md §2.1-2.3, §2.7) as oracle-checked queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.asof import asof_join
+from lakehouse_dba_tools_spark.operators.flatten import flatten_all, splat_structs
+from lakehouse_dba_tools_spark.operators.pivot import unpivot
+from lakehouse_dba_tools_spark.operators.reconcile import append_with_reconcile
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.json_records import paged_source, records_to_df
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# S1/S7/P2/P12: paginated JSON-records ingest → bool normalization →
+# struct splat → rollup. Fixed payload (the REST API stand-in); oracle
+# is the flattened literal table.
+# ---------------------------------------------------------------------------
+_PAGES = [
+    [
+        {"id": 1, "state": "RUNNING", "enabled": True,
+         "size": {"cluster_size": "2X-Small", "warehouses": 1}},
+        {"id": 2, "state": "STOPPED", "enabled": False,
+         "size": {"cluster_size": "Small", "warehouses": 2}},
+    ],
+    [
+        {"id": 3, "state": "RUNNING", "enabled": True,
+         "size": {"cluster_size": "Large", "warehouses": 4}},
+    ],
+]
+
+
+@register(
+    "json_ingest_flatten",
+    """
+    SELECT * FROM (VALUES
+      (1, 'RUNNING', 'true',  '2X-Small', 1),
+      (2, 'STOPPED', 'false', 'Small',    2),
+      (3, 'RUNNING', 'true',  'Large',    4)
+    ) AS t(id, state, enabled, cluster_size, warehouses)
+    """,
+)
+def json_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's endpoints-ingest path (QH:80-96): paged JSON →
+    stringified bools → inferred nested schema → struct splat."""
+    df = paged_source(spark, iter(_PAGES), stringify_bools=True)
+    flat = splat_structs(df, ["size"])
+    return flat.select(
+        F.col("id").cast("int"),
+        "state",
+        "enabled",
+        "cluster_size",
+        F.col("warehouses").cast("int"),
+    )
+
+
+@register(
+    "nested_flatten_deep",
+    """
+    SELECT * FROM (VALUES
+      (1, 10, 'a', 99),
+      (2, 20, 'b', NULL)
+    ) AS t(id, m_x, m_y, m_inner_z)
+    """,
+)
+def nested_flatten_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive flatten with parent-prefixing (collision-safe P2)."""
+    recs = [
+        {"id": 1, "m": {"x": 10, "y": "a", "inner": {"z": 99}}},
+        {"id": 2, "m": {"x": 20, "y": "b", "inner": {}}},
+    ]
+    df = records_to_df(spark, recs)
+    flat = flatten_all(df)
+    return flat.select(
+        F.col("id").cast("int"),
+        F.col("m_x").cast("int"),
+        F.col("m_y"),
+        F.col("m_inner_z").cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP:157-183 schema reconcile as a query: dest(old layout) ∪ source(new
+# layout) with NULL padding + evolution.
+# ---------------------------------------------------------------------------
+@register(
+    "schema_reconcile_append",
+    """
+    WITH dest AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice FROM dest
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR), o_totalprice FROM src
+    """,
+)
+def schema_reconcile_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dest = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    src = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return append_with_reconcile(dest, src, allow_new_columns=True)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (north-star; DuckDB has native ASOF JOIN as the oracle):
+# for each purchase event, the most recent preceding view's value.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_last_view",
+    """
+    WITH p AS (SELECT user_id, event_id, ts, round(value, 2) AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, round(value, 2) AS view_value
+          FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id, p.purchase_value, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 2).alias("view_value")
+    )
+    joined = asof_join(purchases, views, on="ts", by=["user_id"], value_cols=["view_value"])
+    return joined.select("user_id", "event_id", "purchase_value", "view_value")
+
+
+# ---------------------------------------------------------------------------
+# CUBE + grouping-id (TPC corpus surface).
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_cube",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS rf, coalesce(l_linestatus, '∅') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (§2.7 — absent in the reference, implied by the
+# full-outer schema-diff; exposed first-class here).
+# ---------------------------------------------------------------------------
+@register(
+    "segment_set_ops",
+    """
+    WITH evens AS (SELECT DISTINCT c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+    negs AS (SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < 0)
+    SELECT 'both' AS op, c_mktsegment FROM (SELECT * FROM evens INTERSECT SELECT * FROM negs)
+    UNION ALL
+    SELECT 'only_evens', c_mktsegment FROM (SELECT * FROM evens EXCEPT SELECT * FROM negs)
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    evens = cust.filter(F.col("c_custkey") % 2 == 0).select("c_mktsegment").distinct()
+    negs = cust.filter(F.col("c_acctbal") < 0).select("c_mktsegment").distinct()
+    both = evens.intersect(negs).select(F.lit("both").alias("op"), "c_mktsegment")
+    only = evens.exceptAll(negs).select(F.lit("only_evens").alias("op"), "c_mktsegment")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot via stack() (inverse of A4).
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_unpivot_measures",
+    """
+    SELECT m AS measure, round(avg(v), 6) AS avg_value FROM (
+      SELECT 'quantity' AS m, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY m
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = unpivot(li, [], ["quantity", "discount", "tax"], var_name="measure", value_name="v")
+    return long.groupBy("measure").agg(F.round(F.avg("v"), 6).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# rank / dense_rank / ntile window battery.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_balance_ranks",
+    """
+    SELECT c_custkey, c_mktsegment,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY round(c_acctbal, 2) DESC, c_custkey)
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 2).desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
