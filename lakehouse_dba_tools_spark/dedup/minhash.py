@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.functions.text import word_shingles
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
 
 # 31-bit Mersenne prime: keeps a·x + b within int64 (a, x < 2^31 →
 # product < 2^62). Plenty of hash space for minhash permutations.
@@ -46,8 +47,10 @@ def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
 def with_shingle_set(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingles) with distinct word k-shingles."""
-    return df.select(
+    """(id, shingles) with distinct word k-shingles. Fans out first:
+    shingling + signatures are CPU-bound and must not serialize on a
+    single input split."""
+    return fan_out(df).select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("shingles")
     )
 

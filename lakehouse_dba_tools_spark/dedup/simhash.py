@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lakehouse_dba_tools_spark.functions.text import tokens
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
 
 
 @F.pandas_udf(T.LongType())
@@ -46,7 +47,7 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
 def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) — JVM tokenizes+hashes, numpy folds the bits."""
     token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
-    return df.select(F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash"))
+    return fan_out(df).select(F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash"))
 
 
 def simhash_candidate_pairs(

@@ -70,15 +70,37 @@ def avg_word_len(col: Column | str) -> Column:
     ) / F.size(toks)
 
 
+def stopword_hits_from_tokens(toks_lower: Column, lang: str) -> Column:
+    """Stopword hits over a pre-lowercased token-array column — stage
+    the array once (``tokens(...).alias(...)`` in a prior select) when
+    computing several languages/features; Catalyst will NOT
+    common-subexpression-eliminate repeated split() calls."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks_lower, lambda t: t.isin(*words)))
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Count of tokens (lowercased) that are stopwords of ``lang``."""
     toks = F.transform(tokens(col), lambda t: F.lower(t))
-    words = STOPWORDS[lang]
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return stopword_hits_from_tokens(toks, lang)
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     return stopword_hits(col, lang) / token_count(col)
+
+
+def detect_language_from_tokens(toks_lower: Column) -> Column:
+    """Argmax over per-language stopword hits, from a staged token
+    array (tokenize once, score five languages)."""
+    langs = sorted(STOPWORDS)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        hits = stopword_hits_from_tokens(toks_lower, lang)
+        new_best = hits > best_hits
+        best_lang = F.when(new_best, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(new_best, hits).otherwise(best_hits)
+    return best_lang
 
 
 def detect_language(col: Column | str) -> Column:
@@ -88,15 +110,8 @@ def detect_language(col: Column | str) -> Column:
     strict > required to displace — so ties resolve to the earliest
     code. Zero hits everywhere → 'und' (undetermined).
     """
-    langs = sorted(STOPWORDS)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in langs:
-        hits = stopword_hits(col, lang)
-        new_best = hits > best_hits
-        best_lang = F.when(new_best, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(new_best, hits).otherwise(best_hits)
-    return best_lang
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return detect_language_from_tokens(toks)
 
 
 def quality_score(col: Column | str) -> Column:

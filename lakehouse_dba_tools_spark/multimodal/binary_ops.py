@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
+
 MEDIA_SCHEMA = (
     "doc_id long, media binary, media_type string, width int, height int, n_frames int"
 )
@@ -41,7 +43,7 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shape a real pipeline would carry)."""
     payload = F.encode(F.col(text_col), "UTF-8")
     h = F.abs(F.xxhash64(F.col(text_col)))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         payload.alias("media"),
         F.when(h % 3 == 0, "image/png")

@@ -15,6 +15,7 @@ from lakehouse_dba_tools_spark.dedup.minhash import lsh_candidate_pairs, verifie
 from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
 from lakehouse_dba_tools_spark.dedup.simhash import simhash_near_dups, with_simhash
 from lakehouse_dba_tools_spark.functions import text as TX
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
@@ -54,7 +55,7 @@ def doc_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(TX.token_count("text")), 4).alias("avg_tokens"),
@@ -89,13 +90,39 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Stage the token array ONCE; every feature derives from it (the
+    # one-col convenience API would re-split per feature — Catalyst
+    # doesn't CSE duplicated split() expressions).
+    staged = docs.select(
         "doc_id",
-        TX.token_count("text").alias("token_count"),
-        F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(TX.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
-        TX.quality_score("text").alias("quality"),
+        "text",
+        TX.tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "text",
+        "toks",
+        F.transform("toks", lambda t: F.lower(t)).alias("toks_lower"),
+        F.size("toks").alias("n_tok"),
+    )
+    alpha = TX.alpha_ratio("text")
+    stop = TX.stopword_hits_from_tokens(F.col("toks_lower"), "en") / F.col("n_tok")
+    awl = F.aggregate("toks", F.lit(0.0), lambda a, t: a + F.length(t)) / F.col("n_tok")
+    len_ok = F.when((F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000), 1.0).otherwise(0.0)
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.3 * len_ok
+        + 0.3 * F.least(alpha * 2, F.lit(1.0))
+        + 0.2 * F.least(stop * 5, F.lit(1.0))
+        + 0.2 * awl_ok,
+        6,
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tok").alias("token_count"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
     )
 
 
@@ -123,9 +150,13 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID vs the labeled lang column (confusion
     matrix — the synthetic corpus is English-vocab so most rows detect
     'en'; the query verifies the deterministic argmax, not accuracy)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "lang",
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)).alias("toks_lower"),
+    )
     return (
-        docs.select("lang", TX.detect_language("text").alias("detected"))
+        staged.select("lang", TX.detect_language_from_tokens(F.col("toks_lower")).alias("detected"))
         .groupBy("lang", "detected")
         .agg(F.count("*").alias("n"))
     )
@@ -139,7 +170,7 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", TX.min_shingle_fingerprint("text", k=3).alias("fingerprint")
     )

@@ -37,6 +37,10 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode: the driver JVM hosts every executor thread — give
+        # it real memory (default 1g OOMs shuffles + Arrow batches).
+        # Only effective for the process's first session; harmless after.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing, skew-join splitting, and
         # dynamic join-strategy switching — the scale path for 100 TB.

@@ -3,19 +3,21 @@
 Three tiers:
 
 - ``brute_topk``: exact cosine top-k, query-set × corpus join + window
-  rank. The baseline — correct at any scale the cross product affords
-  (broadcast the query side; the corpus never moves).
+  rank. The baseline — scoring is a deterministic JVM-side sequential
+  double fold (oracle-comparable digit for digit).
 - ``lsh_topk``: random-hyperplane LSH — corpus bucketed by sign
-  pattern; queries probe their own bucket (+ optional multi-probe by
-  flipping low-margin bits). Sub-linear candidate sets; the 100 TB
-  path. Deterministic: hyperplanes from a seeded numpy RNG, shipped
-  as literal arrays (JVM-evaluated, no UDF).
-- ``ivf_topk``: inverted-file variant — corpus assigned to the nearest
-  of C centroids (kmeans-lite trained on a sample), queries probe
-  ``nprobe`` nearest centroids. Classic IVF-Flat layout.
+  pattern across several independent tables; queries probe their
+  buckets. Equi-join on (table, bucket) replaces the cross join: the
+  100 TB path. Bucket assignment and candidate scoring run as numpy
+  matmuls in Arrow-batched pandas UDFs (similarity/kernels.py) — a
+  literal-array Catalyst expression tree is interpreted per row and
+  was the measured bottleneck.
+- ``ivf_topk``: inverted-file variant — corpus assigned to its nearest
+  of C centroids (kmeans-lite on a driver-side sample), queries probe
+  ``nprobe`` lists. Classic IVF-Flat layout.
 
-All scoring is JVM array math (similarity/vector.py); pandas UDFs are
-deliberately absent from the hot path.
+Determinism: hyperplanes/centroids from seeded numpy RNG; ANN ranking
+on round(sim, 9) with neighbor-id tie-break.
 """
 
 from __future__ import annotations
@@ -24,7 +26,22 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakehouse_dba_tools_spark.similarity.vector import as_double, cosine, dot, l2_norm, l2_normalize
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
+from lakehouse_dba_tools_spark.similarity.kernels import (
+    multi_table_bucket_udf,
+    nearest_centroids_udf,
+    pair_dot,
+)
+from lakehouse_dba_tools_spark.similarity.vector import as_double, dot, l2_normalize
+
+
+def _topk_by_sim(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
 
 
 def brute_topk(
@@ -42,7 +59,7 @@ def brute_topk(
     the corpus itself. Ranking on ROUND(sim, 9) with id tie-break keeps
     top-k deterministic under fp noise.
     """
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), l2_normalize(as_double(vec_col)).alias("_cv")
     )
     q = queries.select(
@@ -53,27 +70,21 @@ def brute_topk(
         "neighbor_id",
         F.round(dot(F.col("_cv"), F.col("_qv")), 9).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+def _hyperplane_tensor(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _bucket_expr(vec, planes: list[list[float]]):
-    """Sign-pattern bucket id: bit_i = (vec · plane_i) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(vec, plane) >= 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+def _with_buckets(df: DataFrame, vec_alias: str, planes: np.ndarray) -> DataFrame:
+    """Append (table_idx, bucket_key) rows — one numpy matmul per Arrow
+    batch assigns every table's bucket at once."""
+    bucket = multi_table_bucket_udf(planes)
+    return df.select(
+        "*", F.posexplode(bucket(F.col(vec_alias))).alias("tbl", "bkt")
+    )
 
 
 def lsh_topk(
@@ -88,35 +99,34 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH ANN: equi-join on (table, bucket) replaces
-    the cross join. Multiple independent tables recover recall lost to
-    unlucky planes. Returns ≤k approx neighbors per query.
-    """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), l2_normalize(as_double(vec_col)).alias("_cv"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), l2_normalize(as_double(vec_col)).alias("_qv"))
-
-    c_keys, q_keys = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        c_keys.append(F.struct(F.lit(t).alias("t"), _bucket_expr(F.col("_cv"), planes).alias("b")))
-        q_keys.append(F.struct(F.lit(t).alias("t"), _bucket_expr(F.col("_qv"), planes).alias("b")))
-    c_b = c.select("neighbor_id", "_cv", F.explode(F.array(*c_keys)).alias("tb"))
-    q_b = q.select("query_id", "_qv", F.explode(F.array(*q_keys)).alias("tb"))
-
+    """Random-hyperplane LSH ANN. Returns ≤k approx neighbors/query."""
+    planes = _hyperplane_tensor(dim, n_planes, n_tables, seed)
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), l2_normalize(as_double(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), l2_normalize(as_double(vec_col)).alias("_qv")
+    )
+    # Bucket-join on bare IDs, dedup, THEN re-attach vectors: the
+    # candidate shuffle carries 16 bytes/pair instead of two 64-dim
+    # arrays — the payload discipline that matters at 100 TB.
+    c_b = _with_buckets(c.select("neighbor_id", "_cv"), "_cv", planes).select(
+        "neighbor_id", "tbl", "bkt"
+    )
+    q_b = _with_buckets(q.select("query_id", "_qv"), "_qv", planes).select(
+        "query_id", "tbl", "bkt"
+    )
     cand = (
-        c_b.join(q_b, c_b.tb == q_b.tb)
-        .select("query_id", "neighbor_id", "_cv", "_qv")
+        c_b.join(q_b, on=["tbl", "bkt"])
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(dot(F.col("_cv"), F.col("_qv")), 9).alias("sim")
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", F.round(pair_dot("_cv", "_qv"), 9).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def train_centroids(
@@ -161,37 +171,21 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-Flat: corpus partitioned by nearest centroid; queries probe
     the ``nprobe`` nearest lists. Join is an equi-join on centroid id."""
-    cents = train_centroids(corpus, n_centroids, vec_col, seed=seed)
+    cents = np.asarray(train_centroids(corpus, n_centroids, vec_col, seed=seed))
+    assign1 = nearest_centroids_udf(cents, 1)
+    assignN = nearest_centroids_udf(cents, nprobe)
 
-    def nearest(vec, n: int):
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(dot(vec, F.array(*[F.lit(float(x)) for x in c])), 9).alias("s"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda x: x["c"])
-
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), l2_normalize(as_double(vec_col)).alias("_cv")
-    ).withColumn("cid", nearest(F.col("_cv"), 1)[0])
+    ).withColumn("cid", assign1(F.col("_cv"))[0])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), l2_normalize(as_double(vec_col)).alias("_qv")
-    ).withColumn("cid", F.explode(nearest(F.col("_qv"), nprobe)))
+    ).withColumn("cid", F.explode(assignN(F.col("_qv"))))
 
     scored = c.join(q, "cid").select(
-        "query_id", "neighbor_id", F.round(dot(F.col("_cv"), F.col("_qv")), 9).alias("sim")
+        "query_id", "neighbor_id", F.round(pair_dot("_cv", "_qv"), 9).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def embedding_near_dups(
@@ -206,19 +200,24 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold)
     via the same hyperplane-LSH bucketing (self-join form)."""
-    v = df.select(F.col(id_col).alias("_id"), l2_normalize(as_double(vec_col)).alias("_v"))
-    keys = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        keys.append(F.struct(F.lit(t).alias("t"), _bucket_expr(F.col("_v"), planes).alias("b")))
-    b = v.select("_id", "_v", F.explode(F.array(*keys)).alias("tb"))
-    a_side = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "tb")
-    b_side = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "tb")
+    planes = _hyperplane_tensor(dim, n_planes, n_tables, seed)
+    v = fan_out(df).select(
+        F.col(id_col).alias("_id"), l2_normalize(as_double(vec_col)).alias("_v")
+    )
+    b = _with_buckets(v, "_v", planes).select("_id", "tbl", "bkt")
+    a_side = b.select(F.col("_id").alias("id_a"), "tbl", "bkt")
+    b_side = b.select(F.col("_id").alias("id_b"), "tbl", "bkt")
     cand = (
-        a_side.join(b_side, (a_side.tb == b_side.tb) & (F.col("id_a") < F.col("id_b")))
+        a_side.join(b_side, on=["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (
-        cand.select("id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 6).alias("sim"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(F.round(pair_dot("va", "vb"), 9), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -37,6 +37,30 @@ def _recall(approx, exact):
     return hits / total
 
 
+def test_embedding_near_dup_lsh_finds_planted_dups(spark):
+    """Plant true near-duplicates (cos ≈ 0.99) in a random corpus: the
+    LSH path must recover every planted pair at threshold 0.9."""
+    import numpy as np
+
+    from lakehouse_dba_tools_spark.similarity.search import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 64))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    # 10 planted near-dups: id 1000+i ≈ id i + tiny noise
+    for i in range(10):
+        noisy = base[i] + 0.02 * rng.standard_normal(64)
+        rows.append((1000 + i, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            df, threshold=0.9, n_planes=8, n_tables=8, dim=64, seed=42
+        ).collect()
+    }
+    assert {(i, 1000 + i) for i in range(10)} <= pairs
+
+
 def test_lsh_and_ivf_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
