@@ -1,0 +1,226 @@
+"""TPC-H-shaped analytical queries over the fixture star schema.
+
+The reference's workload harness drives the TPC corpus against SQL
+endpoints (`evaluation_tools/dbstress__Current.py:93-103` loads
+queries/tpcds_2.13/*.sql) — the engine must execute these shapes well:
+correlated-exists decorrelation (Q4), selective scans (Q6), conditional
+aggregation (Q12/Q14), HAVING over grouped aggregates (Q18), and
+disjunctive multi-column predicates (Q19). Adapted to the fixture's
+columns; every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join (Catalyst decorrelates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective conjunctive scan — every predicate must reach
+    the parquet reader (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (CASE) aggregation after a fact-fact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-09-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + ratio-of-conditional-sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, round(total_qty, 2) AS total_qty
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, sum(l_quantity) AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg + HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+        .select("c_custkey", "o_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-table predicates — Catalyst must split the OR
+    into join-side pushdowns plus a residual filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 5)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "q20_part_supply_candidates",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%' AND l_shipdate >= DATE '1996-01-01'
+    )
+    """,
+)
+def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → semi join through a joined derived table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    keys = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("l_suppkey")
+    return sup.join(keys, sup.s_suppkey == keys.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    SELECT substr(c_name, 10, 1) AS name_digit, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY name_digit
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold + anti join (Q22 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    idle = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return idle.groupBy(F.substring("c_name", 10, 1).alias("name_digit")).agg(
+        F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal")
+    )

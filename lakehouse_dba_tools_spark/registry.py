@@ -32,5 +32,6 @@ def load_all() -> None:
         queries_ops,
         queries_streaming,
         queries_text,
+        queries_tpch,
         queries_vector,
     )
