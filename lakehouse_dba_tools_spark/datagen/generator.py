@@ -1,0 +1,160 @@
+"""Distributed deterministic TPC-H-style data generator.
+
+The reference generates benchmark tables by piping external dbgen/
+dsdgen binaries on every executor with a fixed RNGSEED=100
+(`resources/TPC-datagen-notebook.scala:1549-1606,1648-1652`), then
+parsing the pipe-delimited output. Two rebuilds here:
+
+- ``gen_*``: the Spark-native path — ``spark.range(N)`` + pure column
+  algebra, with per-row randomness derived from ``xxhash64(id, seed)``.
+  Fully deterministic REGARDLESS of partitioning (the reference's
+  determinism depends on fixed child/parallel splits; ours is a pure
+  function of row id), embarrassingly parallel, no external binary, no
+  text parsing, scales to any SF by changing N.
+- ``external_process_source``: the S6 operator shape itself — run a
+  shell command per partition and stream its stdout lines as rows —
+  for when the generator must be an existing binary.
+
+Uniform doubles come from the 53-bit mantissa trick on the 64-bit hash.
+"""
+
+from __future__ import annotations
+
+import shlex
+import subprocess
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MASK53 = (1 << 53) - 1
+
+
+def _u(seed_tag: str) -> Column:
+    """Uniform [0,1) double derived from the row id — deterministic,
+    partition-independent."""
+    h = F.xxhash64(F.col("id"), F.lit(seed_tag))
+    return (h.bitwiseAND(F.lit(_MASK53).cast("long"))).cast("double") / float(1 << 53)
+
+
+def _choice(seed_tag: str, values: list[str]) -> Column:
+    idx = (F.xxhash64(F.col("id"), F.lit(seed_tag)) % len(values) + len(values)) % len(values)
+    arr = F.array(*[F.lit(v) for v in values])
+    return arr[idx.cast("int")]
+
+
+RETURN_FLAGS = ["A", "N", "R"]
+LINE_STATUS = ["O", "F"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def gen_lineitem(spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None) -> DataFrame:
+    """Synthetic lineitem at any scale — one projection over range()."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    days = (_u(f"ship{seed}") * 2520).cast("int")  # ~7 years of ship dates
+    return base.select(
+        (F.col("id") / 4 + 1).cast("long").alias("l_orderkey"),
+        ((F.xxhash64("id", F.lit(f"pk{seed}")) % 20000 + 20000) % 20000 + 1).alias("l_partkey"),
+        ((F.xxhash64("id", F.lit(f"sk{seed}")) % 1000 + 1000) % 1000 + 1).alias("l_suppkey"),
+        (F.col("id") % 4 + 1).cast("int").alias("l_linenumber"),
+        F.round(_u(f"qty{seed}") * 49 + 1, 2).alias("l_quantity"),
+        F.round(_u(f"px{seed}") * 99000 + 1000, 2).alias("l_extendedprice"),
+        F.round(_u(f"disc{seed}") * 0.1, 2).alias("l_discount"),
+        F.round(_u(f"tax{seed}") * 0.08, 2).alias("l_tax"),
+        _choice(f"rf{seed}", RETURN_FLAGS).alias("l_returnflag"),
+        _choice(f"ls{seed}", LINE_STATUS).alias("l_linestatus"),
+        F.date_add(F.lit("1992-01-01").cast("date"), days).alias("l_shipdate"),
+    )
+
+
+def gen_orders(spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    days = (_u(f"od{seed}") * 2400).cast("int")
+    return base.select(
+        (F.col("id") + 1).alias("o_orderkey"),
+        ((F.xxhash64("id", F.lit(f"ck{seed}")) % 15000 + 15000) % 15000 + 1).alias("o_custkey"),
+        _choice(f"st{seed}", ["O", "F", "P"]).alias("o_orderstatus"),
+        F.round(_u(f"tp{seed}") * 450000 + 900, 2).alias("o_totalprice"),
+        F.date_add(F.lit("1992-01-01").cast("date"), days).alias("o_orderdate"),
+        _choice(f"pr{seed}", PRIORITIES).alias("o_orderpriority"),
+    )
+
+
+def gen_customer(spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    return base.select(
+        (F.col("id") + 1).alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.lpad((F.col("id") + 1).cast("string"), 9, "0")).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        F.round(_u(f"bal{seed}") * 10999.98 - 999.99, 2).alias("c_acctbal"),
+        _choice(f"seg{seed}", SEGMENTS).alias("c_mktsegment"),
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    coalesce_to: int | None = None,
+) -> None:
+    """Partitioned table writer (reference S12/S13): repartition by the
+    partition key first so each Hive partition is written by one task
+    (avoids the many-small-files explosion), or coalesce unpartitioned
+    output to bound file count."""
+    writer = df
+    if partition_by:
+        writer = df.repartition(*[F.col(c) for c in partition_by])
+    elif coalesce_to:
+        writer = df.coalesce(coalesce_to)
+    w = writer.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def external_process_source(
+    spark: SparkSession,
+    command_for_part: str,
+    n_parts: int,
+    ddl_schema: str,
+    delimiter: str = "|",
+) -> DataFrame:
+    """The S6 operator: run ``command_for_part.format(part=i)`` on one
+    executor per partition, stream stdout lines, parse with a declared
+    schema (reference BlockingLineStream + pipe-CSV parse,
+    TPC:1549-1606,1705-1720).
+
+    Backpressure comes from the iterator protocol itself: lines are
+    consumed as Spark pulls them, with the pipe's OS buffer bounding
+    producer run-ahead (the reference hand-rolled a bounded queue).
+    """
+
+    def run(part_iter: Iterator[int]) -> Iterator[tuple]:
+        for part in part_iter:
+            # targeted substitution — .format() would choke on other
+            # brace literals in the command text
+            cmd = command_for_part.replace("{part}", str(part))
+            proc = subprocess.Popen(
+                shlex.split(cmd), stdout=subprocess.PIPE, text=True, bufsize=1 << 16
+            )
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                if line:
+                    yield tuple(line.split(delimiter))
+            if proc.wait() != 0:
+                raise RuntimeError(f"generator exited {proc.returncode} for part {part}")
+
+    rdd = spark.sparkContext.parallelize(range(n_parts), n_parts).mapPartitions(run)
+    raw = spark.createDataFrame(rdd, schema=", ".join(f"{f.split()[0]} string" for f in ddl_schema.split(",")))
+    # cast to the declared types
+    casts = []
+    for field in ddl_schema.split(","):
+        name, typ = field.strip().split()
+        casts.append(F.col(name).cast(typ).alias(name))
+    return raw.select(*casts)
