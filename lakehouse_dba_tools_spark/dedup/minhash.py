@@ -28,8 +28,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lakehouse_dba_tools_spark.functions.text import word_shingles
 from lakehouse_dba_tools_spark.operators.partitioning import fan_out
@@ -60,19 +63,31 @@ def with_minhash_signature(
 ) -> DataFrame:
     """Append ``signature: array<bigint>`` of length ``num_perm``.
 
-    h_i over the 61-bit Mersenne prime; xxhash64 folded to non-negative.
-    One projection — whole-stage codegen keeps this a single pass.
+    Hybrid kernel: shingle hashing stays JVM-side (one ``transform`` of
+    ``xxhash64``), the H-permutation min-fold runs as a numpy
+    broadcast in an Arrow-batched pandas UDF — H interpreted
+    higher-order passes per row collapse into one (S×H) integer matmul
+    per batch. Integer math is exact, so signatures are bit-identical
+    to the pure-column formulation.
     """
     coeffs = _perm_coeffs(num_perm, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)  # (H,)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    def perm(a: int, b: int):
-        # Factory keeps the lambda unary (PySpark inspects lambda arity).
-        return lambda s: ((F.abs(F.xxhash64(s)) % MERSENNE_P) * a + b) % MERSENNE_P
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signature(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for hashes in hash_arrays:
+            if hashes is None or len(hashes) == 0:
+                out.append([0] * len(A))
+                continue
+            x = np.abs(np.asarray(hashes, dtype=np.int64)) % MERSENNE_P  # (S,)
+            sig = ((x[:, None] * A[None, :] + B[None, :]) % MERSENNE_P).min(axis=0)
+            out.append(sig.tolist())
+        return pd.Series(out)
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), perm(a, b))) for a, b in coeffs]
-    )
-    return shingled.withColumn("signature", sig)
+    shingle_hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    return shingled.withColumn("signature", signature(shingle_hashes))
 
 
 def band_keys(

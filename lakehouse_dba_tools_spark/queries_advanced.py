@@ -1,0 +1,146 @@
+"""Advanced operator queries: sliding windows, grouped-map pandas,
+salted aggregation, exact percentiles."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.skew import salted_agg
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import load_table
+from lakehouse_dba_tools_spark.streaming.windows import run_stream_to_table, sliding_rollup, stream_events
+
+
+@register(
+    "streaming_sliding_rollup",
+    """
+    WITH b AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) AS b30, event_type
+      FROM events
+    ),
+    expanded AS (
+      SELECT b30 AS win_epoch, event_type FROM b
+      UNION ALL
+      SELECT b30 - 1800, event_type FROM b
+    )
+    SELECT win_epoch, event_type, count(*) AS n
+    FROM expanded GROUP BY win_epoch, event_type
+    """,
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h width, 30m slide): every event lands in two
+    overlapping windows — the oracle expands each event into both
+    window starts explicitly."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_table(
+        sliding_rollup(ev, width="1 hour", slide="30 minutes"), spark
+    )
+
+
+@register(
+    "user_value_zscores",
+    """
+    WITH stats AS (
+      SELECT user_id, avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sigma,
+             event_id, value
+      FROM events WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM stats WHERE sigma > 0
+    """,
+)
+def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas transform) — the
+    canonical custom-operator escape hatch; oracle is the equivalent
+    window-function SQL."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma or sigma != sigma:
+            return pdf.iloc[0:0][["user_id", "event_id"]].assign(zscore=[])
+        out = pdf[["user_id", "event_id"]].copy()
+        out["zscore"] = ((pdf["value"] - mu) / sigma).round(4)
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, zscore double"
+    )
+
+
+@register(
+    "salted_event_rollup",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the low-cardinality (skew-prone)
+    event_type key — result must be identical to the direct groupBy
+    (the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [F.count("*").alias("_n"), F.sum("value").alias("_s")],
+        [F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")],
+        n_salts=16,
+    )
+
+
+@register(
+    "order_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The scale default is percentile_approx (t-digest,
+    mergeable sketch) — used in workload/harness.py; the exact form here
+    is what the oracle can verify."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch vs exact distinct: the query RETURNS the exact count
+    (oracle-comparable) but also computes the approx and asserts the
+    sketch is within its error bound — failing loudly if the sketch
+    degrades (rsd 0.02 → ±~6% at 3σ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+    checked = both.withColumn(
+        "exact_parts",
+        F.when(
+            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")) <= 0.06,
+            F.col("exact_parts"),
+        ).otherwise(F.lit(-1)),  # sentinel: sketch out of bound → oracle mismatch
+    )
+    return checked.select("l_returnflag", "exact_parts", "n")

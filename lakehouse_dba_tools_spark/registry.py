@@ -28,6 +28,7 @@ def load_all() -> None:
     """Import every query module (registration side effects)."""
     from lakehouse_dba_tools_spark import (  # noqa: F401
         queries,
+        queries_advanced,
         queries_datagen,
         queries_ingest,
         queries_ops,
