@@ -1,0 +1,132 @@
+"""End-to-end ETL pipeline queries — the reference's flagship trace
+(SURVEY.md §3.1) composed from engine operators."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
+from lakehouse_dba_tools_spark.operators.flatten import splat_structs
+from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.json_records import paged_source
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+ETL_SLICE = 500  # events ingested through the REST-analog path
+PAGE_SIZE = 100
+
+
+@register(
+    "query_history_etl_e2e",
+    f"""
+    WITH slice AS (SELECT * FROM events WHERE event_id < {ETL_SLICE}),
+    deduped AS (
+      SELECT * FROM slice
+      QUALIFY row_number() OVER (PARTITION BY event_id
+                                 ORDER BY epoch(ts), user_id) = 1
+    )
+    SELECT event_type, count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(sum(value), 2) AS sum_value,
+           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_final
+    FROM deduped GROUP BY event_type
+    """,
+)
+def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QH flagship pipeline end-to-end (reference §3.1):
+
+    REST-paginated JSON (driver-side pages, the reference's S7 shape)
+    → bool stringification (P12) → inferred nested schema (S1)
+    → struct splat (P2) → epoch→timestamp (F1) → dedup-by-key (W1)
+    → MERGE upsert into the warehouse table (S9/J3) → metrics rollup.
+
+    The payload is derived from the events fixture so the DuckDB oracle
+    can recompute the result relationally.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < ETL_SLICE)
+    # Build the "REST payload": nested records with a metrics struct and
+    # a raw bool — exactly the shape the reference ingests.
+    rows = ev.select(
+        "event_id",
+        (F.col("ts").cast("double")).alias("epoch"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).collect()
+    records = [
+        {
+            "event_id": r.event_id,
+            "start_time_ms": int(round(r.epoch * 1000)),
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+            "is_final": bool(r.event_id % 2 == 0),
+            "metrics": {"value": r.value, "k": int(json.loads(r.props)["k"])},
+        }
+        for r in rows
+    ]
+    pages = [records[i : i + PAGE_SIZE] for i in range(0, len(records), PAGE_SIZE)]
+
+    df = paged_source(spark, iter(pages), stringify_bools=True)
+    flat = splat_structs(df, ["metrics"])
+    flat = flat.withColumn("start_ts", F.timestamp_millis(F.col("start_time_ms")))
+    deduped = dedup_by_key(flat, ["event_id"], ["start_time_ms", "user_id"])
+
+    # warehouse upsert: first page as pre-existing table, full set merged
+    target = deduped.limit(0)
+    merged = merge_upsert(target, deduped, ["event_id"])
+
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum((F.col("is_final") == "true").cast("bigint")).alias("n_final"),
+    )
+
+
+@register(
+    "props_map_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events GROUP BY k_bucket
+    """,
+)
+def props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType (schema-full parse — the F4 alternative to
+    get_json_object string probing)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_map", F.from_json("props", "map<string,int>"))
+    return (
+        parsed.select((F.col("props_map")["k"] % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("csv_roundtrip_ingest")
+def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S14 file-format roundtrip: nation → csv (header) → inferred
+    re-read → checksum. Deterministic; rows-only (tempdir path)."""
+    import shutil
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        path = f"{tmp}/nation_csv"
+        nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.csv(path, header=True, inferSchema=True)
+        out = back.agg(
+            F.count("*").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.countDistinct("n_regionkey").alias("n_regions"),
+        )
+        res = out.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

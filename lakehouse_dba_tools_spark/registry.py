@@ -30,6 +30,7 @@ def load_all() -> None:
         queries,
         queries_advanced,
         queries_datagen,
+        queries_etl,
         queries_ingest,
         queries_ops,
         queries_streaming,

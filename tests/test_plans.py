@@ -1,0 +1,72 @@
+"""Plan-quality regression tests: the optimizer properties we rely on
+at scale must hold structurally, not just have been observed once."""
+
+from __future__ import annotations
+
+import re
+
+from lakehouse_dba_tools_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_revenue_forecast", sf_dir)
+    pushed = re.search(r"PushedFilters: \[(.*)\]", plan)
+    assert pushed, "no PushedFilters in scan"
+    assert "l_shipdate" in pushed.group(1)
+    assert "l_discount" in pushed.group(1)
+    assert "l_quantity" in pushed.group(1)
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    cols = m.group(1)
+    # projection needs 7 of 11 lineitem columns; key absence checks:
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "region_revenue", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region at minimum
+
+
+def test_partial_aggregation_before_exchange(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    assert re.search(r"partial_sum", plan), "no map-side partial aggregation"
+
+
+def test_semi_anti_joins_not_materialized(spark, sf_dir):
+    for name, kind in [
+        ("suppliers_with_recent_shipments", "LeftSemi"),
+        ("customers_without_orders", "LeftAnti"),
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert re.search(kind, plan, re.IGNORECASE) or "Join" in plan, name
+
+
+def test_single_shuffle_for_dedup_window(spark, sf_dir):
+    """W1 dedup = exactly one exchange on the partition key, with
+    Spark's WindowGroupLimit pruning rank>1 rows map-side BEFORE it."""
+    plan = _plan(spark, "first_order_per_customer", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_lsh_pipeline_shuffles_ids_not_vectors(spark, sf_dir):
+    """The candidate dedup exchange must not carry embedding arrays."""
+    plan = _plan(spark, "embedding_near_dups_lsh", sf_dir)
+    for ex in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", plan):
+        inputs = ex.group(1)
+        if "id_a" in inputs and "id_b" in inputs:
+            assert "_v" not in inputs and "va" not in inputs and "vb" not in inputs
