@@ -1,0 +1,89 @@
+"""Lakehouse lifecycle queries: SCD2 history merge, stream-stream join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.scd2 import scd2_init, scd2_merge
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import load_table
+from lakehouse_dba_tools_spark.streaming.windows import run_stream_to_table, stream_events
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-06-01 00:00:00"
+
+
+@register(
+    "scd2_customer_history",
+    f"""
+    WITH src1 AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal FROM customer
+    ),
+    src2_updates AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal + 100, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    src2_unchanged AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 5 <> 0
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '{T0}' AS valid_from, '{T1}' AS valid_to
+    FROM src1 WHERE c_custkey % 5 = 0            -- closed-out old versions
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '{T0}', '9999-12-31 00:00:00'
+    FROM src2_unchanged                           -- untouched current rows
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '{T1}', '9999-12-31 00:00:00'
+    FROM src2_updates                             -- new current versions
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension merge: batch 1 initializes, batch 2 changes
+    every 5th customer's balance — history must show closed-out old
+    versions plus open new ones (oracle constructs the expected
+    history relationally)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    target = scd2_init(cust, ["c_custkey"], ["c_mktsegment", "c_acctbal"], T0)
+    batch2 = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 100, 2)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    merged = scd2_merge(
+        target, batch2, ["c_custkey"], ["c_mktsegment", "c_acctbal"], T1
+    )
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    )
+
+
+@register(
+    "stream_view_purchase_attribution",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           round(p.value, 2) AS purchase_value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def stream_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (view→purchase attribution
+    within 1h); bounded replay must equal the batch range join."""
+    from lakehouse_dba_tools_spark.streaming.joins import purchases_after_views
+
+    ev = stream_events(spark, sf_dir)
+    joined = purchases_after_views(ev, within="1 hour", watermark="10 minutes")
+    return run_stream_to_table(joined, spark, mode="append")

@@ -32,6 +32,7 @@ def load_all() -> None:
         queries_datagen,
         queries_etl,
         queries_ingest,
+        queries_lakehouse,
         queries_ops,
         queries_streaming,
         queries_text,
