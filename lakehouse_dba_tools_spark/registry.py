@@ -31,6 +31,7 @@ def load_all() -> None:
         queries_advanced,
         queries_datagen,
         queries_etl,
+        queries_functions,
         queries_ingest,
         queries_lakehouse,
         queries_ops,
