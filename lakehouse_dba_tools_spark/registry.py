@@ -29,6 +29,7 @@ def load_all() -> None:
     from lakehouse_dba_tools_spark import (  # noqa: F401
         queries,
         queries_advanced,
+        queries_collections,
         queries_datagen,
         queries_etl,
         queries_functions,
