@@ -40,9 +40,11 @@ FEATURE_DIM = 32
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Synthesize a deterministic binary payload column + metadata from
     text (stands in for real image/video bytes; same schema/partition
-    shape a real pipeline would carry)."""
+    shape a real pipeline would carry). Metadata derives from md5 —
+    portable across engines, so the fake pipeline stays oracle-checkable.
+    """
     payload = F.encode(F.col(text_col), "UTF-8")
-    h = F.abs(F.xxhash64(F.col(text_col)))
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
     return fan_out(df).select(
         F.col(id_col),
         payload.alias("media"),

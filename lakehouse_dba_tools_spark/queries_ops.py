@@ -92,7 +92,18 @@ def workload_stress_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CASE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+           sha256(text) AS content_sha,
+           1.0 AS feature_l1,
+           32 AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via mapInPandas (fake decode
     kernel — deterministic byte histogram; real codec is the stub)."""
@@ -108,7 +119,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h FROM documents
+      WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 3 = 2
+    ),
+    n AS (SELECT doc_id, CAST(h % 300 + 1 AS INT) AS n_frames FROM m),
+    e AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30)) AS frame_idx FROM n)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, 32 AS dim FROM e
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
