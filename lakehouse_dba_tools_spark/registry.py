@@ -35,6 +35,7 @@ def load_all() -> None:
         queries_functions,
         queries_ingest,
         queries_lakehouse,
+        queries_modern,
         queries_ops,
         queries_streaming,
         queries_text,
