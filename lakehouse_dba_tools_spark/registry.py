@@ -36,6 +36,7 @@ def load_all() -> None:
         queries_ingest,
         queries_lakehouse,
         queries_modern,
+        queries_observability,
         queries_ops,
         queries_streaming,
         queries_text,
