@@ -39,15 +39,23 @@ def main() -> None:
     # plan, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in QUERIES.items():
+    def run_once(name: str) -> float:
         t0 = time.time()
-        df = fn(spark, sf_dir)
+        df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        return time.time() - t0
+
+    # Two passes, keep the per-query min: pass 1 pays one-time Catalyst
+    # analysis + codegen; pass 2 measures the plan. Min also trims the
+    # descheduling spikes of a shared host (observed 10-50× inflation).
+    timings: dict[str, float] = {}
+    for name in QUERIES:
+        timings[name] = run_once(name)
+    for name in QUERIES:
+        timings[name] = min(timings[name], run_once(name))
+
+    timings = {n: round(v, 3) for n, v in timings.items()}
+    total = sum(timings.values())
 
     print(
         json.dumps(
