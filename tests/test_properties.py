@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+Each property runs a handful of generated cases against a live Spark
+session (examples capped — JVM round-trips are the cost driver).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
+from lakehouse_dba_tools_spark.operators.reconcile import append_with_reconcile
+from lakehouse_dba_tools_spark.operators.sessionize import sessionize
+from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # key
+        st.integers(min_value=0, max_value=99),  # ord
+        st.text(alphabet="abcxyz", min_size=0, max_size=5),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(target=rows, source=rows)
+@SETTINGS
+def test_merge_upsert_invariants(spark, target, source):
+    t = spark.createDataFrame(target, "k int, ord int, v string") if target else spark.createDataFrame([], "k int, ord int, v string")
+    s = spark.createDataFrame(source, "k int, ord int, v string") if source else spark.createDataFrame([], "k int, ord int, v string")
+    t = dedup_by_key(t, ["k"], ["ord", "v"], keep="last")
+    merged = merge_upsert(t, s, ["k"], source_order=["ord", "v"]).collect()
+
+    merged_keys = {r.k for r in merged}
+    t_keys = {r[0] for r in t.collect()}
+    s_keys = {r[0] for r in source}
+    # key set = union of inputs
+    assert merged_keys == t_keys | s_keys
+    # one row per key (MERGE postcondition)
+    assert len(merged) == len(merged_keys)
+    # source wins: every source key carries the max-(ord,v) source row
+    best = {}
+    for k, o, v in source:
+        if k not in best or (o, v) > best[k]:
+            best[k] = (o, v)
+    for r in merged:
+        if r.k in s_keys:
+            assert (r.ord, r.v) == best[r.k]
+
+
+@given(source=rows)
+@SETTINGS
+def test_merge_upsert_idempotent(spark, source):
+    s = spark.createDataFrame(source, "k int, ord int, v string") if source else spark.createDataFrame([], "k int, ord int, v string")
+    empty = spark.createDataFrame([], "k int, ord int, v string")
+    once = merge_upsert(empty, s, ["k"], source_order=["ord", "v"])
+    twice = merge_upsert(once, s, ["k"], source_order=["ord", "v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    dest_cols=st.sets(st.sampled_from(["a", "b", "c", "d"]), min_size=1),
+    src_cols=st.sets(st.sampled_from(["a", "b", "c", "e"]), min_size=1),
+)
+@SETTINGS
+def test_reconcile_schema_algebra(spark, dest_cols, src_cols):
+    dest = spark.createDataFrame(
+        [tuple(1 for _ in dest_cols)], ", ".join(f"{c} int" for c in sorted(dest_cols))
+    )
+    src = spark.createDataFrame(
+        [tuple(2 for _ in src_cols)], ", ".join(f"{c} int" for c in sorted(src_cols))
+    )
+    strict = append_with_reconcile(dest, src)
+    assert set(strict.columns) == dest_cols  # extra source cols dropped
+    evolved = append_with_reconcile(dest, src, allow_new_columns=True)
+    assert set(evolved.columns) == dest_cols | src_cols
+    # null padding: src row has NULL for dest-only columns
+    src_row = [r for r in evolved.collect() if any(
+        getattr(r, c) == 2 for c in src_cols & dest_cols
+    ) or (not (src_cols & dest_cols))]
+    for r in evolved.collect():
+        for c in dest_cols - src_cols:
+            assert getattr(r, c) in (1, None)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=15),
+    threshold=st.integers(min_value=5, max_value=60),
+)
+@SETTINGS
+def test_sessionize_session_count(spark, gaps, threshold):
+    """Session count == 1 + number of inter-event gaps > threshold."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    times = [t]
+    for g in gaps:
+        times.append(times[-1] + dt.timedelta(minutes=g))
+    df = spark.createDataFrame([(1, ts) for ts in times], "user_id int, ts timestamp")
+    out = sessionize(df, gap_minutes=float(threshold))
+    n_sessions = out.agg(F.max("session_id")).collect()[0][0]
+    expected = 1 + sum(1 for g in gaps if g > threshold)
+    assert n_sessions == expected
