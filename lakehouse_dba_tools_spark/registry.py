@@ -39,6 +39,7 @@ def load_all() -> None:
         queries_observability,
         queries_ops,
         queries_streaming,
+        queries_subqueries,
         queries_text,
         queries_tpch,
         queries_vector,
