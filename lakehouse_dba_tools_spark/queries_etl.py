@@ -125,8 +125,7 @@ def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("long").alias("key_sum"),
             F.countDistinct("n_regionkey").alias("n_regions"),
         )
-        res = out.cache()
-        res.count()
-        return res
+        # pin before the tempdir vanishes (cache blocks are evictable)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

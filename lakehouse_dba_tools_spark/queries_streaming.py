@@ -101,8 +101,9 @@ def streaming_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.select(
             "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
         )
-        out = rows.cache()
-        out.count()
-        return out
+        # Pin the (small: one row per user) result before deleting the
+        # backing files — a cache() could be evicted and recompute from
+        # the removed path.
+        return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
