@@ -57,6 +57,63 @@ def list_tables(spark: SparkSession, database: str | None = None) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def create_table_as(spark: SparkSession, name: str, df: DataFrame, replace: bool = True) -> None:
+    """CTAS (S10, EP:183): create-or-replace a managed table from a
+    DataFrame — the engine form of ``create or replace table ... as
+    select``."""
+    _check_ident(name)
+    writer = df.write.format("parquet")
+    if replace:
+        writer.mode("overwrite").saveAsTable(name)
+    else:
+        writer.mode("errorifexists").saveAsTable(name)
+
+
+def insert_into(spark: SparkSession, name: str, df: DataFrame, by_name: bool = True) -> None:
+    """INSERT INTO ... SELECT (S11, EP:181). ``by_name=True`` aligns
+    columns by name (the reconcile-safe default); positional otherwise
+    (the reference's dynamic column-list INSERT relied on generated
+    ordering)."""
+    _check_ident(name)
+    if by_name:
+        # project into the target's column order first — insertInto is
+        # positional, the reference's generated-ordering trap (EP:181)
+        df = df.select(*spark.table(name).columns)
+    df.write.mode("append").insertInto(name)
+
+
+def register_external_table(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    fmt: str = "parquet",
+    partitioned_by: list[str] | None = None,
+    ddl_columns: str | None = None,
+) -> None:
+    """CREATE TABLE ... USING fmt LOCATION path + MSCK REPAIR (S15,
+    TPC:1767-1778): register existing files as a catalog table and
+    discover Hive-style partitions (required for non-transactional
+    formats before partition pruning can work)."""
+    _check_ident(name)
+    if partitioned_by:
+        if not ddl_columns:
+            raise ValueError("partitioned external tables need explicit ddl_columns")
+        cols = ", ".join(partitioned_by)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl_columns}) USING {fmt} "
+            f"PARTITIONED BY ({cols}) LOCATION '{location}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    else:
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{location}'")
+
+
+def show_partitions(spark: SparkSession, name: str) -> DataFrame:
+    """SHOW PARTITIONS as a frame (D4/A2, TPC:342-350,1940)."""
+    _check_ident(name)
+    return spark.sql(f"SHOW PARTITIONS {name}")
+
+
 def describe_columns(spark: SparkSession, name: str) -> DataFrame:
     """DESCRIBE as a structured frame (D5) — schema introspection via
     catalog, replacing the reference's DESCRIBE-text filtering
