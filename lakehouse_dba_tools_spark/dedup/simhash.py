@@ -123,3 +123,45 @@ def simhash_near_dups(
         .select("id_a", "id_b", hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 12,
+    chunks: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SimHash-pruned exact near-dups: Hamming-ball candidates verified
+    with exact shingle-set Jaccard ≥ threshold — the same
+    candidates→verify contract as minhash.verified_near_dups, so the
+    result is the exact all-pairs answer whenever the Hamming ball
+    covers every true pair (a measurable recall property; the candidate
+    set is the cheap prune, the verify step restores exactness).
+
+    Output: (id_a, id_b, jaccard) — comparable with ngram.jaccard_pairs.
+    """
+    from lakehouse_dba_tools_spark.dedup.minhash import with_shingle_set
+
+    fp = with_simhash(df, text_col, id_col)
+    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks)
+    a_fp = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    b_fp = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    ball = (
+        pairs.join(a_fp, "id_a")
+        .join(b_fp, "id_b")
+        .filter(hamming_distance(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    sh = with_shingle_set(df, text_col, id_col, k)
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = ball.join(a_sh, "id_a").join(b_sh, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -25,9 +25,17 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     session_col: str = "session_id",
+    tie_break: str | None = None,
 ) -> DataFrame:
-    """Assign a per-user session number to every event."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    """Assign a per-user session number to every event.
+
+    ``tie_break``: extra ORDER BY column after ``ts_col`` so equal
+    timestamps within a user order deterministically (required for
+    reproducible lag() when ts has ties — same contract as
+    ``dedup_by_key``).
+    """
+    order = [ts_col] if tie_break is None else [ts_col, tie_break]
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_sec = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
     is_new = F.when(gap_sec.isNull() | (gap_sec > gap_minutes * 60.0), 1).otherwise(0)
     return df.withColumn("_new_sess", is_new).withColumn(
@@ -40,9 +48,10 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Per-session rollup: span, event count, value sum."""
-    s = sessionize(df, user_col, ts_col, gap_minutes)
+    s = sessionize(df, user_col, ts_col, gap_minutes, tie_break=tie_break)
     return s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),

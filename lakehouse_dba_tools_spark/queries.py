@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key, latest_per_group
 from lakehouse_dba_tools_spark.operators.flatten import json_field
 from lakehouse_dba_tools_spark.operators.pivot import pivot_agg
@@ -200,7 +201,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                                  AS n,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT))    AS sum_k,
-           round(sum(value), 2)                                      AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -211,7 +212,7 @@ def event_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("k_str").cast("bigint")).alias("sum_k"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        stable_sum("value", 2).alias("sum_value"),
     )
 
 
@@ -520,7 +521,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    s = sessionize(ev, gap_minutes=30.0)
+    s = sessionize(ev, gap_minutes=30.0, tie_break="event_id")
     return s.groupBy("user_id").agg(
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),

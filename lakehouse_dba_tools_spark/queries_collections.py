@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.functions.stable import stable_avg, stable_sum
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
@@ -121,8 +122,8 @@ def date_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                   AS n_rows,
            count(bal)                                 AS n_bal,
            count(*) - count(bal)                      AS n_null_bal,
-           round(sum(coalesce(bal, 0.0)), 2)          AS bal_sum,
-           round(avg(bal), 4)                         AS bal_avg_ignoring_nulls,
+           CAST(round(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(38,12))), 2) AS DOUBLE) AS bal_sum,
+           round(CAST(sum(CAST(bal AS DECIMAL(38,12))) AS DOUBLE) / count(bal), 4) AS bal_avg_ignoring_nulls,
            sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS isnull_count
     FROM t GROUP BY seg_c
     """,
@@ -140,8 +141,8 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("bal").alias("n_bal"),
         (F.count("*") - F.count("bal")).alias("n_null_bal"),
-        F.round(F.sum(F.coalesce("bal", F.lit(0.0))), 2).alias("bal_sum"),
-        F.round(F.avg("bal"), 4).alias("bal_avg_ignoring_nulls"),
+        stable_sum(F.coalesce("bal", F.lit(0.0)), 2).alias("bal_sum"),
+        stable_avg("bal", 4).alias("bal_avg_ignoring_nulls"),
         F.sum(F.col("bal").isNull().cast("long")).alias("isnull_count"),
     )
 

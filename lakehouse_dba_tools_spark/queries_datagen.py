@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.datagen.generator import gen_lineitem
+from lakehouse_dba_tools_spark.functions.stable import stable_avg, stable_sum
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
@@ -34,7 +35,7 @@ PRICING_TIERS = [
         {" ".join(f"WHEN {i} THEN '{n}'" for i, (n, _, _) in enumerate(PRICING_TIERS))}
       END AS cluster_size FROM events)
     SELECT cluster_size, count(*) AS n_events,
-           round(sum(value * usd_per_hour / 3600.0), 2) AS attributed_usd
+           CAST(round(sum(CAST(value * usd_per_hour / 3600.0 AS DECIMAL(38,12))), 2) AS DOUBLE) AS attributed_usd
     FROM sized JOIN pricing USING (cluster_size)
     GROUP BY cluster_size
     """,
@@ -57,23 +58,39 @@ def event_cost_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value") * F.col("usd_per_hour") / 3600.0), 2).alias(
+            stable_sum(F.col("value") * F.col("usd_per_hour") / 3600.0, 2).alias(
                 "attributed_usd"
             ),
         )
     )
 
 
-@register("datagen_lineitem_rollup")
+@register(
+    "datagen_lineitem_rollup",
+    """
+    SELECT * FROM (VALUES
+      ('A', 'F', CAST(33339 AS BIGINT), CAST(851386.74 AS DOUBLE), CAST(50400.5802 AS DOUBLE)),
+      ('A', 'O', CAST(33538 AS BIGINT), CAST(850178.51 AS DOUBLE), CAST(50440.97   AS DOUBLE)),
+      ('N', 'F', CAST(33234 AS BIGINT), CAST(847979.54 AS DOUBLE), CAST(50519.2225 AS DOUBLE)),
+      ('N', 'O', CAST(33216 AS BIGINT), CAST(848109.07 AS DOUBLE), CAST(50151.3685 AS DOUBLE)),
+      ('R', 'F', CAST(33389 AS BIGINT), CAST(851873.4  AS DOUBLE), CAST(50339.4208 AS DOUBLE)),
+      ('R', 'O', CAST(33284 AS BIGINT), CAST(847104.55 AS DOUBLE), CAST(50594.2832 AS DOUBLE))
+    ) AS t(l_returnflag, l_linestatus, n, sum_qty, avg_price)
+    """,
+)
 def datagen_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generate 200k synthetic lineitem rows distributed (seed=100,
     partition-count-independent determinism) and roll them up — the
     datagen → verify loop of the reference (TPC:1818-1845 + 1929-1956).
-    Hash-derived data has no DuckDB twin → rows-only check; determinism
-    is pinned in tests/test_datagen.py."""
+    Hash-derived data has no DuckDB twin, so the oracle PINS the exact
+    expected aggregates as VALUES: the generator is deterministic by
+    construction (hash of (seed, row_id)) and the sums use the exact
+    decimal pattern, so any drift in the generator or the rollup flips
+    the hash loudly. Determinism across partition counts is additionally
+    pinned in tests/test_datagen_catalog.py."""
     li = gen_lineitem(spark, 200_000, seed=100)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        stable_sum("l_quantity", 2).alias("sum_qty"),
+        stable_avg("l_extendedprice", 4).alias("avg_price"),
     )

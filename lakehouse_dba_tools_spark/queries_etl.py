@@ -8,6 +8,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
 from lakehouse_dba_tools_spark.operators.flatten import splat_structs
 from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
@@ -15,8 +16,14 @@ from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.json_records import paged_source
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
-ETL_SLICE = 500  # events ingested through the REST-analog path
+# REST-analog ingest bound: the driver-side payload is AT MOST
+# MAX_PAGES × PAGE_SIZE records — the same bound a real paginated REST
+# client has (reference QH pulls max_results-sized pages). Do not raise
+# ETL_SLICE independently; it is derived so the driver-side collect can
+# never exceed the page budget.
 PAGE_SIZE = 100
+MAX_PAGES = 5
+ETL_SLICE = PAGE_SIZE * MAX_PAGES
 
 
 @register(
@@ -30,7 +37,7 @@ PAGE_SIZE = 100
     )
     SELECT event_type, count(*) AS n_events,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           round(sum(value), 2) AS sum_value,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value,
            sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_final
     FROM deduped GROUP BY event_type
     """,
@@ -82,7 +89,7 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("k").cast("bigint")).alias("sum_k"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        stable_sum("value", 2).alias("sum_value"),
         F.sum((F.col("is_final") == "true").cast("bigint")).alias("n_final"),
     )
 
@@ -107,10 +114,20 @@ def props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("csv_roundtrip_ingest")
+@register(
+    "csv_roundtrip_ingest",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           count(DISTINCT n_regionkey) AS n_regions
+    FROM nation
+    """,
+)
 def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S14 file-format roundtrip: nation → csv (header) → inferred
-    re-read → checksum. Deterministic; rows-only (tempdir path)."""
+    re-read → checksum. The oracle recomputes the checksum straight off
+    the parquet table — the roundtrip must be lossless for the three
+    aggregates to agree."""
     import shutil
     import tempfile
 

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.functions.chunking import chunk_documents
+from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.operators.rangejoin import range_join
 from lakehouse_dba_tools_spark.operators.sampling import (
     stratified_sample_topn,
@@ -138,8 +139,8 @@ def events_in_first_2h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(reverse(CAST(o_custkey AS VARCHAR)))              AS rev_cust,
            sum(CAST(length(o_orderpriority) AS BIGINT))          AS len_sum,
            sum(CAST(strpos(o_orderpriority, '-') AS BIGINT))     AS dash_pos_sum,
-           round(sum(sqrt(abs(o_totalprice))), 4)                AS sqrt_sum,
-           round(sum(ln(o_totalprice + 1)), 4)                   AS ln_sum,
+           CAST(round(sum(CAST(sqrt(abs(o_totalprice)) AS DECIMAL(38,12))), 4) AS DOUBLE) AS sqrt_sum,
+           CAST(round(sum(CAST(ln(o_totalprice + 1) AS DECIMAL(38,12))), 4) AS DOUBLE)    AS ln_sum,
            round(sum(mod(o_orderkey, 7)), 1)                     AS mod_sum,
            sum(CAST(year(o_orderdate) AS BIGINT))                AS year_sum,
            sum(CAST(month(o_orderdate) AS BIGINT))               AS month_sum,
@@ -159,8 +160,8 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.reverse(F.col("o_custkey").cast("string"))).alias("rev_cust"),
         F.sum(F.length("o_orderpriority").cast("long")).alias("len_sum"),
         F.sum(F.instr(F.col("o_orderpriority"), "-").cast("long")).alias("dash_pos_sum"),
-        F.round(F.sum(F.sqrt(F.abs("o_totalprice"))), 4).alias("sqrt_sum"),
-        F.round(F.sum(F.log(F.col("o_totalprice") + 1)), 4).alias("ln_sum"),
+        stable_sum(F.sqrt(F.abs("o_totalprice")), 4).alias("sqrt_sum"),
+        stable_sum(F.log(F.col("o_totalprice") + 1), 4).alias("ln_sum"),
         F.round(F.sum(F.col("o_orderkey") % 7), 1).alias("mod_sum"),
         F.sum(F.year("o_orderdate").cast("long")).alias("year_sum"),
         F.sum(F.month("o_orderdate").cast("long")).alias("month_sum"),

@@ -30,8 +30,10 @@ TABLE_NAMES = (
 
 
 # Columns stored as parquet TIMESTAMP(NANOS): Spark's reader has no ns
-# type, so the session sets nanosAsLong and we convert here (values in
-# the fixtures are µs-aligned — lossless).
+# type, so the session sets nanosAsLong and we convert here. Fixture
+# values carry raw ns precision, so ns→µs must truncate with INTEGER
+# division — float64 division has ~256ns ULP at 2024 epochs and rounds
+# ~12% of rows 1µs off vs DuckDB's integer truncation.
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -46,7 +48,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NS_TIMESTAMP_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -49,7 +49,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer truncation (ts div 1000), not float division — see
+    # sources/tables.py NS_TIMESTAMP_COLS note.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_rollup(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
