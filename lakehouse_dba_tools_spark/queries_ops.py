@@ -37,10 +37,23 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats_report(orders, approx_distinct=False).drop("data_type")
 
 
-@register("file_detail_audit")
+@register(
+    "file_detail_audit",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, 1 AS num_files, "
+        f"(SELECT count(*) FROM {t}) AS num_rows"
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    ),
+)
 def file_detail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE DETAIL analog (TPC:1855-1883): parquet footer metadata,
-    no data scan. Driver-side footers only — rows-only check."""
+    no data scan. The oracle cross-checks footer num_rows against the
+    actual table counts (a real footer-vs-data consistency audit);
+    size_bytes is filesystem metadata with no relational twin — it
+    stays on the operator (maintenance/audit.py) and is unit-tested."""
     import os
 
     paths = {
@@ -48,7 +61,7 @@ def file_detail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLE_NAMES
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     }
-    return file_detail_report(spark, paths)
+    return file_detail_report(spark, paths).select("table_name", "num_files", "num_rows")
 
 
 @register(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
@@ -205,22 +206,41 @@ def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_idle_customers",
     """
+    WITH t AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(38,12))) AS total,
+             CAST(count(*) AS DECIMAL(18,0)) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
     SELECT substr(c_name, 10, 1) AS name_digit, count(*) AS n_cust,
-           round(sum(c_acctbal), 2) AS total_bal
-    FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,12))), 2) AS DOUBLE) AS total_bal
+    FROM customer c, t
+    WHERE CAST(c_acctbal AS DECIMAL(38,12)) * t.n > t.total
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     GROUP BY name_digit
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery threshold + anti join (Q22 shape)."""
+    """Scalar subquery threshold + anti join (Q22 shape).
+
+    The avg threshold is a broadcast 1-row crossJoin (no driver-side
+    collect — same shape as q15's scalar max), and the comparison is
+    cross-multiplied (bal × n > total) in exact decimal so the
+    above-average cut is engine-identical, never a double-avg boundary.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
-    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,12)")).alias("total"),
+            F.count("*").cast("decimal(18,0)").alias("n"),
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal").cast("decimal(38,12)") * F.col("n") > F.col("total")
+    )
     big = orders.filter(F.col("o_totalprice") > 400000)
     idle = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
     return idle.groupBy(F.substring("c_name", 10, 1).alias("name_digit")).agg(
-        F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal")
+        F.count("*").alias("n_cust"), stable_sum("c_acctbal", 2).alias("total_bal")
     )

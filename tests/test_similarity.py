@@ -71,3 +71,31 @@ def test_lsh_and_ivf_recall(spark, sf_dir):
     assert _recall(ivf, exact) >= 0.6
     # rank-1 self matches always survive (bucket contains the query itself)
     assert _recall(lsh.filter("rank = 1"), exact.filter("rank = 1")) == 1.0
+
+
+def test_recall_one_configs_equal_brute(spark, sf_dir):
+    """The checked-query configurations are EXACT on the fixture corpus:
+    LSH at 3 planes x 24 tables and IVF at nprobe=n_centroids must
+    reproduce brute force bit-for-bit (this is what lets the driver
+    verify them against the exact SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {tuple(r) for r in brute_topk(emb, q, k=3).collect()}
+    lsh = {tuple(r) for r in lsh_topk(emb, q, k=3, n_planes=3, n_tables=24, dim=64, seed=42).collect()}
+    ivf = {tuple(r) for r in ivf_topk(emb, q, k=3, n_centroids=8, nprobe=8, seed=42).collect()}
+    assert lsh == exact
+    assert ivf == exact
+
+
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    """The recall/cost dial: more probed lists -> monotonically better
+    (measured, not assumed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_topk(emb, q, k=3)
+    r = [
+        _recall(ivf_topk(emb, q, k=3, n_centroids=8, nprobe=p, seed=42), exact)
+        for p in (2, 4, 8)
+    ]
+    assert r[0] <= r[1] <= r[2]
+    assert r[2] == 1.0

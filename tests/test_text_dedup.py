@@ -102,3 +102,22 @@ def test_detect_language_tie_and_zero(spark):
     df = spark.createDataFrame([("zzz qqq xxx",), ("der die das und",)], "text string")
     out = [r[0] for r in df.select(TX.detect_language("text")).collect()]
     assert out == ["und", "de"]
+
+
+def test_simhash_verified_equals_exact_jaccard(spark, sf_dir):
+    """SimHash Hamming-ball candidates + exact-Jaccard verify must equal
+    the brute all-pairs answer at the checked parameters (candidate
+    recall 1.0 on the fixture corpora -- the property the driver's
+    oracle hash re-proves every round)."""
+    from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
+    from lakehouse_dba_tools_spark.dedup.simhash import simhash_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    got = {
+        tuple(r)
+        for r in simhash_verified_near_dups(
+            docs, k=3, max_hamming=12, chunks=6, threshold=0.5
+        ).collect()
+    }
+    assert got == exact
