@@ -29,7 +29,20 @@ def range_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to interval rows with start <= point <= end
-    (plus optional equi-keys ``by``). Columns must not collide."""
+    (plus optional equi-keys ``by``). Columns must not collide.
+
+    Inner-only: the exact range predicate is applied as a residual
+    filter AFTER the bucket equi-join, and bucket explosion duplicates
+    interval rows — null-extended outer rows would be dropped by the
+    filter and unmatched rows double-counted, silently collapsing any
+    outer variant to inner semantics. An outer range join needs a
+    different construction (bucket join + anti-join backfill).
+    """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}); outer variants "
+            "need anti-join backfill of unmatched rows, not a post-join filter"
+        )
     by = by or []
     # Rename every interval column: points and intervals often derive
     # from the same source frame, and same-lineage attributes make the

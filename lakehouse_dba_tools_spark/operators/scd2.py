@@ -45,8 +45,12 @@ def scd2_merge(
     history = target.filter(F.col(valid_to) != F.lit(OPEN_TS).cast("timestamp"))
 
     src = source.select(*keys, *tracked)
-    cur = current.alias("t")
-    s = src.alias("s")
+    # Non-nullable presence markers tagged BEFORE the join: detecting
+    # side-presence from a key column would misclassify rows whose
+    # leading key is legitimately NULL (which also never matches the
+    # equi-join, so a null-keyed row appears on both sides unmatched).
+    cur = current.withColumn("_t_present", F.lit(True)).alias("t")
+    s = src.withColumn("_s_present", F.lit(True)).alias("s")
     key_cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
 
     def differs() -> Column:
@@ -56,19 +60,19 @@ def scd2_merge(
         return c
 
     joined = cur.join(s, on=key_cond, how="full_outer")
-    t_key = F.coalesce(*[F.col(f"t.{k}") for k in keys[:1]])
-    s_key = F.coalesce(*[F.col(f"s.{k}") for k in keys[:1]])
+    t_key = F.col("t._t_present").isNotNull()
+    s_key = F.col("s._s_present").isNotNull()
 
     # current rows with no change → pass through
-    unchanged = joined.filter(s_key.isNotNull() & t_key.isNotNull() & ~differs()).select(
+    unchanged = joined.filter(s_key & t_key & ~differs()).select(
         *[F.col(f"t.{c}") for c in current.columns]
     )
     # current rows without a source match → pass through
-    unmatched = joined.filter(s_key.isNull()).select(
+    unmatched = joined.filter(~s_key).select(
         *[F.col(f"t.{c}") for c in current.columns]
     )
     # changed keys: close out the old version
-    closed = joined.filter(t_key.isNotNull() & s_key.isNotNull() & differs()).select(
+    closed = joined.filter(t_key & s_key & differs()).select(
         *[F.col(f"t.{k}") for k in keys],
         *[F.col(f"t.{c}") for c in tracked],
         F.col(f"t.{valid_from}").alias(valid_from),
@@ -76,7 +80,7 @@ def scd2_merge(
     )
     # changed + brand-new keys: open the new version
     opened = joined.filter(
-        s_key.isNotNull() & (t_key.isNull() | differs())
+        s_key & (~t_key | differs())
     ).select(
         *[F.col(f"s.{k}") for k in keys],
         *[F.col(f"s.{c}") for c in tracked],

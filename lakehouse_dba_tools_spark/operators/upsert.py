@@ -38,15 +38,36 @@ def merge_upsert(
     source: DataFrame,
     keys: Sequence[str],
     source_order: Sequence[Column | str] | None = None,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """whenMatchedUpdateAll + whenNotMatchedInsertAll, Delta-free.
 
     ``source_order``: ordering that picks the surviving source row per
     key when the source has duplicates (the reference pre-dedups with
     W1 ordered by query_start_time_ms before merging).
+
+    Without ``source_order``, duplicate source keys would break the
+    one-row-per-key MERGE postcondition, so they raise — checked with a
+    bounded job (grouped count, limit 1). That extra pass matters on a
+    huge source: either pass ``source_order`` (dedup replaces the
+    check) or ``validate_unique=False`` if uniqueness is guaranteed
+    upstream (Delta MERGE itself errors at runtime in this case).
     """
     if source_order is not None:
         source = dedup_by_key(source, keys, source_order, keep="last")
+    elif validate_unique:
+        dup = (
+            source.groupBy(*[F.col(f"`{k}`") for k in keys])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                f"merge_upsert: source has duplicate keys on {list(keys)} and no "
+                "source_order was given; pass source_order to dedup, or "
+                "validate_unique=False if uniqueness is guaranteed upstream"
+            )
     source = source.select(*[F.col(f"`{c.name}`") for c in target.schema.fields])
     kept_target = target.join(source.select(*keys), on=list(keys), how="left_anti")
     return kept_target.unionByName(source)

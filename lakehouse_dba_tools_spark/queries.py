@@ -252,13 +252,22 @@ AUDIT_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "l
     "rowcount_audit",
     " UNION ALL ".join(
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in AUDIT_TABLES
-    ),
+    )
+    + " UNION ALL SELECT 'schema_template' AS table_name, count(*) AS n_rows"
+    "   FROM (SELECT l_orderkey FROM lineitem WHERE 1 = 2)",
 )
 def rowcount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union fold of per-table counts (A1/U2/P4), plus the P7
+    zero-row schema-template probe as a final 0-count row — the audit
+    verifies the template really is empty."""
     frames = {
         t: load_table(spark, sf_dir, t).groupBy().agg(F.count("*").alias("n_rows"))
         for t in AUDIT_TABLES
     }
+    template = schema_template(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ).groupBy().agg(F.count("*").alias("n_rows"))
+    frames["schema_template"] = template
     tagged = union_all(
         [df.withColumn("table_name", F.lit(t)).select("table_name", "n_rows") for t, df in frames.items()]
     )

@@ -144,7 +144,11 @@ def events_in_first_2h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(mod(o_orderkey, 7)), 1)                     AS mod_sum,
            sum(CAST(year(o_orderdate) AS BIGINT))                AS year_sum,
            sum(CAST(month(o_orderdate) AS BIGINT))               AS month_sum,
-           min(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')) AS first_month
+           min(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')) AS first_month,
+           min(CASE WHEN o_totalprice < 100000 THEN 'low' ELSE 'high' END
+               || '_' || o_orderstatus)                          AS band_concat_min,
+           sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS n_nulled,
+           count(DISTINCT o_orderstatus)                         AS n_status
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -168,6 +172,20 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")).alias(
             "first_month"
         ),
+        # P10/F5/F6/F7/A3 fold: conditional band + concat, nullif/isnull,
+        # DISTINCT aggregate — the conditional_projection semantics kept
+        # under the checked battery.
+        F.min(
+            F.concat(
+                F.when(F.col("o_totalprice") < 100000, "low").otherwise("high"),
+                F.lit("_"),
+                F.col("o_orderstatus"),
+            )
+        ).alias("band_concat_min"),
+        F.sum(F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().cast("bigint")).alias(
+            "n_nulled"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_status"),
     )
 
 

@@ -136,10 +136,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o_custkey, o_orderkey
       HAVING sum(l_quantity) > 150
     )
+    ORDER BY total_qty DESC, c_custkey, o_orderkey
+    LIMIT 100
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped agg + HAVING (post-aggregation filter)."""
+    """Grouped agg + HAVING + top-100 (the real Q18 shape: ORDER BY ..
+    DESC LIMIT 100 — also the O2/O4 sort/limit evidence; l_quantity is
+    integral so the double sum is exact and the cut deterministic with
+    the key tie-break)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -148,6 +153,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("raw_qty"))
         .filter(F.col("raw_qty") > 150)
         .select("c_custkey", "o_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "c_custkey", "o_orderkey")
+        .limit(100)
     )
 
 

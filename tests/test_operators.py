@@ -97,3 +97,47 @@ def test_sessionize_gap_boundaries(spark):
     sess = {(r.user_id, r.ts.minute): r.session_id for r in out}
     assert sess[(1, 0)] == 1 and sess[(1, 10)] == 1 and sess[(1, 50)] == 2
     assert sess[(2, 0)] == 1
+
+
+def test_merge_upsert_raises_on_dup_source_keys(spark):
+    import pytest
+
+    from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    dup_source = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(target, dup_source, ["k"])
+    # explicit opt-outs still work
+    assert merge_upsert(target, dup_source, ["k"], source_order=["v"]).count() == 1
+    assert merge_upsert(target, dup_source, ["k"], validate_unique=False).count() == 2
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    from lakehouse_dba_tools_spark.operators.rangejoin import range_join
+
+    p = spark.createDataFrame([(1, 5.0)], "id int, ts double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid int, s double, e double")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(p, iv, "ts", "s", "e", how="left")
+
+
+def test_scd2_null_key_rows_pass_through(spark):
+    """A NULL-keyed current row must be treated as target-only (not
+    misclassified via key-coalesce presence detection)."""
+    from lakehouse_dba_tools_spark.operators.scd2 import OPEN_TS, scd2_merge
+
+    target = spark.createDataFrame(
+        [(None, "x", "2024-01-01 00:00:00", OPEN_TS), (1, "a", "2024-01-01 00:00:00", OPEN_TS)],
+        "k int, v string, valid_from string, valid_to string",
+    ).selectExpr("k", "v", "CAST(valid_from AS TIMESTAMP) valid_from", "CAST(valid_to AS TIMESTAMP) valid_to")
+    source = spark.createDataFrame([(1, "b")], "k int, v string")
+    out = scd2_merge(target, source, ["k"], ["v"], "2024-06-01 00:00:00").collect()
+    # null-key current row passes through open; key 1 closed + reopened
+    nullrows = [r for r in out if r.k is None]
+    assert len(nullrows) == 1 and str(nullrows[0].valid_to).startswith("9999")
+    k1 = sorted([(str(r.valid_to), r.v) for r in out if r.k == 1])
+    # closed 'a' (valid_to = batch ts) sorts before the open 'b' (9999)
+    assert [v for _, v in k1] == ["a", "b"]
