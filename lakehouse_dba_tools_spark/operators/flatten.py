@@ -71,3 +71,10 @@ def json_field(df: DataFrame, json_col: str, field: str, alias: str | None = Non
     """Extract one field from a JSON string column (F4: json_tuple /
     get_json_object)."""
     return df.withColumn(alias or field, F.get_json_object(F.col(json_col), f"$.{field}"))
+
+
+def to_json_struct(df: DataFrame, cols: list[str], alias: str = "json") -> DataFrame:
+    """Serialize columns into one JSON-string column (F10,
+    ``to_json(struct(...))`` — reference TPC:2307-2309). The inverse of
+    the S1 ingest path; stays a single JVM-side projection."""
+    return df.withColumn(alias, F.to_json(F.struct(*[F.col(c) for c in cols])))

@@ -10,8 +10,13 @@ from lakehouse_dba_tools_spark.functions.stable import stable_avg, stable_sum
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
-# The reference's pricing dimension (9 endpoint T-shirt sizes,
-# resources/azure_databricks_sql_pricing.csv) — inlined literal dim.
+# The reference's pricing dimension lives as a CSV asset
+# (resources/azure_databricks_sql_pricing.csv, loaded by
+# import_dbsql_pricing.py:7-11); ours ships the same way and is read
+# through the S4 pandas bridge at query time. The literal twin below is
+# (a) the import fallback and (b) the source for the VALUES oracle —
+# test_datagen_catalog pins that CSV and literal agree.
+PRICING_CSV = __file__.rsplit("/", 1)[0] + "/resources/sql_pricing.csv"
 PRICING_TIERS = [
     ("2X-Small", 4, 2.25),
     ("X-Small", 8, 4.50),
@@ -23,6 +28,25 @@ PRICING_TIERS = [
     ("3X-Large", 520, 291.18),
     ("4X-Large", 528, 295.64),
 ]
+
+
+def load_pricing_dim(spark: SparkSession) -> DataFrame:
+    """Pricing dim from the CSV asset (reference import_dbsql_pricing
+    trace: CSV → dataframe → dimension table), literal fallback."""
+    import os
+
+    if os.path.exists(PRICING_CSV):
+        from lakehouse_dba_tools_spark.sources.files import read_csv_via_pandas
+
+        df = read_csv_via_pandas(spark, PRICING_CSV)
+        return df.select(
+            F.col("cluster_size").cast("string"),
+            F.col("dbu_per_hour").cast("int"),
+            F.col("usd_per_hour").cast("double"),
+        )
+    return spark.createDataFrame(
+        PRICING_TIERS, "cluster_size string, dbu_per_hour int, usd_per_hour double"
+    )
 
 
 @register(
@@ -45,9 +69,7 @@ def event_cost_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reason `dbsql_pricing_table` and `endpoints` share a schema in
     the reference — import_dbsql_pricing.py:19 + QH:24-26)."""
     ev = load_table(spark, sf_dir, "events")
-    pricing = spark.createDataFrame(
-        PRICING_TIERS, "cluster_size string, dbu_per_hour int, usd_per_hour double"
-    )
+    pricing = load_pricing_dim(spark)
     tier = F.element_at(
         F.array(*[F.lit(n) for n, _, _ in PRICING_TIERS]),
         (F.col("user_id") % 9 + 1).cast("int"),

@@ -238,3 +238,30 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# F10: to_json(struct(...)) serialization — the inverse of the S1 JSON
+# ingest path (reference TPC:2307-2309, its disabled streaming cell).
+# --------------------------------------------------------------------------
+@register(
+    "nation_json_serialize",
+    """
+    SELECT n_nationkey,
+           to_json(struct_pack(k := n_nationkey, name := n_name,
+                               region := n_regionkey))::VARCHAR AS payload
+    FROM nation
+    """,
+)
+def nation_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_dba_tools_spark.operators.flatten import to_json_struct
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    )
+    return to_json_struct(nation, ["k", "name", "region"], alias="payload").select(
+        "n_nationkey", "payload"
+    )

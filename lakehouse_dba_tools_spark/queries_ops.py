@@ -149,3 +149,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(docs)
     frames = sample_frames(media, every_n=30, mode="fake")
     return frames.select("doc_id", "frame_idx", F.size("frame_feature").alias("dim"))
+
+
+# --------------------------------------------------------------------------
+# P5/F2: poll-stamp append snapshot (reference Endpoint_Poller EP:158 —
+# `current_timestamp() AS polled_timestamp` on every poll). Stamped with
+# an injected literal so the oracle can recompute it; production uses
+# at=None → current_timestamp().
+# --------------------------------------------------------------------------
+POLL_TS = "2024-06-01 12:00:00"
+
+
+@register(
+    "endpoint_poll_snapshot",
+    f"""
+    SELECT n_nationkey AS endpoint_id,
+           CASE WHEN n_regionkey % 2 = 0 THEN 'RUNNING' ELSE 'STOPPED' END AS state,
+           CAST(epoch(TIMESTAMP '{POLL_TS}') AS BIGINT) AS polled_epoch
+    FROM nation
+    """,
+)
+def endpoint_poll_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_dba_tools_spark.operators.lifecycle import with_poll_stamp
+
+    states = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("endpoint_id"),
+        F.when(F.col("n_regionkey") % 2 == 0, "RUNNING").otherwise("STOPPED").alias("state"),
+    )
+    stamped = with_poll_stamp(states, at=POLL_TS)
+    return stamped.select(
+        "endpoint_id", "state", F.col("polled_timestamp").cast("long").alias("polled_epoch")
+    )

@@ -126,3 +126,63 @@ def test_multimodal_real_mode_is_stubbed(spark, sf_dir):
     media = attach_fake_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media, mode="real").collect()
+
+
+def test_wait_until_reaches_target_with_backoff():
+    from lakehouse_dba_tools_spark.operators.lifecycle import wait_until
+
+    states = iter(["STARTING", "STARTING", "RUNNING"])
+    sleeps: list[float] = []
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    def sleeper(s):
+        sleeps.append(s)
+        t[0] += s
+
+    res = wait_until(
+        lambda: next(states), target="RUNNING",
+        poll_interval_sec=5.0, backoff=2.0, max_interval_sec=8.0,
+        timeout_sec=600.0, clock=clock, sleeper=sleeper,
+    )
+    assert res.reached and res.final_state == "RUNNING" and res.n_polls == 3
+    assert sleeps == [5.0, 8.0]  # backoff doubles then caps
+    assert [s for _, s in res.history] == ["STARTING", "STARTING", "RUNNING"]
+
+
+def test_wait_until_times_out():
+    from lakehouse_dba_tools_spark.operators.lifecycle import wait_until
+
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    def sleeper(s):
+        t[0] += s
+
+    res = wait_until(
+        lambda: "STARTING", target="RUNNING",
+        poll_interval_sec=10.0, timeout_sec=25.0, clock=clock, sleeper=sleeper,
+    )
+    assert not res.reached and res.n_polls == 3  # polls at t=0,10,20; next would breach
+
+
+def test_pricing_csv_matches_literal(spark):
+    from lakehouse_dba_tools_spark.queries_datagen import (
+        PRICING_TIERS,
+        load_pricing_dim,
+    )
+
+    rows = sorted(tuple(r) for r in load_pricing_dim(spark).collect())
+    assert rows == sorted(PRICING_TIERS)
+
+
+def test_poll_stamp_current_timestamp_mode(spark):
+    from lakehouse_dba_tools_spark.operators.lifecycle import with_poll_stamp
+
+    df = spark.createDataFrame([(1,)], "id int")
+    out = with_poll_stamp(df).collect()[0]
+    assert out.polled_timestamp is not None
