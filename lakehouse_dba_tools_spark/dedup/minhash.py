@@ -122,11 +122,18 @@ def lsh_candidate_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int = 200,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH."""
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
+
+    ``shingled``: pre-computed ``with_shingle_set`` frame to reuse —
+    shingling is the CPU-heavy stage, so a caller that also needs the
+    shingle sets (e.g. the verify step) must not pay it twice.
+    """
     if num_perm % bands != 0:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    shingled = with_shingle_set(df, text_col, id_col, k)
+    if shingled is None:
+        shingled = with_shingle_set(df, text_col, id_col, k)
     signed = with_minhash_signature(shingled, num_perm, seed)
     bk = band_keys(signed, id_col, bands, num_perm // bands)
     # Skew guard: drop boilerplate buckets (scale rule — a huge bucket
@@ -160,9 +167,22 @@ def verified_near_dups(
     seed: int = 42,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard ≥ threshold."""
-    shingled = with_shingle_set(df, text_col, id_col, k)
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k, num_perm, bands, seed)
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The shingle frame is computed ONCE and persisted across its two
+    consumers (signature path + verify join) — shingling dominates CPU,
+    and without the persist Spark's lazy evaluation would re-shingle
+    the corpus for each. MEMORY_AND_DISK so a corpus bigger than the
+    cache spills instead of failing; blocks are evictable either way.
+    """
+    from pyspark import StorageLevel
+
+    shingled = with_shingle_set(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, k, num_perm, bands, seed, shingled=shingled
+    )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

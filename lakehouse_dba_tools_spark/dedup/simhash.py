@@ -56,11 +56,17 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     chunks: int = 4,
     max_bucket_size: int = 200,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
-    """Pairs sharing ≥1 of ``chunks`` fingerprint pieces (id_a < id_b)."""
+    """Pairs sharing ≥1 of ``chunks`` fingerprint pieces (id_a < id_b).
+
+    ``fp``: pre-computed (persisted) ``with_simhash`` frame to reuse —
+    callers that also need fingerprints for Hamming verification must
+    not recompute the bit-fold."""
     bits_per = 64 // chunks
     mask = (1 << bits_per) - 1
-    fp = with_simhash(df, text_col, id_col)
+    if fp is None:
+        fp = with_simhash(df, text_col, id_col)
     pieces = fp.select(
         id_col,
         F.posexplode(
@@ -112,9 +118,14 @@ def simhash_near_dups(
     max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
-    """Candidates verified by Hamming distance ≤ max_hamming."""
-    fp = with_simhash(df, text_col, id_col)
-    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks)
+    """Candidates verified by Hamming distance ≤ max_hamming.
+
+    The fingerprint frame is persisted across its two consumers
+    (bucketing + Hamming join) — the bit-fold UDF must run once."""
+    from pyspark import StorageLevel
+
+    fp = with_simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks, fp=fp)
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     return (
@@ -143,10 +154,12 @@ def simhash_verified_near_dups(
 
     Output: (id_a, id_b, jaccard) — comparable with ngram.jaccard_pairs.
     """
+    from pyspark import StorageLevel
+
     from lakehouse_dba_tools_spark.dedup.minhash import with_shingle_set
 
-    fp = with_simhash(df, text_col, id_col)
-    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks)
+    fp = with_simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks, fp=fp)
     a_fp = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b_fp = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     ball = (

@@ -51,6 +51,9 @@ def optimize_compact(
     if os.path.exists(out_path) and out_path != staging:
         shutil.rmtree(out_path, ignore_errors=True)
     os.rename(staging, out_path)
+    from lakehouse_dba_tools_spark.maintenance.history import record_commit
+
+    record_commit(out_path, "OPTIMIZE", parameters={"target_bytes": target_bytes})
     return out_path
 
 
@@ -77,6 +80,9 @@ def optimize_cluster(
     if os.path.exists(out_path) and out_path != staging:
         shutil.rmtree(out_path, ignore_errors=True)
     os.rename(staging, out_path)
+    from lakehouse_dba_tools_spark.maintenance.history import record_commit
+
+    record_commit(out_path, "OPTIMIZE ZORDER", parameters={"cluster_by": cluster_by})
     return out_path
 
 

@@ -88,11 +88,17 @@ def create_or_upsert_parquet(
     """
     import os
 
+    from lakehouse_dba_tools_spark.maintenance.history import record_commit
+
     if not os.path.exists(path):
         df = source
         if source_order is not None:
             df = dedup_by_key(df, keys, source_order, keep="last")
         df.write.mode("overwrite").parquet(path)
+        record_commit(
+            path, "CREATE", num_output_rows=spark.read.parquet(path).count(),
+            parameters={"keys": list(keys)},
+        )
         return
     target = spark.read.parquet(path)
     merged = merge_upsert(target, source, keys, source_order=source_order)
@@ -105,3 +111,7 @@ def create_or_upsert_parquet(
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    record_commit(
+        path, "MERGE", num_output_rows=spark.read.parquet(path).count(),
+        parameters={"keys": list(keys)},
+    )

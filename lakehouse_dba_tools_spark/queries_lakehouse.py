@@ -87,3 +87,42 @@ def stream_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     ev = stream_events(spark, sf_dir)
     joined = purchases_after_views(ev, within="1 hour", watermark="10 minutes")
     return run_stream_to_table(joined, spark, mode="append")
+
+
+# --------------------------------------------------------------------------
+# D8: DESCRIBE HISTORY over the engine's own commit log (reference
+# TPC:2168-2183 uses Delta's; see README "Table-format boundary"). The
+# trace is deterministic (create -> merge -> merge), so the oracle pins
+# the expected history as VALUES (timestamps excluded: wall-clock).
+# --------------------------------------------------------------------------
+@register(
+    "parquet_table_history",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), 'MERGE',    CAST(7 AS BIGINT)),
+      (CAST(1 AS BIGINT), 'MERGE',    CAST(6 AS BIGINT)),
+      (CAST(0 AS BIGINT), 'CREATE',   CAST(5 AS BIGINT))
+    ) AS t(version, operation, num_output_rows)
+    """,
+)
+def parquet_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create -> merge -> merge against a scratch location, then read
+    the DESCRIBE HISTORY trail back (newest first)."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.maintenance.history import describe_history
+    from lakehouse_dba_tools_spark.operators.upsert import create_or_upsert_parquet
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="tbl_history_")
+    try:
+        path = f"{tmp}/nation_tbl"
+        create_or_upsert_parquet(spark, nation.filter("n_nationkey < 5"), path, ["n_nationkey"])
+        create_or_upsert_parquet(spark, nation.filter("n_nationkey = 5"), path, ["n_nationkey"])
+        create_or_upsert_parquet(spark, nation.filter("n_nationkey = 6"), path, ["n_nationkey"])
+        hist = describe_history(spark, path).select("version", "operation", "num_output_rows")
+        # pin before the tempdir vanishes
+        return spark.createDataFrame(hist.collect(), hist.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

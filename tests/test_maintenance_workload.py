@@ -186,3 +186,32 @@ def test_poll_stamp_current_timestamp_mode(spark):
     df = spark.createDataFrame([(1,)], "id int")
     out = with_poll_stamp(df).collect()[0]
     assert out.polled_timestamp is not None
+
+
+def test_commit_log_history_and_checkpoint(spark, tmp_path):
+    """create -> merge -> optimize leaves a DESCRIBE HISTORY trail;
+    checkpoint collapses it (D8/D13 analogs over the engine's own log)."""
+    from lakehouse_dba_tools_spark.maintenance.history import (
+        checkpoint_log,
+        describe_history,
+        record_commit,
+    )
+    from lakehouse_dba_tools_spark.operators.upsert import create_or_upsert_parquet
+
+    path = str(tmp_path / "orders_tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    create_or_upsert_parquet(spark, df1, path, ["k"])
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    create_or_upsert_parquet(spark, df2, path, ["k"])
+
+    hist = describe_history(spark, path).collect()
+    assert [r.operation for r in hist] == ["MERGE", "CREATE"]  # newest first
+    assert hist[0].version == 1 and hist[0].num_output_rows == 3
+
+    record_commit(path, "OPTIMIZE")
+    record_commit(path, "MERGE", num_output_rows=4)
+    collapsed = checkpoint_log(path, keep_last=1)
+    assert collapsed == 3
+    hist2 = describe_history(spark, path).collect()
+    assert [r.operation for r in hist2] == ["MERGE", "CHECKPOINT"]
+    assert hist2[1].version == 2  # checkpoint carries the collapsed head version
