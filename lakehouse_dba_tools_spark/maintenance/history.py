@@ -28,6 +28,20 @@ LOG_DIR = "_engine_log"
 LOG_NAME = "commits.jsonl"
 
 
+def footer_row_count(table_path: str) -> int:
+    """Row count from parquet footers — driver-side metadata read, no
+    Spark job (the way Delta gets commit stats from its log for free;
+    rescanning the table per commit would double every merge's cost)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(table_path, "*.parquet")) or (
+        [table_path] if os.path.isfile(table_path) else []
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def _log_path(table_path: str) -> str:
     return os.path.join(table_path.rstrip("/") + f".{LOG_DIR}", LOG_NAME)
 

@@ -88,7 +88,10 @@ def create_or_upsert_parquet(
     """
     import os
 
-    from lakehouse_dba_tools_spark.maintenance.history import record_commit
+    from lakehouse_dba_tools_spark.maintenance.history import (
+        footer_row_count,
+        record_commit,
+    )
 
     if not os.path.exists(path):
         df = source
@@ -96,7 +99,7 @@ def create_or_upsert_parquet(
             df = dedup_by_key(df, keys, source_order, keep="last")
         df.write.mode("overwrite").parquet(path)
         record_commit(
-            path, "CREATE", num_output_rows=spark.read.parquet(path).count(),
+            path, "CREATE", num_output_rows=footer_row_count(path),
             parameters={"keys": list(keys)},
         )
         return
@@ -112,6 +115,6 @@ def create_or_upsert_parquet(
 
     shutil.rmtree(staging, ignore_errors=True)
     record_commit(
-        path, "MERGE", num_output_rows=spark.read.parquet(path).count(),
+        path, "MERGE", num_output_rows=footer_row_count(path),
         parameters={"keys": list(keys)},
     )

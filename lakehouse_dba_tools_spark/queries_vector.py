@@ -141,13 +141,16 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dups_lsh", ORACLE["embedding_near_dups_exact"])
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup scale path at recall-1.0 parameters (3 planes × 24
+    """LSH near-dup pipeline at recall-1.0 parameters (3 planes × 24
     tables — measured equal to the exact threshold scan on this
-    weak-similarity corpus, so the exact SQL oracle applies). The
-    self-join stays bucketed (candidates shuffled as id pairs, never
-    vectors); sharper plane counts for clustered corpora are measured
-    in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    weak-similarity corpus, so the exact SQL oracle applies). Capped to
+    the SAME id window as that oracle: recall-1.0 on a weak-similarity
+    band means near-exhaustive candidates, so the uncapped form is the
+    operator itself at production parameters (threshold ≥0.9, 8+
+    planes — planted-dup recall pinned in tests/test_similarity.py).
+    The self-join stays bucketed (candidates shuffled as id pairs,
+    never vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < BRUTE_VEC_CAP)
     return embedding_near_dups(
         emb, threshold=0.4, n_planes=3, n_tables=24, dim=64, seed=42
     )
