@@ -73,6 +73,26 @@ def json_field(df: DataFrame, json_col: str, field: str, alias: str | None = Non
     return df.withColumn(alias or field, F.get_json_object(F.col(json_col), f"$.{field}"))
 
 
+def compat_alias(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P13 dup-column compatibility shim: expose old column names as
+    aliases of renamed ones (reference keeps `queryid`+`query_id`
+    side-by-side for downstream readers). One projection, no copy."""
+    out = df
+    for new, old in mapping.items():
+        out = out.withColumn(new, F.col(old))
+    return out
+
+
+def sort_by_ordinal(df: DataFrame, ordinals: list[int], ascending: bool | list[bool] = True) -> DataFrame:
+    """O1 ordinal ORDER BY (`ORDER BY 1, 2`): sort by 1-based column
+    positions — the reference's SQL habit mapped onto the DataFrame API."""
+    cols = [df.columns[i - 1] for i in ordinals]
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(cols)
+    exprs = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, ascending)]
+    return df.orderBy(*exprs)
+
+
 def to_json_struct(df: DataFrame, cols: list[str], alias: str = "json") -> DataFrame:
     """Serialize columns into one JSON-string column (F10,
     ``to_json(struct(...))`` — reference TPC:2307-2309). The inverse of

@@ -215,3 +215,63 @@ def test_commit_log_history_and_checkpoint(spark, tmp_path):
     hist2 = describe_history(spark, path).collect()
     assert [r.operation for r in hist2] == ["MERGE", "CHECKPOINT"]
     assert hist2[1].version == 2  # checkpoint carries the collapsed head version
+
+
+def _z_ref(ranks, bits):
+    z = 0
+    n = len(ranks)
+    for ci, r in enumerate(ranks):
+        for b in range(bits):
+            z |= ((r >> b) & 1) << (b * n + ci)
+    return z
+
+
+def test_z_value_matches_reference_interleave(spark):
+    from lakehouse_dba_tools_spark.maintenance.compact import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1023, 1023), (512, 1), (7, 896)], "x long, y long"
+    )
+    mins, maxs = {"x": 0.0, "y": 0.0}, {"x": 1023.0, "y": 1023.0}
+    got = {(r.x, r.y): r.z for r in df.withColumn("z", z_value(["x", "y"], mins, maxs, 10)).collect()}
+    for (x, y), z in got.items():
+        assert z == _z_ref([x, y], 10), (x, y)
+
+
+def test_optimize_zorder_bounds_every_dimension(spark, tmp_path):
+    """Z-order's point: each output file covers a BOUNDED range of the
+    second key too; lexicographic clustering leaves the trailing key's
+    per-file span at ~full domain."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_dba_tools_spark.maintenance.compact import (
+        optimize_cluster,
+        optimize_zorder,
+    )
+
+    src = str(tmp_path / "src")
+    n = 64
+    rows = [(i, j) for i in range(n) for j in range(n)]
+    spark.createDataFrame(rows, "a long, b long").repartition(4).write.parquet(src)
+
+    def avg_span(path, col):
+        import glob as g
+
+        spans = []
+        for f in sorted(g.glob(path + "/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    lex = str(tmp_path / "lex")
+    zor = str(tmp_path / "zor")
+    optimize_cluster(spark, src, ["a", "b"], out_path=lex, num_files=16)
+    optimize_zorder(spark, src, ["a", "b"], out_path=zor, num_files=16)
+
+    # trailing key b: z-order must shrink the per-file span vs lexicographic
+    assert avg_span(zor, "b") < 0.75 * avg_span(lex, "b")
+    # leading key a: z-order still bounds it (within 2x of lex's tight span)
+    assert avg_span(zor, "a") < n  # bounded below full domain

@@ -141,3 +141,15 @@ def test_scd2_null_key_rows_pass_through(spark):
     k1 = sorted([(str(r.valid_to), r.v) for r in out if r.k == 1])
     # closed 'a' (valid_to = batch ts) sorts before the open 'b' (9999)
     assert [v for _, v in k1] == ["a", "b"]
+
+
+def test_compat_alias_and_ordinal_sort(spark):
+    from lakehouse_dba_tools_spark.operators.flatten import compat_alias, sort_by_ordinal
+
+    df = spark.createDataFrame([(2, "b"), (1, "a")], "query_id int, v string")
+    shim = compat_alias(df, {"queryid": "query_id"})
+    assert shim.columns == ["query_id", "v", "queryid"]
+    assert shim.filter("queryid = query_id").count() == 2
+
+    srt = sort_by_ordinal(df, [1], ascending=False).collect()
+    assert [r.query_id for r in srt] == [2, 1]
