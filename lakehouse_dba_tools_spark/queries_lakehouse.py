@@ -126,3 +126,62 @@ def parquet_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(hist.collect(), hist.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# D9-D12 under the oracle: OPTIMIZE -> ZORDER -> ANALYZE -> VACUUM on a
+# scratch table, exporting deterministic invariants (row preservation,
+# bounded file count, commit trail). The VALUES oracle pins them.
+# --------------------------------------------------------------------------
+@register(
+    "maintenance_lifecycle_audit",
+    """
+    SELECT * FROM (VALUES
+      ('rows_after_optimize',  CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+      ('rows_after_zorder',    CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+      ('files_after_optimize', CAST(1 AS BIGINT)),
+      ('history_ops',          CAST(2 AS BIGINT)),
+      ('staging_leftovers',    CAST(0 AS BIGINT))
+    ) AS t(check_name, value)
+    """,
+)
+def maintenance_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full layout-maintenance pass over a scratch copy of lineitem:
+    bin-pack OPTIMIZE (row-preserving, bounded files) -> OPTIMIZE ZORDER
+    (row-preserving Morton clustering) -> commit-trail check -> VACUUM
+    leaves no staging dirs. Invariants exported as (check, value) rows."""
+    import glob as g
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.maintenance.compact import (
+        optimize_compact,
+        optimize_zorder,
+        vacuum_staging,
+    )
+    from lakehouse_dba_tools_spark.maintenance.history import describe_history
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="maint_audit_")
+    try:
+        path = f"{tmp}/li"
+        li.repartition(8).write.parquet(path)
+        optimize_compact(spark, path)  # sf0.01 fits one target-size file
+        rows_opt = spark.read.parquet(path).count()
+        n_files = len(g.glob(path + "/*.parquet"))
+        optimize_zorder(spark, path, ["l_orderkey", "l_partkey"], num_files=n_files)
+        rows_z = spark.read.parquet(path).count()
+        ops = describe_history(spark, path).count()
+        leftovers = len(vacuum_staging(path))
+        data = [
+            ("rows_after_optimize", rows_opt),
+            ("rows_after_zorder", rows_z),
+            ("files_after_optimize", n_files),
+            ("history_ops", ops),
+            ("staging_leftovers", leftovers),
+        ]
+        return spark.createDataFrame(data, "check_name string, value long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -110,3 +110,31 @@ def test_sessionize_session_count(spark, gaps, threshold):
     n_sessions = out.agg(F.max("session_id")).collect()[0][0]
     expected = 1 + sum(1 for g in gaps if g > threshold)
     assert n_sessions == expected
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_stable_sum_is_partition_order_invariant(spark, vals, nparts):
+    """The exact-decimal sum must give bit-identical results under ANY
+    partitioning/ordering — the invariant that makes round(sum(...))
+    safe against AQE replans and shuffle nondeterminism."""
+    from lakehouse_dba_tools_spark.functions.stable import stable_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    a = df.repartition(1).agg(stable_sum("x", 6).alias("s")).collect()[0].s
+    b = df.repartition(nparts).agg(stable_sum("x", 6).alias("s")).collect()[0].s
+    c = (
+        df.orderBy(F.desc("x"))
+        .repartition(max(1, nparts // 2))
+        .agg(stable_sum("x", 6).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert a == b == c
