@@ -66,7 +66,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     # Core relational / ETL / lakehouse tier
     "pricing_summary",
     "region_revenue",
-    "first_order_per_customer",
+    # W1 dedup-by-key is exercised inside query_history_etl_e2e (checked);
+    # first_order_per_customer stays registered as its bench-stable twin.
+    "parquet_table_history",
     "latest_event_per_user",
     "event_json_rollup",
     "pivot_user_event_values",
@@ -83,7 +85,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     "scd2_customer_history",
     "scalar_function_battery",
     "window_function_battery",
-    "null_semantics_battery",
+    # null semantics (nullif/isnull/DISTINCT) folded into
+    # scalar_function_battery; the dedicated battery trails.
+    "maintenance_lifecycle_audit",
     "column_stats_profile",
     "file_detail_audit",
 )
