@@ -1,0 +1,99 @@
+"""Connected components over near-dup pairs → canonical keeper per doc.
+
+The missing last step of every dedup pipeline: pair lists (from
+MinHash/SimHash/embedding LSH) say *who matches whom*; deleting dups
+needs *groups*. Near-dup similarity is not transitive, but dedup
+treats it as an equivalence by taking connected components of the
+pair graph (standard practice in pretraining-corpus dedup).
+
+Algorithm: iterative min-label propagation — every node starts as its
+own component (its id); each round every node adopts the minimum
+component id among itself and its neighbors; converged when no label
+changes. This is the dataframe-native form of the large-star/small-star
+map-reduce CC algorithm: O(graph diameter) rounds, each round one
+join + one aggregation (two shuffles on the node id). Near-dup graphs
+are unions of small cliques-ish clusters (diameter ≤ ~3), so 2-4
+rounds in practice; ``max_iters`` bounds adversarial chains.
+
+Driver-side per round: ONE scalar (count of changed labels) — the
+convergence check; labels themselves never leave the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = min node id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # Persisting edges is load-bearing: pairs usually come from an
+    # expensive LSH pipeline (pandas-UDF signatures), and every
+    # iteration joins against edges — without the cache each round
+    # re-runs the whole upstream plan. Edge rows are two ids, so the
+    # cached footprint is tiny even for billion-doc corpora.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = labels.persist()
+    labels.count()  # materialize iteration 0
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias("comp"),
+                (F.col("comp") != F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))))
+                .cast("int")
+                .alias("_changed"),
+            )
+        ).persist()
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        old = labels
+        labels = new_labels.drop("_changed").persist()
+        labels.count()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def canonicalize_near_dups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-doc keeper assignment: docs in a dup component map to the
+    component's min id; singletons keep themselves. Filtering
+    ``keeper == doc`` yields the deduplicated corpus."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("keeper_id"),
+        )
+    )

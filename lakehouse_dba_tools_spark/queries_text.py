@@ -347,3 +347,41 @@ def simhash_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle applies."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_verified_near_dups(docs, k=3, max_hamming=12, chunks=6, threshold=0.5)
+
+
+@register(
+    "doc_near_dup_components",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    keepers AS (SELECT node, min(r) AS keeper FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
+    FROM documents d LEFT JOIN keepers k ON k.node = d.doc_id
+    """,
+)
+def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization end-to-end: MinHash-LSH verified pairs
+    → connected components (iterative min-label propagation,
+    dedup/components.py) → per-doc keeper. The oracle recomputes the
+    same answer with exact all-pairs Jaccard + a recursive CTE
+    transitive closure — so both the pair recall AND the component
+    algebra are hash-verified."""
+    from lakehouse_dba_tools_spark.dedup.components import canonicalize_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5)
+    return canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))

@@ -36,7 +36,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     "doc_exact_dedup_groups",
     "doc_text_profile",
     "ngram_jaccard_pairs",
-    "minhash_verified_near_dups",
+    # doc_near_dup_components runs verified_near_dups (MinHash-LSH +
+    # exact-Jaccard verify, same params as the trailing
+    # minhash_verified_near_dups) AND the connected-components
+    # canonicalization, so one slot hash-checks both stages.
+    "doc_near_dup_components",
     "simhash_verified_near_dups",
     "cosine_topk_brute",
     "cosine_topk_lsh",

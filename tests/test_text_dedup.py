@@ -121,3 +121,59 @@ def test_simhash_verified_equals_exact_jaccard(spark, sf_dir):
         ).collect()
     }
     assert got == exact
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from lakehouse_dba_tools_spark.dedup.components import (
+        canonicalize_near_dups,
+        connected_components,
+    )
+
+    # chain 1-2-3, pair 10-11, singleton 99
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    keep = {r.doc_id: r.keeper_id for r in canonicalize_near_dups(docs, pairs).collect()}
+    assert keep == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    survivors = sorted(k for k, v in keep.items() if k == v)
+    assert survivors == [1, 10, 99]
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property: CC labels equal a driver-side union-find on the same
+    random edge list (min-id representative per component)."""
+    import random
+
+    from lakehouse_dba_tools_spark.dedup.components import connected_components
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)})
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per node (only nodes appearing in edges)
+    touched = sorted({n for e in edges for n in e})
+    rep = {}
+    for comp in {find(n) for n in touched}:
+        members = [n for n in touched if find(n) == comp]
+        m = min(members)
+        for n in members:
+            rep[n] = m
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == rep
