@@ -349,6 +349,131 @@ def simhash_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_verified_near_dups(docs, k=3, max_hamming=12, chunks=6, threshold=0.5)
 
 
+def _funnel_oracle() -> str:
+    """Sequential-filter funnel oracle sharing the langid/quality SQL
+    fragments with the per-stage oracles above."""
+    hits = {
+        lang: (
+            f"len(list_filter(tl, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(TX.STOPWORDS.items())
+    }
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    case = " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in hits)
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text, md5(text) AS h, {_D_TOKS} AS toks,
+             list_transform({_D_TOKS}, t -> lower(t)) AS tl
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, h, len(toks) AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+             len(list_filter(tl, t -> t IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+               / len(toks) AS stop,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS awl,
+             {hit_cols}
+      FROM staged
+    ),
+    m AS (SELECT *, {mx} AS mx FROM feats),
+    flags AS (
+      SELECT doc_id, h, n_tok,
+             (CASE WHEN mx = 0 THEN 'und' {case} END) = 'en' AS s1,
+             round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * least(alpha * 2, 1.0) + 0.2 * least(stop * 5, 1.0)
+                   + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6)
+               AS q
+      FROM m
+    ),
+    keep AS (
+      SELECT *, s1 AND q >= 0.5 AS s2,
+             min(CASE WHEN s1 AND q >= 0.5 THEN doc_id END)
+               OVER (PARTITION BY h) AS keeper
+      FROM flags
+    ),
+    final AS (SELECT *, s2 AND doc_id = keeper AS s3 FROM keep)
+    SELECT '00_raw' AS stage, count(*)::BIGINT AS n_docs,
+           coalesce(sum(n_tok), 0)::BIGINT AS n_tokens FROM final
+    UNION ALL
+    SELECT '10_lang_en', count(*) FILTER (s1)::BIGINT,
+           coalesce(sum(n_tok) FILTER (s1), 0)::BIGINT FROM final
+    UNION ALL
+    SELECT '20_quality', count(*) FILTER (s2)::BIGINT,
+           coalesce(sum(n_tok) FILTER (s2), 0)::BIGINT FROM final
+    UNION ALL
+    SELECT '30_exact_dedup', count(*) FILTER (s3)::BIGINT,
+           coalesce(sum(n_tok) FILTER (s3), 0)::BIGINT FROM final
+    """
+
+
+@register("training_corpus_funnel", _funnel_oracle())
+def training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter funnel: per-stage doc/token
+    survival for raw → language-ID(en) → quality ≥ 0.5 → exact-dedup
+    keeper. One scan computes every per-doc feature; the only shuffle is
+    the content-hash window the dedup stage needs anyway, then a
+    single-row aggregate unpivoted with stack(). At 100 TB this is the
+    shape a corpus-curation report must have: features ride the scan,
+    no per-stage re-reads. Each stage op is individually hash-checked
+    (doc_langid_confusion, doc_quality_scores, doc_exact_dedup_groups);
+    this query pins their composition, trailing the checked-50."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("h"),
+        TX.tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "text",
+        "h",
+        "toks",
+        F.transform("toks", lambda t: F.lower(t)).alias("toks_lower"),
+        F.size("toks").alias("n_tok"),
+    )
+    alpha = TX.alpha_ratio("text")
+    stop = TX.stopword_hits_from_tokens(F.col("toks_lower"), "en") / F.col("n_tok")
+    awl = F.aggregate("toks", F.lit(0.0), lambda a, t: a + F.length(t)) / F.col("n_tok")
+    len_ok = F.when((F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000), 1.0).otherwise(0.0)
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.3 * len_ok
+        + 0.3 * F.least(alpha * 2, F.lit(1.0))
+        + 0.2 * F.least(stop * 5, F.lit(1.0))
+        + 0.2 * awl_ok,
+        6,
+    )
+    flags = staged.select(
+        "doc_id",
+        "h",
+        "n_tok",
+        (TX.detect_language_from_tokens(F.col("toks_lower")) == "en").alias("s1"),
+        quality.alias("q"),
+    ).withColumn("s2", F.col("s1") & (F.col("q") >= 0.5))
+    from pyspark.sql import Window
+
+    keeper = F.min(F.when(F.col("s2"), F.col("doc_id"))).over(
+        Window.partitionBy("h")
+    )
+    final = flags.withColumn("s3", F.col("s2") & (F.col("doc_id") == keeper))
+    agg = final.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_tok").alias("t0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("s1"), F.col("n_tok"))), F.lit(0)).alias("t1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("s2"), F.col("n_tok"))), F.lit(0)).alias("t2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+        F.coalesce(F.sum(F.when(F.col("s3"), F.col("n_tok"))), F.lit(0)).alias("t3"),
+    )
+    return agg.selectExpr(
+        "stack(4, '00_raw', n0, t0, '10_lang_en', n1, t1, "
+        "'20_quality', n2, t2, '30_exact_dedup', n3, t3) "
+        "AS (stage, n_docs, n_tokens)"
+    ).selectExpr("stage", "CAST(n_docs AS BIGINT) AS n_docs", "CAST(n_tokens AS BIGINT) AS n_tokens")
+
+
 @register(
     "doc_near_dup_components",
     f"""

@@ -123,6 +123,18 @@ def test_simhash_verified_equals_exact_jaccard(spark, sf_dir):
     assert got == exact
 
 
+def test_training_corpus_funnel_monotonic(spark, sf_dir):
+    from lakehouse_dba_tools_spark.queries_text import training_corpus_funnel
+
+    rows = {r.stage: r for r in training_corpus_funnel(spark, sf_dir).collect()}
+    assert sorted(rows) == ["00_raw", "10_lang_en", "20_quality", "30_exact_dedup"]
+    order = ["00_raw", "10_lang_en", "20_quality", "30_exact_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a].n_docs >= rows[b].n_docs
+        assert rows[a].n_tokens >= rows[b].n_tokens
+    assert rows["00_raw"].n_docs > 0
+
+
 def test_connected_components_chain_and_singleton(spark):
     from lakehouse_dba_tools_spark.dedup.components import (
         canonicalize_near_dups,
