@@ -44,11 +44,13 @@ def connected_components(
     # iteration joins against edges — without the cache each round
     # re-runs the whole upstream plan. Edge rows are two ids, so the
     # cached footprint is tiny even for billion-doc corpora.
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
     )
-    labels = labels.persist()
-    labels.count()  # materialize iteration 0
+    labels.count()  # materialize iteration 0 (labels feeds two branches per round)
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -62,20 +64,19 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias("comp"),
                 (F.col("comp") != F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))))
-                .cast("int")
+                .cast("long")
                 .alias("_changed"),
             )
         ).persist()
+        # ONE action per round: the full-scan aggregate both populates
+        # the new_labels cache and returns the convergence scalar.
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-        old = labels
-        labels = new_labels.drop("_changed").persist()
-        labels.count()
-        old.unpersist()
-        new_labels.unpersist()
+        labels.unpersist()
+        labels = new_labels  # _changed rides along; dropped on return
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return labels.drop("_changed")
 
 
 def canonicalize_near_dups(

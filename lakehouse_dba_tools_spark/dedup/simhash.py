@@ -111,6 +111,67 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def simhash_ball_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    chunks: int = 6,
+    max_hamming: int = 12,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Distinct pairs within Hamming ``max_hamming``, from a
+    ``with_simhash`` frame — the Hamming filter runs INSIDE the bucket
+    explode (fingerprints ride the collect_list), so over-admitted
+    bucket pairs die in codegen before the distinct shuffle ever sees
+    them. At 10-bit pieces the raw bucket pairs outnumber ball
+    survivors ~3:1 (measured sf0.1) and grow quadratically with corpus
+    size; filtering pre-shuffle is the difference between shuffling
+    the ball and shuffling the bucket cross-product."""
+    bits_per = 64 // chunks
+    mask = (1 << bits_per) - 1
+    pieces = fp.select(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp")).alias("m"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * bits_per).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("piece_idx", "piece"),
+    )
+    buckets = (
+        pieces.groupBy("piece_idx", "piece")
+        .agg(F.collect_list("m").alias("members"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "members",
+                            lambda a: F.transform(
+                                "members",
+                                lambda b: F.struct(a.alias("a"), b.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda p: (p["a"]["id"] < p["b"]["id"])
+                    & (
+                        F.bit_count(p["a"]["fp"].bitwiseXOR(p["b"]["fp"]))
+                        <= max_hamming
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -154,27 +215,12 @@ def simhash_verified_near_dups(
 
     Output: (id_a, id_b, jaccard) — comparable with ngram.jaccard_pairs.
     """
-    from pyspark import StorageLevel
-
-    from lakehouse_dba_tools_spark.dedup.minhash import with_shingle_set
-
-    fp = with_simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = simhash_candidate_pairs(df, text_col, id_col, chunks, fp=fp)
-    a_fp = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
-    b_fp = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
-    ball = (
-        pairs.join(a_fp, "id_a")
-        .join(b_fp, "id_b")
-        .filter(hamming_distance(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
-        .select("id_a", "id_b")
+    from lakehouse_dba_tools_spark.dedup.minhash import (
+        verify_pairs_exact_jaccard,
+        with_shingle_set,
     )
+
+    fp = with_simhash(df, text_col, id_col)
+    ball = simhash_ball_pairs(fp, id_col, chunks, max_hamming)
     sh = with_shingle_set(df, text_col, id_col, k)
-    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = ball.join(a_sh, "id_a").join(b_sh, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        joined.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return verify_pairs_exact_jaccard(ball, sh, id_col, threshold)
