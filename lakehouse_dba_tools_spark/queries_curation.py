@@ -1,0 +1,236 @@
+"""Corpus-curation queries beyond dedup: decontamination, repetition
+scoring, PII redaction, deterministic training order.
+
+These are the remaining first-class operations of a pretraining-data
+pipeline (alongside dedup/quality/langid in queries_text.py): flag
+training docs that leak benchmark n-grams, score intra-document
+repetition (Gopher-style rep filters), scrub PII spans, and assign a
+seeded deterministic global shuffle order. All single-pass column
+algebra or broadcast joins — no UDFs. Each has a DuckDB oracle;
+registered after the checked-50 (their building blocks — shingling,
+regex extraction, window ranking — are carried by checked queries),
+verified by tools/diffcheck.py every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.functions.text import tokens, word_shingles
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
+from lakehouse_dba_tools_spark.queries_text import _D_SHINGLES3, _D_TOKS
+from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+# Deterministic eval-set membership: every 97th doc plays the held-out
+# benchmark whose n-grams must not leak into training data.
+EVAL_MOD = 97
+
+
+@register(
+    "doc_decontamination",
+    f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+    hits AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (g)
+             GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(h.n_overlap, 0)::DOUBLE / len(d.s), 6) AS overlap_frac,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM sh d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct 3-gram shingles appear anywhere in the eval set
+    (doc_id % 97 == 0 plays the benchmark). Scale shape: the eval
+    shingle vocabulary is small (benchmarks are MBs, not TBs) and is
+    BROADCAST — the training side never shuffles its exploded shingles;
+    matches (a tiny fraction) are the only rows entering the per-doc
+    count shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles("text", 3)).alias("s"),
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+    )
+    ev = (
+        sh.filter("is_eval")
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    tr = sh.filter(~F.col("is_eval"))
+    hits = (
+        tr.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        tr.select("doc_id", F.size("s").alias("n_sh"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_sh"), 6
+            ).alias("overlap_frac"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS bigrams
+      FROM t
+    )
+    SELECT doc_id, n_tok::BIGINT AS n_tok,
+           round(CASE WHEN n_tok > 0
+                 THEN 1.0 - len(list_distinct(toks))::DOUBLE / n_tok
+                 ELSE 0.0 END, 6) AS dup_token_frac,
+           round(CASE WHEN len(bigrams) > 0
+                 THEN 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+                 ELSE 0.0 END, 6) AS dup_bigram_frac
+    FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style rep filters): fraction
+    of duplicate token and bigram occurrences per doc. Pure column
+    algebra over one tokenization — at 100 TB this rides the same scan
+    as every other per-doc feature (composable into
+    doc_text_profile's single pass)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tok")
+    )
+    bigrams = F.when(
+        F.col("n_tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("bigrams", bigrams)
+    dup_tok = F.when(
+        F.col("n_tok") > 0,
+        1.0 - F.size(F.array_distinct("toks")).cast("double") / F.col("n_tok"),
+    ).otherwise(0.0)
+    dup_bi = F.when(
+        F.size("bigrams") > 0,
+        1.0
+        - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams"),
+    ).otherwise(0.0)
+    return staged.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_bi, 6).alias("dup_bigram_frac"),
+    )
+
+
+# Lookaround-free patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): leftmost match + greedy quantifiers give
+# the same spans in both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d ]{5,14}\d"
+
+
+@register(
+    "doc_pii_redaction",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555 '
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone spans. The corpus
+    fixture contains no PII, so each doc is deterministically augmented
+    with a synthetic email + phone before redaction — the md5 of the
+    redacted text is the strict full-output check (one span boundary
+    off anywhere flips the hash). Single projection, scan-bound; the
+    patterns avoid lookarounds so Java regex (Spark) and RE2 (DuckDB)
+    produce identical spans."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    staged = docs.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+TRAIN_ORDER_SEED = "epoch0"
+SHUFFLE_BUCKETS = 256
+
+
+@register(
+    "doc_training_order",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{TRAIN_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(substr(k, 1, 2) AS VARCHAR) AS bucket,
+           row_number() OVER (PARTITION BY substr(k, 1, 2)
+                              ORDER BY k, doc_id) AS rank_in_bucket
+    FROM keyed
+    """,
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle for training order: key each
+    doc by md5(seed:doc_id); global order = (bucket, rank_in_bucket)
+    where bucket is the first key byte. Scale shape: ranking is
+    PARTITIONED by bucket (256 independent reducers), never a global
+    single-reducer window — the same layout a 100 TB shuffled-corpus
+    write uses (repartitionByRange on the key, sortWithinPartitions).
+    Reshuffling an epoch = changing the seed string."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(f"{TRAIN_ORDER_SEED}:"), F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn("bucket", F.substring("k", 1, 2))
+    w = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "bucket", F.row_number().over(w).alias("rank_in_bucket")
+    )

@@ -104,6 +104,7 @@ def load_all() -> None:
         queries,
         queries_advanced,
         queries_collections,
+        queries_curation,
         queries_datagen,
         queries_etl,
         queries_functions,

@@ -1,0 +1,69 @@
+"""Invariants for the corpus-curation queries (oracle equality is
+covered by tools/diffcheck.py; these pin structural properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.queries_curation import (
+    EVAL_MOD,
+    doc_decontamination,
+    doc_pii_redaction,
+    doc_repetition_scores,
+    doc_training_order,
+)
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def test_decontamination_excludes_eval_docs(spark, sf_dir):
+    out = doc_decontamination(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("contaminated").cast("int")).alias("n_cont"),
+        F.min("overlap_frac").alias("lo"),
+        F.max("overlap_frac").alias("hi"),
+    ).collect()[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert row.n == n_docs - len(
+        [i for i in range(n_docs) if i % EVAL_MOD == 0]
+    )
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+    # tiny shared vocabulary -> overlap must exist
+    assert row.n_cont > 0
+
+
+def test_repetition_scores_bounds(spark, sf_dir):
+    out = doc_repetition_scores(spark, sf_dir)
+    bad = out.filter(
+        (F.col("dup_token_frac") < 0)
+        | (F.col("dup_token_frac") > 1)
+        | (F.col("dup_bigram_frac") < 0)
+        | (F.col("dup_bigram_frac") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_pii_redaction_scrubs_all_spans(spark, sf_dir):
+    from lakehouse_dba_tools_spark.queries_curation import EMAIL_RE, PHONE_RE
+
+    out = doc_pii_redaction(spark, sf_dir)
+    row = out.agg(
+        F.min("n_emails").alias("min_e"), F.min("n_phones").alias("min_p")
+    ).collect()[0]
+    # every doc gets one synthetic email + phone appended
+    assert row.min_e >= 1 and row.min_p >= 1
+
+
+def test_training_order_is_partitioned_permutation(spark, sf_dir):
+    out = doc_training_order(spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # rank_in_bucket is 1..size within each bucket
+    chk = out.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.max("rank_in_bucket").alias("mx"),
+        F.min("rank_in_bucket").alias("mn"),
+    )
+    assert chk.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
