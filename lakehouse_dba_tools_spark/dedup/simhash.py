@@ -29,18 +29,33 @@ from lakehouse_dba_tools_spark.operators.partitioning import fan_out
 
 @F.pandas_udf(T.LongType())
 def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
-    """Vectorized 64-bit simhash from per-token int64 hash arrays."""
+    """Vectorized 64-bit simhash from per-token int64 hash arrays.
+
+    Whole-batch kernel: all token hashes in the Arrow batch concatenate
+    into one flat array; ``np.unpackbits(..., bitorder='little')`` on
+    its little-endian byte view yields the (total_tokens × 64) bit
+    matrix at C speed (no 8× int64 broadcast intermediate), and one
+    ``np.add.reduceat`` folds per-document vote sums. Python-level work
+    per batch is O(1), not O(rows)."""
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays), dtype=np.int64,
+        count=len(hash_arrays),
+    )
+    nonempty = lens > 0
     out = np.zeros(len(hash_arrays), dtype=np.int64)
-    for i, hashes in enumerate(hash_arrays):
-        if hashes is None or len(hashes) == 0:
-            continue
-        h = np.asarray(hashes, dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 votes summed)
-        fp = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp)
+    if nonempty.any():
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hash_arrays[nonempty]]
+        ).astype("<u8")
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).reshape(-1, 64)
+        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        votes = 2 * np.add.reduceat(bits.astype(np.int64), offsets, axis=0) - lens[
+            nonempty, None
+        ]
+        fps = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+        out[nonempty] = fps.view("<u8").ravel().astype(np.int64, casting="unsafe")
     return pd.Series(out)
 
 
