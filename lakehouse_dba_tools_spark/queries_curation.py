@@ -198,6 +198,110 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture sampling: budget half the corpus tokens, weight sources
+# deterministically from their numeric suffix (srcN -> N % 4 + 1) so
+# the target mixture is computable at any scale factor by any engine.
+MIX_BUDGET_FRAC = 0.5
+MIX_SALT = "mix-v1"
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""
+    WITH stats AS (
+      SELECT source,
+             (CAST(substr(source, 4) AS BIGINT) % 4 + 1)::DOUBLE AS w,
+             count(*)::BIGINT AS n_docs,
+             sum(len({_D_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(w) AS sum_w, sum(n_tokens)::DOUBLE AS total_tokens FROM stats),
+    rates AS (
+      SELECT s.source, s.n_docs, s.n_tokens,
+             {MIX_BUDGET_FRAC} * t.total_tokens * s.w / t.sum_w AS target_tokens,
+             least(1.0, {MIX_BUDGET_FRAC} * t.total_tokens * s.w / t.sum_w
+                        / s.n_tokens) AS rate
+      FROM stats s CROSS JOIN tot t
+    ),
+    sampled AS (
+      SELECT d.source,
+             count(*)::BIGINT AS sampled_docs,
+             coalesce(sum(len({_D_TOKS})), 0)::BIGINT AS sampled_tokens
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 8))
+                 AS BIGINT) / 4294967296.0 < r.rate
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.n_tokens,
+           round(r.target_tokens, 4) AS target_tokens,
+           round(r.rate, 6) AS sample_rate,
+           coalesce(s.sampled_docs, 0)::BIGINT AS sampled_docs,
+           coalesce(s.sampled_tokens, 0)::BIGINT AS sampled_tokens
+    FROM rates r LEFT JOIN sampled s ON r.source = s.source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: weight each source, budget a token target
+    (MIX_BUDGET_FRAC of the corpus), derive a per-source sampling rate,
+    then take a deterministic hash sample and report achieved vs
+    target. Inherently two-pass (rates depend on global per-source
+    stats), which at 100 TB means: pass 1 is a tiny per-source
+    aggregate worth persisting; pass 2 streams the corpus once against
+    BROADCAST rates (20 rows) — no doc ever shuffles, the only
+    exchanges carry per-source partial aggregates. Sampling is
+    md5-uniform on doc_id: reproducible under retries/repartitioning
+    and recomputable by the oracle engine."""
+    from lakehouse_dba_tools_spark.functions.text import token_count
+    from lakehouse_dba_tools_spark.operators.sampling import hash_uniform
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    ).withColumn(
+        "w", (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double")
+    )
+    tot = stats.agg(
+        F.sum("w").alias("sum_w"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.lit(MIX_BUDGET_FRAC) * F.col("total_tokens") * F.col("w") / F.col("sum_w")
+        ).alias("target_tokens"),
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_BUDGET_FRAC)
+            * F.col("total_tokens")
+            * F.col("w")
+            / F.col("sum_w")
+            / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(hash_uniform(F.col("doc_id"), MIX_SALT) < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("sampled_tokens"),
+        )
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("target_tokens", 4).alias("target_tokens"),
+        F.round("rate", 6).alias("sample_rate"),
+        F.coalesce("sampled_docs", F.lit(0)).cast("long").alias("sampled_docs"),
+        F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
+    )
+
+
 TRAIN_ORDER_SEED = "epoch0"
 SHUFFLE_BUCKETS = 256
 

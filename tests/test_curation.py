@@ -55,6 +55,22 @@ def test_pii_redaction_scrubs_all_spans(spark, sf_dir):
     assert row.min_e >= 1 and row.min_p >= 1
 
 
+def test_mixture_sample_respects_budget(spark, sf_dir):
+    from lakehouse_dba_tools_spark.queries_curation import corpus_mixture_sample
+
+    rows = corpus_mixture_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.sample_rate <= 1.0
+        assert r.sampled_docs <= r.n_docs
+        assert r.sampled_tokens <= r.n_tokens
+    # achieved mixture lands near the target overall (hash sampling is
+    # unbiased; 20 sources x 25 docs at sf0.001+ gives loose bounds)
+    tgt = sum(r.target_tokens for r in rows)
+    got = sum(r.sampled_tokens for r in rows)
+    assert 0.4 * tgt <= got <= 1.6 * tgt
+
+
 def test_training_order_is_partitioned_permutation(spark, sf_dir):
     out = doc_training_order(spark, sf_dir)
     n = load_table(spark, sf_dir, "documents").count()
