@@ -157,6 +157,53 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def lsh_candidate_pairs_bipartite(
+    batch_shingled: DataFrame,
+    corpus_shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate pairs BETWEEN a new batch and an existing corpus —
+    the incremental-ingest shape of near-dup detection. Both sides get
+    the same banded signatures (same seed — signatures must share the
+    permutation family to collide); the join is batch-bands ⋈
+    corpus-bands on (band_idx, band_key), so cost scales with
+    |batch| · collision rate, never |corpus|². In production the
+    corpus band table is precomputed once and reused every ingest
+    (here it derives inline). Returns (id_a=batch id, id_b=corpus id)
+    distinct pairs; self-pairs (same id on both sides) are dropped so
+    a batch overlapping the corpus won't match itself."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows = num_perm // bands
+    b_keys = band_keys(
+        with_minhash_signature(batch_shingled, num_perm, seed), id_col, bands, rows
+    ).withColumnRenamed(id_col, "id_a")
+    c_keys = band_keys(
+        with_minhash_signature(corpus_shingled, num_perm, seed), id_col, bands, rows
+    ).withColumnRenamed(id_col, "id_b")
+    # Skew guard on the corpus side (boilerplate band buckets): cap
+    # bucket membership like the self-join path does.
+    from pyspark.sql import Window
+
+    c_sized = (
+        c_keys.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+        )
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    return (
+        b_keys.join(c_sized, ["band_idx", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def verify_pairs_exact_jaccard(
     pairs: DataFrame,
     shingled: DataFrame,

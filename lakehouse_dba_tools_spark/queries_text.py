@@ -349,6 +349,44 @@ def simhash_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_verified_near_dups(docs, k=3, max_hamming=12, chunks=6, threshold=0.5)
 
 
+@register(
+    "incremental_dedup_batch",
+    f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection — the daily
+    ingest shape: docs with doc_id % 10 == 0 play the incoming batch,
+    the rest the existing corpus. Bipartite banded-LSH join (batch
+    bands ⋈ corpus bands — cost scales with |batch|, never |corpus|²)
+    then exact-Jaccard verify; the oracle is the exact cross-partition
+    all-pairs answer, so candidate recall is hash-proven every round."""
+    from pyspark import StorageLevel
+
+    from lakehouse_dba_tools_spark.dedup.minhash import (
+        lsh_candidate_pairs_bipartite,
+        verify_pairs_exact_jaccard,
+        with_shingle_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingle_set(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    batch_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    corpus_sh = sh.filter(F.col("doc_id") % 10 != 0)
+    pairs = lsh_candidate_pairs_bipartite(
+        batch_sh, corpus_sh, num_perm=64, bands=16, seed=42
+    )
+    return verify_pairs_exact_jaccard(pairs, sh, threshold=0.5)
+
+
 def _funnel_oracle() -> str:
     """Sequential-filter funnel oracle sharing the langid/quality SQL
     fragments with the per-stage oracles above."""

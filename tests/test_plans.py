@@ -70,3 +70,26 @@ def test_lsh_pipeline_shuffles_ids_not_vectors(spark, sf_dir):
         inputs = ex.group(1)
         if "id_a" in inputs and "id_b" in inputs:
             assert "_v" not in inputs and "va" not in inputs and "vb" not in inputs
+
+
+def test_decontamination_broadcasts_eval_vocabulary(spark, sf_dir):
+    """The training side must probe a BROADCAST eval-shingle set — a
+    shuffled (sort-merge) join here would move the exploded training
+    n-grams, which is exactly what must not happen at 100 TB."""
+    plan = _plan(spark, "doc_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """Pass 2 of mixture sampling joins docs against the per-source
+    rate table — 20 rows, must broadcast; docs must never shuffle."""
+    plan = _plan(spark, "corpus_mixture_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_training_order_window_is_partitioned(spark, sf_dir):
+    """The shuffle-order ranking must partition by bucket — a global
+    (unpartitioned) window is a single-reducer bottleneck."""
+    plan = _plan(spark, "doc_training_order", sf_dir)
+    assert "SinglePartition" not in plan

@@ -123,6 +123,32 @@ def test_simhash_verified_equals_exact_jaccard(spark, sf_dir):
     assert got == exact
 
 
+def test_bipartite_lsh_batch_vs_corpus(spark):
+    from lakehouse_dba_tools_spark.dedup.minhash import (
+        lsh_candidate_pairs_bipartite,
+        verify_pairs_exact_jaccard,
+        with_shingle_set,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base),                         # batch: near-dup of corpus 1
+        (20, "completely different words entirely unrelated content here now"),
+        (1, base + " ok"),                  # corpus
+        (2, "another unrelated corpus document with its own vocabulary set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = with_shingle_set(docs)
+    batch = sh.filter("doc_id >= 10")
+    corpus = sh.filter("doc_id < 10")
+    pairs = lsh_candidate_pairs_bipartite(batch, corpus, bands=32, num_perm=64)
+    got = verify_pairs_exact_jaccard(pairs, sh, threshold=0.3).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(10, 1)}
+    # sides are disjoint frames: no batch-batch or corpus-corpus pairs
+    for r in got:
+        assert r.id_a >= 10 and r.id_b < 10
+
+
 def test_training_corpus_funnel_monotonic(spark, sf_dir):
     from lakehouse_dba_tools_spark.queries_text import training_corpus_funnel
 
