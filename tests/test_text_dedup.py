@@ -123,6 +123,52 @@ def test_simhash_verified_equals_exact_jaccard(spark, sf_dir):
     assert got == exact
 
 
+def test_verify_prefilter_equals_naive_jaccard(spark):
+    """Property: the scale-shaped verify (size-ratio prefilter +
+    hashed-shingle intersection) returns EXACTLY the naive all-pairs
+    answer — the prefilter may never drop a qualifying pair."""
+    import random
+
+    from lakehouse_dba_tools_spark.dedup.minhash import (
+        verify_pairs_exact_jaccard,
+        with_shingle_set,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18))))
+        for i in range(40)
+    ]
+
+    def shingles(text):
+        toks = text.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            jac = len(sa & sb) / len(sa | sb)
+            if round(jac, 6) >= 0.5:
+                expected[(i, j)] = round(jac, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = with_shingle_set(df)
+    all_pairs = spark.createDataFrame(
+        [(i, j) for i, _ in docs for j, _ in docs if i < j], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_pairs_exact_jaccard(all_pairs, sh, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
 def test_bipartite_lsh_batch_vs_corpus(spark):
     from lakehouse_dba_tools_spark.dedup.minhash import (
         lsh_candidate_pairs_bipartite,
