@@ -154,3 +154,45 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         emb, threshold=0.4, n_planes=3, n_tables=24, dim=64, seed=42
     )
+
+
+@register(
+    "embedding_dedup_keepers",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                         WHERE vec_id < {BRUTE_VEC_CAP}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.dst, reach.r FROM reach JOIN edges e2 ON e2.src = reach.node
+    ),
+    keepers AS (SELECT node, min(r) AS keeper FROM reach GROUP BY node)
+    SELECT e.vec_id, coalesce(k.keeper, e.vec_id) AS keeper_id
+    FROM e LEFT JOIN keepers k ON k.node = e.vec_id
+    """,
+)
+def embedding_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end-to-end: cosine near-dup pairs (LSH at
+    recall-1.0 parameters, so the exact-pair oracle applies) →
+    connected components → per-vector keeper. Same canonicalization
+    operator as the document path (dedup/components.py) — the pair
+    source is pluggable, which is the point: one CC/keeper stage
+    serves MinHash, SimHash, and embedding pipelines."""
+    from lakehouse_dba_tools_spark.dedup.components import canonicalize_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < BRUTE_VEC_CAP)
+    pairs = embedding_near_dups(
+        emb, threshold=0.4, n_planes=3, n_tables=24, dim=64, seed=42
+    )
+    return canonicalize_near_dups(
+        emb, pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
