@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -30,9 +31,23 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = min node id reachable through the pair graph."""
+    component = min node id reachable through the pair graph.
+
+    Hybrid execution (both paths return identical labels):
+
+    - **small graphs** (≤ ``max_driver_edges`` directed edges — ≤32 MB
+      of id pairs): one bounded collect + union-find on the driver.
+      Near-dup edge sets are orders of magnitude smaller than the
+      corpus (dups are the exception), so this is the common case and
+      avoids paying ~2 shuffles × diameter rounds of fixed job latency
+      for a milliseconds-sized problem. Same bounded-driver-work
+      pattern as the IVF centroid sample.
+    - **large graphs**: the distributed min-label loop below; set
+      ``max_driver_edges=0`` to force it (the property tests do).
+    """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -44,13 +59,47 @@ def connected_components(
     # iteration joins against edges — without the cache each round
     # re-runs the whole upstream plan. Edge rows are two ids, so the
     # cached footprint is tiny even for billion-doc corpora.
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        id_type = pairs.schema[id_a].dataType
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            for n in (r.src, r.dst):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        schema = T.StructType(
+            [T.StructField("node", id_type), T.StructField("comp", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+
+    # localCheckpoint (not persist) per round: iterative self-reference
+    # grows the LOGICAL plan by two joins per round — after ~10 rounds
+    # plan traversal itself stack-overflows. Checkpointing stores the
+    # round's partitions executor-side AND truncates lineage, so every
+    # round starts from a leaf. eager=False: the convergence aggregate
+    # below is the round's one materializing action.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    labels.count()  # materialize iteration 0 (labels feeds two branches per round)
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -67,11 +116,10 @@ def connected_components(
                 .cast("long")
                 .alias("_changed"),
             )
-        ).persist()
-        # ONE action per round: the full-scan aggregate both populates
-        # the new_labels cache and returns the convergence scalar.
+        ).localCheckpoint(eager=False)
+        # ONE action per round: the aggregate materializes the
+        # checkpoint and returns the convergence scalar.
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-        labels.unpersist()
         labels = new_labels  # _changed rides along; dropped on return
         if changed == 0:
             break

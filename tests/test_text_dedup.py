@@ -259,5 +259,12 @@ def test_connected_components_random_vs_union_find(spark):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "id_a long, id_b long"
     )
-    got = {r.node: r.comp for r in connected_components(pairs).collect()}
-    assert got == rep
+    # max_driver_edges=0 forces the distributed min-label loop;
+    # default exercises the driver union-find shortcut. Both must
+    # match the reference union-find.
+    for mde in (0, 2_000_000):
+        got = {
+            r.node: r.comp
+            for r in connected_components(pairs, max_driver_edges=mde).collect()
+        }
+        assert got == rep
