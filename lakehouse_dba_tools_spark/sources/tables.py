@@ -29,12 +29,34 @@ TABLE_NAMES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark's reader has no ns
-# type, so the session sets nanosAsLong and we convert here. Fixture
-# values carry raw ns precision, so ns→µs must truncate with INTEGER
-# division — float64 division has ~256ns ULP at 2024 epochs and rounds
-# ~12% of rows 1µs off vs DuckDB's integer truncation.
+# Columns historically stored as parquet TIMESTAMP(NANOS): Spark's
+# reader has no ns type, so the session sets nanosAsLong and we convert
+# here. Fixture values carry raw ns precision, so ns→µs must truncate
+# with INTEGER division — float64 division has ~256ns ULP at 2024 epochs
+# and rounds ~12% of rows 1µs off vs DuckDB's integer truncation.
+# Current fixtures store timestamp[us] isAdjustedToUTC=false, which
+# Spark 4 reads as TIMESTAMP_NTZ — normalize_timestamps handles that.
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-tz TIMESTAMP.
+
+    The fixtures are UTC-naive and every caller pins the session tz to
+    UTC, so the cast is value-preserving; it restores the dtype the rest
+    of the engine (epoch casts, windows, watermarks) was built against.
+    NTZ cannot be cast to DOUBLE in Spark 4, so leaving it leaks type
+    errors into every ``ts.cast("double")`` epoch computation.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,7 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NS_TIMESTAMP_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(

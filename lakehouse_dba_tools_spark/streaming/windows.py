@@ -23,35 +23,36 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream of the events table (ns→timestamp converted)."""
+    """File-source stream of the events table, ``ts`` normalized to TIMESTAMP.
+
+    The fixture's ``ts`` physical type has changed across driver versions
+    (TIMESTAMP(NANOS) read as long under nanosAsLong, then timestamp[us]
+    read as TIMESTAMP_NTZ), so the stream schema is taken from a batch
+    footer read of the same file rather than hardcoded — a hardcoded
+    LongType over timestamp[us] silently yields µs values divided as ns,
+    collapsing every event into 1970.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file source takes a DIRECTORY; pathGlobFilter narrows it to
     # the events table file(s).
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Integer truncation (ts div 1000), not float division — see
-    # sources/tables.py NS_TIMESTAMP_COLS note.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        # ns epoch: integer truncation (ts div 1000), not float division
+        # — see sources/tables.py NS_TIMESTAMP_COLS note.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_rollup(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
