@@ -185,3 +185,52 @@ def maintenance_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(data, "check_name string, value long")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "forget_keys_cascade",
+    """
+    WITH fk AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 11),
+         dord AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM fk))
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS rows_before,
+           (SELECT count(*) FROM fk) AS rows_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM fk) AS rows_after
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dord)),
+           (SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM dord),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM dord)
+    """,
+)
+def forget_keys_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit (operators/forget.py): a deterministic
+    forget-set of customers cascades customer → orders → lineitem via
+    broadcast semi-joins (keys only; the fact tables never shuffle) and
+    the audit is a union of 1-row aggregates — nothing collects."""
+    from lakehouse_dba_tools_spark.operators.forget import Edge, cascade_delete, deletion_audit
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    _, deleted = cascade_delete(
+        tables,
+        root="customer",
+        root_condition=F.col("c_custkey") % 97 == 11,
+        edges=[
+            Edge("customer", "c_custkey", "orders", "o_custkey"),
+            Edge("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+    )
+    return deletion_audit(tables, deleted)

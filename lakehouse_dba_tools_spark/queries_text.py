@@ -548,3 +548,68 @@ def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = verified_near_dups(docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5)
     return canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))
+
+
+_BM25_QUERY = "spark merge window join"
+_BM25_TERMS = ("join", "merge", "spark", "window")  # sorted token set
+_D_BM_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register(
+    "bm25_keyword_topk",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, len({_D_BM_TOKS}) AS dl,
+             {', '.join(f"len(list_filter({_D_BM_TOKS}, t -> t = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM feat
+    )
+    SELECT doc_id, round(score, 4) AS bm25_score FROM (
+      SELECT f.doc_id,
+             {' + '.join(f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * tf_{i} * 2.2 / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))" for i in range(len(_BM25_TERMS)))}
+             AS score
+      FROM feat f CROSS JOIN stats s
+    )
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 lexical retrieval (similarity/bm25.py). The corpus is
+    scanned, never shuffled: per-term tf indicators + the 1-row global
+    stats frame broadcast back, then TakeOrderedAndProject for the
+    top-k. Lexical counterpart of cosine_topk_*; the contamination-probe
+    primitive of the curation tier."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=20)
+
+
+@register(
+    "term_postings_stats",
+    f"""
+    WITH postings AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_D_BM_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term, count(*) AS n_docs, sum(tf) AS total_tf
+    FROM postings GROUP BY term
+    """,
+)
+def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build + per-term stats (similarity/bm25.py). One
+    exchange on (term, doc_id) carrying (term, id, tf) — bodies pruned
+    before the explode ever shuffles."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import build_inverted_index, term_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats(build_inverted_index(docs)).select(
+        "term", "n_docs", F.col("total_tf").cast("long").alias("total_tf")
+    )

@@ -51,17 +51,20 @@ CHECKED_FIRST: tuple[str, ...] = (
     "stratified_sample_docs",
     "multimodal_features",
     "multimodal_frame_sample",
-    # TPC-H tier
+    # Lexical retrieval + DBA diagnostics tier (round 3)
+    "bm25_keyword_topk",
+    "term_postings_stats",
+    "dq_constraint_report",
+    "key_skew_report",
+    "forget_keys_cascade",
+    # TPC-H tier — 6 representatives cover the join/agg/subquery shapes;
+    # q4/q14/q17/q19/q20 trail as bench-stable twins (still diffchecked
+    # locally, just past the driver's 50-row cut).
     "q2_min_cost_supplier",
-    "q4_order_priority",
     "q6_revenue_forecast",
     "q12_shipmode_priority",
-    "q14_promo_share",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_supply_candidates",
     "q22_idle_customers",
     # Structured Streaming tier
     "streaming_hourly_rollup",

@@ -1,0 +1,204 @@
+"""BM25 keyword search + inverted index over a document corpus.
+
+The lexical-retrieval counterpart of the embedding ANN paths in
+`similarity/search.py`: together they cover the two retrieval modes a
+training-data pipeline needs (keyword mining / contamination probes and
+semantic near-dup search). Pure `pyspark.sql.functions` column algebra —
+no UDFs anywhere, the whole scorer stays inside whole-stage codegen.
+
+Scale shapes (100 TB corpus, 1000 executors):
+
+- ``bm25_topk`` (query-time scoring, a handful of query terms): the
+  corpus is scanned but NEVER shuffled. Per-doc term frequencies come
+  from ``F.filter`` over the token array inside one projection; the
+  global stats the formula needs (N, avgdl, per-term df) reduce to ONE
+  1-row aggregate, which is broadcast back via crossJoin. The only
+  exchange in the plan is the single-row stats broadcast plus the
+  TakeOrderedAndProject for top-k — per-partition heaps of k rows, not
+  a global sort.
+- ``build_inverted_index`` (batch retrieval over many queries): explode
+  to postings and hash-aggregate on (term, doc_id) — one shuffle whose
+  payload is (term, doc_id, tf), never document bodies. Downstream
+  lookups broadcast the query-term list and filter BEFORE the exchange,
+  so only matching postings move.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings table: (term, doc_id, tf, dl).
+
+    dl (doc length in tokens) rides along so a scorer joining the
+    postings needs no second corpus scan. Payload per posting is ~24
+    bytes + term; document text never crosses the exchange.
+    """
+    toks = df.select(
+        F.col(id_col), _tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    return toks.groupBy("term", id_col).agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Per-term document frequency + collection tf from a postings table."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("n_docs"), F.sum("tf").alias("total_tf")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs for ``query`` by BM25 (Robertson/Sparck Jones idf).
+
+    score(D, Q) = Σ_t ln(1 + (N - df_t + .5)/(df_t + .5))
+                      · tf_tD (k1+1) / (tf_tD + k1 (1 - b + b·dl/avgdl))
+
+    Two corpus scans, zero corpus shuffles: scan 1 reduces the per-term
+    tf indicator columns to the 1-row stats frame (N, avgdl, df_t); the
+    broadcast crossJoin stamps those constants onto scan 2's per-doc tf
+    projection. Deterministic result: ordered by raw score then id, so
+    the k-boundary tie-break is stable across partitionings (per-row
+    score is a fixed-shape expression — no cross-row float reordering).
+
+    Returns (id_col, bm25_score) with the score rounded to 4 for
+    hash-comparable output.
+    """
+    terms = sorted(set(t for t in _py_tokens(query) if t))
+    if not terms:
+        raise ValueError("query produced no tokens")
+
+    feat = df.select(F.col(id_col), _tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter("_toks", _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = feat.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / norm
+    return (
+        scored.select(F.col(id_col), score.alias("_score"))
+        .filter(F.col("_score") > 0)
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
+    )
+
+
+def _eq(term: str):
+    # F.filter inspects lambda arity (2 params → it passes the element
+    # INDEX as the 2nd arg), so term capture must be a real closure,
+    # never a `lambda x, t=t:` default.
+    return lambda x: x == F.lit(term)
+
+
+def _py_tokens(s: str) -> list[str]:
+    import re
+
+    return re.findall(TOKEN_RE, s.lower())
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    corpus_stats: tuple[int, float],
+    query: str,
+    k: int = 20,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score from a prebuilt postings table (batch-retrieval path).
+
+    ``corpus_stats`` = (N, avgdl) computed once when the index was
+    built. The query-term filter applies BEFORE any exchange, so only
+    postings of the query's terms participate; df_t comes from a 1-row
+    aggregate over that filtered slice, broadcast back. Use when many
+    queries amortize one index build; `bm25_topk` when scoring ad hoc.
+    """
+    n_docs, avgdl = corpus_stats
+    terms = sorted(set(_py_tokens(query)))
+    hits = postings.filter(F.col("term").isin(terms))
+    df_t = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = hits.join(F.broadcast(df_t), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    per_term = scored.select(
+        F.col(id_col), (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
+    )
+
+
+def bm25_corpus_stats(df: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(N, avgdl) for `bm25_topk_from_index` — one tiny aggregate."""
+    row = df.select(F.size(_tokens(text_col)).alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])
+
+
+def bm25_score_scalar(
+    n: int, df_t: int, tf: int, dl: int, avgdl: float, k1: float = 1.2, b: float = 0.75
+) -> float:
+    """Pure-python transcription of one term's score — the tests cross
+    check the distributed columns against this literal formula."""
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))

@@ -1,0 +1,75 @@
+"""BM25 lexical retrieval: formula fidelity + scale plan shape."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.similarity.bm25 import (
+    bm25_corpus_stats,
+    bm25_score_scalar,
+    bm25_topk,
+    bm25_topk_from_index,
+    build_inverted_index,
+)
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def _toy_docs(spark):
+    rows = [
+        (0, "spark shuffle join broadcast join"),
+        (1, "window merge upsert table"),
+        (2, "join join join spark"),
+        (3, "totally unrelated words here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_single_term_score_matches_scalar_formula(spark):
+    docs = _toy_docs(spark)
+    out = {r["doc_id"]: r["bm25_score"] for r in bm25_topk(docs, "join", k=10).collect()}
+    dls = {r["doc_id"]: r["dl"] for r in docs.select(
+        "doc_id", F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("dl")
+    ).collect()}
+    avgdl = sum(dls.values()) / len(dls)
+    tf = {0: 2, 1: 0, 2: 3, 3: 0}
+    n, df_t = 4, 2
+    for doc, expect_tf in tf.items():
+        if expect_tf == 0:
+            assert doc not in out  # score>0 filter drops non-matches
+        else:
+            expected = bm25_score_scalar(n, df_t, expect_tf, dls[doc], avgdl)
+            assert math.isclose(out[doc], round(expected, 4), abs_tol=1e-4)
+
+
+def test_index_path_agrees_with_direct_scoring(spark):
+    docs = _toy_docs(spark)
+    direct = bm25_topk(docs, "spark join merge", k=10).collect()
+    idx = build_inverted_index(docs)
+    via_index = bm25_topk_from_index(
+        idx, bm25_corpus_stats(docs), "spark join merge", k=10
+    ).collect()
+    assert [(r["doc_id"], r["bm25_score"]) for r in direct] == [
+        (r["doc_id"], r["bm25_score"]) for r in via_index
+    ]
+
+
+def test_topk_plan_never_shuffles_corpus(spark, sf_dir):
+    """Scale pin: the only exchanges are the 1-row stats reduction and
+    its broadcast; top-k is TakeOrderedAndProject (per-partition heaps),
+    not a global Sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_topk(docs, "spark merge window join", k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2  # SinglePartition stats + broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_shuffles_postings_not_bodies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = build_inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange [^\n]*\n", plan):
+        assert "text" not in m.group(0)

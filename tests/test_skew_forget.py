@@ -1,0 +1,69 @@
+"""Skew profiler + cascade-delete semantics and plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.maintenance.skew import heavy_hitters, key_skew_profile
+from lakehouse_dba_tools_spark.operators.forget import Edge, cascade_delete, deletion_audit
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def test_skew_profile_values(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 1, 2, 2, 3, 4]], ["k"]
+    )
+    row = key_skew_profile(df, "k").collect()[0]
+    assert (row["n_rows"], row["n_keys"], row["max_freq"]) == (8, 4, 4)
+    assert row["avg_freq"] == 2.0
+    assert row["skew_ratio"] == 2.0
+
+
+def test_heavy_hitters_order_and_tiebreak(spark):
+    df = spark.createDataFrame([(k,) for k in [5, 5, 9, 9, 1]], ["k"])
+    top = [(r["k"], r["freq"]) for r in heavy_hitters(df, "k", 2).collect()]
+    assert top == [(5, 2), (9, 2)]  # freq desc, then key asc
+
+
+def test_cascade_delete_partitions_tables(spark):
+    customer = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["o_orderkey", "o_custkey"]
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (12, 1), (13, 1)], ["l_orderkey", "l_linenumber"]
+    )
+    tables = {"customer": customer, "orders": orders, "lineitem": lineitem}
+    survivors, deleted = cascade_delete(
+        tables,
+        "customer",
+        F.col("c_custkey") == 1,
+        [
+            Edge("customer", "c_custkey", "orders", "o_custkey"),
+            Edge("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+    )
+    audit = {r["table_name"]: r for r in deletion_audit(tables, deleted).collect()}
+    assert audit["customer"]["rows_deleted"] == 1
+    assert audit["orders"]["rows_deleted"] == 2  # orders 10, 11
+    assert audit["lineitem"]["rows_deleted"] == 2  # both lines of order 10
+    for t in tables:
+        # survivors ∪ deleted == table, disjoint
+        assert survivors[t].count() + deleted[t].count() == tables[t].count()
+        assert survivors[t].intersect(deleted[t]).count() == 0
+
+
+def test_cascade_plan_broadcasts_and_never_shuffles_facts(spark, sf_dir):
+    tables = {t: load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")}
+    _, deleted = cascade_delete(
+        tables,
+        "customer",
+        F.col("c_custkey") % 97 == 11,
+        [
+            Edge("customer", "c_custkey", "orders", "o_custkey"),
+            Edge("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+    )
+    plan = deleted["lineitem"]._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
