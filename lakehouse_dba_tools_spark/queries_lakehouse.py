@@ -234,3 +234,35 @@ def forget_keys_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return deletion_audit(tables, deleted)
+
+
+@register(
+    "incremental_rollup_refresh",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4)
+             AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (maintenance/rollup.py): the
+    events table arrives as three disjoint batches; each folds its
+    partial aggregates (count + EXACT decimal sums + min/max) into the
+    standing rollup. The final report must equal a from-scratch
+    aggregate — the equality that makes incremental maintenance safe.
+    Refresh cost scales with |delta|+|rollup|, never |history|."""
+    from lakehouse_dba_tools_spark.maintenance.rollup import incremental_rollup, rollup_report
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = incremental_rollup(
+        ev,
+        keys=["event_type"],
+        measures=["value"],
+        batch_condition_cols=[
+            F.col("event_id") % 3 == i for i in range(3)
+        ],
+    )
+    return rollup_report(rollup, ["event_type"], ["value"], scale=2)

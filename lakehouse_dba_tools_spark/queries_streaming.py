@@ -107,3 +107,31 @@ def streaming_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup_rollup",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → effectively-once: the events stream unioned with
+    a second delivery of itself (every event arrives twice), then
+    `dropDuplicatesWithinWatermark` on event_id (streaming/dedup.py)
+    and a per-type rollup. The final state must equal the batch
+    aggregate over the SINGLE-delivery table — that equality is the
+    dedup operator's correctness property. Watermark bounds dedup
+    state; sums are exact decimal so replay order can't perturb them."""
+    from lakehouse_dba_tools_spark.functions.stable import stable_sum
+    from lakehouse_dba_tools_spark.streaming.dedup import dedup_within_watermark
+
+    first = stream_events(spark, sf_dir)
+    redelivery = stream_events(spark, sf_dir)
+    dd = dedup_within_watermark(first.union(redelivery), ["event_id"], watermark="24 hours")
+    agg = dd.groupBy("event_type").agg(
+        F.count("*").alias("n"), stable_sum("value", 2).alias("sum_value")
+    )
+    return run_stream_to_table(agg, spark)

@@ -1,0 +1,95 @@
+"""Incremental rollup maintenance + streaming dedup invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.maintenance.rollup import (
+    build_rollup,
+    incremental_rollup,
+    merge_rollups,
+    rollup_report,
+)
+from lakehouse_dba_tools_spark.sources.tables import load_table
+
+
+def _report_rows(df, keys):
+    return sorted(
+        (tuple(r[k] for k in keys), r["n_rows"], r["sum_value"], r["avg_value"])
+        for r in df.collect()
+    )
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    full = rollup_report(
+        build_rollup(ev, ["event_type"], ["value"]), ["event_type"], ["value"]
+    )
+    inc = rollup_report(
+        incremental_rollup(
+            ev,
+            ["event_type"],
+            ["value"],
+            [F.col("event_id") % 4 == i for i in range(4)],
+        ),
+        ["event_type"],
+        ["value"],
+    )
+    assert _report_rows(full, ["event_type"]) == _report_rows(inc, ["event_type"])
+
+
+def test_merge_is_batch_order_invariant(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        build_rollup(ev.filter(F.col("event_id") % 3 == i), ["event_type"], ["value"])
+        for i in range(3)
+    ]
+    ab_c = merge_rollups(
+        merge_rollups(parts[0], parts[1], ["event_type"], ["value"]),
+        parts[2],
+        ["event_type"],
+        ["value"],
+    )
+    c_ba = merge_rollups(
+        merge_rollups(parts[2], parts[1], ["event_type"], ["value"]),
+        parts[0],
+        ["event_type"],
+        ["value"],
+    )
+    a = _report_rows(rollup_report(ab_c, ["event_type"], ["value"]), ["event_type"])
+    b = _report_rows(rollup_report(c_ba, ["event_type"], ["value"]), ["event_type"])
+    assert a == b  # exact decimal partials: merge order cannot matter
+
+
+def test_delta_refresh_only_aggregates_delta(spark, sf_dir):
+    """Plan pin: refreshing with a delta must scan/aggregate the delta
+    and the standing rollup — never re-scan prior batches. With the
+    standing rollup materialized (in practice: read back from its
+    table), the merge plan contains exactly one events scan (the
+    delta's)."""
+    ev = load_table(spark, sf_dir, "events")
+    standing = build_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], ["value"]
+    )
+    standing = spark.createDataFrame(standing.collect(), standing.schema)
+    delta = build_rollup(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], ["value"]
+    )
+    merged = merge_rollups(standing, delta, ["event_type"], ["value"])
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
+def test_streaming_dedup_drops_redelivery(spark, sf_dir):
+    from lakehouse_dba_tools_spark.streaming.dedup import dedup_within_watermark
+    from lakehouse_dba_tools_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    base = load_table(spark, sf_dir, "events").count()
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    dd = dedup_within_watermark(doubled, ["event_id"], watermark="24 hours")
+    agg = dd.groupBy().agg(F.count("*").alias("n"))
+    out = run_stream_to_table(agg, spark)
+    assert out.collect()[0]["n"] == base
