@@ -56,11 +56,17 @@ def main() -> None:
     # Two passes, keep the per-query min: pass 1 pays one-time Catalyst
     # analysis + codegen; pass 2 measures the plan. Min also trims the
     # descheduling spikes of a shared host (observed 10-50× inflation).
+    # Queries still >2s after two passes get a third — the expensive
+    # tail is exactly where one descheduled executor thread distorts a
+    # round-over-round comparison the most.
     timings: dict[str, float] = {}
     for name in QUERIES:
         timings[name] = run_once(name)
     for name in QUERIES:
         timings[name] = min(timings[name], run_once(name))
+    for name, t in list(timings.items()):
+        if t > 2.0:
+            timings[name] = min(t, run_once(name))
 
     timings = {n: round(v, 2) for n, v in timings.items()}
     total = sum(timings.values())

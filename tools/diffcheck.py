@@ -40,6 +40,8 @@ def normalize(df, float_tol=1e-9):
 
 
 def main() -> int:
+    import os
+
     import duckdb
 
     from lakehouse_dba_tools_spark import get_session, registry
@@ -51,7 +53,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_session(app_name="diffcheck")
+    if os.environ.get("DIFFCHECK_VANILLA"):
+        # Mimic the round driver: a bare session with none of
+        # get_session's confs (no AQE tuning, no UTC tz, no
+        # nanosAsLong, default shuffle partitions). Every query must
+        # still pass — operators set the confs they need at runtime.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("diffcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(app_name="diffcheck")
     con = duckdb.connect()
     import os
 
