@@ -71,6 +71,19 @@ def main() -> None:
     timings = {n: round(v, 2) for n, v in timings.items()}
     total = sum(timings.values())
 
+    # The JSON line MUST be the last bytes on stdout: the driver parses a
+    # 2000-char tail. Streaming queries leave state-store maintenance
+    # threads that print ERROR stack traces at JVM teardown (r3's bench
+    # tail was literally a StateStoreCoordinator trace → parsed: null).
+    # Stop streams, silence logging, stop Spark — THEN print and flush.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+
     print(
         json.dumps(
             {
@@ -80,7 +93,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -95,6 +95,111 @@ def gen_customer(spark: SparkSession, n_rows: int, seed: int = 100, partitions: 
     )
 
 
+def gen_supplier(spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None) -> DataFrame:
+    """Synthetic supplier with the reference's exact column types
+    (`resources/TPC-datagen-notebook.scala:1482-1490`): BIGINT keys,
+    DECIMAL(18,2) balances, fixed-width-ish strings."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    return base.select(
+        (F.col("id") + 1).alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.lpad((F.col("id") + 1).cast("string"), 9, "0")).alias("s_name"),
+        F.concat(F.lit("addr-"), F.conv(F.abs(F.xxhash64("id", F.lit(f"sa{seed}"))).cast("string"), 10, 16)).alias("s_address"),
+        (F.col("id") % 25).alias("s_nationkey"),
+        F.concat(
+            (F.col("id") % 25 + 10).cast("string"),
+            F.lit("-"),
+            F.lpad(((F.xxhash64("id", F.lit(f"sp{seed}")) % 1000 + 1000) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.xxhash64("id", F.lit(f"sp2{seed}")) % 10000 + 10000) % 10000).cast("string"), 4, "0"),
+        ).alias("s_phone"),
+        F.round(_u(f"sbal{seed}") * 10999.98 - 999.99, 2).cast("decimal(18,2)").alias("s_acctbal"),
+        _choice(f"scom{seed}", ["reliable", "prompt", "slow", "standard"]).alias("s_comment"),
+    )
+
+
+P_TYPES_1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+P_TYPES_2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
+P_TYPES_3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+P_CONTAINERS_1 = ["SM", "MED", "LG", "JUMBO", "WRAP"]
+P_CONTAINERS_2 = ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+
+
+def gen_part(spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None) -> DataFrame:
+    """Synthetic part with the reference's exact column types
+    (`resources/TPC-datagen-notebook.scala:1459-1469`). p_type/p_brand/
+    p_container follow the TPC-H public-spec vocabulary shapes."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    mfgr = (F.xxhash64("id", F.lit(f"pm{seed}")) % 5 + 5) % 5 + 1
+    brand = (F.xxhash64("id", F.lit(f"pb{seed}")) % 5 + 5) % 5 + 1
+    return base.select(
+        (F.col("id") + 1).alias("p_partkey"),
+        F.concat(
+            _choice(f"pn1{seed}", ["red", "blue", "green", "ivory", "azure"]),
+            F.lit(" "),
+            _choice(f"pn2{seed}", ["dim", "bright", "pale", "deep", "spotted"]),
+            F.lit(" "),
+            _choice(f"pn3{seed}", ["steel", "tin", "brass", "copper", "nickel"]),
+        ).alias("p_name"),
+        F.concat(F.lit("Manufacturer#"), mfgr.cast("string")).alias("p_mfgr"),
+        F.concat(F.lit("Brand#"), mfgr.cast("string"), brand.cast("string")).alias("p_brand"),
+        F.concat_ws(
+            " ",
+            _choice(f"pt1{seed}", P_TYPES_1),
+            _choice(f"pt2{seed}", P_TYPES_2),
+            _choice(f"pt3{seed}", P_TYPES_3),
+        ).alias("p_type"),
+        ((F.xxhash64("id", F.lit(f"psz{seed}")) % 50 + 50) % 50 + 1).cast("int").alias("p_size"),
+        F.concat_ws(
+            " ", _choice(f"pc1{seed}", P_CONTAINERS_1), _choice(f"pc2{seed}", P_CONTAINERS_2)
+        ).alias("p_container"),
+        F.round(_u(f"prp{seed}") * 1200 + 900, 2).cast("decimal(18,2)").alias("p_retailprice"),
+        _choice(f"pcm{seed}", ["ironic", "bold", "final", "quick"]).alias("p_comment"),
+    )
+
+
+def gen_partsupp(
+    spark: SparkSession,
+    n_parts_rows: int,
+    n_suppliers: int,
+    seed: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic partsupp (`resources/TPC-datagen-notebook.scala:
+    1471-1477`): 4 supplier rows per part, supplier assignment spread
+    deterministically so every (partkey, suppkey) pair is unique."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_parts_rows * 4, 1, parts)
+    partkey = (F.col("id") / 4 + 1).cast("long")
+    # TPC-H's supplier-spread formula keeps the 4 suppliers of a part
+    # distinct and uniformly distributed across the supplier table.
+    i = F.col("id") % 4
+    suppkey = (
+        (partkey + i * (F.lit(n_suppliers) / 4 + (partkey - 1) / F.lit(n_suppliers)))
+        % n_suppliers
+        + 1
+    ).cast("long")
+    return base.select(
+        partkey.alias("ps_partkey"),
+        suppkey.alias("ps_suppkey"),
+        ((F.xxhash64("id", F.lit(f"aq{seed}")) % 9999 + 9999) % 9999 + 1).cast("int").alias("ps_availqty"),
+        F.round(_u(f"sc{seed}") * 999 + 1, 2).cast("decimal(18,2)").alias("ps_supplycost"),
+        _choice(f"psc{seed}", ["even", "careful", "pending", "express"]).alias("ps_comment"),
+    )
+
+
+ORC_CONFS = {
+    # The reference's ORC write-path conf set
+    # (`resources/TPC-datagen-notebook.scala:130-137`): native impl,
+    # vectorized reads, filter pushdown, snappy.
+    "spark.sql.orc.impl": "native",
+    "spark.sql.orc.enableVectorizedReader": "true",
+    "spark.sql.orc.filterPushdown": "true",
+    "spark.sql.orc.compression.codec": "snappy",
+}
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -105,7 +210,11 @@ def write_partitioned(
     """Partitioned table writer (reference S12/S13): repartition by the
     partition key first so each Hive partition is written by one task
     (avoids the many-small-files explosion), or coalesce unpartitioned
-    output to bound file count."""
+    output to bound file count. ``fmt`` accepts parquet/orc/csv/json —
+    for orc the reference's conf set (ORC_CONFS) is applied first."""
+    if fmt == "orc":
+        for k, v in ORC_CONFS.items():
+            df.sparkSession.conf.set(k, v)
     writer = df
     if partition_by:
         writer = df.repartition(*[F.col(c) for c in partition_by])

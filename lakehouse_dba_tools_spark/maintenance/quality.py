@@ -102,11 +102,21 @@ def check_constraints(
 
     for r in rules:
         if r.kind == "unique":
+            # SQL UNIQUE-constraint semantics: a key containing NULL
+            # never conflicts, so NULL-key groups contribute rows to
+            # n_rows but zero violations (matches the oracle's
+            # count(col) - count(DISTINCT col)).
             keys = list(r.keys or (r.col,))
+            null_key = F.lit(False)
+            for k in keys:
+                null_key = null_key | F.col(k).isNull()
             per_key = df.select(*keys).groupBy(*keys).agg(F.count("*").alias("_c"))
             rep = per_key.agg(
                 F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
-                F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("n_violations"),
+                F.coalesce(
+                    F.sum(F.when(null_key, 0).otherwise(F.col("_c") - 1)),
+                    F.lit(0),
+                ).alias("n_violations"),
             ).select(
                 F.lit(r.name).alias("rule"),
                 F.lit("unique").alias("kind"),

@@ -49,29 +49,47 @@ def cascade_delete(
     ``edges`` must be topologically ordered (parents before children).
     Returns (survivors, deleted) — both lazy DataFrames per table.
     """
-    deleted: dict[str, DataFrame] = {root: tables[root].filter(root_condition)}
-    keys_used: dict[str, tuple[str, bool]] = {}
+    # Group edges by child so a table referenced by SEVERAL FK edges
+    # (diamond DAG) deletes the union of every edge's matches — a child
+    # visited twice must not overwrite the first edge's deletions.
+    # Topological order of `edges` implies every edge INTO a child
+    # appears before any edge OUT of it, so grouping by first
+    # appearance keeps parents complete before they're consumed.
+    by_child: dict[str, list[Edge]] = {}
     for e in edges:
-        pkeys = (
-            deleted[e.parent]
-            .select(F.col(e.parent_col).alias(e.child_col))
-            .distinct()
-        )
-        if e.broadcast:
-            pkeys = F.broadcast(pkeys)
-        deleted[e.child] = tables[e.child].join(pkeys, e.child_col, "left_semi")
-        keys_used[e.child] = (e.child_col, e.broadcast)
+        by_child.setdefault(e.child, []).append(e)
 
-    survivors: dict[str, DataFrame] = {}
-    for t, dead in deleted.items():
-        if t == root:
-            survivors[t] = tables[t].filter(~root_condition)
-        else:
-            key, bcast = keys_used[t]
-            dead_keys = dead.select(key).distinct()
-            if bcast:
-                dead_keys = F.broadcast(dead_keys)
-            survivors[t] = tables[t].join(dead_keys, key, "left_anti")
+    deleted: dict[str, DataFrame] = {root: tables[root].filter(root_condition)}
+    survivors: dict[str, DataFrame] = {root: tables[root].filter(~root_condition)}
+    for child, child_edges in by_child.items():
+        if child == root:
+            raise ValueError(f"edge targets the root table {root!r}")
+        # Peel matched rows off edge-by-edge: `remaining` shrinks, so
+        # the dead parts are disjoint (no double-count when a row
+        # matches two parents) and each edge may key on a different
+        # child column.
+        remaining = tables[child]
+        dead_parts: list[DataFrame] = []
+        for e in child_edges:
+            if e.parent not in deleted:
+                raise ValueError(
+                    f"edges not topologically ordered: {e.parent!r} has no "
+                    f"deletion set before edge into {child!r}"
+                )
+            pkeys = (
+                deleted[e.parent]
+                .select(F.col(e.parent_col).alias(e.child_col))
+                .distinct()
+            )
+            if e.broadcast:
+                pkeys = F.broadcast(pkeys)
+            dead_parts.append(remaining.join(pkeys, e.child_col, "left_semi"))
+            remaining = remaining.join(pkeys, e.child_col, "left_anti")
+        dead = dead_parts[0]
+        for part in dead_parts[1:]:
+            dead = dead.unionByName(part)
+        deleted[child] = dead
+        survivors[child] = remaining
     return survivors, deleted
 
 

@@ -200,7 +200,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                                  AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))    AS sum_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
@@ -524,7 +524,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )

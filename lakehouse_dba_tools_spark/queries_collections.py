@@ -124,7 +124,7 @@ def date_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) - count(bal)                      AS n_null_bal,
            CAST(round(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(38,12))), 2) AS DOUBLE) AS bal_sum,
            round(CAST(sum(CAST(bal AS DECIMAL(38,12))) AS DOUBLE) / count(bal), 4) AS bal_avg_ignoring_nulls,
-           sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS isnull_count
+           sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END)::BIGINT AS isnull_count
     FROM t GROUP BY seg_c
     """,
 )

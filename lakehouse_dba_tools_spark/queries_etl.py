@@ -36,9 +36,9 @@ ETL_SLICE = PAGE_SIZE * MAX_PAGES
                                  ORDER BY epoch(ts), user_id) = 1
     )
     SELECT event_type, count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value,
-           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_final
+           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_final
     FROM deduped GROUP BY event_type
     """,
 )

@@ -137,17 +137,17 @@ def events_in_first_2h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(lower(o_orderpriority))                           AS lower_prio,
            min(lpad(CAST(o_orderkey AS VARCHAR), 10, '0'))       AS padded_min_key,
            max(reverse(CAST(o_custkey AS VARCHAR)))              AS rev_cust,
-           sum(CAST(length(o_orderpriority) AS BIGINT))          AS len_sum,
-           sum(CAST(strpos(o_orderpriority, '-') AS BIGINT))     AS dash_pos_sum,
+           sum(CAST(length(o_orderpriority) AS BIGINT))::BIGINT  AS len_sum,
+           sum(CAST(strpos(o_orderpriority, '-') AS BIGINT))::BIGINT AS dash_pos_sum,
            CAST(round(sum(CAST(sqrt(abs(o_totalprice)) AS DECIMAL(38,12))), 4) AS DOUBLE) AS sqrt_sum,
            CAST(round(sum(CAST(ln(o_totalprice + 1) AS DECIMAL(38,12))), 4) AS DOUBLE)    AS ln_sum,
-           round(sum(mod(o_orderkey, 7)), 1)                     AS mod_sum,
-           sum(CAST(year(o_orderdate) AS BIGINT))                AS year_sum,
-           sum(CAST(month(o_orderdate) AS BIGINT))               AS month_sum,
+           round(sum(mod(o_orderkey, 7)), 1)::BIGINT             AS mod_sum,
+           sum(CAST(year(o_orderdate) AS BIGINT))::BIGINT        AS year_sum,
+           sum(CAST(month(o_orderdate) AS BIGINT))::BIGINT       AS month_sum,
            min(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')) AS first_month,
            min(CASE WHEN o_totalprice < 100000 THEN 'low' ELSE 'high' END
                || '_' || o_orderstatus)                          AS band_concat_min,
-           sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS n_nulled,
+           sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulled,
            count(DISTINCT o_orderstatus)                         AS n_status
     FROM orders GROUP BY o_orderpriority
     """,

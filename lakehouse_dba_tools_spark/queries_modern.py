@@ -14,7 +14,7 @@ from lakehouse_dba_tools_spark.sources.tables import load_table
     "variant_props_rollup",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -41,8 +41,8 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang,
-           sum(n)                       AS n_tokens,
-           sum(n * (n - 1) // 2)        AS idx_sum,
+           sum(n)::BIGINT               AS n_tokens,
+           sum(n * (n - 1) // 2)::BIGINT AS idx_sum,
            count(*)                     AS n_docs
     FROM t GROUP BY lang
     """,

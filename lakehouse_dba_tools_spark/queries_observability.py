@@ -71,7 +71,7 @@ def observability_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'orderkey_unique', 'unique',
              (SELECT count(*) FROM orders),
-             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+             (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
       UNION ALL
       SELECT 'custkey_fk', 'foreign_key',
              (SELECT count(*) FROM orders),

@@ -102,8 +102,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT regexp_extract(p_type, '^([a-z]+)', 1)                  AS type_head,
            count(*)                                                 AS n,
            sum(CASE WHEN regexp_matches(p_name, '^(red|blue)')
-                    THEN 1 ELSE 0 END)                              AS n_colored,
-           sum(CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT))
+                    THEN 1 ELSE 0 END)::BIGINT                      AS n_colored,
+           sum(CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT))::BIGINT
                                                                     AS consonant_len_sum,
            min(regexp_extract(p_brand, '([0-9]+)$', 1))             AS min_brand_num
     FROM part GROUP BY type_head

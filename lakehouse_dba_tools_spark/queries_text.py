@@ -599,7 +599,7 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, unnest({_D_BM_TOKS}) AS term FROM documents)
       GROUP BY term, doc_id
     )
-    SELECT term, count(*) AS n_docs, sum(tf) AS total_tf
+    SELECT term, count(*) AS n_docs, sum(tf)::BIGINT AS total_tf
     FROM postings GROUP BY term
     """,
 )

@@ -35,7 +35,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     # LLM training-data tier (dedup / text / vectors / sampling / multimodal)
     "doc_exact_dedup_groups",
     "doc_text_profile",
-    "ngram_jaccard_pairs",
+    # ngram_jaccard_pairs trails (round 4): exact n-gram Jaccard is
+    # recomputed inside doc_near_dup_components' verify stage.
     # doc_near_dup_components runs verified_near_dups (MinHash-LSH +
     # exact-Jaccard verify, same params as the trailing
     # minhash_verified_near_dups) AND the connected-components
@@ -43,14 +44,21 @@ CHECKED_FIRST: tuple[str, ...] = (
     "doc_near_dup_components",
     "simhash_verified_near_dups",
     "cosine_topk_brute",
-    "cosine_topk_lsh",
+    # cosine_topk_lsh trails (round 4): under the exact-hash gate its
+    # checked config was near-exhaustive anyway; brute (baseline) +
+    # ivf (scale path) stay, partial-recall curves in test_similarity.
     "cosine_topk_ivf",
     "embedding_near_dups_lsh",
     "doc_chunking",
-    "train_val_test_split_counts",
+    # train_val_test_split_counts trails (round 4): hash-split sampling
+    # is double-covered by stratified_sample_docs (same md5-rank core).
     "stratified_sample_docs",
     "multimodal_features",
-    "multimodal_frame_sample",
+    # multimodal_frame_sample trails (round 4): the mapInPandas binary
+    # plumbing is hash-checked by multimodal_features.
+    # Curation tier (round 4 promotion — first driver rows)
+    "doc_decontamination",
+    "corpus_mixture_sample",
     # Lexical retrieval + DBA diagnostics tier (round 3)
     "bm25_keyword_topk",
     "term_postings_stats",
@@ -61,7 +69,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     # q4/q14/q17/q19/q20 trail as bench-stable twins (still diffchecked
     # locally, just past the driver's 50-row cut).
     "q2_min_cost_supplier",
-    "q6_revenue_forecast",
+    # q6_revenue_forecast trails (round 4): the filter+agg shape is
+    # covered by q12/q14 locally; slot freed for the new tiers.
     "q12_shipmode_priority",
     "q15_top_supplier",
     "q18_large_orders",
@@ -70,9 +79,19 @@ CHECKED_FIRST: tuple[str, ...] = (
     "streaming_hourly_rollup",
     "streaming_session_windows",
     "streaming_upsert_pipeline",
+    "streaming_dedup_rollup",
+    # Incremental rollup maintenance (round 4 promotion)
+    "incremental_rollup_refresh",
+    # Concurrent workload harness — S16's first driver row (round 4)
+    "workload_stress_summary",
+    # P5/F2 current-timestamp stamping, literal-stamp oracle (round 4)
+    "endpoint_poll_snapshot",
+    # Full-schema datagen join (gen_supplier × gen_partsupp, round 4)
+    "datagen_supplier_partsupp",
     # Core relational / ETL / lakehouse tier
-    "pricing_summary",
-    "region_revenue",
+    # pricing_summary + region_revenue trail (round 4): the q1 rollup
+    # shape is checked via datagen_lineitem_rollup, the inner equi-join
+    # via q2/q15/q18/event_cost_attribution.
     # W1 dedup-by-key is exercised inside query_history_etl_e2e (checked);
     # first_order_per_customer stays registered as its bench-stable twin.
     "parquet_table_history",

@@ -166,6 +166,8 @@ def bm25_topk_from_index(
     """
     n_docs, avgdl = corpus_stats
     terms = sorted(set(_py_tokens(query)))
+    if not terms:
+        raise ValueError("query produced no tokens")
     hits = postings.filter(F.col("term").isin(terms))
     df_t = hits.groupBy("term").agg(F.count("*").alias("df"))
     scored = hits.join(F.broadcast(df_t), "term")

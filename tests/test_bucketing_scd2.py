@@ -101,3 +101,38 @@ def test_stream_stream_join_bounds(spark, sf_dir):
     ids = {(r.purchase_id, r.view_id) for r in got.collect()}
     ts = {r.event_id: r.ts for r in ev.collect()}
     assert all(ts[vid] <= ts[pid] for pid, vid in ids)
+
+
+def test_merge_upsert_bucketed_target_shuffles_only_source(spark, sf_dir):
+    """The 100 TB MERGE story (SCALE.md): when the target is bucketed
+    on the merge key, the anti-join reuses the target's layout — the
+    only exchange in the plan is the (small) source side. The target
+    fact never re-shuffles."""
+    from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        "b_merge_target", ["k"], 8,
+    )
+    source = spark.range(0, 50).select(
+        (F.col("id") * 7 + 3).alias("k"), (F.col("id") * 1.5).alias("o_totalprice")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        target = spark.table("b_merge_target")
+        merged = merge_upsert(target, source, ["k"], validate_unique=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # every Exchange must hash the SOURCE (range-derived) side; the
+        # bucketed target contributes none
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, plan  # anti-join source + union source
+        assert "Exchange hashpartitioning(k#" in plan
+        # bucketed scan present and not followed by its own exchange:
+        # the target branch reads straight into the sort-merge join
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_merge_target")

@@ -99,3 +99,60 @@ def test_catalog_rejects_bad_identifiers(spark):
 
     with pytest.raises(ValueError):
         create_database(spark, "bad; DROP TABLE x")
+
+
+def test_gen_supplier_part_partsupp_shapes_and_determinism(spark):
+    from lakehouse_dba_tools_spark.datagen.generator import (
+        gen_part,
+        gen_partsupp,
+        gen_supplier,
+    )
+
+    supp = gen_supplier(spark, 500, seed=100)
+    assert supp.select("s_suppkey").distinct().count() == 500
+    assert [f.name for f in supp.schema.fields] == [
+        "s_suppkey", "s_name", "s_address", "s_nationkey", "s_phone",
+        "s_acctbal", "s_comment",
+    ]
+    assert dict(supp.dtypes)["s_acctbal"] == "decimal(18,2)"
+
+    part = gen_part(spark, 500, seed=100)
+    assert part.select("p_partkey").distinct().count() == 500
+    sizes = part.agg(F.min("p_size"), F.max("p_size")).collect()[0]
+    assert 1 <= sizes[0] and sizes[1] <= 50
+    assert dict(part.dtypes)["p_retailprice"] == "decimal(18,2)"
+
+    ps = gen_partsupp(spark, 500, n_suppliers=100, seed=100)
+    assert ps.count() == 2000  # 4 suppliers per part
+    # (partkey, suppkey) pairs unique — the TPC-H spread formula
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 2000
+    assert ps.filter(~F.col("ps_suppkey").between(1, 100)).count() == 0
+
+    # determinism independent of partition count, sensitive to seed
+    agg = lambda df: df.agg(  # noqa: E731
+        F.sum("ps_availqty"), F.sum("ps_supplycost"), F.count("*")
+    ).collect()[0]
+    a = gen_partsupp(spark, 500, n_suppliers=100, seed=100, partitions=3)
+    b = gen_partsupp(spark, 500, n_suppliers=100, seed=100, partitions=13)
+    assert agg(a) == agg(b)
+    c = gen_partsupp(spark, 500, n_suppliers=100, seed=9)
+    assert agg(a) != agg(c)
+
+
+def test_write_partitioned_orc_roundtrip(spark, tmp_path):
+    from lakehouse_dba_tools_spark.datagen.generator import gen_supplier
+
+    supp = gen_supplier(spark, 1_000, seed=100).withColumn(
+        "nation_band", (F.col("s_nationkey") % 5).cast("int")
+    )
+    out = str(tmp_path / "supp_orc")
+    write_partitioned(supp, out, partition_by=["nation_band"], fmt="orc")
+    assert len(glob.glob(out + "/nation_band=*")) == 5
+    back = spark.read.orc(out)
+    assert back.count() == 1_000
+    # partition column comes back (as the partition dir value); data
+    # columns keep their types — decimal survives the ORC roundtrip
+    assert dict(back.dtypes)["s_acctbal"] == "decimal(18,2)"
+    assert back.select("s_suppkey").distinct().count() == 1_000
+    # the reference's ORC conf set was applied by the writer
+    assert spark.conf.get("spark.sql.orc.impl") == "native"

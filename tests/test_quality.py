@@ -40,6 +40,16 @@ def test_rule_semantics(spark):
     assert rep["custkey_fk"] == (1, False)  # 999 orphan; NULL keys dropped
 
 
+def test_unique_null_keys_never_conflict(spark):
+    # SQL UNIQUE-constraint semantics: NULL keys don't conflict with
+    # each other — 3 NULL keys contribute 0 violations but 3 rows.
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (1,), (1,), (2,)], ["k"]
+    )
+    rep = check_constraints(df, [Rule("u", "unique", col="k")], parents={}).collect()[0]
+    assert (rep["n_rows"], rep["n_violations"]) == (6, 1)
+
+
 def test_clean_table_passes(spark):
     child, parent = _dirty(spark)
     clean = child.filter("k in (1, 4) AND price < 1e6")

@@ -53,6 +53,44 @@ def test_cascade_delete_partitions_tables(spark):
         assert survivors[t].intersect(deleted[t]).count() == 0
 
 
+def test_cascade_delete_diamond_dag_unions_edges(spark):
+    # Diamond: shipment dies when its order OR its warehouse is deleted.
+    # A child with two incoming FK edges must delete the UNION of both
+    # edges' matches, with no double-count when a row matches both.
+    user = spark.createDataFrame([(1,), (2,)], ["u_id"])
+    orders = spark.createDataFrame([(10, 1), (11, 2)], ["o_id", "o_uid"])
+    warehouse = spark.createDataFrame([(100, 1), (101, 2)], ["w_id", "w_uid"])
+    shipment = spark.createDataFrame(
+        # (s_id, s_oid, s_wid): row 3 matches BOTH dying parents; row 4
+        # only the order edge; row 5 only the warehouse edge; row 6 neither.
+        [(3, 10, 100), (4, 10, 101), (5, 11, 100), (6, 11, 101)],
+        ["s_id", "s_oid", "s_wid"],
+    )
+    tables = {"user": user, "orders": orders, "warehouse": warehouse, "shipment": shipment}
+    survivors, deleted = cascade_delete(
+        tables,
+        "user",
+        F.col("u_id") == 1,
+        [
+            Edge("user", "u_id", "orders", "o_uid"),
+            Edge("user", "u_id", "warehouse", "w_uid"),
+            Edge("orders", "o_id", "shipment", "s_oid"),
+            Edge("warehouse", "w_id", "shipment", "s_wid"),
+        ],
+    )
+    assert sorted(r["s_id"] for r in deleted["shipment"].collect()) == [3, 4, 5]
+    assert [r["s_id"] for r in survivors["shipment"].collect()] == [6]
+    assert deleted["shipment"].count() + survivors["shipment"].count() == 4
+
+
+def test_cascade_delete_rejects_unordered_edges(spark):
+    import pytest
+
+    t = {"a": spark.createDataFrame([(1,)], ["k"]), "b": spark.createDataFrame([(1,)], ["k"])}
+    with pytest.raises(ValueError, match="topologically"):
+        cascade_delete(t, "a", F.col("k") == 1, [Edge("missing", "k", "b", "k")])
+
+
 def test_cascade_plan_broadcasts_and_never_shuffles_facts(spark, sf_dir):
     tables = {t: load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")}
     _, deleted = cascade_delete(

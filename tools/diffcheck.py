@@ -17,8 +17,14 @@ sys.path.insert(0, "/root/repo")
 
 
 def normalize(df, float_tol=1e-9):
-    """pandas frame → sorted list-of-tuples with normalized values."""
-    import pandas as pd
+    """pandas frame → sorted list-of-tuples with normalized values.
+
+    Type-strict for numerics: the driver hashes raw values, so Spark's
+    int64 123 vs an oracle float64 123.0 (e.g. DuckDB HUGEINT→pandas
+    float) MUST fail here too — tag each numeric with its family so
+    local green predicts driver green.
+    """
+    import numbers
 
     df = df[sorted(df.columns)]
     rows = []
@@ -27,8 +33,12 @@ def normalize(df, float_tol=1e-9):
         for v in tup:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 row.append(None)
+            elif isinstance(v, bool) or type(v).__name__ == "bool_":
+                row.append(("b", bool(v)))
+            elif isinstance(v, numbers.Integral):
+                row.append(("i", int(v)))
             elif isinstance(v, float):
-                row.append(round(v, 9))
+                row.append(("f", round(v, 9)))
             elif hasattr(v, "isoformat"):
                 row.append(v.isoformat())
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
