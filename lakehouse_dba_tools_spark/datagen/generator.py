@@ -189,6 +189,39 @@ def gen_partsupp(
     )
 
 
+# Public TPC-H spec fixed dimensions (25 nations → 5 regions); dbgen
+# emits exactly these rows at every scale factor.
+TPCH_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+TPCH_NATIONS = [
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+    ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+    ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+    ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+    ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+    ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+]
+
+
+def gen_region(spark: SparkSession) -> DataFrame:
+    """The 5 fixed TPC-H regions (scale-factor independent)."""
+    return spark.createDataFrame(
+        [(i, name, f"region {name.lower()}") for i, name in enumerate(TPCH_REGIONS)],
+        "r_regionkey bigint, r_name string, r_comment string",
+    )
+
+
+def gen_nation(spark: SparkSession) -> DataFrame:
+    """The 25 fixed TPC-H nations with their spec region mapping."""
+    return spark.createDataFrame(
+        [
+            (i, name, rk, f"nation {name.lower()}")
+            for i, (name, rk) in enumerate(TPCH_NATIONS)
+        ],
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string",
+    )
+
+
 ORC_CONFS = {
     # The reference's ORC write-path conf set
     # (`resources/TPC-datagen-notebook.scala:130-137`): native impl,

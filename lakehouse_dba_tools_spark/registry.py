@@ -139,6 +139,7 @@ def load_all() -> None:
         queries_subqueries,
         queries_text,
         queries_tpch,
+        queries_tpch_full,
         queries_vector,
     )
 

@@ -156,3 +156,57 @@ def test_write_partitioned_orc_roundtrip(spark, tmp_path):
     assert back.select("s_suppkey").distinct().count() == 1_000
     # the reference's ORC conf set was applied by the writer
     assert spark.conf.get("spark.sql.orc.impl") == "native"
+
+
+def test_full_benchmark_schema_catalog(spark, tmp_path):
+    from lakehouse_dba_tools_spark.datagen.schemas import (
+        TPCDS_SCHEMAS,
+        TPCH_SCHEMAS,
+        create_all_tables,
+        partition_keys_for,
+        schema_for,
+    )
+
+    # every declared schema parses to a StructType with >1 field
+    assert len(TPCDS_SCHEMAS) == 24 and len(TPCH_SCHEMAS) == 8
+    for t in list(TPCDS_SCHEMAS) + list(TPCH_SCHEMAS):
+        assert len(schema_for(t).fields) >= 3, t
+    # spot-check exact reference types survive the DDL roundtrip
+    ss = {f.name: f.dataType.simpleString() for f in schema_for("store_sales").fields}
+    assert ss["ss_sold_date_sk"] == "int"
+    assert ss["ss_ticket_number"] == "bigint"
+    assert ss["ss_net_profit"] == "decimal(7,2)"
+    li = {f.name: f.dataType.simpleString() for f in schema_for("lineitem").fields}
+    assert li["l_quantity"] == "decimal(18,2)"
+    assert li["l_comment"] == "varchar(44)"
+    # fact tables partition on their date keys, dims don't
+    assert partition_keys_for("store_sales", "TPCDS") == ["ss_sold_date_sk"]
+    assert partition_keys_for("item", "TPCDS") == []
+    assert partition_keys_for("lineitem", "TPCH") == ["l_shipdate"]
+
+    created = create_all_tables(spark, "tpcds_full", benchmark="TPCDS")
+    try:
+        assert len(created) == 24
+        tables = {r["tableName"] for r in spark.sql("SHOW TABLES IN tpcds_full").collect()}
+        assert set(created) <= tables
+        # declared catalog schema matches the spec map
+        got = dict(spark.table("tpcds_full.catalog_sales").dtypes)
+        assert got["cs_order_number"] == "bigint"
+        assert got["cs_net_profit"] == "decimal(7,2)"
+        # idempotent
+        assert create_all_tables(spark, "tpcds_full", benchmark="TPCDS") == created
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS tpcds_full CASCADE")
+
+
+def test_gen_nation_region_spec_rows(spark):
+    from lakehouse_dba_tools_spark.datagen.generator import gen_nation, gen_region
+
+    region = gen_region(spark)
+    nation = gen_nation(spark)
+    assert region.count() == 5 and nation.count() == 25
+    # spec mapping: every nation's region exists; FRANCE is in EUROPE
+    joined = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    assert joined.count() == 25
+    fr = joined.filter(F.col("n_name") == "FRANCE").collect()[0]
+    assert fr["r_name"] == "EUROPE"
