@@ -222,6 +222,44 @@ def gen_nation(spark: SparkSession) -> DataFrame:
     )
 
 
+def gen_store_sales(
+    spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None
+) -> DataFrame:
+    """Synthetic store_sales with the TPC-DS spec column types
+    (`resources/TPC-datagen-notebook.scala:1246-1272` — the widest
+    TPC-DS fact): integer surrogate keys, bigint ticket number,
+    decimal(7,2) money columns. Covers the columns the rollup queries
+    touch; remaining spec columns come from schemas.TPCDS_SCHEMAS when
+    a full-width frame is needed (create_all_tables declares them)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    price = F.round(_u(f"lp{seed}") * 199 + 1, 2).cast("decimal(7,2)")
+    qty = ((F.xxhash64("id", F.lit(f"q{seed}")) % 100 + 100) % 100 + 1).cast("int")
+    discount = F.round(_u(f"dc{seed}") * 0.3, 2).cast("decimal(7,2)")
+    return base.select(
+        # ~2 years of date surrogate keys, TPC-DS style (days since epoch base)
+        ((F.xxhash64("id", F.lit(f"d{seed}")) % 730 + 730) % 730 + 2450815)
+        .cast("int")
+        .alias("ss_sold_date_sk"),
+        ((F.xxhash64("id", F.lit(f"i{seed}")) % 18000 + 18000) % 18000 + 1)
+        .cast("int")
+        .alias("ss_item_sk"),
+        ((F.xxhash64("id", F.lit(f"c{seed}")) % 50000 + 50000) % 50000 + 1)
+        .cast("int")
+        .alias("ss_customer_sk"),
+        ((F.xxhash64("id", F.lit(f"st{seed}")) % 8 + 8) % 8 + 1)
+        .cast("int")
+        .alias("ss_store_sk"),
+        (F.col("id") / 3 + 1).cast("bigint").alias("ss_ticket_number"),
+        qty.alias("ss_quantity"),
+        price.alias("ss_list_price"),
+        F.round(price * (1 - discount), 2).cast("decimal(7,2)").alias("ss_sales_price"),
+        F.round(price * (1 - discount) * qty, 2)
+        .cast("decimal(7,2)")
+        .alias("ss_ext_sales_price"),
+    )
+
+
 ORC_CONFS = {
     # The reference's ORC write-path conf set
     # (`resources/TPC-datagen-notebook.scala:130-137`): native impl,

@@ -64,22 +64,28 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tr = sh.filter(~F.col("is_eval"))
-    hits = (
-        tr.select("doc_id", F.explode("s").alias("g"))
-        .join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
+    # One pass over the training side: explode its (distinct) shingles,
+    # mark eval hits via the broadcast left join, and recover BOTH the
+    # shingle count (count of non-null g) and the overlap count (count
+    # of hit markers) in a single per-doc aggregate — no second
+    # shingling pass, no doc-level rejoin. explode_outer keeps
+    # zero-shingle docs in the result like the oracle's LEFT JOIN.
+    ev_marked = ev.withColumn("_hit", F.lit(1))
     return (
-        tr.select("doc_id", F.size("s").alias("n_sh"))
-        .join(hits, "doc_id", "left")
+        tr.select("doc_id", F.explode_outer("s").alias("g"))
+        .join(F.broadcast(ev_marked), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_sh"),
+            F.count("_hit").alias("n_overlap"),
+        )
         .select(
             "doc_id",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_sh"), 6
-            ).alias("overlap_frac"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias(
+                "overlap_frac"
+            ),
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 

@@ -178,3 +178,44 @@ def datagen_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).cast("double").alias("total_bal"),
         )
     )
+
+
+_STORE_SALES_VALUES = """(CAST(1 AS INT), CAST(12382 AS BIGINT), CAST(623593 AS BIGINT), CAST(53599979.2 AS DOUBLE), CAST(101.0866 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(12562 AS BIGINT), CAST(634837 AS BIGINT), CAST(54305774.88 AS DOUBLE), CAST(100.8112 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(12645 AS BIGINT), CAST(635239 AS BIGINT), CAST(54450499.02 AS DOUBLE), CAST(100.7551 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(12418 AS BIGINT), CAST(626198 AS BIGINT), CAST(53352347.05 AS DOUBLE), CAST(100.4542 AS DOUBLE)),
+      (CAST(5 AS INT), CAST(12491 AS BIGINT), CAST(633541 AS BIGINT), CAST(54243701.59 AS DOUBLE), CAST(100.5145 AS DOUBLE)),
+      (CAST(6 AS INT), CAST(12465 AS BIGINT), CAST(628000 AS BIGINT), CAST(53498700.37 AS DOUBLE), CAST(100.4974 AS DOUBLE)),
+      (CAST(7 AS INT), CAST(12519 AS BIGINT), CAST(629405 AS BIGINT), CAST(53660673.03 AS DOUBLE), CAST(100.4007 AS DOUBLE)),
+      (CAST(8 AS INT), CAST(12518 AS BIGINT), CAST(627921 AS BIGINT), CAST(53720932.45 AS DOUBLE), CAST(100.648 AS DOUBLE))"""
+
+
+@register(
+    "datagen_store_sales_rollup",
+    f"""
+    SELECT * FROM (VALUES
+      {_STORE_SALES_VALUES}
+    ) AS t(ss_store_sk, n, total_qty, total_ext, avg_price)
+    """,
+)
+def datagen_store_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-side datagen loop: generate the widest TPC-DS fact
+    (store_sales, spec types from datagen/schemas.py) and roll it up
+    per store — the reference generates/validates TPC-DS the same way
+    it does TPC-H (`resources/TPC-datagen-notebook.scala:1818-1845`).
+    Decimal money columns sum exactly (no double drift); the oracle
+    pins the seed-100 aggregates as VALUES like the other gen_* loops."""
+    from lakehouse_dba_tools_spark.datagen.generator import gen_store_sales
+
+    ss = gen_store_sales(spark, 100_000, seed=100)
+    return (
+        ss.groupBy("ss_store_sk")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ss_quantity").cast("long")).alias("total_qty"),
+            F.round(F.sum("ss_ext_sales_price"), 2).cast("double").alias("total_ext"),
+            F.round(
+                F.sum("ss_list_price").cast("double") / F.count("*"), 4
+            ).alias("avg_price"),
+        )
+    )

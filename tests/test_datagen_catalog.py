@@ -210,3 +210,21 @@ def test_gen_nation_region_spec_rows(spark):
     assert joined.count() == 25
     fr = joined.filter(F.col("n_name") == "FRANCE").collect()[0]
     assert fr["r_name"] == "EUROPE"
+
+
+def test_gen_store_sales_spec_types_and_determinism(spark):
+    from lakehouse_dba_tools_spark.datagen.generator import gen_store_sales
+    from lakehouse_dba_tools_spark.datagen.schemas import schema_for
+
+    ss = gen_store_sales(spark, 3_000, seed=100)
+    spec = {f.name: f.dataType.simpleString() for f in schema_for("store_sales").fields}
+    for name, typ in ss.dtypes:
+        assert spec[name] == typ, (name, typ, spec[name])
+    row = ss.agg(
+        F.min("ss_quantity"), F.max("ss_quantity"), F.min("ss_sales_price")
+    ).collect()[0]
+    assert 1 <= row[0] and row[1] <= 100 and float(row[2]) >= 0
+    agg = lambda df: df.agg(F.sum("ss_ext_sales_price"), F.count("*")).collect()[0]  # noqa: E731
+    assert agg(gen_store_sales(spark, 3_000, seed=100, partitions=3)) == agg(
+        gen_store_sales(spark, 3_000, seed=100, partitions=11)
+    )
