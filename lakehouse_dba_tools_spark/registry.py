@@ -65,9 +65,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     "dq_constraint_report",
     "key_skew_report",
     "forget_keys_cascade",
-    # TPC-H tier — 6 representatives cover the join/agg/subquery shapes;
-    # q4/q14/q17/q19/q20 trail as bench-stable twins (still diffchecked
-    # locally, just past the driver's 50-row cut).
+    # TPC-H tier — 5 representatives cover the join/agg/subquery shapes;
+    # the REST of the full 22-query suite (q1 via pricing_summary, q3-q11,
+    # q13, q14, q16, q17, q19-q21) trails, still diffchecked locally.
     "q2_min_cost_supplier",
     # q6_revenue_forecast trails (round 4): the filter+agg shape is
     # covered by q12/q14 locally; slot freed for the new tiers.

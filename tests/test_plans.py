@@ -93,3 +93,24 @@ def test_training_order_window_is_partitioned(spark, sf_dir):
     (unpartitioned) window is a single-reducer bottleneck."""
     plan = _plan(spark, "doc_training_order", sf_dir)
     assert "SinglePartition" not in plan
+
+
+def test_tpch_star_joins_broadcast_single_shuffle(spark, sf_dir):
+    """The full-suite star queries must keep their scale shape: every
+    dimension broadcasts, the only exchange is the final aggregate's —
+    the fact side never shuffles for a join."""
+    for name in ("q5_local_supplier_revenue", "q8_market_share", "q9_product_profit"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+
+
+def test_tpch_topk_uses_take_ordered(spark, sf_dir):
+    """q3/q10's LIMIT-after-ORDER BY must plan as TakeOrderedAndProject
+    (per-partition heap + merge), never a global sort."""
+    for name in ("q3_shipping_priority", "q10_returned_items"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort " not in plan.replace("SortMergeJoin", ""), name
