@@ -266,3 +266,141 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return rollup_report(rollup, ["event_type"], ["value"], scale=2)
+
+
+@register(
+    "catalog_ddl_roundtrip",
+    """
+    SELECT 'ctas_rows' AS step, (SELECT count(*) FROM nation)::BIGINT AS value
+    UNION ALL
+    SELECT 'after_insert_rows',
+           ((SELECT count(*) FROM nation)
+            + (SELECT count(*) FROM nation WHERE n_nationkey < 5))::BIGINT
+    UNION ALL
+    SELECT 'external_partitions', (SELECT count(DISTINCT n_regionkey) FROM nation)::BIGINT
+    UNION ALL
+    SELECT 'external_rows', (SELECT count(*) FROM nation)::BIGINT
+    UNION ALL
+    SELECT 'tables_in_db', CAST(3 AS BIGINT)
+    UNION ALL
+    SELECT 'exists_probe', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'dropped_probe', CAST(0 AS BIGINT)
+    """,
+)
+def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D1-D4/D14/S10/S11/S15/A2 catalog loop as ONE hash-checked
+    query: CREATE DATABASE → declared CREATE TABLE → CTAS → INSERT INTO
+    by name → partitioned external location + MSCK → SHOW PARTITIONS →
+    existence probes → DROP, reporting each step's observable count.
+    The oracle derives every number from the nation fixture (no pinned
+    literals) — the reference drives this exact verb sequence in its
+    ETL bootstrap (`tasks/Query History API to Delta_withmetrics.py:
+    76,105-143`; `resources/TPC-datagen-notebook.scala:1626-1806`)."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.datagen.generator import write_partitioned
+    from lakehouse_dba_tools_spark.maintenance.catalog import (
+        create_database,
+        create_table_as,
+        create_table_if_not_exists,
+        drop_database,
+        insert_into,
+        list_tables,
+        register_external_table,
+        show_partitions,
+        table_exists,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    db = "engine_ddl_rt"
+    tmp = tempfile.mkdtemp(prefix="ddl_rt_")
+    try:
+        drop_database(spark, db, cascade=True)
+        create_database(spark, db)
+        create_table_if_not_exists(
+            spark, f"{db}.declared", "n_nationkey bigint, n_name string, n_regionkey bigint"
+        )
+        create_table_as(spark, f"{db}.nation_ctas", nation)
+        ctas_rows = spark.table(f"{db}.nation_ctas").count()
+        # INSERT INTO ... SELECT, by name, columns deliberately reordered
+        insert_into(
+            spark,
+            f"{db}.nation_ctas",
+            nation.filter(F.col("n_nationkey") < 5).select(
+                "n_regionkey", "n_name", "n_nationkey"
+            ),
+        )
+        after_insert = spark.table(f"{db}.nation_ctas").count()
+        # partitioned external location + MSCK partition discovery
+        loc = f"{tmp}/nation_ext"
+        write_partitioned(nation, loc, partition_by=["n_regionkey"])
+        register_external_table(
+            spark,
+            f"{db}.nation_ext",
+            loc,
+            partitioned_by=["n_regionkey"],
+            ddl_columns="n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+        n_parts = show_partitions(spark, f"{db}.nation_ext").count()
+        ext_rows = spark.table(f"{db}.nation_ext").count()
+        n_tables = list_tables(spark, db).count()
+        exists = int(table_exists(spark, f"{db}.nation_ctas"))
+        drop_database(spark, db, cascade=True)
+        dropped = int(table_exists(spark, f"{db}.nation_ctas"))
+        rows = [
+            ("ctas_rows", ctas_rows),
+            ("after_insert_rows", after_insert),
+            ("external_partitions", n_parts),
+            ("external_rows", ext_rows),
+            ("tables_in_db", n_tables),
+            ("exists_probe", exists),
+            ("dropped_probe", dropped),
+        ]
+        return spark.createDataFrame(rows, "step string, value bigint")
+    finally:
+        drop_database(spark, db, cascade=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "orc_roundtrip_report",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def orc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S14 on the ORC path (reference `fileFormat` param,
+    TPC:42,130-137): write lineitem partitioned by l_returnflag as ORC
+    with the reference's conf set, read it back, and aggregate — the
+    oracle reads the ORIGINAL parquet, so the hash check proves the
+    ORC write→read roundtrip is lossless (row set AND decimal-exact
+    values), not merely that files appeared."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.datagen.generator import write_partitioned
+    from lakehouse_dba_tools_spark.functions.stable import stable_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        loc = f"{tmp}/li_orc"
+        write_partitioned(li, loc, partition_by=["l_returnflag"], fmt="orc")
+        back = spark.read.orc(loc)
+        out = back.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+            stable_sum("l_quantity", 2).alias("sum_qty"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
