@@ -347,7 +347,10 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_parts = show_partitions(spark, f"{db}.nation_ext").count()
         ext_rows = spark.table(f"{db}.nation_ext").count()
-        n_tables = list_tables(spark, db).count()
+        # count only persistent tables: listTables also returns session
+        # temp views, which other queries in the same session may have
+        # registered (they're catalog-global, not per-database)
+        n_tables = list_tables(spark, db).filter("NOT is_temporary").count()
         exists = int(table_exists(spark, f"{db}.nation_ctas"))
         drop_database(spark, db, cascade=True)
         dropped = int(table_exists(spark, f"{db}.nation_ctas"))
