@@ -265,3 +265,58 @@ def nation_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_json_struct(nation, ["k", "name", "region"], alias="payload").select(
         "n_nationkey", "payload"
     )
+
+
+@register(
+    "csv_exotic_declared_report",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+           min(n_name) AS first_name,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def csv_exotic_declared_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: emit nation as pipe-delimited lines WITH trailing
+    delimiters (the TPC generator's output shape,
+    `resources/TPC-datagen-notebook.scala:1705-1720`), write via the
+    text sink, read back through read_csv_declared's exotic option set
+    (declared schema, '|' delimiter, iso-8859-1, trailing-column shim),
+    and aggregate. The oracle reads the ORIGINAL parquet — hash
+    equality proves the declared-CSV parse is lossless."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.sources.files import read_csv_declared, write_text
+
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+            F.lit(""),  # trailing delimiter, dbgen-style
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_exotic_")
+    try:
+        loc = f"{tmp}/nation_pipe"
+        write_text(lines, loc)
+        back = read_csv_declared(
+            spark,
+            loc,
+            "n_nationkey bigint, n_name string, n_regionkey bigint",
+            delimiter="|",
+            trailing_delimiter=True,
+        )
+        out = back.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("n_regionkey").alias("n_regions"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
