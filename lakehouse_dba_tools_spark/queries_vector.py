@@ -196,3 +196,43 @@ def embedding_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_near_dups(
         emb, pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+_IVF_RECALL_VALUES = """(CAST(1 AS INT), CAST(39 AS BIGINT), CAST(0.39 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(50 AS BIGINT), CAST(0.5 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(68 AS BIGINT), CAST(0.68 AS DOUBLE))"""
+
+
+@register(
+    "ivf_recall_report",
+    f"""
+    SELECT * FROM (VALUES
+      {_IVF_RECALL_VALUES}
+    ) AS t(nprobe, n_hits, recall)
+    """,
+)
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the PRODUCTION IVF configs (nprobe ≪ nlist)
+    against the brute-force truth — the approximate path the exact-hash
+    gate can't otherwise check. Everything is seeded (kmeans rng,
+    sample), so the recall numbers are deterministic and the oracle
+    pins them: a regression in centroid training, list assignment, or
+    probe routing shifts n_hits and fails the hash. The exhaustive
+    nprobe=nlist config stays hash-equal to brute in cosine_topk_ivf;
+    the partial-recall CURVE is the scale story (nprobe trades recall
+    for a 16/nprobe× smaller candidate join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id")
+    n_total = N_QUERY * TOP_K
+    rows = []
+    for nprobe in (1, 2, 4):
+        approx = ivf_topk(emb, q, k=TOP_K, n_centroids=16, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        # bounded: ≤ N_QUERY*TOP_K rows on each side
+        n_hits = approx.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append((nprobe, n_hits, round(n_hits / n_total, 4)))
+    return spark.createDataFrame(rows, "nprobe int, n_hits bigint, recall double")
