@@ -236,3 +236,39 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits = approx.join(truth, ["query_id", "neighbor_id"]).count()
         rows.append((nprobe, n_hits, round(n_hits / n_total, 4)))
     return spark.createDataFrame(rows, "nprobe int, n_hits bigint, recall double")
+
+
+_LSH_RECALL_VALUES = """(CAST(6 AS INT), CAST(4 AS INT), CAST(42 AS BIGINT), CAST(0.42 AS DOUBLE)),
+      (CAST(6 AS INT), CAST(12 AS INT), CAST(61 AS BIGINT), CAST(0.61 AS DOUBLE)),
+      (CAST(8 AS INT), CAST(8 AS INT), CAST(32 AS BIGINT), CAST(0.32 AS DOUBLE))"""
+
+
+@register(
+    "lsh_recall_report",
+    f"""
+    SELECT * FROM (VALUES
+      {_LSH_RECALL_VALUES}
+    ) AS t(n_planes, n_tables, n_hits, recall)
+    """,
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of production hyperplane-LSH configs against the
+    brute-force truth (companion to ivf_recall_report; same rationale —
+    more planes shrink buckets, more tables recover recall, and the
+    seeded pinned numbers hash-fail on any bucketing regression)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id")
+    n_total = N_QUERY * TOP_K
+    rows = []
+    for n_planes, n_tables in ((6, 4), (8, 8), (6, 12)):
+        approx = lsh_topk(
+            emb, q, k=TOP_K, n_planes=n_planes, n_tables=n_tables
+        ).select("query_id", "neighbor_id")
+        n_hits = approx.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append((n_planes, n_tables, n_hits, round(n_hits / n_total, 4)))
+    return spark.createDataFrame(
+        rows, "n_planes int, n_tables int, n_hits bigint, recall double"
+    )
