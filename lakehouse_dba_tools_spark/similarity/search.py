@@ -132,17 +132,28 @@ def lsh_topk(
 def train_centroids(
     corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     sample_fraction: float = 1.0, iters: int = 5, seed: int = 42,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """kmeans-lite on a driver-side sample (IVF coarse quantizer).
 
     The sample (≤ ~100k rows) is the ONLY data that touches the driver;
     assignment of the full corpus stays distributed in ivf_topk.
+
+    Run-invariance: ``toPandas()`` row order follows partition layout,
+    which varies across sessions — sorting the sample by ``id_col``
+    before the seeded init makes the trained centroids a pure function
+    of (data, seed) whenever the sample fits under the row cap (always
+    true at test scale; at 100 TB the cap truncation is arbitrary but
+    kmeans init only needs a representative sample, not a stable one).
     """
     pdf = (
-        corpus.select(l2_normalize(as_double(vec_col)).alias("v"))
+        corpus.select(
+            F.col(id_col).alias("_id"), l2_normalize(as_double(vec_col)).alias("v")
+        )
         .sample(fraction=sample_fraction, seed=seed)
         .limit(100_000)
         .toPandas()
+        .sort_values("_id")
     )
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     rng = np.random.default_rng(seed)
@@ -171,7 +182,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-Flat: corpus partitioned by nearest centroid; queries probe
     the ``nprobe`` nearest lists. Join is an equi-join on centroid id."""
-    cents = np.asarray(train_centroids(corpus, n_centroids, vec_col, seed=seed))
+    cents = np.asarray(
+        train_centroids(corpus, n_centroids, vec_col, seed=seed, id_col=id_col)
+    )
     assign1 = nearest_centroids_udf(cents, 1)
     assignN = nearest_centroids_udf(cents, nprobe)
 
