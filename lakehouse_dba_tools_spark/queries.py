@@ -76,8 +76,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multi-way join + top-k (TPC-H Q3 shape). Small dims broadcast; the
-# orders⋈lineitem join shuffles on the key with AQE skew handling.
+# Multi-way join + top-k (TPC-H Q3 shape). customer scales with SF so
+# its join is AQE-sized (no forced hint); the orders⋈lineitem join
+# shuffles on the key with AQE skew handling.
 # --------------------------------------------------------------------------
 @register(
     "top_unshipped_orders",
@@ -103,7 +104,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

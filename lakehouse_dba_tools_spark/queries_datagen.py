@@ -161,15 +161,16 @@ def datagen_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated supplier × partsupp join rollup — the reference's
     full-schema datagen loop (`resources/TPC-datagen-notebook.scala:
     1413-1491` declares all 8 TPC-H schemas; 1818-1845 generates and
-    verifies). partsupp is the fact (4 rows/part), supplier the dim:
-    the join broadcasts the dim, so at 100 TB the fact never shuffles;
-    the rollup is a 25-key hash agg with map-side partials."""
+    verifies). partsupp is the fact (4 rows/part), supplier the dim —
+    but supplier scales with the datagen config, so the join is left to
+    AQE (which broadcasts the 1k-row dim here, and demotes at real
+    scale); the rollup is a 25-key hash agg with map-side partials."""
     from lakehouse_dba_tools_spark.datagen.generator import gen_partsupp, gen_supplier
 
     supp = gen_supplier(spark, 1_000, seed=100)
     ps = gen_partsupp(spark, 10_000, n_suppliers=1_000, seed=100)
     return (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n"),

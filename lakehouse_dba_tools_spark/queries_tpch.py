@@ -121,7 +121,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
@@ -172,7 +172,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     into join-side pushdowns plus a residual filter."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -204,7 +204,7 @@ def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    keys = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("l_suppkey")
+    keys = li.join(part, li.l_partkey == part.p_partkey).select("l_suppkey")
     return sup.join(keys, sup.s_suppkey == keys.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )

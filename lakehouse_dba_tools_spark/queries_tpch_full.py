@@ -13,9 +13,13 @@ must execute well at 100 TB:
 
 - q3/q10: fact-fact join → grouped rollup → deterministic top-k
   (TakeOrderedAndProject, never a full sort).
-- q5/q7/q8/q9: star joins — every dimension (region/nation/supplier/
-  part at real scale) broadcasts; only orders⋈lineitem shuffles, on
-  the join key, with map-side partial aggregation after.
+- q5/q7/q8/q9: star joins — fixed-cardinality dims (nation/region)
+  carry explicit broadcast hints; SF-scaling tables (customer/part/
+  supplier, which reach 150M+ rows at sf1000) are left unhinted so
+  CBO/AQE broadcasts them at small scale and demotes to shuffle joins
+  when they outgrow the threshold — an explicit hint would override
+  that demotion and OOM the job. orders⋈lineitem shuffles on the join
+  key with map-side partial aggregation after.
 - q11/q22: scalar-subquery threshold — 1-row aggregate broadcast back
   via crossJoin, compared in exact decimal (never a double boundary).
 - q13: left-outer fact join with an ON-clause residual predicate, then
@@ -65,8 +69,9 @@ def _rev() -> F.Column:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: segment filter → two-fact join → top-10 unshipped orders by
-    revenue. customer is dim-sized → broadcast; the orders⋈lineitem
-    shuffle keys on orderkey; the final cut is TakeOrderedAndProject."""
+    revenue. customer scales with SF so it carries no broadcast hint
+    (AQE broadcasts it while small); the orders⋈lineitem shuffle keys
+    on orderkey; the final cut is TakeOrderedAndProject."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -77,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-06-01").cast("date")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(stable_sum(_rev(), 2).alias("revenue"))
@@ -107,10 +112,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: the canonical star join — region→nation→supplier all
-    broadcast; customer joins orders on the shuffle; the local-supplier
-    condition (c_nationkey = s_nationkey) rides the lineitem join as a
-    residual, never a second shuffle."""
+    """Q5: the canonical star join — nation⋈region (fixed 25/5 rows)
+    broadcasts by hint; supplier and customer scale with SF so sizing
+    is left to CBO/AQE; the local-supplier condition (c_nationkey =
+    s_nationkey) rides the lineitem join as a residual, never a second
+    shuffle."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     sup = load_table(spark, sf_dir, "supplier")
@@ -125,10 +131,10 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.s_nationkey == F.col("n_nationkey"),
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(
-            F.broadcast(sup_nat),
+            sup_nat,
             (li.l_suppkey == sup_nat.s_suppkey)
             & (F.col("c_nationkey") == sup_nat.s_nationkey),
         )
@@ -180,9 +186,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -221,8 +227,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: national market share inside a region — ratio of conditional
-    exact-decimal sums per year. part/supplier/nation/region broadcast;
-    the only shuffles are orders⋈lineitem and the 2-key final agg."""
+    exact-decimal sums per year. nation/region broadcast by hint;
+    part/supplier/customer are unhinted (AQE-sized); the only shuffles
+    are orders⋈lineitem and the 2-key final agg."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     sup = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
@@ -241,10 +248,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = F.col("volume").cast("decimal(38,12)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .select(
@@ -292,8 +299,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
@@ -333,7 +340,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
@@ -370,7 +377,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     li = load_table(spark, sf_dir, "lineitem")
     supval = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("l_partkey", _rev().cast("decimal(38,12)").alias("val"))
     )
@@ -433,8 +440,8 @@ def q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16: distinct suppliers per part group, excluding a supplier
     denylist (fixture: negative balances stand in for the complaint
     regex; lineitem bridges part↔supplier absent partsupp). The
-    denylist is a broadcast anti-join; count(DISTINCT) shuffles only
-    the group keys + suppkey."""
+    denylist anti-join is AQE-sized (the negative-balance subset scales
+    with SF); count(DISTINCT) shuffles only the group keys + suppkey."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#11")
         & (F.col("p_type") != "PROMO")
@@ -443,9 +450,9 @@ def q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_sup.select("s_suppkey")),
+            bad_sup.select("s_suppkey"),
             li.l_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
@@ -509,7 +516,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_lines = lines.filter(F.col("is_late") == 1)
     return (
         late_lines.join(order_stats.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)), "l_orderkey")
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -95,15 +95,41 @@ def test_training_order_window_is_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_tpch_star_joins_broadcast_single_shuffle(spark, sf_dir):
-    """The full-suite star queries must keep their scale shape: every
-    dimension broadcasts, the only exchange is the final aggregate's —
-    the fact side never shuffles for a join."""
+def test_tpch_star_joins_dims_broadcast(spark, sf_dir):
+    """The full-suite star queries keep their scale shape: the
+    fixed-cardinality dims (nation/region) broadcast by explicit hint,
+    and AQE broadcasts the small SF-scaling sides at fixture scale. At
+    most one SortMergeJoin may survive AQE per query — the join whose
+    BOTH sides scale with SF (e.g. q5's lineitem⋈supplier), which is
+    exactly the join that must NOT be a forced broadcast at sf1000."""
     for name in ("q5_local_supplier_revenue", "q8_market_share", "q9_product_profit"):
         df = QUERIES[name](spark, sf_dir)
+        df.collect()  # let AQE finalize join strategies from runtime sizes
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" not in plan, name
-        assert plan.count("Exchange hashpartitioning") <= 1, name
+        assert "isFinalPlan=true" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_no_forced_broadcast_on_sf_scaling_tables():
+    """Regression guard for the round-4 scale-killer: TPC-H customer/
+    part/supplier grow linearly with scale factor (150k/200k/10k rows ×
+    SF), so an explicit F.broadcast on them overrides both the
+    autoBroadcastJoinThreshold and AQE demotion — at sf1000 the plan
+    would attempt to broadcast tens of GB and die. Only fixed-size
+    sides (nation/region/pricing, 1-row aggregates, bounded query sets)
+    may carry the hint; SF-scaling tables are CBO/AQE-sized."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "lakehouse_dba_tools_spark"
+    pat = re.compile(r"F\.broadcast\(\s*(cust|part|sup|supp|bad_sup|sup_nat)\b")
+    bad = [
+        f"{f.relative_to(pkg)}:{i}: {line.strip()}"
+        for f in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(f.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not bad, f"forced broadcast on SF-scaling tables: {bad}"
 
 
 def test_tpch_topk_uses_take_ordered(spark, sf_dir):
