@@ -168,18 +168,22 @@ def gen_partsupp(
 ) -> DataFrame:
     """Synthetic partsupp (`resources/TPC-datagen-notebook.scala:
     1471-1477`): 4 supplier rows per part, supplier assignment spread
-    deterministically so every (partkey, suppkey) pair is unique."""
+    deterministically by the dbgen formula. (partkey, suppkey)
+    uniqueness is the spec's guarantee and holds at dbgen's P ≈ 20·S
+    table ratio (pinned by test); arbitrary (n_parts, n_suppliers)
+    ratios can make d·(S/4 + (p-1)/S) wrap to 0 mod S and collide —
+    same as dbgen itself."""
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_parts_rows * 4, 1, parts)
-    partkey = (F.col("id") / 4 + 1).cast("long")
-    # TPC-H's supplier-spread formula keeps the 4 suppliers of a part
-    # distinct and uniformly distributed across the supplier table.
+    partkey = (F.floor(F.col("id") / 4) + 1).cast("long")
+    # TPC-H dbgen's supplier-spread formula, with the spec's INTEGER
+    # division on both terms — (S/4 and (p-1)/S as floor) — which is
+    # what guarantees the 4 suppliers of a part are pairwise distinct
+    # for every (n_parts, n_suppliers); double division only kept that
+    # property for particular configs.
     i = F.col("id") % 4
-    suppkey = (
-        (partkey + i * (F.lit(n_suppliers) / 4 + (partkey - 1) / F.lit(n_suppliers)))
-        % n_suppliers
-        + 1
-    ).cast("long")
+    spread = F.lit(n_suppliers // 4) + F.floor((partkey - 1) / F.lit(n_suppliers))
+    suppkey = ((partkey + i * spread) % n_suppliers + 1).cast("long")
     return base.select(
         partkey.alias("ps_partkey"),
         suppkey.alias("ps_suppkey"),
@@ -281,17 +285,19 @@ def write_partitioned(
     """Partitioned table writer (reference S12/S13): repartition by the
     partition key first so each Hive partition is written by one task
     (avoids the many-small-files explosion), or coalesce unpartitioned
-    output to bound file count. ``fmt`` accepts parquet/orc/csv/json —
-    for orc the reference's conf set (ORC_CONFS) is applied first."""
-    if fmt == "orc":
-        for k, v in ORC_CONFS.items():
-            df.sparkSession.conf.set(k, v)
+    output to bound file count. ``fmt`` accepts parquet/orc/csv/json."""
     writer = df
     if partition_by:
         writer = df.repartition(*[F.col(c) for c in partition_by])
     elif coalesce_to:
         writer = df.coalesce(coalesce_to)
     w = writer.write.mode("overwrite").format(fmt)
+    if fmt == "orc":
+        # Of the reference's ORC conf set (ORC_CONFS), impl=native /
+        # vectorized reads / filter pushdown are Spark 4 defaults; the
+        # one write-scoped knob (compression) rides the writer as an
+        # option so nothing leaks into later queries' session state.
+        w = w.option("compression", ORC_CONFS["spark.sql.orc.compression.codec"])
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)

@@ -46,22 +46,44 @@ def cascade_delete(
 ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
     """Propagate deletion of root rows matching ``root_condition``.
 
-    ``edges`` must be topologically ordered (parents before children).
-    Returns (survivors, deleted) — both lazy DataFrames per table.
+    ``edges`` may arrive in any order that describes an acyclic FK
+    DAG rooted at ``root`` — children are resolved by dependency, so
+    interleavings like [A→B, A→C, C→B] are fine. Returns
+    (survivors, deleted) — both lazy DataFrames per table.
     """
     # Group edges by child so a table referenced by SEVERAL FK edges
     # (diamond DAG) deletes the union of every edge's matches — a child
     # visited twice must not overwrite the first edge's deletions.
-    # Topological order of `edges` implies every edge INTO a child
-    # appears before any edge OUT of it, so grouping by first
-    # appearance keeps parents complete before they're consumed.
     by_child: dict[str, list[Edge]] = {}
     for e in edges:
         by_child.setdefault(e.child, []).append(e)
 
     deleted: dict[str, DataFrame] = {root: tables[root].filter(root_condition)}
     survivors: dict[str, DataFrame] = {root: tables[root].filter(~root_condition)}
-    for child, child_edges in by_child.items():
+    # Process children in dependency order, not first-appearance order:
+    # a parents-before-children edge LIST can still interleave children
+    # (e.g. [A→B, A→C, C→B] mentions B before C has a deletion set), so
+    # defer a child until every one of its edge parents is resolved and
+    # only fail when no child can make progress (a true cycle, or a
+    # parent that is neither the root nor any edge's child).
+    pending = dict(by_child)
+    while pending:
+        ready = [
+            c
+            for c, ces in pending.items()
+            if all(e.parent in deleted for e in ces)
+        ]
+        if not ready:
+            unresolved = {
+                c: sorted({e.parent for e in ces if e.parent not in deleted})
+                for c, ces in pending.items()
+            }
+            raise ValueError(
+                "cascade edges contain a cycle or reference parents outside "
+                f"the DAG: {unresolved}"
+            )
+        child = ready[0]
+        child_edges = pending.pop(child)
         if child == root:
             raise ValueError(f"edge targets the root table {root!r}")
         # Peel matched rows off edge-by-edge: `remaining` shrinks, so
@@ -71,11 +93,6 @@ def cascade_delete(
         remaining = tables[child]
         dead_parts: list[DataFrame] = []
         for e in child_edges:
-            if e.parent not in deleted:
-                raise ValueError(
-                    f"edges not topologically ordered: {e.parent!r} has no "
-                    f"deletion set before edge into {child!r}"
-                )
             pkeys = (
                 deleted[e.parent]
                 .select(F.col(e.parent_col).alias(e.child_col))

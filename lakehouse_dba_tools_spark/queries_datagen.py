@@ -122,31 +122,31 @@ def datagen_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (seed, row_id), so these VALUES are stable across partition counts
 # and Spark versions (decimal-exact arithmetic; determinism pinned in
 # tests/test_datagen_catalog.py).
-_SUPPLIER_PARTSUPP_VALUES = """(CAST(0 AS BIGINT), CAST(1599 AS BIGINT), CAST(7834641 AS BIGINT), CAST(1.76 AS DOUBLE), CAST(8017704.74 AS DOUBLE)),
-      (CAST(1 AS BIGINT), CAST(1602 AS BIGINT), CAST(8107578 AS BIGINT), CAST(2.51 AS DOUBLE), CAST(6525057.86 AS DOUBLE)),
-      (CAST(2 AS BIGINT), CAST(1601 AS BIGINT), CAST(8220412 AS BIGINT), CAST(1.05 AS DOUBLE), CAST(6568253.58 AS DOUBLE)),
-      (CAST(3 AS BIGINT), CAST(1599 AS BIGINT), CAST(8020387 AS BIGINT), CAST(2.02 AS DOUBLE), CAST(6731756.44 AS DOUBLE)),
-      (CAST(4 AS BIGINT), CAST(1602 AS BIGINT), CAST(8026673 AS BIGINT), CAST(1.23 AS DOUBLE), CAST(8234906.07 AS DOUBLE)),
-      (CAST(5 AS BIGINT), CAST(1601 AS BIGINT), CAST(8132356 AS BIGINT), CAST(1.38 AS DOUBLE), CAST(7104603.76 AS DOUBLE)),
-      (CAST(6 AS BIGINT), CAST(1598 AS BIGINT), CAST(8012766 AS BIGINT), CAST(1.28 AS DOUBLE), CAST(5845159.6 AS DOUBLE)),
-      (CAST(7 AS BIGINT), CAST(1601 AS BIGINT), CAST(8000246 AS BIGINT), CAST(1.27 AS DOUBLE), CAST(6913656.91 AS DOUBLE)),
-      (CAST(8 AS BIGINT), CAST(1601 AS BIGINT), CAST(7829929 AS BIGINT), CAST(1.53 AS DOUBLE), CAST(6861928.69 AS DOUBLE)),
-      (CAST(9 AS BIGINT), CAST(1598 AS BIGINT), CAST(7875078 AS BIGINT), CAST(1.9 AS DOUBLE), CAST(7017750.33 AS DOUBLE)),
-      (CAST(10 AS BIGINT), CAST(1600 AS BIGINT), CAST(7933029 AS BIGINT), CAST(1.56 AS DOUBLE), CAST(6810851.83 AS DOUBLE)),
-      (CAST(11 AS BIGINT), CAST(1601 AS BIGINT), CAST(7973137 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(5901989.16 AS DOUBLE)),
-      (CAST(12 AS BIGINT), CAST(1598 AS BIGINT), CAST(8003485 AS BIGINT), CAST(3.03 AS DOUBLE), CAST(7417299.67 AS DOUBLE)),
-      (CAST(13 AS BIGINT), CAST(1600 AS BIGINT), CAST(8077482 AS BIGINT), CAST(1.93 AS DOUBLE), CAST(6542491.09 AS DOUBLE)),
-      (CAST(14 AS BIGINT), CAST(1601 AS BIGINT), CAST(7909635 AS BIGINT), CAST(1.52 AS DOUBLE), CAST(6238302.35 AS DOUBLE)),
-      (CAST(15 AS BIGINT), CAST(1599 AS BIGINT), CAST(7948954 AS BIGINT), CAST(1.46 AS DOUBLE), CAST(8236097.87 AS DOUBLE)),
-      (CAST(16 AS BIGINT), CAST(1600 AS BIGINT), CAST(7854664 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(7713219.41 AS DOUBLE)),
-      (CAST(17 AS BIGINT), CAST(1601 AS BIGINT), CAST(7929726 AS BIGINT), CAST(1.71 AS DOUBLE), CAST(7348727.99 AS DOUBLE)),
-      (CAST(18 AS BIGINT), CAST(1599 AS BIGINT), CAST(8018267 AS BIGINT), CAST(1.37 AS DOUBLE), CAST(7184279.32 AS DOUBLE)),
-      (CAST(19 AS BIGINT), CAST(1599 AS BIGINT), CAST(7955955 AS BIGINT), CAST(1.79 AS DOUBLE), CAST(7382891.28 AS DOUBLE)),
-      (CAST(20 AS BIGINT), CAST(1601 AS BIGINT), CAST(7993098 AS BIGINT), CAST(1.11 AS DOUBLE), CAST(7733241.11 AS DOUBLE)),
-      (CAST(21 AS BIGINT), CAST(1599 AS BIGINT), CAST(8035074 AS BIGINT), CAST(1.16 AS DOUBLE), CAST(6969232.01 AS DOUBLE)),
-      (CAST(22 AS BIGINT), CAST(1599 AS BIGINT), CAST(8268459 AS BIGINT), CAST(1.15 AS DOUBLE), CAST(5875885.42 AS DOUBLE)),
-      (CAST(23 AS BIGINT), CAST(1601 AS BIGINT), CAST(7830939 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(6943128.72 AS DOUBLE)),
-      (CAST(24 AS BIGINT), CAST(1600 AS BIGINT), CAST(8289170 AS BIGINT), CAST(1.39 AS DOUBLE), CAST(6874485.6 AS DOUBLE))"""
+_SUPPLIER_PARTSUPP_VALUES = """(CAST(0 AS BIGINT), CAST(1600 AS BIGINT), CAST(8047384 AS BIGINT), CAST(1.76 AS DOUBLE), CAST(8020483.2 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1600 AS BIGINT), CAST(8120825 AS BIGINT), CAST(1.05 AS DOUBLE), CAST(6527196.8 AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1600 AS BIGINT), CAST(8180815 AS BIGINT), CAST(2.76 AS DOUBLE), CAST(6561644.4 AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1600 AS BIGINT), CAST(8029017 AS BIGINT), CAST(1.82 AS DOUBLE), CAST(6733173.2 AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1600 AS BIGINT), CAST(8034865 AS BIGINT), CAST(1.23 AS DOUBLE), CAST(8225215.2 AS DOUBLE)),
+      (CAST(5 AS BIGINT), CAST(1600 AS BIGINT), CAST(8025989 AS BIGINT), CAST(1.86 AS DOUBLE), CAST(7087981.2 AS DOUBLE)),
+      (CAST(6 AS BIGINT), CAST(1600 AS BIGINT), CAST(8019850 AS BIGINT), CAST(1.28 AS DOUBLE), CAST(5857502.4 AS DOUBLE)),
+      (CAST(7 AS BIGINT), CAST(1600 AS BIGINT), CAST(7910501 AS BIGINT), CAST(1.27 AS DOUBLE), CAST(6908365.2 AS DOUBLE)),
+      (CAST(8 AS BIGINT), CAST(1600 AS BIGINT), CAST(7884745 AS BIGINT), CAST(1.53 AS DOUBLE), CAST(6856252.8 AS DOUBLE)),
+      (CAST(9 AS BIGINT), CAST(1600 AS BIGINT), CAST(7890445 AS BIGINT), CAST(1.56 AS DOUBLE), CAST(7018362.4 AS DOUBLE)),
+      (CAST(10 AS BIGINT), CAST(1600 AS BIGINT), CAST(7973294 AS BIGINT), CAST(3.03 AS DOUBLE), CAST(6817537.6 AS DOUBLE)),
+      (CAST(11 AS BIGINT), CAST(1600 AS BIGINT), CAST(8055646 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(5890861.6 AS DOUBLE)),
+      (CAST(12 AS BIGINT), CAST(1600 AS BIGINT), CAST(7985384 AS BIGINT), CAST(1.93 AS DOUBLE), CAST(7427686.4 AS DOUBLE)),
+      (CAST(13 AS BIGINT), CAST(1600 AS BIGINT), CAST(8030410 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(6542851.6 AS DOUBLE)),
+      (CAST(14 AS BIGINT), CAST(1600 AS BIGINT), CAST(7898769 AS BIGINT), CAST(1.52 AS DOUBLE), CAST(6234300.4 AS DOUBLE)),
+      (CAST(15 AS BIGINT), CAST(1600 AS BIGINT), CAST(7836512 AS BIGINT), CAST(1.46 AS DOUBLE), CAST(8246196.4 AS DOUBLE)),
+      (CAST(16 AS BIGINT), CAST(1600 AS BIGINT), CAST(8026952 AS BIGINT), CAST(1.65 AS DOUBLE), CAST(7702967.6 AS DOUBLE)),
+      (CAST(17 AS BIGINT), CAST(1600 AS BIGINT), CAST(7972583 AS BIGINT), CAST(1.71 AS DOUBLE), CAST(7347053.6 AS DOUBLE)),
+      (CAST(18 AS BIGINT), CAST(1600 AS BIGINT), CAST(7852087 AS BIGINT), CAST(1.37 AS DOUBLE), CAST(7186650.0 AS DOUBLE)),
+      (CAST(19 AS BIGINT), CAST(1600 AS BIGINT), CAST(7995956 AS BIGINT), CAST(1.95 AS DOUBLE), CAST(7392635.6 AS DOUBLE)),
+      (CAST(20 AS BIGINT), CAST(1600 AS BIGINT), CAST(8039287 AS BIGINT), CAST(1.11 AS DOUBLE), CAST(7723426.4 AS DOUBLE)),
+      (CAST(21 AS BIGINT), CAST(1600 AS BIGINT), CAST(8179101 AS BIGINT), CAST(1.16 AS DOUBLE), CAST(6977964.0 AS DOUBLE)),
+      (CAST(22 AS BIGINT), CAST(1600 AS BIGINT), CAST(8059724 AS BIGINT), CAST(1.15 AS DOUBLE), CAST(5882720.0 AS DOUBLE)),
+      (CAST(23 AS BIGINT), CAST(1600 AS BIGINT), CAST(7943279 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(6935130.0 AS DOUBLE)),
+      (CAST(24 AS BIGINT), CAST(1600 AS BIGINT), CAST(8087720 AS BIGINT), CAST(1.39 AS DOUBLE), CAST(6874485.6 AS DOUBLE))"""
 
 
 @register(

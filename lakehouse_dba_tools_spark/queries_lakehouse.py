@@ -316,10 +316,14 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    db = "engine_ddl_rt"
+    # Unique scratch database per invocation: a fixed global name would
+    # cascade-drop a user database that happens to share it, and
+    # concurrent runs would race on the same namespace.
+    import uuid
+
+    db = f"engine_ddl_rt_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix="ddl_rt_")
     try:
-        drop_database(spark, db, cascade=True)
         create_database(spark, db)
         create_table_if_not_exists(
             spark, f"{db}.declared", "n_nationkey bigint, n_name string, n_regionkey bigint"

@@ -139,6 +139,19 @@ def test_gen_supplier_part_partsupp_shapes_and_determinism(spark):
     assert agg(a) != agg(c)
 
 
+def test_gen_partsupp_pair_uniqueness_at_spec_ratio(spark):
+    """dbgen's supplier-spread formula (integer division, per the spec)
+    keeps every (partkey, suppkey) pair distinct at the spec's
+    P ≈ 20·S table ratio — the property downstream joins rely on."""
+    from lakehouse_dba_tools_spark.datagen.generator import gen_partsupp
+
+    for n_parts, n_sup in ((2_000, 100), (10_000, 1_000), (20_000, 1_000)):
+        d = gen_partsupp(spark, n_parts, n_suppliers=n_sup, seed=100)
+        assert (
+            d.select("ps_partkey", "ps_suppkey").distinct().count() == n_parts * 4
+        ), (n_parts, n_sup)
+
+
 def test_write_partitioned_orc_roundtrip(spark, tmp_path):
     from lakehouse_dba_tools_spark.datagen.generator import gen_supplier
 
@@ -146,16 +159,20 @@ def test_write_partitioned_orc_roundtrip(spark, tmp_path):
         "nation_band", (F.col("s_nationkey") % 5).cast("int")
     )
     out = str(tmp_path / "supp_orc")
+    conf_before = spark.conf.get("spark.sql.orc.compression.codec", None)
     write_partitioned(supp, out, partition_by=["nation_band"], fmt="orc")
     assert len(glob.glob(out + "/nation_band=*")) == 5
+    # compression is a writer option, not a session conf: snappy files
+    # appear and the session conf is untouched (no leak into later
+    # queries in the same session)
+    assert glob.glob(out + "/nation_band=*/*.snappy.orc")
+    assert spark.conf.get("spark.sql.orc.compression.codec", None) == conf_before
     back = spark.read.orc(out)
     assert back.count() == 1_000
     # partition column comes back (as the partition dir value); data
     # columns keep their types — decimal survives the ORC roundtrip
     assert dict(back.dtypes)["s_acctbal"] == "decimal(18,2)"
     assert back.select("s_suppkey").distinct().count() == 1_000
-    # the reference's ORC conf set was applied by the writer
-    assert spark.conf.get("spark.sql.orc.impl") == "native"
 
 
 def test_full_benchmark_schema_catalog(spark, tmp_path):

@@ -83,12 +83,36 @@ def test_cascade_delete_diamond_dag_unions_edges(spark):
     assert deleted["shipment"].count() + survivors["shipment"].count() == 4
 
 
-def test_cascade_delete_rejects_unordered_edges(spark):
+def test_cascade_delete_rejects_foreign_parent(spark):
     import pytest
 
     t = {"a": spark.createDataFrame([(1,)], ["k"]), "b": spark.createDataFrame([(1,)], ["k"])}
-    with pytest.raises(ValueError, match="topologically"):
+    with pytest.raises(ValueError, match="cycle or reference parents"):
         cascade_delete(t, "a", F.col("k") == 1, [Edge("missing", "k", "b", "k")])
+
+
+def test_cascade_delete_accepts_interleaved_edge_order(spark):
+    # A valid DAG whose edge LIST interleaves children: [A→B, A→C, C→B]
+    # mentions B before C has a deletion set. Children must be resolved
+    # by dependency, not first appearance.
+    a = spark.createDataFrame([(1,), (2,)], ["a_id"])
+    b = spark.createDataFrame(
+        [(10, 1, 100), (11, 2, 101), (12, 2, 100)], ["b_id", "b_aid", "b_cid"]
+    )
+    c = spark.createDataFrame([(100, 1), (101, 2)], ["c_id", "c_aid"])
+    survivors, deleted = cascade_delete(
+        {"a": a, "b": b, "c": c},
+        "a",
+        F.col("a_id") == 1,
+        [
+            Edge("a", "a_id", "b", "b_aid"),
+            Edge("a", "a_id", "c", "c_aid"),
+            Edge("c", "c_id", "b", "b_cid"),
+        ],
+    )
+    # b row 10 dies via A, row 12 via C(100); row 11 survives
+    assert sorted(r["b_id"] for r in deleted["b"].collect()) == [10, 12]
+    assert [r["b_id"] for r in survivors["b"].collect()] == [11]
 
 
 def test_cascade_plan_broadcasts_and_never_shuffles_facts(spark, sf_dir):
