@@ -229,39 +229,85 @@ def gen_nation(spark: SparkSession) -> DataFrame:
 def gen_store_sales(
     spark: SparkSession, n_rows: int, seed: int = 100, partitions: int | None = None
 ) -> DataFrame:
-    """Synthetic store_sales with the TPC-DS spec column types
+    """Synthetic store_sales with the FULL TPC-DS spec schema
     (`resources/TPC-datagen-notebook.scala:1246-1272` — the widest
-    TPC-DS fact): integer surrogate keys, bigint ticket number,
-    decimal(7,2) money columns. Covers the columns the rollup queries
-    touch; remaining spec columns come from schemas.TPCDS_SCHEMAS when
-    a full-width frame is needed (create_all_tables declares them)."""
+    TPC-DS fact, 23 columns): integer surrogate keys, bigint ticket
+    number, decimal(7,2) money columns, conformed to
+    schemas.TPCDS_SCHEMAS column order. Foreign keys land in the
+    domains of the datagen.tpcds dimension generators (date_dim 2 years
+    from 2450815, item 1..18000, store 1..8, customer_demographics
+    1..1,920,800, promotion 1..300) so star joins resolve. Money
+    columns satisfy the spec identities exactly in decimal arithmetic:
+    ext_list = list*qty, ext_discount = ext_list - ext_sales,
+    net_paid = ext_sales - coupon, net_profit = net_paid -
+    ext_wholesale."""
+    from lakehouse_dba_tools_spark.datagen.tpcds import CD_ROWS, conform
+
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, parts)
     price = F.round(_u(f"lp{seed}") * 199 + 1, 2).cast("decimal(7,2)")
     qty = ((F.xxhash64("id", F.lit(f"q{seed}")) % 100 + 100) % 100 + 1).cast("int")
     discount = F.round(_u(f"dc{seed}") * 0.3, 2).cast("decimal(7,2)")
-    return base.select(
+    wholesale = F.round(price * F.lit(0.6), 2).cast("decimal(7,2)")
+    sales_price = F.round(price * (1 - discount), 2).cast("decimal(7,2)")
+    ext_sales = F.round(price * (1 - discount) * qty, 2).cast("decimal(7,2)")
+    ext_list = F.round(price * qty, 2).cast("decimal(7,2)")
+    ext_wholesale = F.round(wholesale * qty, 2).cast("decimal(7,2)")
+    ext_tax = F.round(ext_sales * F.lit(0.05), 2).cast("decimal(7,2)")
+    coupon = (
+        F.when(
+            (F.xxhash64("id", F.lit(f"cp{seed}")) % 10 + 10) % 10 == 0,
+            F.round(ext_sales * F.lit(0.1), 2),
+        )
+        .otherwise(F.lit(0))
+        .cast("decimal(7,2)")
+    )
+    net_paid = (ext_sales - coupon).cast("decimal(7,2)")
+    out = base.select(
         # ~2 years of date surrogate keys, TPC-DS style (days since epoch base)
         ((F.xxhash64("id", F.lit(f"d{seed}")) % 730 + 730) % 730 + 2450815)
         .cast("int")
         .alias("ss_sold_date_sk"),
+        ((F.xxhash64("id", F.lit(f"t{seed}")) % 86400 + 86400) % 86400)
+        .cast("int")
+        .alias("ss_sold_time_sk"),
         ((F.xxhash64("id", F.lit(f"i{seed}")) % 18000 + 18000) % 18000 + 1)
         .cast("int")
         .alias("ss_item_sk"),
         ((F.xxhash64("id", F.lit(f"c{seed}")) % 50000 + 50000) % 50000 + 1)
         .cast("int")
         .alias("ss_customer_sk"),
+        ((F.xxhash64("id", F.lit(f"cd{seed}")) % CD_ROWS + CD_ROWS) % CD_ROWS + 1)
+        .cast("int")
+        .alias("ss_cdemo_sk"),
+        ((F.xxhash64("id", F.lit(f"hd{seed}")) % 7200 + 7200) % 7200 + 1)
+        .cast("int")
+        .alias("ss_hdemo_sk"),
+        ((F.xxhash64("id", F.lit(f"ad{seed}")) % 50000 + 50000) % 50000 + 1)
+        .cast("int")
+        .alias("ss_addr_sk"),
         ((F.xxhash64("id", F.lit(f"st{seed}")) % 8 + 8) % 8 + 1)
         .cast("int")
         .alias("ss_store_sk"),
+        ((F.xxhash64("id", F.lit(f"pm{seed}")) % 300 + 300) % 300 + 1)
+        .cast("int")
+        .alias("ss_promo_sk"),
         (F.col("id") / 3 + 1).cast("bigint").alias("ss_ticket_number"),
         qty.alias("ss_quantity"),
+        wholesale.alias("ss_wholesale_cost"),
         price.alias("ss_list_price"),
-        F.round(price * (1 - discount), 2).cast("decimal(7,2)").alias("ss_sales_price"),
-        F.round(price * (1 - discount) * qty, 2)
-        .cast("decimal(7,2)")
-        .alias("ss_ext_sales_price"),
+        sales_price.alias("ss_sales_price"),
+        (ext_list - ext_sales).cast("decimal(7,2)").alias("ss_ext_discount_amt"),
+        ext_sales.alias("ss_ext_sales_price"),
+        ext_wholesale.alias("ss_ext_wholesale_cost"),
+        ext_list.alias("ss_ext_list_price"),
+        ext_tax.alias("ss_ext_tax"),
+        coupon.alias("ss_coupon_amt"),
+        net_paid.alias("ss_net_paid"),
+        (net_paid + ext_tax).cast("decimal(7,2)").alias("ss_net_paid_inc_tax"),
+        (net_paid - ext_wholesale).cast("decimal(7,2)").alias("ss_net_profit"),
     )
+    return conform(out, "store_sales")
 
 
 ORC_CONFS = {

@@ -43,10 +43,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     # canonicalization, so one slot hash-checks both stages.
     "doc_near_dup_components",
     "simhash_verified_near_dups",
-    "cosine_topk_brute",
-    # cosine_topk_lsh trails (round 4): under the exact-hash gate its
-    # checked config was near-exhaustive anyway; brute (baseline) +
-    # ivf (scale path) stay, partial-recall curves in test_similarity.
+    # cosine_topk_brute rotates out (round 5, green r1-r4): the brute
+    # top-k is recomputed as the in-query ground truth inside
+    # ivf_recall_report, which now hash-checks the PRODUCTION nprobe≪
+    # nlist configs (round-4 gap #1) — lsh_recall_report stays local.
+    "ivf_recall_report",
     "cosine_topk_ivf",
     "embedding_near_dups_lsh",
     "doc_chunking",
@@ -56,27 +57,35 @@ CHECKED_FIRST: tuple[str, ...] = (
     "multimodal_features",
     # multimodal_frame_sample trails (round 4): the mapInPandas binary
     # plumbing is hash-checked by multimodal_features.
-    # Curation tier (round 4 promotion — first driver rows)
+    # Curation tier — rotation: corpus_mixture_sample green in r4,
+    # rotates out for doc_pii_redaction's first driver row (round 5).
     "doc_decontamination",
-    "corpus_mixture_sample",
+    "doc_pii_redaction",
     # Lexical retrieval + DBA diagnostics tier (round 3)
     "bm25_keyword_topk",
     "term_postings_stats",
     "dq_constraint_report",
     "key_skew_report",
     "forget_keys_cascade",
-    # TPC-H tier — 5 representatives cover the join/agg/subquery shapes;
-    # the REST of the full 22-query suite (q1 via pricing_summary, q3-q11,
-    # q13, q14, q16, q17, q19-q21) trails, still diffchecked locally.
-    "q2_min_cost_supplier",
-    # q6_revenue_forecast trails (round 4): the filter+agg shape is
-    # covered by q12/q14 locally; slot freed for the new tiers.
+    # TPC-H tier — 4 representatives cover the join/agg/subquery shapes;
+    # q2 rotates out (green r3-r4; correlated-subquery shape stays
+    # locally diffchecked) to fund the new TPC-DS tier below. The rest
+    # of the 22 (q1 via pricing_summary, q3-q11, q13, q14, q16, q17,
+    # q19-q21) trails, still diffchecked locally.
     "q12_shipmode_priority",
     "q15_top_supplier",
     "q18_large_orders",
     "q22_idle_customers",
-    # Structured Streaming tier
-    "streaming_hourly_rollup",
+    # TPC-DS tier (round 5) — the reference's benchmark corpus
+    # (evaluation_tools/dbstress__Current.py:103). q3 = the date×item
+    # brand-rollup family (q42/q52/q55 trail as its variants), q7 = the
+    # five-table demographics star over the 1.92M-row cross-product dim.
+    "tpcds_q3_brand_rollup",
+    "tpcds_q7_demographics_star",
+    # Structured Streaming tier — rotation: streaming_hourly_rollup
+    # green r1-r4, rotates out for the overlapping-window variant's
+    # first driver row (round 5).
+    "streaming_sliding_rollup",
     "streaming_session_windows",
     "streaming_upsert_pipeline",
     "streaming_dedup_rollup",
@@ -86,23 +95,28 @@ CHECKED_FIRST: tuple[str, ...] = (
     "workload_stress_summary",
     # P5/F2 current-timestamp stamping, literal-stamp oracle (round 4)
     "endpoint_poll_snapshot",
-    # Full-schema datagen join (gen_supplier × gen_partsupp, round 4)
-    "datagen_supplier_partsupp",
+    # datagen_supplier_partsupp rotates out (green r4): S6 datagen keeps
+    # datagen_lineitem_rollup checked plus the whole generated TPC-DS
+    # tier; slot funds the round-4 conversions below.
     # Core relational / ETL / lakehouse tier
     # pricing_summary + region_revenue trail (round 4): the q1 rollup
     # shape is checked via datagen_lineitem_rollup, the inner equi-join
-    # via q2/q15/q18/event_cost_attribution.
+    # via q15/q18/event_cost_attribution.
     # W1 dedup-by-key is exercised inside query_history_etl_e2e (checked);
     # first_order_per_customer stays registered as its bench-stable twin.
+    # latest_event_per_user (W2) rotates out (green r1-r4): same
+    # rank-and-keep core as query_history_etl_e2e's W1 dedup, desc
+    # ordering carried by bm25_keyword_topk.
+    # session_counts rotates out (green r4): gap-based sessionization
+    # double-covered by streaming_session_windows' session_window agg.
+    # csv_roundtrip_ingest (S2) rotates out: the declared+exotic CSV
+    # path below is the stronger CSV check; inferred path stays unit.
     "parquet_table_history",
-    "latest_event_per_user",
     "event_json_rollup",
     "pivot_user_event_values",
     "rowcount_audit",
     "merge_upsert_orders",
-    "session_counts",
     "query_history_etl_e2e",
-    "csv_roundtrip_ingest",
     "nested_flatten_deep",
     "schema_reconcile_append",
     "asof_purchase_last_view",
@@ -116,6 +130,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     "maintenance_lifecycle_audit",
     "column_stats_profile",
     "file_detail_audit",
+    # Round-4 conversions promoted (round 5): S10/S11/S15/A2/D1-D4/D14,
+    # S12+ORC, and S3 move from local-diffcheck to hard driver signal.
+    "catalog_ddl_roundtrip",
+    "orc_roundtrip_report",
+    "csv_exotic_declared_report",
 )
 
 
@@ -138,6 +157,7 @@ def load_all() -> None:
         queries_streaming,
         queries_subqueries,
         queries_text,
+        queries_tpcds,
         queries_tpch,
         queries_tpch_full,
         queries_vector,

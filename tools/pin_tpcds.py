@@ -1,0 +1,66 @@
+"""Regenerate the pinned VALUES oracles for queries_tpcds.py.
+
+Run after any intentional generator change, paste the printed blocks
+over the __PIN_*__ placeholders (or existing pins), then re-run
+tools/diffcheck.py on the tpcds_* queries to confirm.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def fmt_val(v, dtype: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {dtype})"
+    if dtype in ("INT", "BIGINT"):
+        return f"CAST({int(v)} AS {dtype})"
+    if dtype == "DOUBLE":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def duck_type(spark_type: str) -> str:
+    return {
+        "int": "INT",
+        "bigint": "BIGINT",
+        "double": "DOUBLE",
+        "string": "VARCHAR",
+    }[spark_type]
+
+
+def main() -> None:
+    from lakehouse_dba_tools_spark import get_session
+    from lakehouse_dba_tools_spark import queries_tpcds  # noqa: F401
+    from lakehouse_dba_tools_spark.registry import QUERIES
+
+    spark = get_session()
+    names = [n for n in QUERIES if n.startswith("tpcds_")]
+    blocks = []
+    for name in names:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        dtypes = dict(df.dtypes)
+        cols = df.columns
+        rows = df.collect()
+        lines = []
+        for row in rows:
+            vals = ", ".join(fmt_val(row[c], duck_type(dtypes[c])) for c in cols)
+            lines.append(f"      ({vals})")
+        body = ",\n".join(lines)
+        sql = (
+            "\n    SELECT * FROM (VALUES\n"
+            + body
+            + f"\n    ) AS t({', '.join(cols)})\n    "
+        )
+        blocks.append((name, sql))
+    spark.stop()
+    for name, sql in blocks:
+        print(f"===== {name} =====")
+        print(sql)
+
+
+if __name__ == "__main__":
+    main()
