@@ -230,21 +230,39 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-equal to brute in cosine_topk_ivf; the partial-recall CURVE is
     the scale story (nprobe trades recall for a 16/nprobe× smaller
     candidate join); exact per-SF curves live in test_similarity.py."""
+    from lakehouse_dba_tools_spark.similarity.search import ivf_topk_curve
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id")
+    # bounded: N_QUERY*TOP_K rows — persist so the 3 recall joins don't
+    # each re-run the brute corpus pass
+    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id").persist()
     n_total = N_QUERY * TOP_K
+    # one centroid training + one corpus assignment serves every nprobe;
+    # persist=False: the fixture corpus is small enough that the cache
+    # stage barrier costs more than recomputing the assignment (the
+    # at-scale default persists — see ivf_topk_curve docstring)
+    corpus_assign, curve = ivf_topk_curve(
+        emb, q, k=TOP_K, n_centroids=16,
+        nprobes=tuple(p for p, _ in _IVF_PROBE_FLOORS), persist=False,
+    )
+    floors = dict(_IVF_PROBE_FLOORS)
     rows, prev = [], -1.0
-    for nprobe, floor in _IVF_PROBE_FLOORS:
-        approx = ivf_topk(emb, q, k=TOP_K, n_centroids=16, nprobe=nprobe).select(
-            "query_id", "neighbor_id"
-        )
-        # bounded: ≤ N_QUERY*TOP_K rows on each side
-        recall = approx.join(truth, ["query_id", "neighbor_id"]).count() / n_total
-        rows.append((nprobe, floor, recall >= floor, recall >= prev))
-        prev = recall
+    try:
+        for nprobe, approx in curve:
+            recall = (
+                approx.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"])
+                .count()
+                / n_total
+            )
+            rows.append((nprobe, floors[nprobe], recall >= floors[nprobe], recall >= prev))
+            prev = recall
+    finally:
+        corpus_assign.unpersist()
+        truth.unpersist()
     return spark.createDataFrame(
         rows, "nprobe int, recall_floor double, recall_ok boolean, monotone_ok boolean"
     )
@@ -274,20 +292,37 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is a superset of the last and ``monotone_ok`` is structurally
     guaranteed — more tables recover recall at more candidate cost,
     the production dial."""
+    from lakehouse_dba_tools_spark.similarity.search import lsh_topk_curve
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id")
+    truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id").persist()
     n_total = N_QUERY * TOP_K
+    # one bucketing pass at max(n_tables); tbl<T filters reproduce each
+    # smaller config exactly (tensor-prefix property, see docstring)
+    handles, curve = lsh_topk_curve(
+        emb, q, k=TOP_K, n_planes=6,
+        n_tables_list=tuple(t for t, _ in _LSH_TABLE_FLOORS),
+        persist=False,  # small fixture corpus; see ivf_recall_report
+    )
+    floors = dict(_LSH_TABLE_FLOORS)
     rows, prev = [], -1.0
-    for n_tables, floor in _LSH_TABLE_FLOORS:
-        approx = lsh_topk(
-            emb, q, k=TOP_K, n_planes=6, n_tables=n_tables
-        ).select("query_id", "neighbor_id")
-        recall = approx.join(truth, ["query_id", "neighbor_id"]).count() / n_total
-        rows.append((6, n_tables, floor, recall >= floor, recall >= prev))
-        prev = recall
+    try:
+        for n_tables, approx in curve:
+            recall = (
+                approx.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"])
+                .count()
+                / n_total
+            )
+            rows.append((6, n_tables, floors[n_tables], recall >= floors[n_tables], recall >= prev))
+            prev = recall
+    finally:
+        for h in handles:
+            h.unpersist()
+        truth.unpersist()
     return spark.createDataFrame(
         rows,
         "n_planes int, n_tables int, recall_floor double, "

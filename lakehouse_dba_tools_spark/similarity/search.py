@@ -201,6 +201,115 @@ def ivf_topk(
     return _topk_by_sim(scored, k)
 
 
+def ivf_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    seed: int = 42,
+    persist: bool = True,
+):
+    """IVF top-k for SEVERAL nprobe configs sharing ONE centroid
+    training and one corpus-wide list assignment — how a production
+    recall sweep runs: the corpus pass is the expensive part and is
+    identical for every nprobe (probing only changes the query side),
+    so recomputing it per config (3 separate ``ivf_topk`` calls) does
+    3× the corpus work for the same answers. Returns ``(corpus_assign,
+    [(nprobe, topk_df), ...])``; the caller unpersists ``corpus_assign``
+    after consuming the results. ``persist=True`` materializes the
+    assignment once (the 100 TB default — at real corpus scale the
+    recompute dwarfs the cache barrier); pass False at small scale
+    where the stage barrier costs more than the recompute."""
+    cents = np.asarray(
+        train_centroids(corpus, n_centroids, vec_col, seed=seed, id_col=id_col)
+    )
+    assign1 = nearest_centroids_udf(cents, 1)
+    c = (
+        fan_out(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            l2_normalize(as_double(vec_col)).alias("_cv"),
+        )
+        .withColumn("cid", assign1(F.col("_cv"))[0])
+    )
+    if persist:
+        c = c.persist()
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), l2_normalize(as_double(vec_col)).alias("_qv")
+    )
+    out = []
+    for nprobe in nprobes:
+        assignN = nearest_centroids_udf(cents, nprobe)
+        q = q_base.withColumn("cid", F.explode(assignN(F.col("_qv"))))
+        scored = c.join(q, "cid").select(
+            "query_id", "neighbor_id", F.round(pair_dot("_cv", "_qv"), 9).alias("sim")
+        )
+        out.append((nprobe, _topk_by_sim(scored, k)))
+    return c, out
+
+
+def lsh_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    n_tables_list: tuple[int, ...] = (2, 4, 12),
+    dim: int = 64,
+    seed: int = 42,
+    persist: bool = True,
+):
+    """LSH top-k for SEVERAL n_tables configs sharing ONE bucketing
+    pass. With a fixed seed the T-table hyperplane tensor literally
+    extends the (T-1)-table one (same rng draw order), so bucketing
+    once at max(n_tables) and filtering ``tbl < T`` reproduces each
+    smaller config EXACTLY — one corpus pass instead of one per config.
+    Returns ``(handles, [(n_tables, topk_df), ...])``; caller
+    unpersists the handles after consuming. ``persist`` as in
+    ``ivf_topk_curve``: True is the at-scale default, False skips the
+    cache barrier where the corpus is small."""
+    t_max = max(n_tables_list)
+    planes = _hyperplane_tensor(dim, n_planes, t_max, seed)
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), l2_normalize(as_double(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), l2_normalize(as_double(vec_col)).alias("_qv")
+    )
+    c_b = _with_buckets(c.select("neighbor_id", "_cv"), "_cv", planes).select(
+        "neighbor_id", "tbl", "bkt"
+    )
+    q_b = _with_buckets(q.select("query_id", "_qv"), "_qv", planes).select(
+        "query_id", "tbl", "bkt"
+    )
+    if persist:
+        c_b = c_b.persist()
+        q_b = q_b.persist()
+    out = []
+    for n_tables in n_tables_list:
+        cand = (
+            c_b.filter(F.col("tbl") < n_tables)
+            .join(q_b.filter(F.col("tbl") < n_tables), on=["tbl", "bkt"])
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = (
+            cand.join(c, "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "neighbor_id", F.round(pair_dot("_cv", "_qv"), 9).alias("sim")
+            )
+        )
+        out.append((n_tables, _topk_by_sim(scored, k)))
+    return (c_b, q_b), out
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
