@@ -349,3 +349,279 @@ def gen_promotion(
         yn(f"pda{seed}").alias("p_discount_active"),
     )
     return conform(out, "promotion")
+
+
+def gen_time_dim(spark: SparkSession, partitions: int | None = None) -> DataFrame:
+    """time_dim: one row per second of day (86,400 rows at every scale
+    factor — a spec fixed-size table, `resources/TPC-datagen-notebook
+    .scala:1276-1287`). t_time_sk = seconds-since-midnight, matching
+    gen_store_sales' ss_sold_time_sk domain [0, 86400). Pure clock
+    algebra over ``spark.range`` — no hashing, no shuffle."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, 86_400, 1, parts)
+    sk = F.col("id")
+    hour = F.floor(sk / 3600).cast("int")
+    minute = (F.floor(sk / 60) % 60).cast("int")
+    second = (sk % 60).cast("int")
+    out = base.select(
+        sk.cast("int").alias("t_time_sk"),
+        F.lpad(F.concat(F.lit("T"), sk.cast("string")), 16, "0").alias("t_time_id"),
+        sk.cast("int").alias("t_time"),
+        hour.alias("t_hour"),
+        minute.alias("t_minute"),
+        second.alias("t_second"),
+        F.when(hour < 12, "AM").otherwise("PM").alias("t_am_pm"),
+        # The spec's three 8-hour shifts and their half-splits.
+        F.when(hour < 8, "third")
+        .when(hour < 16, "first")
+        .otherwise("second")
+        .alias("t_shift"),
+        F.when(hour < 4, "night")
+        .when(hour < 12, "morning")
+        .when(hour < 20, "afternoon")
+        .otherwise("evening")
+        .alias("t_sub_shift"),
+        F.when((hour >= 6) & (hour <= 8), "breakfast")
+        .when((hour >= 11) & (hour <= 13), "lunch")
+        .when((hour >= 17) & (hour <= 19), "dinner")
+        .otherwise(None)
+        .alias("t_meal_time"),
+    )
+    return conform(out, "time_dim")
+
+
+# Public TPC-DS household_demographics domains — the table is the full
+# cross product (7,200 rows at every scale factor): 20 income bands ×
+# 6 buy potentials × 10 dependent counts × 6 vehicle counts.
+HD_BUY_POTENTIAL = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500", "Unknown"]
+HD_ROWS = 20 * 6 * 10 * 6  # 7,200
+
+
+def gen_household_demographics(spark: SparkSession, partitions: int | None = None) -> DataFrame:
+    """household_demographics: the spec's exact cross-product table,
+    decoded positionally from the surrogate key like
+    gen_customer_demographics — zero randomness, identical rows under
+    any partitioning."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, HD_ROWS, 1, parts)
+    x0 = F.col("id")
+    income = x0 % 20
+    x1 = F.floor(x0 / 20)
+    buy = x1 % 6
+    x2 = F.floor(x1 / 6)
+    dep = x2 % 10
+    vehicle = F.floor(x2 / 10) % 6 - 1  # spec domain -1..4
+    out = base.select(
+        (x0 + 1).cast("int").alias("hd_demo_sk"),
+        (income + 1).cast("int").alias("hd_income_band_sk"),
+        F.array(*[F.lit(v) for v in HD_BUY_POTENTIAL])[buy.cast("int")].alias(
+            "hd_buy_potential"
+        ),
+        dep.cast("int").alias("hd_dep_count"),
+        vehicle.cast("int").alias("hd_vehicle_count"),
+    )
+    return conform(out, "household_demographics")
+
+
+def gen_income_band(spark: SparkSession) -> DataFrame:
+    """income_band: the spec's 20 fixed $10k brackets."""
+    base = spark.range(0, 20, 1, 1)
+    sk = F.col("id") + 1
+    out = base.select(
+        sk.cast("int").alias("ib_income_band_sk"),
+        (F.col("id") * 10_000 + F.when(F.col("id") == 0, 0).otherwise(1)).cast("int").alias(
+            "ib_lower_bound"
+        ),
+        (sk * 10_000).cast("int").alias("ib_upper_bound"),
+    )
+    return conform(out, "income_band")
+
+
+CA_CITIES = [
+    "Midway", "Fairview", "Oak Grove", "Riverside", "Centerville",
+    "Pleasant Hill", "Five Points", "Liberty", "Shiloh", "Union",
+]
+CA_STATES = S_STATES + ["CA", "WA", "NY", "VA", "KY", "MO"]
+CA_LOCATION_TYPES = ["apartment", "condo", "single family"]
+
+
+def gen_customer_address(
+    spark: SparkSession, n_rows: int = 50_000, seed: int = 100, partitions: int | None = None
+) -> DataFrame:
+    """customer_address: full 13-column spec schema; sk domain 1..n
+    matches gen_store_sales' ss_addr_sk (default 50k)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    sk = F.col("id") + 1
+    out = base.select(
+        sk.cast("int").alias("ca_address_sk"),
+        F.lpad(F.concat(F.lit("A"), sk.cast("string")), 16, "0").alias("ca_address_id"),
+        (_mod(f"can{seed}", 900) + 100).cast("string").alias("ca_street_number"),
+        F.concat_ws(
+            " ",
+            _pick(f"cas1{seed}", ["Main", "Oak", "Park", "First", "Elm", "Cedar", "Maple"]),
+            _pick(f"cas2{seed}", ["", "Hill", "Ridge", "View", "Creek"]),
+        ).alias("ca_street_name"),
+        _pick(f"cast{seed}", ["Street", "Avenue", "Blvd", "Road", "Lane", "Court"]).alias(
+            "ca_street_type"
+        ),
+        F.concat(F.lit("Suite "), (_mod(f"casu{seed}", 400) + 100).cast("string")).alias(
+            "ca_suite_number"
+        ),
+        _pick(f"cacty{seed}", CA_CITIES).alias("ca_city"),
+        _pick(f"cacnty{seed}", ["Williamson County", "Walker County", "Ziebach County", "Daviess County"]).alias(
+            "ca_county"
+        ),
+        _pick(f"cast8{seed}", CA_STATES).alias("ca_state"),
+        F.lpad((_mod(f"cazip{seed}", 90_000) + 10_000).cast("string"), 5, "0").alias("ca_zip"),
+        F.lit("United States").alias("ca_country"),
+        F.lit(-5.00).cast("decimal(5,2)").alias("ca_gmt_offset"),
+        _pick(f"calt{seed}", CA_LOCATION_TYPES).alias("ca_location_type"),
+    )
+    return conform(out, "customer_address")
+
+
+C_SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"]
+C_FIRST_NAMES = [
+    "James", "Mary", "John", "Patricia", "Robert", "Linda", "Michael",
+    "Barbara", "William", "Elizabeth", "David", "Jennifer", "Richard",
+    "Maria", "Charles", "Susan",
+]
+C_LAST_NAMES = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia",
+    "Miller", "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez",
+]
+C_COUNTRIES = ["United States", "Canada", "Mexico", "Brazil", "Germany", "Japan"]
+
+
+def gen_customer_ds(
+    spark: SparkSession, n_rows: int = 50_000, seed: int = 100, partitions: int | None = None
+) -> DataFrame:
+    """TPC-DS customer (distinct from the TPC-H ``gen_customer``): full
+    18-column spec schema. FK domains line up with the sibling
+    generators — cdemo 1..1,920,800, hdemo 1..7,200, addr 1..n_rows —
+    so q19/q68/q73-family joins resolve."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, parts)
+    sk = F.col("id") + 1
+    first = _pick(f"cfn{seed}", C_FIRST_NAMES)
+    last = _pick(f"cln{seed}", C_LAST_NAMES)
+    first_sales = (JULIAN_1998_01_01 + _mod(f"cfs{seed}", 700)).cast("int")
+    out = base.select(
+        sk.cast("int").alias("c_customer_sk"),
+        F.lpad(F.concat(F.lit("C"), sk.cast("string")), 16, "0").alias("c_customer_id"),
+        (_mod(f"ccd{seed}", 1_920_800) + 1).cast("int").alias("c_current_cdemo_sk"),
+        (_mod(f"chd{seed}", HD_ROWS) + 1).cast("int").alias("c_current_hdemo_sk"),
+        (_mod(f"cad{seed}", n_rows) + 1).cast("int").alias("c_current_addr_sk"),
+        (first_sales + _mod(f"cfd{seed}", 30).cast("int")).alias("c_first_shipto_date_sk"),
+        first_sales.alias("c_first_sales_date_sk"),
+        _pick(f"csal{seed}", C_SALUTATIONS).alias("c_salutation"),
+        first.alias("c_first_name"),
+        last.alias("c_last_name"),
+        F.when(_mod(f"cpf{seed}", 2) == 0, "N").otherwise("Y").alias("c_preferred_cust_flag"),
+        (_mod(f"cbd{seed}", 28) + 1).cast("int").alias("c_birth_day"),
+        (_mod(f"cbm{seed}", 12) + 1).cast("int").alias("c_birth_month"),
+        (_mod(f"cby{seed}", 69) + 1924).cast("int").alias("c_birth_year"),
+        _pick(f"cbc{seed}", C_COUNTRIES).alias("c_birth_country"),
+        F.lit(None).cast("string").alias("c_login"),
+        F.concat(
+            F.lower(first), F.lit("."), F.lower(last), F.lit("."), sk.cast("string"),
+            F.lit("@example.com"),
+        ).alias("c_email_address"),
+        (first_sales + _mod(f"clr{seed}", 1000).cast("int")).alias("c_last_review_date_sk"),
+    )
+    return conform(out, "customer")
+
+
+R_REASONS = [
+    "Package was damaged", "Stopped working", "Did not fit",
+    "Not the product that was ordred", "Parts missing",
+    "Does not work with a product that I have", "Gift exchange",
+    "Did not like the color", "Did not like the model",
+    "Did not like the make", "Did not like the warranty", "unauthoized purchase",
+    "Duplicate purchase", "Found a better price in a store",
+    "Found a better extended warranty in a store", "No service location in my area",
+    "reason 17", "reason 18", "reason 19", "reason 20", "reason 21",
+    "reason 22", "reason 23", "reason 24", "reason 25", "reason 26",
+    "reason 27", "reason 28", "reason 29", "reason 30", "reason 31",
+    "reason 32", "reason 33", "reason 34", "reason 35",
+]
+
+
+def gen_reason(spark: SparkSession) -> DataFrame:
+    """reason: the spec's 35 return-reason rows (sf1 size)."""
+    base = spark.range(0, len(R_REASONS), 1, 1)
+    sk = F.col("id") + 1
+    out = base.select(
+        sk.cast("int").alias("r_reason_sk"),
+        F.lpad(F.concat(F.lit("R"), sk.cast("string")), 16, "0").alias("r_reason_id"),
+        F.array(*[F.lit(r) for r in R_REASONS])[F.col("id").cast("int")].alias(
+            "r_reason_desc"
+        ),
+    )
+    return conform(out, "reason")
+
+
+def _uh(tag: str, *cols: Column) -> Column:
+    """Uniform [0,1) double hashed from row CONTENT (not the range id) —
+    for tables derived from another generated table's rows."""
+    h = F.xxhash64(*cols, F.lit(tag))
+    return (h.bitwiseAND(F.lit(_MASK53).cast("long"))).cast("double") / float(1 << 53)
+
+
+def _modh(tag: str, n: int, *cols: Column) -> Column:
+    return (F.xxhash64(*cols, F.lit(tag)) % n + n) % n
+
+
+def gen_store_returns(
+    spark: SparkSession, n_sales: int, seed: int = 100, return_rate: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """store_returns: a deterministic ~1/return_rate sample of
+    gen_store_sales' rows, every sr_* column a pure function of the
+    originating sale's content (`resources/TPC-datagen-notebook.scala
+    :1228-1248` declares the 20-column schema; dsdgen likewise emits
+    returns as a fact-derived stream). Keyed by (sr_item_sk,
+    sr_ticket_number) so returns join their sales line; money columns
+    satisfy the spec identities in exact decimal arithmetic
+    (amt_inc_tax = amt + tax, refunded + reversed + credit = amt).
+
+    Scale: inherits store_sales' embarrassing parallelism — the filter
+    and projections are narrow, no shuffle, no driver state."""
+    from lakehouse_dba_tools_spark.datagen.generator import gen_store_sales
+
+    ss = gen_store_sales(spark, n_sales, seed=seed, partitions=partitions)
+    key = [F.col("ss_ticket_number"), F.col("ss_item_sk"), F.col("ss_sold_date_sk")]
+    picked = ss.where(_modh(f"ret{seed}", return_rate, *key) == 0)
+    rq = (_modh(f"rq{seed}", 1_000_000, *key) % F.col("ss_quantity") + 1).cast("int")
+    amt = F.round(F.col("ss_sales_price") * rq, 2).cast("decimal(7,2)")
+    tax = F.round(amt * F.lit(0.05), 2).cast("decimal(7,2)")
+    fee = F.round(_uh(f"rf{seed}", *key) * 99 + 1, 2).cast("decimal(7,2)")
+    ship = F.round(_uh(f"rs{seed}", *key) * 25, 2).cast("decimal(7,2)")
+    refunded = F.round(amt * F.lit(0.5), 2).cast("decimal(7,2)")
+    reversed_ = F.round((amt - refunded) * F.lit(0.5), 2).cast("decimal(7,2)")
+    out = picked.select(
+        (F.col("ss_sold_date_sk") + (_modh(f"rd{seed}", 90, *key) + 1).cast("int"))
+        .cast("int")
+        .alias("sr_returned_date_sk"),
+        _modh(f"rt{seed}", 86_400, *key).cast("int").alias("sr_return_time_sk"),
+        F.col("ss_item_sk").alias("sr_item_sk"),
+        F.col("ss_customer_sk").alias("sr_customer_sk"),
+        F.col("ss_cdemo_sk").alias("sr_cdemo_sk"),
+        F.col("ss_hdemo_sk").alias("sr_hdemo_sk"),
+        F.col("ss_addr_sk").alias("sr_addr_sk"),
+        F.col("ss_store_sk").alias("sr_store_sk"),
+        (_modh(f"rr{seed}", len(R_REASONS), *key) + 1).cast("int").alias("sr_reason_sk"),
+        F.col("ss_ticket_number").alias("sr_ticket_number"),
+        rq.alias("sr_return_quantity"),
+        amt.alias("sr_return_amt"),
+        tax.alias("sr_return_tax"),
+        (amt + tax).cast("decimal(7,2)").alias("sr_return_amt_inc_tax"),
+        fee.alias("sr_fee"),
+        ship.alias("sr_return_ship_cost"),
+        refunded.alias("sr_refunded_cash"),
+        reversed_.alias("sr_reversed_charge"),
+        (amt - refunded - reversed_).cast("decimal(7,2)").alias("sr_store_credit"),
+        (tax + fee + ship).cast("decimal(7,2)").alias("sr_net_loss"),
+    )
+    return conform(out, "store_returns")

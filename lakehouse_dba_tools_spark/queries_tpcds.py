@@ -359,3 +359,537 @@ def tpcds_q98_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("i_category", "i_class", "i_item_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 expansion: the returns/time/household/address families.
+# Same oracle strategy as above — seed-100 pinned VALUES; every ORDER BY
+# carries a unique tiebreak so the pins are run/partitioning-invariant.
+# ---------------------------------------------------------------------------
+
+from lakehouse_dba_tools_spark.datagen.tpcds import (  # noqa: E402
+    gen_customer_address,
+    gen_customer_ds,
+    gen_household_demographics,
+    gen_store_returns,
+    gen_time_dim,
+)
+
+
+@register("tpcds_q96_time_slot_count", """
+    SELECT * FROM (VALUES
+      (CAST(417 AS BIGINT))
+    ) AS t(cnt)
+    
+    """)
+def tpcds_q96_time_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape: sales volume in one half-hour slot for one
+    demographic at high-traffic stores. Three fixed/spec-fixed-size dims
+    (time_dim 86.4k, household_demographics 7.2k, store 8) — all below
+    any sane autoBroadcastJoinThreshold, so Catalyst broadcasts them
+    from size estimates; the SF-scaling fact never moves."""
+    ss, _, _ = _star(spark)
+    td = gen_time_dim(spark)
+    hd = gen_household_demographics(spark)
+    st = gen_store(spark)
+    return (
+        ss.join(td, ss.ss_sold_time_sk == td.t_time_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(
+            (F.col("t_hour") == 20)
+            & (F.col("t_minute") >= 30)
+            & (F.col("hd_dep_count") == 7)
+            & (F.col("s_number_employees").between(200, 295))
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+@register("tpcds_q88_time_slot_matrix", """
+    SELECT * FROM (VALUES
+      (CAST(1160 AS BIGINT), CAST(1101 AS BIGINT), CAST(1124 AS BIGINT), CAST(1135 AS BIGINT), CAST(1089 AS BIGINT), CAST(1081 AS BIGINT), CAST(1099 AS BIGINT), CAST(1112 AS BIGINT))
+    ) AS t(h8_30_to_9, h9_to_9_30, h9_30_to_10, h10_to_10_30, h10_30_to_11, h11_to_11_30, h11_30_to_12, h12_to_12_30)
+    
+    """)
+def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: eight half-hour traffic counters cross-joined
+    into one row. Each block is an independent scalar aggregate over the
+    filtered fact; the joins stitching them are 1-row broadcasts (the
+    same BNLJ-stamp pattern as the BM25 stats join). At cluster scale
+    the eight scans share the cached fact; here each block's dim filters
+    prune before the fact join."""
+    ss, _, _ = _star(spark)
+    td = gen_time_dim(spark)
+    hd = gen_household_demographics(spark)
+    st = gen_store(spark)
+    base = (
+        ss.join(td, ss.ss_sold_time_sk == td.t_time_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(
+            (
+                ((F.col("hd_dep_count") == 4) & (F.col("hd_vehicle_count") <= 6))
+                | ((F.col("hd_dep_count") == 2) & (F.col("hd_vehicle_count") <= 4))
+                | ((F.col("hd_dep_count") == 0) & (F.col("hd_vehicle_count") <= 2))
+            )
+            & (F.col("s_store_name") == F.col("s_store_name"))  # spec keeps a store filter; all 8 stores qualify here
+        )
+    ).persist()
+
+    def slot(h: int, first_half: bool, name: str) -> DataFrame:
+        cond = (F.col("t_hour") == h) & (
+            (F.col("t_minute") < 30) if first_half else (F.col("t_minute") >= 30)
+        )
+        return base.where(cond).agg(F.count("*").cast("bigint").alias(name))
+
+    out = (
+        slot(8, False, "h8_30_to_9")
+        .crossJoin(slot(9, True, "h9_to_9_30"))
+        .crossJoin(slot(9, False, "h9_30_to_10"))
+        .crossJoin(slot(10, True, "h10_to_10_30"))
+        .crossJoin(slot(10, False, "h10_30_to_11"))
+        .crossJoin(slot(11, True, "h11_to_11_30"))
+        .crossJoin(slot(11, False, "h11_30_to_12"))
+        .crossJoin(slot(12, True, "h12_to_12_30"))
+    )
+    return out
+
+
+@register("tpcds_q19_brand_zip_mismatch", """
+    SELECT * FROM (VALUES
+      (CAST(2308 AS INT), 'Brand#23-8', CAST(23 AS INT), 'Manufacturer#23', CAST(17250.5 AS DOUBLE)),
+      (CAST(3407 AS INT), 'Brand#34-7', CAST(34 AS INT), 'Manufacturer#34', CAST(16867.32 AS DOUBLE)),
+      (CAST(104 AS INT), 'Brand#1-4', CAST(1 AS INT), 'Manufacturer#1', CAST(16094.52 AS DOUBLE)),
+      (CAST(9603 AS INT), 'Brand#96-3', CAST(96 AS INT), 'Manufacturer#96', CAST(14986.54 AS DOUBLE)),
+      (CAST(7810 AS INT), 'Brand#78-10', CAST(78 AS INT), 'Manufacturer#78', CAST(13784.14 AS DOUBLE)),
+      (CAST(6806 AS INT), 'Brand#68-6', CAST(68 AS INT), 'Manufacturer#68', CAST(13612.35 AS DOUBLE)),
+      (CAST(2407 AS INT), 'Brand#24-7', CAST(24 AS INT), 'Manufacturer#24', CAST(13477.93 AS DOUBLE)),
+      (CAST(4406 AS INT), 'Brand#44-6', CAST(44 AS INT), 'Manufacturer#44', CAST(13463.37 AS DOUBLE)),
+      (CAST(10004 AS INT), 'Brand#100-4', CAST(100 AS INT), 'Manufacturer#100', CAST(13293.01 AS DOUBLE)),
+      (CAST(2501 AS INT), 'Brand#25-1', CAST(25 AS INT), 'Manufacturer#25', CAST(13081.48 AS DOUBLE))
+    ) AS t(i_brand_id, i_brand, i_manufact_id, i_manufact, ext_price)
+    
+    """)
+def tpcds_q19_brand_zip_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape: brand revenue from customers who shop OUTSIDE
+    their home zip prefix — the fact chains through customer →
+    customer_address and compares against the store's zip. customer and
+    customer_address are SF-scaling, so neither is force-broadcast; the
+    zip inequality is evaluated post-join (it is not an equi-key)."""
+    ss, dd, it = _star(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark)
+    st = gen_store(spark)
+    return (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(cu, ss.ss_customer_sk == cu.c_customer_sk)
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(
+            (F.col("i_manager_id") == 8)
+            & (F.col("d_moy") == 11)
+            & (F.col("d_year") == 1998)
+            & (F.substring("ca_zip", 1, 5) != F.substring("s_zip", 1, 5))
+        )
+        .groupBy("i_brand_id", "i_brand", "i_manufact_id", "i_manufact")
+        .agg(_money("ss_ext_sales_price").alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), F.col("i_brand_id"), F.col("i_manufact_id"))
+        .limit(10)
+    )
+
+
+@register("tpcds_q73_ticket_item_counts", """
+    SELECT * FROM (VALUES
+      ('Brown', 'Linda', 'Sir', 'N', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Jennifer', 'Sir', 'N', CAST(471 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Charles', 'Dr.', 'Y', CAST(1318 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Linda', 'Dr.', 'Y', CAST(1554 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'William', 'Mr.', 'N', CAST(2284 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Mary', 'Mr.', 'Y', CAST(2478 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Mary', 'Ms.', 'N', CAST(2851 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Robert', 'Miss', 'Y', CAST(3008 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Maria', 'Mrs.', 'Y', CAST(3041 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Maria', 'Mrs.', 'N', CAST(3134 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Richard', 'Sir', 'N', CAST(3222 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Maria', 'Miss', 'N', CAST(3505 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'Robert', 'Ms.', 'N', CAST(4063 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'John', 'Ms.', 'N', CAST(4091 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Brown', 'James', 'Dr.', 'N', CAST(4114 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, ss_ticket_number, cnt)
+    
+    """)
+def tpcds_q73_ticket_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73 shape: per-ticket line counts for one household
+    slice, then the customer lookup AFTER the aggregate — the join
+    input is the rolled-up ticket list, not the fact. cnt is computed
+    before customer attributes attach, the spec's two-phase shape."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    hd = gen_household_demographics(spark)
+    cu = gen_customer_ds(spark)
+    dj = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .where(
+            F.col("d_dom").between(1, 2)
+            & F.col("hd_buy_potential").isin(">10000", "Unknown")
+            & (F.col("hd_vehicle_count") > 0)
+            & F.col("d_year").isin(1998, 1999)
+        )
+        .groupBy("ss_ticket_number", "ss_customer_sk")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt").between(1, 5))
+    )
+    return (
+        dj.join(cu, dj.ss_customer_sk == cu.c_customer_sk)
+        .select(
+            "c_last_name", "c_first_name", "c_salutation", "c_preferred_cust_flag",
+            "ss_ticket_number", "cnt",
+        )
+        .orderBy(
+            F.col("cnt").desc(), F.col("c_last_name"),
+            F.col("ss_ticket_number"),  # unique tiebreak for the pin
+        )
+        .limit(15)
+    )
+
+
+@register("tpcds_q68_two_city_tickets", """
+    SELECT * FROM (VALUES
+      ('Brown', 'Linda', CAST(20 AS BIGINT), 'Fairview', CAST(373.25 AS DOUBLE), CAST(18.66 AS DOUBLE), CAST(491.12 AS DOUBLE)),
+      ('Brown', 'John', CAST(324 AS BIGINT), 'Centerville', CAST(4437.05 AS DOUBLE), CAST(221.85 AS DOUBLE), CAST(4527.6 AS DOUBLE)),
+      ('Brown', 'Jennifer', CAST(471 AS BIGINT), 'Oak Grove', CAST(2007.43 AS DOUBLE), CAST(100.37 AS DOUBLE), CAST(2361.68 AS DOUBLE)),
+      ('Brown', 'Michael', CAST(542 AS BIGINT), 'Shiloh', CAST(5293.0 AS DOUBLE), CAST(264.65 AS DOUBLE), CAST(5881.11 AS DOUBLE)),
+      ('Brown', 'David', CAST(612 AS BIGINT), 'Liberty', CAST(711.9 AS DOUBLE), CAST(35.6 AS DOUBLE), CAST(924.55 AS DOUBLE)),
+      ('Brown', 'Michael', CAST(1567 AS BIGINT), 'Shiloh', CAST(4077.29 AS DOUBLE), CAST(203.86 AS DOUBLE), CAST(5824.7 AS DOUBLE)),
+      ('Brown', 'Jennifer', CAST(2058 AS BIGINT), 'Five Points', CAST(2544.08 AS DOUBLE), CAST(127.2 AS DOUBLE), CAST(2544.08 AS DOUBLE)),
+      ('Brown', 'David', CAST(2301 AS BIGINT), 'Riverside', CAST(3970.9 AS DOUBLE), CAST(198.55 AS DOUBLE), CAST(5592.81 AS DOUBLE)),
+      ('Brown', 'Maria', CAST(2473 AS BIGINT), 'Fairview', CAST(999.72 AS DOUBLE), CAST(49.99 AS DOUBLE), CAST(1408.05 AS DOUBLE)),
+      ('Brown', 'Mary', CAST(2851 AS BIGINT), 'Shiloh', CAST(5614.96 AS DOUBLE), CAST(280.75 AS DOUBLE), CAST(5848.92 AS DOUBLE)),
+      ('Brown', 'Robert', CAST(3008 AS BIGINT), 'Midway', CAST(2003.77 AS DOUBLE), CAST(100.19 AS DOUBLE), CAST(2024.01 AS DOUBLE)),
+      ('Brown', 'David', CAST(3612 AS BIGINT), 'Pleasant Hill', CAST(7547.12 AS DOUBLE), CAST(377.36 AS DOUBLE), CAST(9203.81 AS DOUBLE)),
+      ('Brown', 'Richard', CAST(3997 AS BIGINT), 'Centerville', CAST(7620.35 AS DOUBLE), CAST(381.02 AS DOUBLE), CAST(9769.68 AS DOUBLE)),
+      ('Brown', 'James', CAST(4114 AS BIGINT), 'Midway', CAST(2326.61 AS DOUBLE), CAST(116.33 AS DOUBLE), CAST(3231.4 AS DOUBLE)),
+      ('Brown', 'Charles', CAST(4132 AS BIGINT), 'Riverside', CAST(681.03 AS DOUBLE), CAST(34.05 AS DOUBLE), CAST(748.38 AS DOUBLE))
+    ) AS t(c_last_name, c_first_name, ss_ticket_number, bought_city, extended_price, extended_tax, list_price)
+    
+    """)
+def tpcds_q68_two_city_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68 shape: ticket-level spend where the purchase address
+    city differs from the customer's CURRENT address city — the same
+    SF-scaling address dim joins twice under different keys (bought vs
+    current), the spec's double-role-dim pattern."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    hd = gen_household_demographics(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark)
+    bought = ca.select(
+        F.col("ca_address_sk").alias("b_addr_sk"), F.col("ca_city").alias("bought_city")
+    )
+    current = ca.select(
+        F.col("ca_address_sk").alias("cur_addr_sk"), F.col("ca_city").alias("current_city")
+    )
+    dn = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(bought, ss.ss_addr_sk == F.col("b_addr_sk"))
+        .where(
+            F.col("d_dom").between(1, 2)
+            & ((F.col("hd_dep_count") == 4) | (F.col("hd_vehicle_count") == 3))
+            & F.col("d_year").isin(1998, 1999)
+        )
+        .groupBy("ss_ticket_number", "ss_customer_sk", "bought_city")
+        .agg(
+            _money("ss_ext_sales_price").alias("extended_price"),
+            _money("ss_ext_list_price").alias("list_price"),
+            _money("ss_ext_tax").alias("extended_tax"),
+        )
+    )
+    return (
+        dn.join(cu, dn.ss_customer_sk == cu.c_customer_sk)
+        .join(current, cu.c_current_addr_sk == F.col("cur_addr_sk"))
+        .where(F.col("current_city") != F.col("bought_city"))
+        .select(
+            "c_last_name", "c_first_name", "ss_ticket_number", "bought_city",
+            "extended_price", "extended_tax", "list_price",
+        )
+        .orderBy("c_last_name", F.col("ss_ticket_number"))
+        .limit(15)
+    )
+
+
+@register("tpcds_q79_ticket_profit", """
+    SELECT * FROM (VALUES
+      ('Brown', 'Barbara', 'Centerville', CAST(60384 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1864.28 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Centerville', CAST(54776 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(169.23 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Centerville', CAST(44265 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(42.45 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(14720 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(5215.46 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(8290 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(4960.86 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(18009 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(3739.74 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(48511 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2900.46 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(65261 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2765.07 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(33930 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2346.95 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(59625 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1813.34 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(43005 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1574.21 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(59445 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1458.67 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(25178 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1425.2 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(30102 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1324.78 AS DOUBLE)),
+      ('Brown', 'Barbara', 'Fairview', CAST(52912 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1072.7 AS DOUBLE))
+    ) AS t(c_last_name, c_first_name, city, ss_ticket_number, amt, profit)
+    
+    """)
+def tpcds_q79_ticket_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape: Monday-shopper ticket coupon/profit rollup at
+    big stores, customer attributes attached after the aggregate."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    hd = gen_household_demographics(spark)
+    cu = gen_customer_ds(spark)
+    ms = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .where(
+            ((F.col("hd_dep_count") == 6) | (F.col("hd_vehicle_count") > 2))
+            & (F.col("d_dow") == 1)
+            & F.col("d_year").isin(1998, 1999)
+            & (F.col("s_number_employees").between(200, 295))
+        )
+        .groupBy("ss_ticket_number", "ss_customer_sk", "s_city")
+        .agg(
+            _money("ss_coupon_amt").alias("amt"),
+            _money("ss_net_profit").alias("profit"),
+        )
+    )
+    return (
+        ms.join(cu, ms.ss_customer_sk == cu.c_customer_sk)
+        .select(
+            "c_last_name", "c_first_name",
+            F.substring("s_city", 1, 30).alias("city"),
+            "ss_ticket_number", "amt", "profit",
+        )
+        .orderBy(
+            "c_last_name", "c_first_name", "city", F.col("profit").desc(),
+            F.col("ss_ticket_number"),
+        )
+        .limit(15)
+    )
+
+
+@register("tpcds_q1_returning_customers", """
+    SELECT * FROM (VALUES
+      ('0000000000000C68'),
+      ('000000000000C526'),
+      ('000000000000C623'),
+      ('000000000000C675'),
+      ('000000000000C801'),
+      ('000000000000C808'),
+      ('00000000000C1008'),
+      ('00000000000C1023'),
+      ('00000000000C1075'),
+      ('00000000000C1298'),
+      ('00000000000C1410'),
+      ('00000000000C1532'),
+      ('00000000000C1770'),
+      ('00000000000C1960'),
+      ('00000000000C2019'),
+      ('00000000000C2221'),
+      ('00000000000C2272'),
+      ('00000000000C2283'),
+      ('00000000000C2471'),
+      ('00000000000C2571'),
+      ('00000000000C2813'),
+      ('00000000000C2985'),
+      ('00000000000C3002'),
+      ('00000000000C3079'),
+      ('00000000000C3115'),
+      ('00000000000C3134'),
+      ('00000000000C3196'),
+      ('00000000000C3211'),
+      ('00000000000C3236'),
+      ('00000000000C3267'),
+      ('00000000000C3316'),
+      ('00000000000C3432'),
+      ('00000000000C3474'),
+      ('00000000000C4157'),
+      ('00000000000C4246'),
+      ('00000000000C4290'),
+      ('00000000000C4581'),
+      ('00000000000C5118'),
+      ('00000000000C5475'),
+      ('00000000000C5492'),
+      ('00000000000C5509'),
+      ('00000000000C5561'),
+      ('00000000000C5569'),
+      ('00000000000C5878'),
+      ('00000000000C6067'),
+      ('00000000000C6180'),
+      ('00000000000C6504'),
+      ('00000000000C6541'),
+      ('00000000000C6733'),
+      ('00000000000C6759'),
+      ('00000000000C6770'),
+      ('00000000000C7203'),
+      ('00000000000C7349'),
+      ('00000000000C7484'),
+      ('00000000000C7485'),
+      ('00000000000C7567'),
+      ('00000000000C7604'),
+      ('00000000000C7631'),
+      ('00000000000C7774'),
+      ('00000000000C7932'),
+      ('00000000000C8014'),
+      ('00000000000C8017'),
+      ('00000000000C8095'),
+      ('00000000000C8223'),
+      ('00000000000C8742'),
+      ('00000000000C8833'),
+      ('00000000000C8940'),
+      ('00000000000C9378'),
+      ('00000000000C9704'),
+      ('0000000000C10172'),
+      ('0000000000C10333'),
+      ('0000000000C10354'),
+      ('0000000000C10376'),
+      ('0000000000C10535'),
+      ('0000000000C10610'),
+      ('0000000000C10750'),
+      ('0000000000C10844'),
+      ('0000000000C10921'),
+      ('0000000000C10985'),
+      ('0000000000C11030'),
+      ('0000000000C11144'),
+      ('0000000000C11735'),
+      ('0000000000C11871'),
+      ('0000000000C11903'),
+      ('0000000000C12379'),
+      ('0000000000C13022'),
+      ('0000000000C13163'),
+      ('0000000000C13265'),
+      ('0000000000C13357'),
+      ('0000000000C13634'),
+      ('0000000000C14007'),
+      ('0000000000C14269'),
+      ('0000000000C14438'),
+      ('0000000000C14671'),
+      ('0000000000C14902'),
+      ('0000000000C14910'),
+      ('0000000000C14948'),
+      ('0000000000C15221'),
+      ('0000000000C15269'),
+      ('0000000000C15508')
+    ) AS t(c_customer_id)
+    
+    """)
+def tpcds_q1_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape: customers whose store-returns total beats 1.2×
+    their store's average — the spec's correlated-average subquery,
+    decorrelated the Spark way: aggregate once per (customer, store),
+    re-aggregate that result per store (tiny), join the two. Same
+    decorrelation pattern as q65/q15; the second side broadcasts by
+    size without a hint."""
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    st = gen_store(spark)
+    cu = gen_customer_ds(spark)
+    ctr = (
+        sr.join(dd, sr.sr_returned_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy(
+            F.col("sr_customer_sk").alias("ctr_customer_sk"),
+            F.col("sr_store_sk").alias("ctr_store_sk"),
+        )
+        .agg(F.sum("sr_return_amt").alias("ctr_total_return"))
+    )
+    # Cardinality bounded by the store key domain (8 here; ≤ ~2k rows at
+    # the spec's largest SF — store grows sub-linearly), so the hint is
+    # safe by construction; Catalyst's static size estimate for an
+    # aggregate over a generated source is too pessimistic to pick the
+    # broadcast itself.
+    avg_by_store = F.broadcast(
+        ctr.groupBy(F.col("ctr_store_sk").alias("avg_store_sk")).agg(
+            (F.avg("ctr_total_return") * 1.2).alias("bar")
+        )
+    )
+    return (
+        ctr.join(avg_by_store, ctr.ctr_store_sk == F.col("avg_store_sk"))
+        .where(F.col("ctr_total_return") > F.col("bar"))
+        .join(st, ctr.ctr_store_sk == st.s_store_sk)
+        .where(F.col("s_state") == "TN")
+        .join(cu, ctr.ctr_customer_sk == cu.c_customer_sk)
+        .select("c_customer_id")
+        .orderBy("c_customer_id")
+        .limit(100)
+    )
+
+
+@register("tpcds_q89_monthly_class_deviation", """
+    SELECT * FROM (VALUES
+      ('Sports', 'fitness', 'Brand#18-2', 'cally', CAST(3 AS INT), CAST(81.44 AS DOUBLE), CAST(248.1033 AS DOUBLE)),
+      ('Men', 'dresses', 'Brand#78-10', 'cally', CAST(9 AS INT), CAST(21.51 AS DOUBLE), CAST(186.705 AS DOUBLE)),
+      ('Sports', 'fitness', 'Brand#27-6', 'cally', CAST(4 AS INT), CAST(22.49 AS DOUBLE), CAST(187.3933 AS DOUBLE)),
+      ('Women', 'dresses', 'Brand#56-5', 'able', CAST(7 AS INT), CAST(12.71 AS DOUBLE), CAST(167.575 AS DOUBLE)),
+      ('Sports', 'fiction', 'Brand#76-1', 'able', CAST(4 AS INT), CAST(95.15 AS DOUBLE), CAST(243.075 AS DOUBLE)),
+      ('Sports', 'computers', 'Brand#38-2', 'ese', CAST(4 AS INT), CAST(10.71 AS DOUBLE), CAST(152.89 AS DOUBLE)),
+      ('Jewelry', 'dresses', 'Brand#51-9', 'ese', CAST(11 AS INT), CAST(67.35 AS DOUBLE), CAST(208.28 AS DOUBLE)),
+      ('Books', 'fitness', 'Brand#86-1', 'cally', CAST(2 AS INT), CAST(21.83 AS DOUBLE), CAST(161.205 AS DOUBLE)),
+      ('Sports', 'fitness', 'Brand#32-10', 'cally', CAST(7 AS INT), CAST(12.88 AS DOUBLE), CAST(150.135 AS DOUBLE)),
+      ('Men', 'bracelets', 'Brand#42-2', 'ese', CAST(11 AS INT), CAST(77.24 AS DOUBLE), CAST(212.65 AS DOUBLE)),
+      ('Electronics', 'fiction', 'Brand#8-3', 'cally', CAST(4 AS INT), CAST(68.38 AS DOUBLE), CAST(200.735 AS DOUBLE)),
+      ('Women', 'bracelets', 'Brand#47-4', 'ese', CAST(12 AS INT), CAST(65.85 AS DOUBLE), CAST(197.995 AS DOUBLE)),
+      ('Sports', 'fitness', 'Brand#5-4', 'cally', CAST(4 AS INT), CAST(11.84 AS DOUBLE), CAST(139.9743 AS DOUBLE)),
+      ('Women', 'dresses', 'Brand#73-2', 'ese', CAST(9 AS INT), CAST(3.49 AS DOUBLE), CAST(129.98 AS DOUBLE)),
+      ('Sports', 'fiction', 'Brand#31-8', 'able', CAST(5 AS INT), CAST(2.64 AS DOUBLE), CAST(129.0167 AS DOUBLE))
+    ) AS t(i_category, i_class, i_brand, s_store_name, d_moy, sum_sales, avg_monthly_sales)
+    
+    """)
+def tpcds_q89_monthly_class_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape: monthly (brand, store) revenue vs that
+    combination's year-average — a window AVG over a hash aggregate,
+    filtering rows that deviate >10%. The window partitions over
+    rolled-up rows only (brand × store × month), never the fact."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    rolled = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(
+            (F.col("d_year") == 1998)
+            & (
+                (
+                    F.col("i_category").isin("Books", "Electronics", "Sports")
+                    & F.col("i_class").isin("fiction", "computers", "fitness")
+                )
+                | (
+                    F.col("i_category").isin("Men", "Jewelry", "Women")
+                    & F.col("i_class").isin("pants", "bracelets", "dresses")
+                )
+            )
+        )
+        .groupBy("i_category", "i_class", "i_brand", "s_store_name", "s_company_name", "d_moy")
+        .agg(F.sum("ss_sales_price").alias("sum_sales"))
+    )
+    w = Window.partitionBy("i_category", "i_brand", "s_store_name", "s_company_name")
+    avg_m = F.avg("sum_sales").over(w)
+    return (
+        rolled.select(
+            "i_category", "i_class", "i_brand", "s_store_name", "d_moy",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            F.round(avg_m, 4).cast("double").alias("avg_monthly_sales"),
+        )
+        .where(
+            (F.col("avg_monthly_sales") != 0)
+            & (F.abs(F.col("sum_sales") - F.col("avg_monthly_sales")) / F.col("avg_monthly_sales") > 0.1)
+        )
+        .orderBy(
+            (F.col("sum_sales") - F.col("avg_monthly_sales")),
+            "s_store_name", "i_brand", "i_class", "d_moy",
+        )
+        .limit(15)
+    )

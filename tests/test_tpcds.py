@@ -151,3 +151,152 @@ def test_q98_window_over_rollup(spark, sf_dir):
     # formatted plans print the tree root-first: the Window (downstream
     # of the agg) must appear before HashAggregate in the tree text.
     assert win_pos < agg_pos
+
+
+# ---------------------------------------------------------------------------
+# Round-5 expansion: time/household/address/customer/returns generators.
+# ---------------------------------------------------------------------------
+
+from lakehouse_dba_tools_spark.datagen.tpcds import (  # noqa: E402
+    HD_ROWS,
+    gen_customer_address,
+    gen_customer_ds,
+    gen_household_demographics,
+    gen_income_band,
+    gen_reason,
+    gen_store_returns,
+    gen_time_dim,
+)
+
+
+def _new_generators(spark):
+    return {
+        "time_dim": gen_time_dim(spark),
+        "household_demographics": gen_household_demographics(spark),
+        "income_band": gen_income_band(spark),
+        "customer_address": gen_customer_address(spark, 500),
+        "customer": gen_customer_ds(spark, 500),
+        "reason": gen_reason(spark),
+        "store_returns": gen_store_returns(spark, 2_000),
+    }
+
+
+def test_new_generators_match_spec_schemas(spark):
+    from pyspark.sql.types import CharType, StringType, VarcharType
+
+    for table, df in _new_generators(spark).items():
+        spec = schema_for(table).fields
+        assert [f.name for f in df.schema.fields] == [f.name for f in spec], table
+        for have, want in zip(df.schema.fields, spec):
+            expected = (
+                StringType()
+                if isinstance(want.dataType, (CharType, VarcharType))
+                else want.dataType
+            )
+            assert have.dataType == expected, f"{table}.{want.name}"
+
+
+def test_time_dim_clock_algebra(spark):
+    """86,400 rows (spec fixed size), sk = seconds-since-midnight, and
+    the hour/minute/second decomposition reassembles the key."""
+    td = gen_time_dim(spark)
+    assert td.count() == 86_400
+    bad = td.where(
+        F.col("t_hour") * 3600 + F.col("t_minute") * 60 + F.col("t_second")
+        != F.col("t_time_sk")
+    ).count()
+    assert bad == 0
+    ampm = dict(td.groupBy("t_am_pm").count().collect())
+    assert ampm == {"AM": 43_200, "PM": 43_200}
+
+
+def test_household_demographics_cross_product(spark):
+    """7,200 rows, each (income_band, buy_potential, dep, vehicle)
+    combination exactly once — the spec's cross-product contract."""
+    hd = gen_household_demographics(spark)
+    assert hd.count() == HD_ROWS
+    assert (
+        hd.select("hd_income_band_sk", "hd_buy_potential", "hd_dep_count", "hd_vehicle_count")
+        .distinct()
+        .count()
+        == HD_ROWS
+    )
+    bounds = hd.agg(
+        F.min("hd_income_band_sk"), F.max("hd_income_band_sk"),
+        F.min("hd_dep_count"), F.max("hd_dep_count"),
+        F.min("hd_vehicle_count"), F.max("hd_vehicle_count"),
+    ).first()
+    assert (bounds[0], bounds[1]) == (1, 20)
+    assert (bounds[2], bounds[3]) == (0, 9)
+    assert (bounds[4], bounds[5]) == (-1, 4)
+    # every hd_income_band_sk resolves in income_band
+    ib = gen_income_band(spark)
+    assert hd.join(ib, hd.hd_income_band_sk == ib.ib_income_band_sk).count() == HD_ROWS
+
+
+def test_store_returns_derive_from_sales(spark):
+    """Every return joins its originating sales line on (ticket, item)
+    with quantity ≤ sold quantity, and the spec money identities hold
+    exactly in decimal: amt_inc_tax = amt + tax and the refund split
+    (cash + reversed charge + store credit) re-sums to the return amt."""
+    n = 5_000
+    ss = gen_store_sales(spark, n)
+    sr = gen_store_returns(spark, n)
+    cnt = sr.count()
+    # ~1/10 sample, loose band
+    assert n / 20 < cnt < n / 5
+    joined = sr.join(
+        ss,
+        (sr.sr_ticket_number == ss.ss_ticket_number)
+        & (sr.sr_item_sk == ss.ss_item_sk)
+        & (sr.sr_customer_sk == ss.ss_customer_sk),
+    )
+    assert joined.count() >= cnt  # every return resolves (ticket+item may repeat)
+    bad_qty = joined.where(F.col("sr_return_quantity") > F.col("ss_quantity")).count()
+    assert bad_qty == 0
+    bad_money = sr.where(
+        (F.col("sr_return_amt_inc_tax") != F.col("sr_return_amt") + F.col("sr_return_tax"))
+        | (
+            F.col("sr_refunded_cash") + F.col("sr_reversed_charge") + F.col("sr_store_credit")
+            != F.col("sr_return_amt")
+        )
+    ).count()
+    assert bad_money == 0
+    # returned date lands inside the generated date_dim span
+    dd = gen_date_dim(spark)
+    unresolved = sr.join(dd, sr.sr_returned_date_sk == dd.d_date_sk, "left_anti").count()
+    assert unresolved == 0
+
+
+def test_new_generators_partition_invariant(spark):
+    """Same rows under any partitioning — the pinned-oracle argument
+    extended to the derived store_returns (content-hashed, not id-hashed)."""
+    a = (
+        gen_store_returns(spark, 3_000, partitions=2)
+        .groupBy("sr_store_sk")
+        .agg(F.sum("sr_return_amt").alias("s"), F.count("*").alias("n"))
+    )
+    b = (
+        gen_store_returns(spark, 3_000, partitions=17)
+        .groupBy("sr_store_sk")
+        .agg(F.sum("sr_return_amt").alias("s"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_q1_decorrelated_returns_plan(spark, sf_dir):
+    """q1's scale contract: the returns fact shuffles once for the
+    (customer, store) rollup; the per-store average is an aggregate OF
+    that rollup (8 rows) and must re-join it without a SortMergeJoin."""
+    plan = _plan(spark, "tpcds_q1_returning_customers", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q96_dims_broadcast_by_size(spark, sf_dir):
+    """time_dim/household_demographics/store are fixed-size: all three
+    must come in as broadcast joins with zero fact shuffles before the
+    final count."""
+    plan = _plan(spark, "tpcds_q96_time_slot_count", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
