@@ -893,3 +893,338 @@ def tpcds_q89_monthly_class_deviation(spark: SparkSession, sf_dir: str) -> DataF
         )
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-channel tier: catalog_sales / web_sales / returns / inventory.
+# With datagen/tpcds_channels.py every one of the reference's 24 TPC-DS
+# tables is generatable (`resources/TPC-datagen-notebook.scala:361-371`);
+# these shapes exercise the channel dims the store-only tier can't.
+# ---------------------------------------------------------------------------
+
+from lakehouse_dba_tools_spark.datagen.tpcds_channels import (  # noqa: E402
+    gen_catalog_returns,
+    gen_catalog_sales,
+    gen_inventory,
+    gen_ship_mode,
+    gen_warehouse,
+    gen_web_page,
+    gen_web_returns,
+    gen_web_sales,
+    gen_web_site,
+)
+
+
+CS_ROWS = 120_000
+WS_ROWS = 120_000
+
+
+@register("tpcds_q60_cross_channel_items", """
+    SELECT * FROM (VALUES
+      ('0000000000I17855', CAST(40494.61 AS DOUBLE)),
+      ('00000000000I7120', CAST(35032.63 AS DOUBLE)),
+      ('00000000000I7384', CAST(31176.64 AS DOUBLE)),
+      ('0000000000I11716', CAST(31066.83 AS DOUBLE)),
+      ('0000000000I17913', CAST(27745.75 AS DOUBLE)),
+      ('00000000000I4375', CAST(27612.87 AS DOUBLE)),
+      ('00000000000I1265', CAST(27341.46 AS DOUBLE)),
+      ('0000000000I17345', CAST(26447.25 AS DOUBLE)),
+      ('0000000000I16306', CAST(26383.19 AS DOUBLE)),
+      ('000000000000I892', CAST(26134.93 AS DOUBLE)),
+      ('00000000000I1487', CAST(25845.43 AS DOUBLE)),
+      ('00000000000I9014', CAST(25220.27 AS DOUBLE)),
+      ('0000000000I10132', CAST(25045.99 AS DOUBLE)),
+      ('000000000000I784', CAST(24509.42 AS DOUBLE)),
+      ('0000000000I16647', CAST(24495.53 AS DOUBLE))
+    ) AS t(i_item_id, total_sales)
+    
+    """)
+def tpcds_q60_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q60 shape: one category's September revenue per item,
+    summed ACROSS the three sales channels — each channel is rolled up
+    independently (its own dim filters and hash-agg), then the three
+    small per-item results union and re-aggregate. The union never
+    carries fact rows, only rolled-up (item, revenue) pairs, so the
+    cross-channel step is dim-sized at any SF."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    items = it.where(F.col("i_category") == "Music").select("i_item_sk", "i_item_id")
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 9)).select("d_date_sk")
+
+    def channel(fact, date_col, item_col, price_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(items, F.col(item_col) == F.col("i_item_sk"))
+            .groupBy("i_item_id")
+            .agg(F.sum(price_col).alias("sales"))
+        )
+
+    unioned = (
+        channel(ss, "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")
+        .unionByName(channel(cs, "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price"))
+        .unionByName(channel(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price"))
+    )
+    return (
+        unioned.groupBy("i_item_id")
+        .agg(F.round(F.sum("sales"), 2).cast("double").alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "i_item_id")
+        .limit(15)
+    )
+
+
+@register("tpcds_q62_web_ship_latency", """
+    SELECT * FROM (VALUES
+      ('Bad cards must make', 'EXPRESS', 'site_0', CAST(89 AS BIGINT), CAST(86 AS BIGINT), CAST(86 AS BIGINT), CAST(85 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'site_1', CAST(78 AS BIGINT), CAST(59 AS BIGINT), CAST(73 AS BIGINT), CAST(60 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'site_2', CAST(127 AS BIGINT), CAST(121 AS BIGINT), CAST(83 AS BIGINT), CAST(66 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'site_3', CAST(155 AS BIGINT), CAST(144 AS BIGINT), CAST(142 AS BIGINT), CAST(121 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'site_4', CAST(111 AS BIGINT), CAST(91 AS BIGINT), CAST(85 AS BIGINT), CAST(83 AS BIGINT), CAST(5 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'site_0', CAST(96 AS BIGINT), CAST(86 AS BIGINT), CAST(70 AS BIGINT), CAST(74 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'site_1', CAST(77 AS BIGINT), CAST(83 AS BIGINT), CAST(56 AS BIGINT), CAST(57 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'site_2', CAST(97 AS BIGINT), CAST(112 AS BIGINT), CAST(83 AS BIGINT), CAST(90 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'site_3', CAST(163 AS BIGINT), CAST(148 AS BIGINT), CAST(148 AS BIGINT), CAST(156 AS BIGINT), CAST(6 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'site_4', CAST(115 AS BIGINT), CAST(102 AS BIGINT), CAST(91 AS BIGINT), CAST(62 AS BIGINT), CAST(4 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'site_0', CAST(97 AS BIGINT), CAST(81 AS BIGINT), CAST(85 AS BIGINT), CAST(89 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'site_1', CAST(72 AS BIGINT), CAST(63 AS BIGINT), CAST(65 AS BIGINT), CAST(53 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'site_2', CAST(116 AS BIGINT), CAST(101 AS BIGINT), CAST(99 AS BIGINT), CAST(96 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'site_3', CAST(155 AS BIGINT), CAST(149 AS BIGINT), CAST(141 AS BIGINT), CAST(114 AS BIGINT), CAST(5 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'site_4', CAST(119 AS BIGINT), CAST(114 AS BIGINT), CAST(96 AS BIGINT), CAST(86 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'site_0', CAST(76 AS BIGINT), CAST(78 AS BIGINT), CAST(90 AS BIGINT), CAST(74 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'site_1', CAST(62 AS BIGINT), CAST(79 AS BIGINT), CAST(58 AS BIGINT), CAST(55 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'site_2', CAST(115 AS BIGINT), CAST(84 AS BIGINT), CAST(91 AS BIGINT), CAST(94 AS BIGINT), CAST(4 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'site_3', CAST(168 AS BIGINT), CAST(145 AS BIGINT), CAST(157 AS BIGINT), CAST(128 AS BIGINT), CAST(5 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'site_4', CAST(105 AS BIGINT), CAST(109 AS BIGINT), CAST(113 AS BIGINT), CAST(99 AS BIGINT), CAST(5 AS BIGINT))
+    ) AS t(warehouse, sm_type, web_name, d30, d60, d90, d120, dmore)
+    
+    """)
+def tpcds_q62_web_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62 shape: web shipping latency buckets (sold→ship day
+    gap ≤30/60/90/120/120+) per (warehouse, ship mode, web site). The
+    bucketing is pure column algebra on the fact's two date keys — no
+    date_dim join needed for the gap itself (surrogate keys ARE Julian
+    days), one hash-agg, every dim fixed-size."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    wh = gen_warehouse(spark)
+    sm = gen_ship_mode(spark)
+    wsite = gen_web_site(spark)
+    gap = F.col("ws_ship_date_sk") - F.col("ws_sold_date_sk")
+
+    def bucket(lo, hi, name):
+        if hi is None:
+            cond = gap > lo
+        elif lo is None:
+            cond = gap <= hi
+        else:
+            cond = (gap > lo) & (gap <= hi)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        ws.join(dd, ws.ws_ship_date_sk == dd.d_date_sk)
+        .join(wh, ws.ws_warehouse_sk == wh.w_warehouse_sk)
+        .join(sm, ws.ws_ship_mode_sk == sm.sm_ship_mode_sk)
+        .join(wsite, ws.ws_web_site_sk == wsite.web_site_sk)
+        .where(F.col("d_month_seq").between(1176, 1187))
+        .groupBy(
+            F.substring("w_warehouse_name", 1, 20).alias("warehouse"),
+            "sm_type",
+            "web_name",
+        )
+        .agg(
+            bucket(None, 30, "d30"),
+            bucket(30, 60, "d60"),
+            bucket(60, 90, "d90"),
+            bucket(90, 120, "d120"),
+            bucket(120, None, "dmore"),
+        )
+        .orderBy("warehouse", "sm_type", "web_name")
+        .limit(20)
+    )
+
+
+@register("tpcds_q16_catalog_order_spread", """
+    SELECT * FROM (VALUES
+      (CAST(5751 AS BIGINT), CAST(486970.22 AS DOUBLE), CAST(7972109.28 AS DOUBLE))
+    ) AS t(order_count, total_shipping_cost, total_net_profit)
+    
+    """)
+def tpcds_q16_catalog_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16 shape: 60-day catalog orders that shipped from MORE
+    THAN ONE warehouse (EXISTS) and were never returned (NOT EXISTS) —
+    the spec's semi/anti-join pair on order_number, expressed as a
+    leftsemi against the >1-warehouse order list and a leftanti against
+    catalog_returns. Both probe sides carry only order numbers."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    base = cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk).where(
+        F.col("d_date").between("1999-02-01", "1999-04-02")
+    )
+    multi_wh = (
+        cs.groupBy("cs_order_number")
+        .agg(F.countDistinct("cs_warehouse_sk").alias("n_wh"))
+        .where(F.col("n_wh") > 1)
+        .select("cs_order_number")
+    )
+    filtered = base.join(multi_wh, "cs_order_number", "leftsemi").join(
+        cr.select(F.col("cr_order_number").alias("cs_order_number")),
+        "cs_order_number",
+        "leftanti",
+    )
+    return filtered.agg(
+        F.countDistinct("cs_order_number").cast("bigint").alias("order_count"),
+        _money("cs_ext_ship_cost").alias("total_shipping_cost"),
+        _money("cs_net_profit").alias("total_net_profit"),
+    )
+
+
+@register("tpcds_q21_inventory_pivot", """
+    SELECT * FROM (VALUES
+      ('Bad cards must make', '000000000000I274', CAST(2274 AS BIGINT), CAST(2823 AS BIGINT)),
+      ('Bad cards must make', '000000000000I454', CAST(1475 AS BIGINT), CAST(2067 AS BIGINT)),
+      ('Bad cards must make', '000000000000I500', CAST(1894 AS BIGINT), CAST(2382 AS BIGINT)),
+      ('Bad cards must make', '000000000000I536', CAST(1585 AS BIGINT), CAST(1817 AS BIGINT)),
+      ('Bad cards must make', '000000000000I670', CAST(2304 AS BIGINT), CAST(3035 AS BIGINT)),
+      ('Bad cards must make', '00000000000I1163', CAST(2095 AS BIGINT), CAST(1857 AS BIGINT)),
+      ('Bad cards must make', '00000000000I1573', CAST(2072 AS BIGINT), CAST(1531 AS BIGINT)),
+      ('Bad cards must make', '00000000000I1583', CAST(2356 AS BIGINT), CAST(2245 AS BIGINT)),
+      ('Conventional childr', '000000000000I274', CAST(1538 AS BIGINT), CAST(2177 AS BIGINT)),
+      ('Conventional childr', '000000000000I454', CAST(1893 AS BIGINT), CAST(2484 AS BIGINT)),
+      ('Conventional childr', '000000000000I549', CAST(2391 AS BIGINT), CAST(2466 AS BIGINT)),
+      ('Conventional childr', '000000000000I575', CAST(1715 AS BIGINT), CAST(1864 AS BIGINT)),
+      ('Conventional childr', '000000000000I670', CAST(2573 AS BIGINT), CAST(2733 AS BIGINT)),
+      ('Conventional childr', '00000000000I1387', CAST(2193 AS BIGINT), CAST(2142 AS BIGINT)),
+      ('Conventional childr', '00000000000I1445', CAST(2342 AS BIGINT), CAST(2738 AS BIGINT)),
+      ('Conventional childr', '00000000000I1573', CAST(1962 AS BIGINT), CAST(2086 AS BIGINT)),
+      ('Conventional childr', '00000000000I1583', CAST(2608 AS BIGINT), CAST(1983 AS BIGINT)),
+      ('Doors canno', '000000000000I274', CAST(2328 AS BIGINT), CAST(3358 AS BIGINT)),
+      ('Doors canno', '000000000000I500', CAST(2159 AS BIGINT), CAST(2150 AS BIGINT)),
+      ('Doors canno', '000000000000I536', CAST(2763 AS BIGINT), CAST(1979 AS BIGINT))
+    ) AS t(w_warehouse_name, i_item_id, inv_before, inv_after)
+    
+    """)
+def tpcds_q21_inventory_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape: on-hand inventory before vs after a pivot
+    date per (warehouse, item), keeping items whose balance stayed
+    within ±50%. The inventory grid reduces with one hash-agg; the
+    before/after split is a conditional sum, not two scans."""
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    wh = gen_warehouse(spark)
+    pivot = "1999-06-01"
+    agged = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .join(it, inv.inv_item_sk == it.i_item_sk)
+        .join(wh, inv.inv_warehouse_sk == wh.w_warehouse_sk)
+        .where(F.col("d_date").between("1999-05-01", "1999-07-01"))
+        .where(F.col("i_current_price").between(0.99, 1.49))
+        .groupBy("w_warehouse_name", "i_item_id")
+        .agg(
+            F.sum(F.when(F.col("d_date") < pivot, F.col("inv_quantity_on_hand")).otherwise(0))
+            .cast("bigint")
+            .alias("inv_before"),
+            F.sum(F.when(F.col("d_date") >= pivot, F.col("inv_quantity_on_hand")).otherwise(0))
+            .cast("bigint")
+            .alias("inv_after"),
+        )
+    )
+    return (
+        agged.where(
+            (F.col("inv_before") > 0)
+            & (F.col("inv_after") / F.col("inv_before")).between(2.0 / 3.0, 3.0 / 2.0)
+        )
+        .orderBy("w_warehouse_name", "i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q90_web_ampm_ratio", """
+    SELECT * FROM (VALUES
+      (CAST(19 AS BIGINT), CAST(22 AS BIGINT), CAST(0.8636 AS DOUBLE))
+    ) AS t(amc, pmc, am_pm_ratio)
+    
+    """)
+def tpcds_q90_web_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape: morning vs evening web traffic ratio for one
+    demographic and page-size band — two independently filtered scalar
+    aggregates joined by a 1-row cross (the BNLJ stats-stamp pattern)."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    td = gen_time_dim(spark)
+    hd = gen_household_demographics(spark)
+    wp = gen_web_page(spark)
+    base = (
+        ws.join(td, ws.ws_sold_time_sk == td.t_time_sk)
+        .join(hd, ws.ws_ship_hdemo_sk == hd.hd_demo_sk)
+        .join(wp, ws.ws_web_page_sk == wp.wp_web_page_sk)
+        .where((F.col("hd_dep_count") == 6) & F.col("wp_char_count").between(5000, 5200))
+    )
+    am = base.where(F.col("t_hour").between(8, 9)).agg(
+        F.count("*").cast("bigint").alias("amc")
+    )
+    pm = base.where(F.col("t_hour").between(19, 20)).agg(
+        F.count("*").cast("bigint").alias("pmc")
+    )
+    return am.crossJoin(pm).select(
+        "amc",
+        "pmc",
+        F.round(F.col("amc") / F.col("pmc"), 4).cast("double").alias("am_pm_ratio"),
+    )
+
+
+@register("tpcds_q77_channel_profit_report", """
+    SELECT * FROM (VALUES
+      ('catalog channel', CAST(21811730.62 AS DOUBLE), CAST(1051540.65 AS DOUBLE), CAST(6078547.17 AS DOUBLE)),
+      ('store channel', CAST(37426020.25 AS DOUBLE), CAST(1848791.1 AS DOUBLE), CAST(10479060.96 AS DOUBLE)),
+      ('web channel', CAST(21236899.32 AS DOUBLE), CAST(1124989.7 AS DOUBLE), CAST(6009469.88 AS DOUBLE))
+    ) AS t(channel, sales, returns, profit)
+    
+    """)
+def tpcds_q77_channel_profit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q77 shape: the per-channel P&L — each channel's sales and
+    returns roll up to ONE row (sales, returns, profit), stitched with
+    a by-name union. Six bounded aggregates; no fact ever joins a fact."""
+    ss, dd, _ = _star(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dates = dd.where(F.col("d_date").between("1998-08-04", "1998-09-03")).select("d_date_sk")
+
+    def leg(fact, date_col, channel, sales_col, profit_col, loss=False):
+        agged = fact.join(dates, F.col(date_col) == F.col("d_date_sk")).agg(
+            F.coalesce(F.sum(sales_col), F.lit(0)).alias("amt"),
+            F.coalesce(F.sum(profit_col), F.lit(0)).alias("prof"),
+        )
+        return agged.select(
+            F.lit(channel).alias("channel"),
+            F.col("amt").cast("decimal(17,2)").alias("amt"),
+            F.col("prof").cast("decimal(17,2)").alias("prof"),
+        )
+
+    sales = (
+        leg(ss, "ss_sold_date_sk", "store channel", "ss_ext_sales_price", "ss_net_profit")
+        .unionByName(leg(cs, "cs_sold_date_sk", "catalog channel", "cs_ext_sales_price", "cs_net_profit"))
+        .unionByName(leg(ws, "ws_sold_date_sk", "web channel", "ws_ext_sales_price", "ws_net_profit"))
+    )
+    returns = (
+        leg(sr, "sr_returned_date_sk", "store channel", "sr_return_amt", "sr_net_loss")
+        .unionByName(leg(cr, "cr_returned_date_sk", "catalog channel", "cr_return_amount", "cr_net_loss"))
+        .unionByName(leg(wr, "wr_returned_date_sk", "web channel", "wr_return_amt", "wr_net_loss"))
+    ).select(
+        "channel",
+        F.col("amt").alias("returns_amt"),
+        F.col("prof").alias("net_loss"),
+    )
+    return (
+        sales.join(returns, "channel")
+        .select(
+            "channel",
+            F.round("amt", 2).cast("double").alias("sales"),
+            F.round("returns_amt", 2).cast("double").alias("returns"),
+            F.round(F.col("prof") - F.col("net_loss"), 2).cast("double").alias("profit"),
+        )
+        .orderBy("channel")
+    )

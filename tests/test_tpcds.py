@@ -300,3 +300,144 @@ def test_q96_dims_broadcast_by_size(spark, sf_dir):
     plan = _plan(spark, "tpcds_q96_time_slot_count", sf_dir)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+# ---------------------------------------------------------------------------
+# Channel tier: catalog/web facts + returns + inventory (full 24 tables).
+# ---------------------------------------------------------------------------
+
+from lakehouse_dba_tools_spark.datagen.tpcds_channels import (  # noqa: E402
+    gen_call_center,
+    gen_catalog_page,
+    gen_catalog_returns,
+    gen_catalog_sales,
+    gen_inventory,
+    gen_ship_mode,
+    gen_warehouse,
+    gen_web_page,
+    gen_web_returns,
+    gen_web_sales,
+    gen_web_site,
+)
+
+
+def _channel_generators(spark):
+    return {
+        "warehouse": gen_warehouse(spark),
+        "ship_mode": gen_ship_mode(spark),
+        "web_site": gen_web_site(spark),
+        "web_page": gen_web_page(spark),
+        "call_center": gen_call_center(spark),
+        "catalog_page": gen_catalog_page(spark, 500),
+        "catalog_sales": gen_catalog_sales(spark, 1_000),
+        "web_sales": gen_web_sales(spark, 1_000),
+        "catalog_returns": gen_catalog_returns(spark, 1_000),
+        "web_returns": gen_web_returns(spark, 1_000),
+        "inventory": gen_inventory(spark, 50, 5, 4),
+    }
+
+
+def test_channel_generators_match_spec_schemas(spark):
+    """With these 11 the full 24-table TPC-DS warehouse is generatable
+    (reference TPC:361-371); same conformance contract as the rest."""
+    from pyspark.sql.types import CharType, StringType, VarcharType
+
+    for table, df in _channel_generators(spark).items():
+        spec = schema_for(table).fields
+        assert [f.name for f in df.schema.fields] == [f.name for f in spec], table
+        for have, want in zip(df.schema.fields, spec):
+            expected = (
+                StringType()
+                if isinstance(want.dataType, (CharType, VarcharType))
+                else want.dataType
+            )
+            assert have.dataType == expected, f"{table}.{want.name}"
+
+
+def test_all_24_tpcds_tables_generatable(spark):
+    """Every table in the spec catalog has a generator producing ≥1 row."""
+    from lakehouse_dba_tools_spark.datagen.schemas import TPCDS_SCHEMAS
+    from lakehouse_dba_tools_spark.datagen.tpcds import (
+        gen_customer_address as _ca,
+        gen_customer_ds as _cu,
+        gen_household_demographics as _hd,
+        gen_income_band as _ib,
+        gen_reason as _re,
+        gen_store_returns as _sr,
+        gen_time_dim as _td,
+    )
+
+    dfs = {
+        **_generators(spark),
+        **_new_generators(spark),
+        **_channel_generators(spark),
+    }
+    missing = set(TPCDS_SCHEMAS) - set(dfs)
+    assert not missing, f"tables without generators: {sorted(missing)}"
+    for t in ("catalog_sales", "inventory", "ship_mode"):
+        assert dfs[t].limit(1).count() == 1, t
+
+
+def test_catalog_sales_money_identities(spark):
+    """The spec identities extend to the shipping tier: the
+    net_paid_inc_* ladder and net_profit hold exactly in decimal."""
+    cs = gen_catalog_sales(spark, 3_000)
+    bad = cs.where(
+        (F.col("cs_net_paid") != F.col("cs_ext_sales_price") - F.col("cs_coupon_amt"))
+        | (F.col("cs_net_paid_inc_tax") != F.col("cs_net_paid") + F.col("cs_ext_tax"))
+        | (F.col("cs_net_paid_inc_ship") != F.col("cs_net_paid") + F.col("cs_ext_ship_cost"))
+        | (
+            F.col("cs_net_paid_inc_ship_tax")
+            != F.col("cs_net_paid") + F.col("cs_ext_ship_cost") + F.col("cs_ext_tax")
+        )
+        | (F.col("cs_net_profit") != F.col("cs_net_paid") - F.col("cs_ext_wholesale_cost"))
+        | (F.col("cs_ship_date_sk") <= F.col("cs_sold_date_sk"))
+    ).count()
+    assert bad == 0
+
+
+def test_web_returns_resolve_to_sales(spark):
+    """Every web return joins its originating order line and respects
+    quantity/money bounds — the content-hash derivation contract."""
+    n = 3_000
+    ws = gen_web_sales(spark, n)
+    wr = gen_web_returns(spark, n)
+    cnt = wr.count()
+    assert n / 20 < cnt < n / 5
+    joined = wr.join(
+        ws,
+        (wr.wr_order_number == ws.ws_order_number) & (wr.wr_item_sk == ws.ws_item_sk),
+    )
+    assert joined.count() >= cnt
+    assert joined.where(F.col("wr_return_quantity") > F.col("ws_quantity")).count() == 0
+
+
+def test_inventory_exact_grid(spark):
+    """inventory is the exact (week, item, warehouse) cross grid."""
+    inv = gen_inventory(spark, n_items=20, n_warehouses=3, n_weeks=5)
+    assert inv.count() == 20 * 3 * 5
+    assert inv.select("inv_date_sk", "inv_item_sk", "inv_warehouse_sk").distinct().count() == 300
+    dd = gen_date_dim(spark)
+    assert inv.join(dd, inv.inv_date_sk == dd.d_date_sk, "left_anti").count() == 0
+
+
+def test_channel_facts_partition_invariant(spark):
+    a = (
+        gen_catalog_sales(spark, 3_000, partitions=3)
+        .groupBy("cs_warehouse_sk")
+        .agg(F.sum("cs_net_paid").alias("s"), F.count("*").alias("n"))
+    )
+    b = (
+        gen_catalog_sales(spark, 3_000, partitions=13)
+        .groupBy("cs_warehouse_sk")
+        .agg(F.sum("cs_net_paid").alias("s"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_q16_semi_anti_plan(spark, sf_dir):
+    """q16's scale contract: the EXISTS/NOT EXISTS pair must plan as
+    semi/anti joins carrying only order numbers — no fact×fact join."""
+    plan = _plan(spark, "tpcds_q16_catalog_order_spread", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
