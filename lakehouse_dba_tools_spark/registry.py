@@ -75,13 +75,23 @@ CHECKED_FIRST: tuple[str, ...] = (
     "q12_shipmode_priority",
     "q15_top_supplier",
     "q18_large_orders",
-    "q22_idle_customers",
-    # TPC-DS tier (round 5) — the reference's benchmark corpus
+    # q22_idle_customers rotates out (green r4): its anti-join +
+    # avg-subquery shapes are carried by tpcds_q16 (leftanti+leftsemi)
+    # and tpcds_q1/q65's decorrelated-average (q1 trails, locally
+    # diffchecked); TPC-H keeps q12/q15/q18 checked, the rest local.
+    # TPC-DS tier (rounds 5) — the reference's benchmark corpus
     # (evaluation_tools/dbstress__Current.py:103). q3 = the date×item
     # brand-rollup family (q42/q52/q55 trail as its variants), q7 = the
     # five-table demographics star over the 1.92M-row cross-product dim.
+    # Round-5 channel expansion: q16 = catalog_sales/catalog_returns +
+    # the spec's EXISTS/NOT-EXISTS pair as semi/anti joins; q62 =
+    # web_sales + warehouse/ship_mode/web_site latency buckets. The
+    # other channel shapes (q1/q19/q21/q60/q68/q73/q77/q79/q88/q89/q90/
+    # q96) trail, locally diffchecked.
     "tpcds_q3_brand_rollup",
     "tpcds_q7_demographics_star",
+    "tpcds_q16_catalog_order_spread",
+    "tpcds_q62_web_ship_latency",
     # Structured Streaming tier — rotation: streaming_hourly_rollup
     # green r1-r4, rotates out for the overlapping-window variant's
     # first driver row (round 5).
@@ -120,7 +130,9 @@ CHECKED_FIRST: tuple[str, ...] = (
     "nested_flatten_deep",
     "schema_reconcile_append",
     "asof_purchase_last_view",
-    "datagen_lineitem_rollup",
+    # datagen_lineitem_rollup rotates out (green r1-r4): S6 native
+    # datagen is now hard-checked by the whole generated TPC-DS tier
+    # (q3/q7/q16/q62 run entirely on generator output).
     "event_cost_attribution",
     "scd2_customer_history",
     "scalar_function_battery",
