@@ -144,3 +144,57 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(-1)),  # sentinel: sketch out of bound → oracle mismatch
     )
     return checked.select("l_returnflag", "exact_parts", "n")
+
+
+@register(
+    "hll_mergeable_user_counts",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_lossless,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL builtins) —
+    the incremental form a 100 TB pipeline needs: store one binary
+    sketch per (event_type, day) partial, `hll_union_agg` them into the
+    event_type total without touching history. Two properties are
+    checked in-query and must both hold for the oracle to match:
+
+    - merge_lossless: estimate(union of daily sketches) equals
+      estimate(one-pass sketch) EXACTLY — HLL union at the same lgK is
+      lossless, so rollup maintenance cannot drift from recompute.
+    - within_bound: the estimate lands within ±5% of the exact distinct
+      (lgK=14 → ~1% RSE; 5% ≈ >4σ, loud failure only on real breakage).
+
+    The exact count is what the oracle compares value-for-value; the
+    sketch path degrades to boolean FALSE columns on violation, which
+    hash-fails the driver check."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+            (
+                F.abs(F.col("direct_est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+    )

@@ -135,3 +135,36 @@ def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), stable_sum("value", 2).alias("sum_value")
     )
     return run_stream_to_table(agg, spark)
+
+
+@register(
+    "streaming_stateful_profile",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`,
+    streaming/stateful.py): a per-user running profile carried across
+    micro-batches in explicit GroupState. Update mode emits one row per
+    touched user per batch; the LAST emission per user is the final
+    state and must equal the batch per-user aggregate — the bounded-
+    replay equivalence that makes a custom stateful operator testable.
+    State is per-user-bounded (3 scalars), never history-sized."""
+    from lakehouse_dba_tools_spark.streaming.stateful import running_user_profile
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "value", F.col("ts").cast("double").alias("epoch")
+    )
+    out = run_stream_to_table(running_user_profile(ev), spark, mode="update")
+    # keep the final (largest n_events) emission per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.col("sum_value"))
+    )

@@ -21,10 +21,14 @@ STATE_SCHEMA = "n long, s double, last double"
 def _update_user_profile(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
+    import math
+
     n, s, last = state.get if state.exists else (0, 0.0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # fsum is exact over the batch, so the emitted sum does not
+        # depend on the (unspecified) row order within the group.
+        s = math.fsum([s, *map(float, pdf["value"])])
         last = max(last, float(pdf["epoch"].max()))
     state.update((n, s, last))
     yield pd.DataFrame(

@@ -33,3 +33,29 @@ def test_scan_summary_matches_reality(spark, sf_dir):
     assert s.rows_read_count == li.count()
     assert s.read_files_count >= 1
     assert s.read_bytes > 0
+
+
+def test_hll_union_partition_invariant(spark, sf_dir):
+    """Mergeable-sketch contract behind hll_mergeable_user_counts: the
+    union of per-slice sketches gives the same estimate regardless of
+    how the slices are cut (10 vs 3 partitions, day-sliced vs whole)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = lambda df: df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
+    ).first().e
+    assert est(ev.repartition(10)) == est(ev.repartition(3))
+    # two-level merge equals one-pass
+    two_level = (
+        ev.repartition(7)
+        .withColumn("slice", F.spark_partition_id())
+        .groupBy("slice")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()
+        .e
+    )
+    assert two_level == est(ev)
