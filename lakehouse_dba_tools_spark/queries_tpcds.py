@@ -1228,3 +1228,106 @@ def tpcds_q77_channel_profit_report(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@register("tpcds_q36_margin_rollup", """
+    SELECT * FROM (VALUES
+      ('ALL', 'ALL', CAST(3 AS INT), CAST(0.284112 AS DOUBLE), CAST(1 AS INT)),
+      ('Books', 'ALL', CAST(1 AS INT), CAST(0.283675 AS DOUBLE), CAST(1 AS INT)),
+      ('Children', 'ALL', CAST(1 AS INT), CAST(0.28392 AS DOUBLE), CAST(1 AS INT)),
+      ('Electronics', 'ALL', CAST(1 AS INT), CAST(0.281377 AS DOUBLE), CAST(1 AS INT)),
+      ('Home', 'ALL', CAST(1 AS INT), CAST(0.28211 AS DOUBLE), CAST(1 AS INT)),
+      ('Jewelry', 'ALL', CAST(1 AS INT), CAST(0.285393 AS DOUBLE), CAST(1 AS INT)),
+      ('Men', 'ALL', CAST(1 AS INT), CAST(0.283371 AS DOUBLE), CAST(1 AS INT)),
+      ('Music', 'ALL', CAST(1 AS INT), CAST(0.284183 AS DOUBLE), CAST(1 AS INT)),
+      ('Shoes', 'ALL', CAST(1 AS INT), CAST(0.283384 AS DOUBLE), CAST(1 AS INT)),
+      ('Sports', 'ALL', CAST(1 AS INT), CAST(0.287659 AS DOUBLE), CAST(1 AS INT)),
+      ('Women', 'ALL', CAST(1 AS INT), CAST(0.28601 AS DOUBLE), CAST(1 AS INT)),
+      ('Books', 'bracelets', CAST(0 AS INT), CAST(0.273952 AS DOUBLE), CAST(13 AS INT)),
+      ('Books', 'fitness', CAST(0 AS INT), CAST(0.275227 AS DOUBLE), CAST(19 AS INT)),
+      ('Books', 'computers', CAST(0 AS INT), CAST(0.280213 AS DOUBLE), CAST(47 AS INT)),
+      ('Books', 'fiction', CAST(0 AS INT), CAST(0.281679 AS DOUBLE), CAST(60 AS INT)),
+      ('Books', 'classical', CAST(0 AS INT), CAST(0.282234 AS DOUBLE), CAST(69 AS INT)),
+      ('Books', 'dresses', CAST(0 AS INT), CAST(0.284489 AS DOUBLE), CAST(82 AS INT)),
+      ('Books', 'flatware', CAST(0 AS INT), CAST(0.284898 AS DOUBLE), CAST(84 AS INT)),
+      ('Books', 'accent', CAST(0 AS INT), CAST(0.285167 AS DOUBLE), CAST(87 AS INT)),
+      ('Books', 'glassware', CAST(0 AS INT), CAST(0.285421 AS DOUBLE), CAST(93 AS INT))
+    ) AS t(i_category, i_class, lochierarchy, gross_margin, rank_within_parent)
+    
+    """)
+def tpcds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: gross-margin ROLLUP over (category, class)
+    with the rank-within-parent window — the spec's grouping-sets
+    pattern. `.rollup()` emits the three grouping levels in one pass
+    (Spark expands grouping sets inside the single hash-agg shuffle);
+    `grouping_id` labels the level (lochierarchy) and the rank window
+    partitions over rolled-up rows only. Margin stays exact decimal
+    until the final round."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    rolled = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where((F.col("d_year") == 1998) & F.col("s_state").isin("TN", "TX", "OH"))
+        .rollup("i_category", "i_class")
+        .agg(
+            F.sum("ss_net_profit").alias("profit"),
+            F.sum("ss_ext_sales_price").alias("sales"),
+            F.grouping_id().alias("lochierarchy"),
+        )
+        .select(
+            "i_category",
+            "i_class",
+            F.col("lochierarchy").cast("int").alias("lochierarchy"),
+            F.round(F.col("profit") / F.col("sales"), 6).alias("gross_margin"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("lochierarchy") == 1, F.col("i_category"))
+    ).orderBy(F.col("gross_margin").asc())
+    return (
+        rolled.select(
+            F.coalesce("i_category", F.lit("ALL")).alias("i_category"),
+            F.coalesce("i_class", F.lit("ALL")).alias("i_class"),
+            "lochierarchy",
+            F.col("gross_margin").cast("double").alias("gross_margin"),
+            F.rank().over(w).cast("int").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(), "i_category", "rank_within_parent", "i_class"
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q38_three_channel_intersect", """
+    SELECT * FROM (VALUES
+      (CAST(1284 AS BIGINT))
+    ) AS t(hot_customers)
+    
+    """)
+def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape: customers active in ALL THREE channels inside
+    one quarter — the spec's INTERSECT chain. Each channel reduces to a
+    distinct customer-key set BEFORE intersecting (Spark plans
+    intersect as a distinct + semi-join ladder), so the set operation
+    never carries fact rows."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dates = dd.where(F.col("d_month_seq").between(1176, 1178)).select("d_date_sk")
+
+    def channel_customers(fact, date_col, cust_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .select(F.col(cust_col).alias("customer_sk"))
+            .distinct()
+        )
+
+    common = (
+        channel_customers(ss, "ss_sold_date_sk", "ss_customer_sk")
+        .intersect(channel_customers(cs, "cs_sold_date_sk", "cs_bill_customer_sk"))
+        .intersect(channel_customers(ws, "ws_sold_date_sk", "ws_bill_customer_sk"))
+    )
+    return common.agg(F.count("*").cast("bigint").alias("hot_customers"))

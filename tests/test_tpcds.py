@@ -441,3 +441,21 @@ def test_q16_semi_anti_plan(spark, sf_dir):
     plan = _plan(spark, "tpcds_q16_catalog_order_spread", sf_dir)
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q36_rollup_single_shuffle(spark, sf_dir):
+    """The grouping-sets contract: Spark expands ROLLUP inside one
+    hash-agg pipeline (Expand + partial agg before the exchange) — the
+    fact is not scanned or shuffled once per grouping level."""
+    plan = _plan(spark, "tpcds_q36_margin_rollup", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Scan") <= 8  # one scan per input table, not per level
+
+
+def test_q38_intersect_on_distinct_keys(spark, sf_dir):
+    """The INTERSECT chain must operate on distinct customer keys
+    (aggregate-then-intersect), never on raw fact rows."""
+    plan = _plan(spark, "tpcds_q38_three_channel_intersect", sf_dir)
+    assert "HashAggregate" in plan
+    # intersect lowers to LeftSemi joins over the distinct sets
+    assert "LeftSemi" in plan
