@@ -344,3 +344,88 @@ def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "bucket", F.row_number().over(w).alias("rank_in_bucket")
     )
+
+
+PACK_CAP = 2048  # tokens per training window
+PACK_SHARDS = 8
+
+
+@register(
+    "corpus_pack_chunks",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({_D_TOKS}) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d WHERE n_tok > 0
+    ),
+    e AS (
+      SELECT shard, doc_id, cum - n_tok AS strt, cum,
+             unnest(generate_series(CAST((cum - n_tok) // {PACK_CAP} AS BIGINT),
+                                    CAST((cum - 1) // {PACK_CAP} AS BIGINT))) AS chunk
+      FROM c
+    )
+    SELECT shard, chunk,
+           count(*) AS n_docs,
+           CAST(sum(least(cum, (chunk+1)*{PACK_CAP})
+                    - greatest(strt, chunk*{PACK_CAP})) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM e GROUP BY shard, chunk
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window packing manifest (concat-and-chunk): documents
+    are concatenated in deterministic order and cut into fixed
+    PACK_CAP-token windows — the packing GPT-style pretraining actually
+    uses — and the manifest reports, per window, how many documents it
+    spans, its token fill (== PACK_CAP except each shard's tail), and
+    the first document.
+
+    Scale shape: packing is SHARDED (doc_id % PACK_SHARDS) so the
+    running-offset window is partitioned — 8 independent cumsum
+    reducers here, thousands at 100 TB — never a global single-reducer
+    window. A doc spanning a window boundary contributes a row per
+    touched window via sequence+explode; only (doc_id, offsets) ride
+    the explode, never text."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "strt", F.col("cum") - F.col("n_tok")
+    )
+    e = c.select(
+        "shard",
+        "doc_id",
+        "strt",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("strt") / PACK_CAP), F.floor((F.col("cum") - 1) / PACK_CAP)
+            )
+        ).alias("chunk"),
+    )
+    return (
+        e.groupBy("shard", "chunk")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.least(F.col("cum"), (F.col("chunk") + 1) * PACK_CAP)
+                - F.greatest(F.col("strt"), F.col("chunk") * PACK_CAP)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "chunk")
+    )

@@ -83,3 +83,33 @@ def test_training_order_is_partitioned_permutation(spark, sf_dir):
         F.min("rank_in_bucket").alias("mn"),
     )
     assert chk.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+
+
+def test_pack_chunks_conservation(spark, sf_dir):
+    """Packing invariants: every token lands in exactly one window
+    (sum of window fills == corpus token count), every non-tail window
+    is filled to exactly PACK_CAP, and windows are contiguous per shard."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.queries_curation import (
+        PACK_CAP,
+        PACK_SHARDS,
+        corpus_pack_chunks,
+    )
+    from lakehouse_dba_tools_spark.functions.text import tokens
+    from lakehouse_dba_tools_spark.sources.tables import load_table
+
+    manifest = corpus_pack_chunks(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(F.sum(F.size(tokens("text"))).alias("s")).first().s
+    assert sum(r.n_tokens for r in manifest) == total_tokens
+    by_shard = {}
+    for r in manifest:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(PACK_SHARDS))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.chunk)
+        assert [r.chunk for r in rows] == list(range(len(rows))), shard
+        for r in rows[:-1]:
+            assert r.n_tokens == PACK_CAP, (shard, r.chunk)
+        assert 0 < rows[-1].n_tokens <= PACK_CAP
