@@ -1331,3 +1331,96 @@ def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
         .intersect(channel_customers(ws, "ws_sold_date_sk", "ws_bill_customer_sk"))
     )
     return common.agg(F.count("*").cast("bigint").alias("hot_customers"))
+
+
+@register("tpcds_warehouse_build_audit", """
+    SELECT * FROM (VALUES
+      ('call_center', CAST(6 AS BIGINT)),
+      ('catalog_page', CAST(400 AS BIGINT)),
+      ('catalog_returns', CAST(293 AS BIGINT)),
+      ('catalog_sales', CAST(3000 AS BIGINT)),
+      ('customer', CAST(1000 AS BIGINT)),
+      ('customer_address', CAST(1000 AS BIGINT)),
+      ('customer_demographics', CAST(1920800 AS BIGINT)),
+      ('date_dim', CAST(1826 AS BIGINT)),
+      ('household_demographics', CAST(7200 AS BIGINT)),
+      ('income_band', CAST(20 AS BIGINT)),
+      ('inventory', CAST(10000 AS BIGINT)),
+      ('item', CAST(1000 AS BIGINT)),
+      ('promotion', CAST(300 AS BIGINT)),
+      ('reason', CAST(35 AS BIGINT)),
+      ('ship_mode', CAST(20 AS BIGINT)),
+      ('store', CAST(8 AS BIGINT)),
+      ('store_returns', CAST(313 AS BIGINT)),
+      ('store_sales', CAST(3000 AS BIGINT)),
+      ('time_dim', CAST(86400 AS BIGINT)),
+      ('warehouse', CAST(5 AS BIGINT)),
+      ('web_page', CAST(60 AS BIGINT)),
+      ('web_returns', CAST(289 AS BIGINT)),
+      ('web_sales', CAST(3000 AS BIGINT)),
+      ('web_site', CAST(30 AS BIGINT))
+    ) AS t(table_name, n_rows)
+    
+    """)
+def tpcds_warehouse_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference notebook's end-to-end flow (TPC:361-371 generate →
+    write → verify with row counts, TPC:1929-1956): build a miniature
+    24-table TPC-DS warehouse from the native generators, write every
+    table to parquet, read back, and report per-table row counts. The
+    read-back count (not the in-memory count) is what's reported, so
+    the audit proves the write path round-trips every schema — the
+    returns facts' counts also pin the content-hash derivation.
+    Partitioned-write mechanics are hash-checked separately
+    (orc_roundtrip_report / catalog_ddl_roundtrip); here the writes
+    coalesce to bound file counts, the reference's small-file rule."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.datagen.tpcds import (
+        gen_income_band,
+        gen_reason,
+    )
+    from lakehouse_dba_tools_spark.datagen.tpcds_channels import (
+        gen_call_center,
+        gen_catalog_page,
+    )
+
+    n_fact = 3_000
+    tables = {
+        "call_center": gen_call_center(spark),
+        "catalog_page": gen_catalog_page(spark, 400),
+        "catalog_returns": gen_catalog_returns(spark, n_fact, seed=100),
+        "catalog_sales": gen_catalog_sales(spark, n_fact, seed=100),
+        "customer": gen_customer_ds(spark, 1_000),
+        "customer_address": gen_customer_address(spark, 1_000),
+        "customer_demographics": gen_customer_demographics(spark),
+        "date_dim": gen_date_dim(spark),
+        "household_demographics": gen_household_demographics(spark),
+        "income_band": gen_income_band(spark),
+        "inventory": gen_inventory(spark, n_items=200, n_warehouses=5, n_weeks=10),
+        "item": gen_item(spark, 1_000),
+        "promotion": gen_promotion(spark),
+        "reason": gen_reason(spark),
+        "ship_mode": gen_ship_mode(spark),
+        "store": gen_store(spark),
+        "store_returns": gen_store_returns(spark, n_fact, seed=100),
+        "store_sales": gen_store_sales(spark, n_fact, seed=100),
+        "time_dim": gen_time_dim(spark),
+        "warehouse": gen_warehouse(spark),
+        "web_page": gen_web_page(spark),
+        "web_returns": gen_web_returns(spark, n_fact, seed=100),
+        "web_sales": gen_web_sales(spark, n_fact, seed=100),
+        "web_site": gen_web_site(spark),
+    }
+    tmp = tempfile.mkdtemp(prefix="tpcds_wh_")
+    try:
+        rows = []
+        for name, df in sorted(tables.items()):
+            path = f"{tmp}/{name}"
+            df.coalesce(4).write.mode("overwrite").parquet(path)
+            rows.append((name, spark.read.parquet(path).count()))
+        return spark.createDataFrame(rows, "table_name string, n_rows bigint").orderBy(
+            "table_name"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
