@@ -1424,3 +1424,78 @@ def tpcds_warehouse_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("tpcds_q74_yoy_growth", """
+    SELECT * FROM (VALUES
+      ('00000000000000C6', 'Jennifer', 'Lopez', CAST(3.468713 AS DOUBLE)),
+      ('00000000000000C7', 'Susan', 'Martinez', CAST(0.26184 AS DOUBLE)),
+      ('0000000000000C10', 'Michael', 'Miller', CAST(30.561637 AS DOUBLE)),
+      ('0000000000000C16', 'Charles', 'Martinez', CAST(26.996035 AS DOUBLE)),
+      ('0000000000000C30', 'John', 'Lopez', CAST(20.585823 AS DOUBLE)),
+      ('0000000000000C31', 'Charles', 'Brown', CAST(3.309126 AS DOUBLE)),
+      ('0000000000000C44', 'Jennifer', 'Martinez', CAST(0.194165 AS DOUBLE)),
+      ('0000000000000C49', 'Susan', 'Miller', CAST(51.355489 AS DOUBLE)),
+      ('0000000000000C50', 'Barbara', 'Lopez', CAST(0.880436 AS DOUBLE)),
+      ('0000000000000C53', 'Susan', 'Jones', CAST(0.276939 AS DOUBLE)),
+      ('0000000000000C60', 'Richard', 'Martinez', CAST(6.365283 AS DOUBLE)),
+      ('0000000000000C63', 'David', 'Martinez', CAST(10.772465 AS DOUBLE)),
+      ('0000000000000C71', 'Richard', 'Davis', CAST(2.259631 AS DOUBLE)),
+      ('0000000000000C76', 'Jennifer', 'Hernandez', CAST(1.538301 AS DOUBLE)),
+      ('0000000000000C77', 'Charles', 'Lopez', CAST(3.328948 AS DOUBLE))
+    ) AS t(c_customer_id, c_first_name, c_last_name, web_ratio)
+    
+    """)
+def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74 shape: customers whose web spending grew FASTER
+    year-over-year than their store spending — one (customer, year,
+    channel) rollup reused four ways (store/web × first/second year)
+    and self-joined on customer. The rollup is computed once and the
+    four legs filter it; every self-join input is customer-grained
+    (already aggregated), so fact rows never join fact rows."""
+    ss, dd, _ = _star(spark)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    store = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .groupBy(F.col("ss_customer_sk").alias("customer_sk"), "d_year")
+        .agg(F.sum("ss_net_paid").alias("year_total"))
+        .withColumn("sale_type", F.lit("s"))
+    )
+    web = (
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .groupBy(F.col("ws_bill_customer_sk").alias("customer_sk"), "d_year")
+        .agg(F.sum("ws_net_paid").alias("year_total"))
+        .withColumn("sale_type", F.lit("w"))
+    )
+    yt = store.unionByName(web)
+
+    def leg(sale_type: str, year: int, alias: str):
+        return (
+            yt.where((F.col("sale_type") == sale_type) & (F.col("d_year") == year))
+            .select(F.col("customer_sk"), F.col("year_total").alias(f"{alias}_total"))
+        )
+
+    s1, s2 = leg("s", 1998, "s1"), leg("s", 1999, "s2")
+    w1, w2 = leg("w", 1998, "w1"), leg("w", 1999, "w2")
+    joined = (
+        s1.join(s2, "customer_sk")
+        .join(w1, "customer_sk")
+        .join(w2, "customer_sk")
+        .where((F.col("s1_total") > 0) & (F.col("w1_total") > 0))
+        .where(
+            (F.col("w2_total") / F.col("w1_total"))
+            > (F.col("s2_total") / F.col("s1_total"))
+        )
+    )
+    return (
+        joined.join(cu, joined.customer_sk == cu.c_customer_sk)
+        .select(
+            "c_customer_id",
+            "c_first_name",
+            "c_last_name",
+            F.round(F.col("w2_total") / F.col("w1_total"), 6).cast("double").alias("web_ratio"),
+        )
+        .orderBy("c_customer_id")
+        .limit(15)
+    )
