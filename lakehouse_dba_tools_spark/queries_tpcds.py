@@ -1499,3 +1499,137 @@ def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_customer_id")
         .limit(15)
     )
+
+
+@register("tpcds_q59_wow_revenue", """
+    SELECT * FROM (VALUES
+      ('able', CAST(8 AS INT), CAST(5113 AS INT), CAST(0.797992 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(0.987628 AS DOUBLE), CAST(1.332194 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5114 AS INT), CAST(1.081567 AS DOUBLE), CAST(1.442626 AS DOUBLE), CAST(2.001206 AS DOUBLE), CAST(0.767688 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5115 AS INT), CAST(1.16521 AS DOUBLE), CAST(0.898532 AS DOUBLE), CAST(0.89158 AS DOUBLE), CAST(0.891103 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5116 AS INT), CAST(0.997955 AS DOUBLE), CAST(0.991247 AS DOUBLE), CAST(0.909816 AS DOUBLE), CAST(0.885496 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5117 AS INT), CAST(1.222842 AS DOUBLE), CAST(1.262018 AS DOUBLE), CAST(1.248716 AS DOUBLE), CAST(0.778731 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5118 AS INT), CAST(0.76891 AS DOUBLE), CAST(0.886585 AS DOUBLE), CAST(0.763409 AS DOUBLE), CAST(1.201299 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5119 AS INT), CAST(1.195489 AS DOUBLE), CAST(1.045443 AS DOUBLE), CAST(0.812699 AS DOUBLE), CAST(1.038899 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5120 AS INT), CAST(0.964815 AS DOUBLE), CAST(0.939455 AS DOUBLE), CAST(0.760683 AS DOUBLE), CAST(1.144456 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5121 AS INT), CAST(0.769587 AS DOUBLE), CAST(0.850186 AS DOUBLE), CAST(0.780711 AS DOUBLE), CAST(1.307477 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5122 AS INT), CAST(1.003042 AS DOUBLE), CAST(1.016868 AS DOUBLE), CAST(0.7476 AS DOUBLE), CAST(0.665281 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5123 AS INT), CAST(0.593125 AS DOUBLE), CAST(0.916653 AS DOUBLE), CAST(1.210254 AS DOUBLE), CAST(0.916525 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5124 AS INT), CAST(1.024999 AS DOUBLE), CAST(1.036856 AS DOUBLE), CAST(0.916852 AS DOUBLE), CAST(0.641694 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5125 AS INT), CAST(1.249362 AS DOUBLE), CAST(1.293729 AS DOUBLE), CAST(1.036509 AS DOUBLE), CAST(1.208403 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5126 AS INT), CAST(1.315847 AS DOUBLE), CAST(1.020643 AS DOUBLE), CAST(1.335903 AS DOUBLE), CAST(0.857686 AS DOUBLE)),
+      ('able', CAST(8 AS INT), CAST(5127 AS INT), CAST(0.902249 AS DOUBLE), CAST(1.351043 AS DOUBLE), CAST(0.75929 AS DOUBLE), CAST(0.611549 AS DOUBLE))
+    ) AS t(s_store_name, store_sk, week_seq, sun_ratio, mon_ratio, fri_ratio, sat_ratio)
+    """)
+def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: per-store weekly revenue by day-of-week,
+    self-joined one year apart (week_seq vs week_seq - 52) to report
+    week-over-week ratios — the time-shifted self-join on a rolled-up
+    key. Both join inputs are (store, week) grained aggregates; the
+    52-week shift happens in the join condition, never by re-scanning."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    wk = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .groupBy("d_week_seq", F.col("ss_store_sk").alias("store_sk"))
+        .agg(
+            F.sum(F.when(F.col("d_day_name") == "Sunday", F.col("ss_sales_price"))).alias("sun_sales"),
+            F.sum(F.when(F.col("d_day_name") == "Monday", F.col("ss_sales_price"))).alias("mon_sales"),
+            F.sum(F.when(F.col("d_day_name") == "Friday", F.col("ss_sales_price"))).alias("fri_sales"),
+            F.sum(F.when(F.col("d_day_name") == "Saturday", F.col("ss_sales_price"))).alias("sat_sales"),
+        )
+    )
+    # one contiguous year of weeks starting 1998-01-01's week
+    base_week = 5113  # week_seq of 1998-01-01 under the 1900-01-01 epoch convention
+    y1 = wk.where(F.col("d_week_seq").between(base_week, base_week + 51)).select(
+        F.col("store_sk"), F.col("d_week_seq").alias("w1"),
+        F.col("sun_sales").alias("sun1"), F.col("mon_sales").alias("mon1"),
+        F.col("fri_sales").alias("fri1"), F.col("sat_sales").alias("sat1"),
+    )
+    y2 = wk.where(
+        F.col("d_week_seq").between(base_week + 52, base_week + 103)
+    ).select(
+        F.col("store_sk").alias("store_sk2"), (F.col("d_week_seq") - 52).alias("w2"),
+        F.col("sun_sales").alias("sun2"), F.col("mon_sales").alias("mon2"),
+        F.col("fri_sales").alias("fri2"), F.col("sat_sales").alias("sat2"),
+    )
+    joined = y1.join(
+        y2, (y1.store_sk == F.col("store_sk2")) & (y1.w1 == F.col("w2"))
+    ).join(st, y1.store_sk == st.s_store_sk)
+
+    def ratio(a, b, name):
+        return F.round(F.col(a) / F.col(b), 6).cast("double").alias(name)
+
+    return (
+        joined.select(
+            "s_store_name",
+            F.col("s_store_sk").cast("int").alias("store_sk"),
+            F.col("w1").cast("int").alias("week_seq"),
+            ratio("sun2", "sun1", "sun_ratio"),
+            ratio("mon2", "mon1", "mon_ratio"),
+            ratio("fri2", "fri1", "fri_ratio"),
+            ratio("sat2", "sat1", "sat_ratio"),
+        )
+        .orderBy("s_store_name", "store_sk", "week_seq")
+        .limit(15)
+    )
+
+
+@register("tpcds_q97_channel_overlap", """
+    SELECT * FROM (VALUES
+      (CAST(49719 AS BIGINT), CAST(29726 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(store_only, catalog_only, store_and_catalog)
+    
+    """)
+def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: classify (customer, item) purchase pairs as
+    store-only / catalog-only / both via a FULL OUTER join of the two
+    channels' DISTINCT key sets — set reconciliation as one outer join
+    over aggregated keys, counted with null-pattern conditionals."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select("d_date_sk")
+    ssci = (
+        ss.join(dates, ss.ss_sold_date_sk == F.col("d_date_sk"))
+        .select(
+            F.col("ss_customer_sk").alias("s_customer_sk"),
+            F.col("ss_item_sk").alias("s_item_sk"),
+        )
+        .distinct()
+    )
+    csci = (
+        cs.join(dates, cs.cs_sold_date_sk == F.col("d_date_sk"))
+        .select(
+            F.col("cs_bill_customer_sk").alias("c_customer_sk"),
+            F.col("cs_item_sk").alias("c_item_sk"),
+        )
+        .distinct()
+    )
+    both = ssci.join(
+        csci,
+        (F.col("s_customer_sk") == F.col("c_customer_sk"))
+        & (F.col("s_item_sk") == F.col("c_item_sk")),
+        "fullouter",
+    )
+    return both.agg(
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNotNull() & F.col("c_customer_sk").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("store_only"),
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNull() & F.col("c_customer_sk").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("catalog_only"),
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNotNull() & F.col("c_customer_sk").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("store_and_catalog"),
+    )
