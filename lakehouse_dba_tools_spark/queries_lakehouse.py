@@ -269,6 +269,53 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_cascade_report",
+    """
+    SELECT event_type,
+           CAST(strftime(time_bucket(INTERVAL '1 month', ts), '%Y-%m') AS VARCHAR)
+             AS month,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, month
+    """,
+)
+def rollup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup cascade (the continuous-aggregate
+    hierarchy): hourly partials are built from the facts ONCE, daily
+    partials are derived FROM the hourly rollup, monthly FROM the
+    daily — coarser grains never rescan history. The monthly report
+    must equal a direct from-facts aggregate (the oracle), which holds
+    because the partials carry re-aggregatable state only (count +
+    EXACT decimal sums — merge order immaterial). At 100 TB each level
+    shuffles its own group count (months < days < hours ≪ facts)."""
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+    from lakehouse_dba_tools_spark.maintenance.rollup import build_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast(DEC).alias("value"),
+    )
+    hourly = build_rollup(ev, ["event_type", "hour"], ["value"])
+    daily = (
+        hourly.withColumn("day", F.date_trunc("day", F.col("hour")))
+        .groupBy("event_type", "day")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_value").alias("sum_value"))
+    )
+    monthly = (
+        daily.withColumn("month", F.date_format("day", "yyyy-MM"))
+        .groupBy("event_type", "month")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_value").alias("sum_value"))
+    )
+    return monthly.select(
+        "event_type",
+        "month",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "catalog_ddl_roundtrip",
     """
     SELECT 'ctas_rows' AS step, (SELECT count(*) FROM nation)::BIGINT AS value

@@ -138,3 +138,50 @@ def test_stable_sum_is_partition_order_invariant(spark, vals, nparts):
         .s
     )
     assert a == b == c
+
+
+@given(
+    n_sales=st.integers(min_value=50, max_value=2_000),
+    seed=st.integers(min_value=1, max_value=10_000),
+    rate=st.integers(min_value=2, max_value=20),
+)
+@SETTINGS
+def test_store_returns_derivation_invariants(spark, n_sales, seed, rate):
+    """For ANY (n_sales, seed, return_rate): every return resolves to a
+    sales line with quantity within bounds, the money identities hold
+    exactly, and the derivation is reproducible (same args → same rows).
+    Generalizes the fixed-config unit tests the round-4 advice flagged
+    as a gap pattern for dbgen arithmetic."""
+    from lakehouse_dba_tools_spark.datagen.generator import gen_store_sales
+    from lakehouse_dba_tools_spark.datagen.tpcds import gen_store_returns
+
+    ss = gen_store_sales(spark, n_sales, seed=seed)
+    sr = gen_store_returns(spark, n_sales, seed=seed, return_rate=rate)
+    joined = sr.join(
+        ss,
+        (sr.sr_ticket_number == ss.ss_ticket_number)
+        & (sr.sr_item_sk == ss.ss_item_sk)
+        & (sr.sr_customer_sk == ss.ss_customer_sk),
+        "left",
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ss_quantity").isNull(), 1).otherwise(0)).alias("unresolved"),
+        F.sum(
+            F.when(F.col("sr_return_quantity") > F.col("ss_quantity"), 1).otherwise(0)
+        ).alias("over_qty"),
+        F.sum(
+            F.when(
+                F.col("sr_refunded_cash")
+                + F.col("sr_reversed_charge")
+                + F.col("sr_store_credit")
+                != F.col("sr_return_amt"),
+                1,
+            ).otherwise(0)
+        ).alias("bad_split"),
+    ).first()
+    assert agg.unresolved == 0
+    assert agg.over_qty == 0
+    assert (agg.bad_split or 0) == 0
+    again = gen_store_returns(spark, n_sales, seed=seed, return_rate=rate)
+    assert again.count() == sr.count()
