@@ -1633,3 +1633,55 @@ def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("store_and_catalog"),
     )
+
+
+@register("tpcds_q23_frequent_best_basket", """
+    SELECT * FROM (VALUES
+      (CAST(711414.37 AS DOUBLE))
+    ) AS t(total_sales)
+    """)
+def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: one month's catalog+web revenue restricted to
+    FREQUENT items (bought >6× in a year) and BEST customers (store
+    spend above half the max customer's) — two derived filter sets
+    reused across both channels, the max threshold a 1-row scalar
+    broadcast. Both sets are aggregates (item- and customer-grained),
+    so the channel facts take two semi-joins, never a fact-fact join."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    frequent_items = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .groupBy("ss_item_sk", "d_year")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 6)
+        .select(F.col("ss_item_sk").alias("freq_item_sk"))
+        .distinct()
+    )
+    spend = ss.groupBy("ss_customer_sk").agg(
+        F.sum(F.col("ss_quantity") * F.col("ss_sales_price")).alias("csales")
+    )
+    tpcds_cmax = spend.agg(F.max("csales").alias("tpcds_cmax"))
+    best_customers = (
+        spend.crossJoin(F.broadcast(tpcds_cmax))
+        .where(F.col("csales") > 0.5 * F.col("tpcds_cmax"))
+        .select(F.col("ss_customer_sk").alias("best_cust_sk"))
+    )
+    month = dd.where((F.col("d_year") == 1999) & (F.col("d_moy") == 3)).select("d_date_sk")
+
+    def channel(fact, date_col, cust_col, item_col, qty_col, price_col):
+        return (
+            fact.join(month, F.col(date_col) == F.col("d_date_sk"))
+            .join(frequent_items, F.col(item_col) == F.col("freq_item_sk"), "leftsemi")
+            .join(best_customers, F.col(cust_col) == F.col("best_cust_sk"), "leftsemi")
+            .select((F.col(qty_col) * F.col(price_col)).alias("sales"))
+        )
+
+    unioned = channel(
+        cs, "cs_sold_date_sk", "cs_bill_customer_sk", "cs_item_sk", "cs_quantity", "cs_sales_price"
+    ).unionByName(
+        channel(
+            ws, "ws_sold_date_sk", "ws_bill_customer_sk", "ws_item_sk", "ws_quantity", "ws_sales_price"
+        )
+    )
+    return unioned.agg(_money("sales").alias("total_sales"))
