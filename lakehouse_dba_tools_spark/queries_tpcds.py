@@ -1685,3 +1685,122 @@ def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return unioned.agg(_money("sales").alias("total_sales"))
+
+
+@register("tpcds_q93_net_of_returns", """
+    SELECT * FROM (VALUES
+      (CAST(12501 AS INT), CAST(84211.13 AS DOUBLE)),
+      (CAST(16417 AS INT), CAST(82647.49 AS DOUBLE)),
+      (CAST(9926 AS INT), CAST(81678.96 AS DOUBLE)),
+      (CAST(43225 AS INT), CAST(77996.07 AS DOUBLE)),
+      (CAST(40485 AS INT), CAST(76350.82 AS DOUBLE)),
+      (CAST(46274 AS INT), CAST(74787.76 AS DOUBLE)),
+      (CAST(22649 AS INT), CAST(74245.85 AS DOUBLE)),
+      (CAST(30359 AS INT), CAST(74068.17 AS DOUBLE)),
+      (CAST(46334 AS INT), CAST(73797.72 AS DOUBLE)),
+      (CAST(19062 AS INT), CAST(73268.73 AS DOUBLE)),
+      (CAST(33229 AS INT), CAST(72925.51 AS DOUBLE)),
+      (CAST(39401 AS INT), CAST(72491.22 AS DOUBLE)),
+      (CAST(449 AS INT), CAST(72209.94 AS DOUBLE)),
+      (CAST(2151 AS INT), CAST(71686.6 AS DOUBLE)),
+      (CAST(32295 AS INT), CAST(70935.57 AS DOUBLE))
+    ) AS t(ss_customer_sk, sumsales)
+    
+    """)
+def tpcds_q93_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: per-customer actual revenue NET of returns —
+    the sales fact LEFT-joins its returns fact on the line key
+    (ticket, item) and each line contributes (qty - returned_qty) ×
+    price when a return matched, else the full amount. The only
+    fact-fact join in the tier, co-keyed on the returns' natural join
+    key; both sides hash the same (ticket, item) so at scale this is
+    the bucketed-join candidate (SCALE.md MERGE notes apply)."""
+    ss, _, _ = _star(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    r = sr.where(F.col("sr_reason_sk") == 7).select(
+        "sr_ticket_number", "sr_item_sk", "sr_return_quantity"
+    )
+    joined = ss.join(
+        r,
+        (ss.ss_ticket_number == r.sr_ticket_number) & (ss.ss_item_sk == r.sr_item_sk),
+        "left",
+    )
+    act = joined.select(
+        "ss_customer_sk",
+        F.when(
+            F.col("sr_return_quantity").isNotNull(),
+            (F.col("ss_quantity") - F.col("sr_return_quantity")) * F.col("ss_sales_price"),
+        )
+        .otherwise(F.col("ss_quantity") * F.col("ss_sales_price"))
+        .alias("act_sales"),
+    )
+    return (
+        act.groupBy("ss_customer_sk")
+        .agg(_money("act_sales").alias("sumsales"))
+        .orderBy(F.col("sumsales").desc(), F.col("ss_customer_sk"))
+        .limit(15)
+    )
+
+
+@register("tpcds_q69_inactive_channel_demo", """
+    SELECT * FROM (VALUES
+      ('F', 'D', '2 yr Degree', CAST(136 AS BIGINT)),
+      ('F', 'D', '4 yr Degree', CAST(152 AS BIGINT)),
+      ('F', 'D', 'Advanced Degree', CAST(166 AS BIGINT)),
+      ('F', 'D', 'College', CAST(144 AS BIGINT)),
+      ('F', 'D', 'Primary', CAST(142 AS BIGINT)),
+      ('F', 'D', 'Secondary', CAST(142 AS BIGINT)),
+      ('F', 'D', 'Unknown', CAST(171 AS BIGINT)),
+      ('F', 'M', '2 yr Degree', CAST(145 AS BIGINT)),
+      ('F', 'M', '4 yr Degree', CAST(143 AS BIGINT)),
+      ('F', 'M', 'Advanced Degree', CAST(156 AS BIGINT)),
+      ('F', 'M', 'College', CAST(146 AS BIGINT)),
+      ('F', 'M', 'Primary', CAST(159 AS BIGINT)),
+      ('F', 'M', 'Secondary', CAST(140 AS BIGINT)),
+      ('F', 'M', 'Unknown', CAST(140 AS BIGINT)),
+      ('F', 'S', '2 yr Degree', CAST(141 AS BIGINT)),
+      ('F', 'S', '4 yr Degree', CAST(159 AS BIGINT)),
+      ('F', 'S', 'Advanced Degree', CAST(151 AS BIGINT)),
+      ('F', 'S', 'College', CAST(157 AS BIGINT)),
+      ('F', 'S', 'Primary', CAST(150 AS BIGINT)),
+      ('F', 'S', 'Secondary', CAST(162 AS BIGINT))
+    ) AS t(cd_gender, cd_marital_status, cd_education_status, cnt)
+    
+    """)
+def tpcds_q69_inactive_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69 shape: demographic profile of customers who bought
+    in-store during a quarter but NOT by catalog or web — one
+    semi-join and two anti-joins against per-channel customer key
+    sets, then the demographics rollup. The probe sides carry only
+    customer keys."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    cd = gen_customer_demographics(spark)
+    dates = dd.where((F.col("d_year") == 1999) & F.col("d_moy").between(1, 3)).select(
+        "d_date_sk"
+    )
+
+    def active(fact, date_col, cust_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .select(F.col(cust_col).alias("active_sk"))
+            .distinct()
+        )
+
+    store_active = active(ss, "ss_sold_date_sk", "ss_customer_sk")
+    cat_active = active(cs, "cs_sold_date_sk", "cs_bill_customer_sk")
+    web_active = active(ws, "ws_sold_date_sk", "ws_bill_customer_sk")
+    chosen = (
+        cu.join(store_active, cu.c_customer_sk == F.col("active_sk"), "leftsemi")
+        .join(cat_active, cu.c_customer_sk == F.col("active_sk"), "leftanti")
+        .join(web_active, cu.c_customer_sk == F.col("active_sk"), "leftanti")
+    )
+    return (
+        chosen.join(cd, chosen.c_current_cdemo_sk == cd.cd_demo_sk)
+        .groupBy("cd_gender", "cd_marital_status", "cd_education_status")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
+        .limit(20)
+    )
