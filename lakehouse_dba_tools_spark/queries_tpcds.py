@@ -1804,3 +1804,215 @@ def tpcds_q69_inactive_channel_demo(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
         .limit(20)
     )
+
+
+@register("tpcds_q51_cumulative_crossover", """
+    SELECT * FROM (VALUES
+      (CAST(1 AS INT), '1998-04-04', CAST(19193.87 AS DOUBLE), CAST(320.34 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-04-08', CAST(19193.87 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-05-13', CAST(25962.0 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-05-31', CAST(26587.18 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-06-14', CAST(26776.51 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-06-15', CAST(26776.51 AS DOUBLE), CAST(4167.19 AS DOUBLE)),
+      (CAST(1 AS INT), '1998-06-17', CAST(26776.51 AS DOUBLE), CAST(4531.84 AS DOUBLE)),
+      (CAST(2 AS INT), '1998-03-02', CAST(5761.47 AS DOUBLE), CAST(421.25 AS DOUBLE)),
+      (CAST(2 AS INT), '1998-04-21', CAST(5820.06 AS DOUBLE), CAST(421.25 AS DOUBLE)),
+      (CAST(2 AS INT), '1998-06-02', CAST(5820.06 AS DOUBLE), CAST(527.62 AS DOUBLE)),
+      (CAST(3 AS INT), '1998-01-25', CAST(1582.77 AS DOUBLE), CAST(626.04 AS DOUBLE)),
+      (CAST(3 AS INT), '1998-02-09', CAST(2861.25 AS DOUBLE), CAST(626.04 AS DOUBLE)),
+      (CAST(3 AS INT), '1998-05-10', CAST(9085.81 AS DOUBLE), CAST(8685.97 AS DOUBLE)),
+      (CAST(7 AS INT), '1998-01-24', CAST(3899.22 AS DOUBLE), CAST(1829.51 AS DOUBLE)),
+      (CAST(12 AS INT), '1998-04-24', CAST(9513.0 AS DOUBLE), CAST(6942.35 AS DOUBLE)),
+      (CAST(12 AS INT), '1998-05-31', CAST(12739.33 AS DOUBLE), CAST(6942.35 AS DOUBLE)),
+      (CAST(13 AS INT), '1998-01-24', CAST(1369.82 AS DOUBLE), CAST(139.33 AS DOUBLE)),
+      (CAST(13 AS INT), '1998-04-05', CAST(10515.08 AS DOUBLE), CAST(8803.52 AS DOUBLE)),
+      (CAST(13 AS INT), '1998-05-16', CAST(10515.08 AS DOUBLE), CAST(10246.41 AS DOUBLE)),
+      (CAST(14 AS INT), '1998-03-19', CAST(15542.1 AS DOUBLE), CAST(4653.75 AS DOUBLE))
+    ) AS t(item_sk, d_date, web_cumulative, store_cumulative)
+    """)
+def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: per-item daily cumulative web vs store revenue,
+    full-outer joined on (item, day), keeping days where the web
+    running total first exceeds the store running total. The spec's
+    trick is reproduced exactly: each channel's cumulative sum is
+    computed per item BEFORE the join, and after the full-outer join a
+    running ``max`` window carries the most recent non-null cumulative
+    forward over days the other channel had no sales (cumulative sums
+    are monotone, so max-over-preceding == last seen).
+
+    Scale: both windows partition by item — one hash exchange per
+    channel on the reduced (item, day) rollup, never on fact rows; the
+    full-outer join keys the same partitioning so AQE can pipeline it.
+    """
+    ss, dd, _ = _star(spark)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select(
+        "d_date_sk", "d_date"
+    )
+
+    def channel_cum(fact, date_col, item_col, price_col, prefix):
+        daily = (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .groupBy(F.col(item_col).alias(f"{prefix}_item_sk"), "d_date")
+            .agg(F.sum(price_col).alias("day_sales"))
+        )
+        w = (
+            Window.partitionBy(f"{prefix}_item_sk")
+            .orderBy("d_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return daily.select(
+            f"{prefix}_item_sk",
+            F.col("d_date").alias(f"{prefix}_date"),
+            F.sum("day_sales").over(w).alias(f"{prefix}_cume"),
+        )
+
+    web = channel_cum(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price", "web")
+    store = channel_cum(ss, "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price", "st")
+    joined = web.join(
+        store,
+        (web.web_item_sk == store.st_item_sk) & (web.web_date == store.st_date),
+        "fullouter",
+    ).select(
+        F.coalesce("web_item_sk", "st_item_sk").alias("item_sk"),
+        F.coalesce("web_date", "st_date").alias("d_date"),
+        "web_cume",
+        "st_cume",
+    )
+    w2 = (
+        Window.partitionBy("item_sk")
+        .orderBy("d_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = joined.select(
+        "item_sk",
+        "d_date",
+        F.max("web_cume").over(w2).alias("web_cumulative"),
+        F.max("st_cume").over(w2).alias("store_cumulative"),
+    )
+    return (
+        carried.where(F.col("web_cumulative") > F.col("store_cumulative"))
+        .select(
+            "item_sk",
+            F.col("d_date").cast("string").alias("d_date"),
+            F.round("web_cumulative", 2).cast("double").alias("web_cumulative"),
+            F.round("store_cumulative", 2).cast("double").alias("store_cumulative"),
+        )
+        .orderBy("item_sk", "d_date")
+        .limit(20)
+    )
+
+
+@register("tpcds_q70_state_profit_ranking", """
+    SELECT * FROM (VALUES
+      (CAST(77293050.96 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(2 AS INT), CAST(1 AS INT)),
+      (CAST(15441451.39 AS DOUBLE), 'FL', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(3 AS INT)),
+      (CAST(15352738.84 AS DOUBLE), 'IL', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(5 AS INT)),
+      (CAST(15365930.31 AS DOUBLE), 'MI', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(4 AS INT)),
+      (CAST(15589901.78 AS DOUBLE), 'NC', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(1 AS INT)),
+      (CAST(15543028.64 AS DOUBLE), 'TX', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(2 AS INT)),
+      (CAST(15441451.39 AS DOUBLE), 'FL', 'Walker County', CAST(0 AS INT), CAST(1 AS INT)),
+      (CAST(15352738.84 AS DOUBLE), 'IL', 'Williamson County', CAST(0 AS INT), CAST(1 AS INT)),
+      (CAST(15365930.31 AS DOUBLE), 'MI', 'Walker County', CAST(0 AS INT), CAST(1 AS INT)),
+      (CAST(15589901.78 AS DOUBLE), 'NC', 'Ziebach County', CAST(0 AS INT), CAST(1 AS INT)),
+      (CAST(15543028.64 AS DOUBLE), 'TX', 'Williamson County', CAST(0 AS INT), CAST(1 AS INT))
+    ) AS t(total_sum, s_state, s_county, lochierarchy, rank_within_parent)
+    """)
+def tpcds_q70_state_profit_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q70 shape: store net profit by ROLLUP(state, county),
+    restricted to the top-5 profit states (the spec's nested ranking
+    subquery → here a window rank + left-semi join on state), with
+    ``lochierarchy = grouping(state)+grouping(county)`` and a
+    rank-within-parent window over the rollup output.
+
+    Scale: the fact reduces with one hash-agg before any window; the
+    top-state probe side is a handful of rows (leftsemi broadcast);
+    rollup rows are dim-sized so both windows are trivial."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    dates = dd.where(F.col("d_month_seq").between(1176, 1187)).select("d_date_sk")
+    base = (
+        ss.join(dates, ss.ss_sold_date_sk == F.col("d_date_sk"))
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .select("s_state", "s_county", "ss_net_profit")
+    )
+    state_rank = (
+        base.groupBy(F.col("s_state").alias("rank_state"))
+        .agg(F.sum("ss_net_profit").alias("state_profit"))
+        .select(
+            "rank_state",
+            F.rank()
+            .over(Window.orderBy(F.col("state_profit").desc(), F.col("rank_state")))
+            .alias("state_r"),
+        )
+        .where(F.col("state_r") <= 5)
+        .select("rank_state")
+    )
+    rolled = (
+        base.join(state_rank, base.s_state == F.col("rank_state"), "leftsemi")
+        .rollup("s_state", "s_county")
+        .agg(
+            _money("ss_net_profit").alias("total_sum"),
+            (F.grouping("s_state") + F.grouping("s_county"))
+            .cast("int")
+            .alias("lochierarchy"),
+        )
+    )
+    wr = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("s_state")),
+    ).orderBy(F.col("total_sum").desc(), F.col("s_state"), F.col("s_county"))
+    return (
+        rolled.select(
+            "total_sum",
+            "s_state",
+            "s_county",
+            "lochierarchy",
+            F.rank().over(wr).cast("int").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("s_state"),
+            F.col("rank_within_parent"),
+            F.col("s_county"),
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q87_store_only_customers", """
+    SELECT * FROM (VALUES
+      (CAST(2406 AS BIGINT))
+    ) AS t(num_store_only)
+    """)
+def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: how many distinct (last, first, purchase-date)
+    customer-day triples bought in-store but never by catalog or web
+    that quarter — the spec's double EXCEPT over three channel
+    projections, expressed with ``subtract`` (EXCEPT DISTINCT) so each
+    channel reduces to its distinct triple set first.
+
+    Scale: each leg is (names × day) — already deduplicated before the
+    set difference, so the EXCEPTs shuffle only distinct triples; the
+    fact tables never meet each other directly."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    dates = dd.where(F.col("d_month_seq").between(1176, 1178)).select(
+        "d_date_sk", "d_date"
+    )
+
+    def triples(fact, date_col, cust_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(cu, F.col(cust_col) == cu.c_customer_sk)
+            .select("c_last_name", "c_first_name", "d_date")
+            .distinct()
+        )
+
+    store_t = triples(ss, "ss_sold_date_sk", "ss_customer_sk")
+    cat_t = triples(cs, "cs_sold_date_sk", "cs_bill_customer_sk")
+    web_t = triples(ws, "ws_sold_date_sk", "ws_bill_customer_sk")
+    remaining = store_t.subtract(cat_t).subtract(web_t)
+    return remaining.agg(F.count("*").cast("bigint").alias("num_store_only"))

@@ -459,3 +459,33 @@ def test_q38_intersect_on_distinct_keys(spark, sf_dir):
     assert "HashAggregate" in plan
     # intersect lowers to LeftSemi joins over the distinct sets
     assert "LeftSemi" in plan
+
+
+def test_q51_windows_on_rollup_not_fact(spark, sf_dir):
+    """q51's cumulative windows must run over the (item, day) rollup —
+    each channel aggregates before its window, and the crossover is a
+    single full-outer join of the two reduced streams."""
+    plan = _plan(spark, "tpcds_q51_cumulative_crossover", sf_dir)
+    assert "FullOuter" in plan
+    # one cumulative window per channel + the carry-forward window
+    assert plan.count("Window") >= 3
+    # the formatted plan is outermost-first: the channel hash-aggs
+    # appear after (i.e. beneath) the windows that consume them
+    assert "HashAggregate" in plan
+
+
+def test_q70_rank_over_rollup(spark, sf_dir):
+    """q70: ROLLUP expands inside one agg pipeline; the top-state
+    restriction plans as a semi join probing only state keys."""
+    plan = _plan(spark, "tpcds_q70_state_profit_ranking", sf_dir)
+    assert "Expand" in plan
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+
+
+def test_q87_except_on_distinct_triples(spark, sf_dir):
+    """q87's EXCEPT chain must deduplicate each channel before the set
+    difference (aggregate-then-anti-join), never anti-join fact rows."""
+    plan = _plan(spark, "tpcds_q87_store_only_customers", sf_dir)
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan

@@ -38,7 +38,7 @@ def main() -> None:
     from lakehouse_dba_tools_spark.registry import QUERIES
 
     spark = get_session()
-    names = [n for n in QUERIES if n.startswith("tpcds_")]
+    names = sys.argv[1:] or [n for n in QUERIES if n.startswith("tpcds_")]
     blocks = []
     for name in names:
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
