@@ -2016,3 +2016,291 @@ def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFram
     web_t = triples(ws, "ws_sold_date_sk", "ws_bill_customer_sk")
     remaining = store_t.subtract(cat_t).subtract(web_t)
     return remaining.agg(F.count("*").cast("bigint").alias("num_store_only"))
+
+
+@register("tpcds_q49_worst_return_ratios", """
+    SELECT * FROM (VALUES
+      ('catalog', CAST(883 AS INT), CAST(1.0 AS DOUBLE), CAST(1 AS INT), CAST(18 AS INT)),
+      ('catalog', CAST(1993 AS INT), CAST(1.0 AS DOUBLE), CAST(2 AS INT), CAST(1 AS INT)),
+      ('catalog', CAST(4140 AS INT), CAST(1.0 AS DOUBLE), CAST(3 AS INT), CAST(14 AS INT)),
+      ('catalog', CAST(4293 AS INT), CAST(1.0 AS DOUBLE), CAST(4 AS INT), CAST(8 AS INT)),
+      ('catalog', CAST(6302 AS INT), CAST(1.0 AS DOUBLE), CAST(5 AS INT), CAST(9 AS INT)),
+      ('catalog', CAST(6580 AS INT), CAST(1.0 AS DOUBLE), CAST(6 AS INT), CAST(10 AS INT)),
+      ('catalog', CAST(10242 AS INT), CAST(1.0 AS DOUBLE), CAST(7 AS INT), CAST(11 AS INT)),
+      ('catalog', CAST(10608 AS INT), CAST(1.0 AS DOUBLE), CAST(8 AS INT), CAST(17 AS INT)),
+      ('catalog', CAST(10680 AS INT), CAST(1.0 AS DOUBLE), CAST(9 AS INT), CAST(7 AS INT)),
+      ('catalog', CAST(12831 AS INT), CAST(1.0 AS DOUBLE), CAST(10 AS INT), CAST(12 AS INT)),
+      ('catalog', CAST(13449 AS INT), CAST(1.0 AS DOUBLE), CAST(11 AS INT), CAST(5 AS INT)),
+      ('catalog', CAST(14749 AS INT), CAST(1.0 AS DOUBLE), CAST(13 AS INT), CAST(2 AS INT)),
+      ('catalog', CAST(15299 AS INT), CAST(1.0 AS DOUBLE), CAST(14 AS INT), CAST(4 AS INT)),
+      ('catalog', CAST(16706 AS INT), CAST(1.0 AS DOUBLE), CAST(15 AS INT), CAST(6 AS INT)),
+      ('catalog', CAST(6399 AS INT), CAST(0.9636 AS DOUBLE), CAST(28 AS INT), CAST(3 AS INT)),
+      ('store', CAST(12 AS INT), CAST(1.0 AS DOUBLE), CAST(1 AS INT), CAST(12 AS INT)),
+      ('store', CAST(259 AS INT), CAST(1.0 AS DOUBLE), CAST(2 AS INT), CAST(13 AS INT)),
+      ('store', CAST(386 AS INT), CAST(1.0 AS DOUBLE), CAST(3 AS INT), CAST(11 AS INT)),
+      ('store', CAST(1304 AS INT), CAST(1.0 AS DOUBLE), CAST(4 AS INT), CAST(35 AS INT)),
+      ('store', CAST(1390 AS INT), CAST(1.0 AS DOUBLE), CAST(5 AS INT), CAST(14 AS INT))
+    ) AS t(channel, item, return_ratio, return_rank, currency_rank)
+    """)
+def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: per-channel worst return ratios — each channel
+    left-joins its returns fact to its sales fact on (item, order/
+    ticket), aggregates quantity- and currency-return ratios per item,
+    ranks both ratios, keeps rank ≤ 10, and unions the three small
+    ranked results. (The spec's >10000-return-amount guard is scaled
+    away for the generator's decimal(7,2) money domain.)
+
+    Scale: each sales↔returns join is keyed by the fact's natural key
+    (order+item) — co-partitioned shuffle, no cross-channel fact join;
+    ranking windows run over per-item rollups only.
+    """
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dates = dd.where((F.col("d_year") == 1999) & (F.col("d_moy") == 12)).select(
+        "d_date_sk"
+    )
+
+    def channel(sales, ret, s_item, s_key, s_date, s_qty, s_paid, r_item, r_key, r_qty, r_amt, label):
+        s = sales.join(dates, F.col(s_date) == F.col("d_date_sk")).where(
+            (F.col(s_qty) > 0) & (F.col(s_paid) > 0)
+        )
+        r = ret.select(
+            F.col(r_item).alias("r_item"),
+            F.col(r_key).alias("r_key"),
+            F.col(r_qty).alias("r_qty"),
+            F.col(r_amt).alias("r_amt"),
+        )
+        joined = s.join(
+            r,
+            (F.col(s_item) == F.col("r_item")) & (F.col(s_key) == F.col("r_key")),
+            "left",
+        )
+        agged = joined.groupBy(F.col(s_item).alias("item")).agg(
+            F.sum(F.coalesce(F.col("r_qty"), F.lit(0))).alias("ret_qty"),
+            F.sum(F.col(s_qty)).alias("sold_qty"),
+            F.sum(F.coalesce(F.col("r_amt"), F.lit(0))).alias("ret_amt"),
+            F.sum(F.col(s_paid)).alias("paid_amt"),
+        )
+        ratios = agged.select(
+            "item",
+            (F.col("ret_qty") / F.col("sold_qty")).alias("return_ratio"),
+            (F.col("ret_amt") / F.col("paid_amt")).alias("currency_ratio"),
+        )
+        ranked = ratios.select(
+            F.lit(label).alias("channel"),
+            "item",
+            F.round("return_ratio", 4).cast("double").alias("return_ratio"),
+            F.rank()
+            .over(Window.orderBy(F.col("return_ratio").desc(), F.col("item")))
+            .cast("int")
+            .alias("return_rank"),
+            F.rank()
+            .over(Window.orderBy(F.col("currency_ratio").desc(), F.col("item")))
+            .cast("int")
+            .alias("currency_rank"),
+        )
+        return ranked.where((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))
+
+    out = (
+        channel(ws, wr, "ws_item_sk", "ws_order_number", "ws_sold_date_sk",
+                "ws_quantity", "ws_net_paid", "wr_item_sk", "wr_order_number",
+                "wr_return_quantity", "wr_return_amt", "web")
+        .unionByName(
+            channel(cs, cr, "cs_item_sk", "cs_order_number", "cs_sold_date_sk",
+                    "cs_quantity", "cs_net_paid", "cr_item_sk", "cr_order_number",
+                    "cr_return_quantity", "cr_return_amount", "catalog"))
+        .unionByName(
+            channel(ss, sr, "ss_item_sk", "ss_ticket_number", "ss_sold_date_sk",
+                    "ss_quantity", "ss_net_paid", "sr_item_sk", "sr_ticket_number",
+                    "sr_return_quantity", "sr_return_amt", "store"))
+    )
+    return out.orderBy("channel", "return_rank", "currency_rank", "item").limit(20)
+
+
+@register("tpcds_q39_inventory_variance", """
+    SELECT * FROM (VALUES
+      (CAST(1 AS INT), CAST(149 AS INT), CAST(302.8 AS DOUBLE), CAST(1.0125 AS DOUBLE), CAST(235.0 AS DOUBLE), CAST(1.4227 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(612 AS INT), CAST(277.6 AS DOUBLE), CAST(1.1743 AS DOUBLE), CAST(427.75 AS DOUBLE), CAST(1.024 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(853 AS INT), CAST(230.8 AS DOUBLE), CAST(1.1841 AS DOUBLE), CAST(380.25 AS DOUBLE), CAST(1.1442 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(1032 AS INT), CAST(382.0 AS DOUBLE), CAST(1.0295 AS DOUBLE), CAST(368.25 AS DOUBLE), CAST(1.0921 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(352 AS INT), CAST(282.4 AS DOUBLE), CAST(1.3505 AS DOUBLE), CAST(141.25 AS DOUBLE), CAST(1.0545 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(406 AS INT), CAST(328.4 AS DOUBLE), CAST(1.1176 AS DOUBLE), CAST(241.75 AS DOUBLE), CAST(1.5239 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(38 AS INT), CAST(321.8 AS DOUBLE), CAST(1.1727 AS DOUBLE), CAST(157.25 AS DOUBLE), CAST(1.2352 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(86 AS INT), CAST(366.2 AS DOUBLE), CAST(1.1016 AS DOUBLE), CAST(283.0 AS DOUBLE), CAST(1.1648 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1004 AS INT), CAST(345.6 AS DOUBLE), CAST(1.0325 AS DOUBLE), CAST(486.25 AS DOUBLE), CAST(1.1113 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1181 AS INT), CAST(284.4 AS DOUBLE), CAST(1.0194 AS DOUBLE), CAST(415.0 AS DOUBLE), CAST(1.1077 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1288 AS INT), CAST(244.4 AS DOUBLE), CAST(1.0707 AS DOUBLE), CAST(337.75 AS DOUBLE), CAST(1.0361 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1649 AS INT), CAST(328.6 AS DOUBLE), CAST(1.0353 AS DOUBLE), CAST(174.5 AS DOUBLE), CAST(1.0267 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1706 AS INT), CAST(310.6 AS DOUBLE), CAST(1.1973 AS DOUBLE), CAST(495.25 AS DOUBLE), CAST(1.0266 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1876 AS INT), CAST(312.0 AS DOUBLE), CAST(1.0993 AS DOUBLE), CAST(375.75 AS DOUBLE), CAST(1.0904 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(875 AS INT), CAST(342.8 AS DOUBLE), CAST(1.165 AS DOUBLE), CAST(263.25 AS DOUBLE), CAST(1.0203 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(898 AS INT), CAST(316.4 AS DOUBLE), CAST(1.0681 AS DOUBLE), CAST(355.0 AS DOUBLE), CAST(1.1838 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(906 AS INT), CAST(298.8 AS DOUBLE), CAST(1.0084 AS DOUBLE), CAST(344.5 AS DOUBLE), CAST(1.0628 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(1140 AS INT), CAST(448.0 AS DOUBLE), CAST(1.0336 AS DOUBLE), CAST(421.25 AS DOUBLE), CAST(1.1099 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(1314 AS INT), CAST(261.6 AS DOUBLE), CAST(1.256 AS DOUBLE), CAST(296.75 AS DOUBLE), CAST(1.2531 AS DOUBLE)),
+      (CAST(4 AS INT), CAST(1326 AS INT), CAST(290.4 AS DOUBLE), CAST(1.0889 AS DOUBLE), CAST(350.75 AS DOUBLE), CAST(1.0113 AS DOUBLE))
+    ) AS t(w_sk, i_sk, mean1, cov1, mean2, cov2)
+    """)
+def tpcds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: monthly on-hand inventory mean and coefficient
+    of variation per (warehouse, item); flag high-variance pairs
+    (cov > 1) and self-join January against February 1998 to show
+    variance persisting month-over-month.
+
+    Determinism at any partitioning: mean/stddev are derived from
+    exact integer partials (n, Σq, Σq²) — never from Spark's
+    floating-point stddev_samp whose merge order varies — so the
+    pinned doubles reproduce bit-for-bit under any partition count.
+    Scale: the inventory grid reduces with one hash-agg; the
+    month-over-month join sees only the tiny flagged survivors."""
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    monthly = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy("inv_warehouse_sk", "inv_item_sk", "d_moy")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("inv_quantity_on_hand").cast("bigint").alias("s"),
+            F.sum(F.col("inv_quantity_on_hand") * F.col("inv_quantity_on_hand"))
+            .cast("bigint")
+            .alias("ss"),
+        )
+        .where(F.col("n") > 1)
+        .select(
+            "inv_warehouse_sk",
+            "inv_item_sk",
+            "d_moy",
+            (F.col("s") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("stdev"),
+        )
+    )
+    flagged = monthly.where(
+        (F.col("mean") > 0) & (F.col("stdev") / F.col("mean") > 1.0)
+    ).select(
+        "inv_warehouse_sk",
+        "inv_item_sk",
+        "d_moy",
+        F.round("mean", 2).cast("double").alias("mean"),
+        F.round(F.col("stdev") / F.col("mean"), 4).cast("double").alias("cov"),
+    )
+    jan = flagged.where(F.col("d_moy") == 1).select(
+        F.col("inv_warehouse_sk").alias("w_sk"),
+        F.col("inv_item_sk").alias("i_sk"),
+        F.col("mean").alias("mean1"),
+        F.col("cov").alias("cov1"),
+    )
+    feb = flagged.where(F.col("d_moy") == 2).select(
+        F.col("inv_warehouse_sk").alias("w_sk"),
+        F.col("inv_item_sk").alias("i_sk"),
+        F.col("mean").alias("mean2"),
+        F.col("cov").alias("cov2"),
+    )
+    return (
+        jan.join(feb, ["w_sk", "i_sk"])
+        .orderBy("w_sk", "i_sk")
+        .limit(20)
+    )
+
+
+@register("tpcds_q72_catalog_inventory_promo", """
+    SELECT * FROM (VALUES
+      ('0000000000000I18', 'Doors canno', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('0000000000000I21', 'Important issues liv', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('0000000000000I25', 'Conventional childr', CAST(5205 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I137', 'Bad cards must make', CAST(5193 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I189', 'Doors canno', CAST(5181 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I221', 'Bad cards must make', CAST(5190 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I229', 'Doors canno', CAST(5213 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I253', 'Rooms cook', CAST(5197 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I388', 'Bad cards must make', CAST(5165 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I388', 'Important issues liv', CAST(5165 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I411', 'Conventional childr', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I411', 'Doors canno', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I411', 'Rooms cook', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I427', 'Doors canno', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I427', 'Important issues liv', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I427', 'Rooms cook', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I499', 'Doors canno', CAST(5190 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I588', 'Important issues liv', CAST(5202 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I592', 'Conventional childr', CAST(5198 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('000000000000I635', 'Important issues liv', CAST(5191 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(i_item_id, w_warehouse_name, week_seq, no_promo, promo, total_cnt)
+    """)
+def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape: catalog orders whose warehouse was short on
+    stock the week they sold (inv_quantity_on_hand < cs_quantity),
+    shipped more than 5 days later, by demographic segment — the
+    spec's catalog_sales × inventory fact-fact join on (item,
+    week_seq) with three date_dim roles (sold/inventory/ship) and a
+    promotion left join split into promo / no-promo counts. (Spec
+    left-joins all promotions; here the probe is restricted to
+    email-channel='N' promotions so both branches are populated on
+    generated data.)
+
+    Scale: demographics filters shrink the fact BEFORE the inventory
+    join; the join keys (item_sk, week_seq) co-partition both facts —
+    the only multi-TB×multi-TB shuffle in the tier, keyed exactly as
+    a production short-stock audit would be."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    wh = gen_warehouse(spark)
+    hd = gen_household_demographics(spark)
+    cd = gen_customer_demographics(spark)
+    pm = gen_promotion(spark).where(F.col("p_channel_email") == "N")
+    d1 = dd.select(
+        F.col("d_date_sk").alias("d1_sk"),
+        F.col("d_date").alias("d1_date"),
+        F.col("d_week_seq").alias("d1_week"),
+        F.col("d_year").alias("d1_year"),
+    )
+    d2 = dd.select(
+        F.col("d_date_sk").alias("d2_sk"), F.col("d_week_seq").alias("d2_week")
+    )
+    d3 = dd.select(F.col("d_date_sk").alias("d3_sk"), F.col("d_date").alias("d3_date"))
+    base = (
+        cs.join(hd, cs.cs_bill_hdemo_sk == hd.hd_demo_sk)
+        .join(cd, cs.cs_bill_cdemo_sk == cd.cd_demo_sk)
+        .where(
+            (F.col("hd_buy_potential") == "1001-5000")
+            & (F.col("cd_marital_status") == "D")
+        )
+        .join(d1, F.col("cs_sold_date_sk") == F.col("d1_sk"))
+        .where(F.col("d1_year") == 1999)
+        .join(d3, F.col("cs_ship_date_sk") == F.col("d3_sk"))
+        .where(F.col("d3_date") > F.date_add(F.col("d1_date"), 5))
+    )
+    short = (
+        base.join(
+            inv.join(d2, inv.inv_date_sk == F.col("d2_sk")),
+            (F.col("cs_item_sk") == F.col("inv_item_sk"))
+            & (F.col("d1_week") == F.col("d2_week"))
+            & (F.col("inv_quantity_on_hand") < F.col("cs_quantity")),
+        )
+        .join(wh, F.col("inv_warehouse_sk") == wh.w_warehouse_sk)
+        .join(it, F.col("cs_item_sk") == it.i_item_sk)
+        .join(pm, F.col("cs_promo_sk") == pm.p_promo_sk, "left")
+    )
+    return (
+        short.groupBy("i_item_id", "w_warehouse_name", F.col("d1_week").alias("week_seq"))
+        .agg(
+            F.sum(F.when(F.col("p_promo_sk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("no_promo"),
+            F.sum(F.when(F.col("p_promo_sk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo"),
+            F.count("*").cast("bigint").alias("total_cnt"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "i_item_id", "w_warehouse_name", "week_seq")
+        .limit(20)
+    )

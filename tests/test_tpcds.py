@@ -489,3 +489,30 @@ def test_q87_except_on_distinct_triples(spark, sf_dir):
     plan = _plan(spark, "tpcds_q87_store_only_customers", sf_dir)
     assert "LeftAnti" in plan
     assert "HashAggregate" in plan
+
+
+def test_q49_ranks_over_reduced_channels(spark, sf_dir):
+    """q49: each channel joins returns to sales on the natural key and
+    aggregates per item BEFORE ranking; the union carries only ranked
+    per-item rows."""
+    plan = _plan(spark, "tpcds_q49_worst_return_ratios", sf_dir)
+    assert "Union" in plan
+    assert plan.count("Window") >= 3
+    assert "HashAggregate" in plan
+
+
+def test_q39_integer_partials_no_float_stddev(spark, sf_dir):
+    """q39's determinism contract: variance comes from exact integer
+    partials (n, sum, sum-of-squares), never stddev_samp whose
+    float merge order varies with partitioning."""
+    plan = _plan(spark, "tpcds_q39_inventory_variance", sf_dir)
+    assert "stddev" not in plan.lower()
+    assert "HashAggregate" in plan
+
+
+def test_q72_demographics_filter_before_inventory_join(spark, sf_dir):
+    """q72: the demographics filters must reduce catalog_sales before
+    the fact-fact inventory join; the promotion probe stays a left
+    join."""
+    plan = _plan(spark, "tpcds_q72_catalog_inventory_promo", sf_dir)
+    assert "LeftOuter" in plan
