@@ -2304,3 +2304,155 @@ def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy(F.col("total_cnt").desc(), "i_item_id", "w_warehouse_name", "week_seq")
         .limit(20)
     )
+
+
+@register("tpcds_q61_promo_sales_ratio", """
+    SELECT * FROM (VALUES
+      (CAST(3005500.01 AS DOUBLE), CAST(3445515.57 AS DOUBLE), CAST(87.2293 AS DOUBLE))
+    ) AS t(promotions, total, promo_pct)
+    """)
+def tpcds_q61_promo_sales_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape: what share of one category's November store
+    revenue went through actively-promoted items (any of dmail / email
+    / tv channel flags on the sale's promotion) — two independent
+    scalar rollups (promoted leg re-filters through promotion, total
+    leg doesn't) joined by a 1-row cross join for the ratio.
+
+    Scale: both legs reduce the fact to ONE row before the cross join —
+    the only crossJoin in the query multiplies 1×1; promotion is a
+    300-row dim the optimizer broadcasts."""
+    ss, dd, it = _star(spark)
+    pm = gen_promotion(spark)
+    base = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .where(
+            (F.col("d_year") == 1998)
+            & (F.col("d_moy") == 11)
+            & (F.col("i_category") == "Jewelry")
+        )
+    )
+    promo = (
+        base.join(pm, F.col("ss_promo_sk") == pm.p_promo_sk)
+        .where(
+            (F.col("p_channel_dmail") == "Y")
+            | (F.col("p_channel_email") == "Y")
+            | (F.col("p_channel_tv") == "Y")
+        )
+        .agg(F.sum("ss_ext_sales_price").alias("promotions"))
+    )
+    total = base.agg(F.sum("ss_ext_sales_price").alias("total"))
+    return promo.crossJoin(total).select(
+        F.round("promotions", 2).cast("double").alias("promotions"),
+        F.round("total", 2).cast("double").alias("total"),
+        F.round(F.col("promotions") / F.col("total") * 100, 4)
+        .cast("double")
+        .alias("promo_pct"),
+    )
+
+
+@register("tpcds_q66_warehouse_monthly_pivot", """
+    SELECT * FROM (VALUES
+      ('Bad cards must make', 'Union', 'GA', 'United States', CAST(1999 AS INT), CAST(59565447.47 AS DOUBLE), CAST(64388321.23 AS DOUBLE), CAST(62707457.04 AS DOUBLE), CAST(58183408.22 AS DOUBLE), CAST(52286150.98 AS DOUBLE), CAST(50115946.41 AS DOUBLE), CAST(58548325.73 AS DOUBLE), CAST(57144062.77 AS DOUBLE), CAST(54237327.24 AS DOUBLE), CAST(64711786.78 AS DOUBLE), CAST(39381668.38 AS DOUBLE), CAST(47903299.08 AS DOUBLE)),
+      ('Conventional childr', 'Midway', 'TN', 'United States', CAST(1999 AS INT), CAST(71122273.62 AS DOUBLE), CAST(48651805.96 AS DOUBLE), CAST(60039665.74 AS DOUBLE), CAST(65950376.3 AS DOUBLE), CAST(61574087.04 AS DOUBLE), CAST(52497613.36 AS DOUBLE), CAST(57933888.76 AS DOUBLE), CAST(53339414.69 AS DOUBLE), CAST(43888067.59 AS DOUBLE), CAST(61580520.2 AS DOUBLE), CAST(58813023.23 AS DOUBLE), CAST(66456455.87 AS DOUBLE)),
+      ('Doors canno', 'Midway', 'TX', 'United States', CAST(1999 AS INT), CAST(60484452.84 AS DOUBLE), CAST(62172952.23 AS DOUBLE), CAST(47192690.76 AS DOUBLE), CAST(61081583.58 AS DOUBLE), CAST(48129182.04 AS DOUBLE), CAST(60525024.48 AS DOUBLE), CAST(68793384.2 AS DOUBLE), CAST(56374097.9 AS DOUBLE), CAST(50237603.87 AS DOUBLE), CAST(63742895.81 AS DOUBLE), CAST(63710162.77 AS DOUBLE), CAST(61400930.98 AS DOUBLE)),
+      ('Important issues liv', 'Shiloh', 'OH', 'United States', CAST(1999 AS INT), CAST(50473395.4 AS DOUBLE), CAST(47042521.95 AS DOUBLE), CAST(54093369.63 AS DOUBLE), CAST(55132555.9 AS DOUBLE), CAST(61725838.53 AS DOUBLE), CAST(52098111.18 AS DOUBLE), CAST(59823196.42 AS DOUBLE), CAST(52448404.99 AS DOUBLE), CAST(53678405.23 AS DOUBLE), CAST(68461245.87 AS DOUBLE), CAST(56857765.76 AS DOUBLE), CAST(65830838.74 AS DOUBLE)),
+      ('Rooms cook', 'Shiloh', 'MI', 'United States', CAST(1999 AS INT), CAST(60828264.21 AS DOUBLE), CAST(64246254.24 AS DOUBLE), CAST(59242578.35 AS DOUBLE), CAST(49839403.21 AS DOUBLE), CAST(53181524.62 AS DOUBLE), CAST(49326763.4 AS DOUBLE), CAST(65933847.63 AS DOUBLE), CAST(63182516.69 AS DOUBLE), CAST(57138573.28 AS DOUBLE), CAST(59147170.11 AS DOUBLE), CAST(49843233.7 AS DOUBLE), CAST(56799806.87 AS DOUBLE))
+    ) AS t(w_warehouse_name, w_city, w_state, w_country, d_year, m01_sales, m02_sales, m03_sales, m04_sales, m05_sales, m06_sales, m07_sales, m08_sales, m09_sales, m10_sales, m11_sales, m12_sales)
+    """)
+def tpcds_q66_warehouse_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: web + catalog shipping volume by warehouse ×
+    year, pivoted into 12 monthly sales columns with a carrier
+    restriction — each channel rolls up independently (the spec's two
+    UNION ALL legs), then the union re-aggregates dim-sized rows.
+
+    Scale: the 12-way pivot is conditional aggregation inside ONE
+    hash-agg per channel (no per-month scans); the union carries
+    (warehouse, year) rows only."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    wh = gen_warehouse(spark)
+    sm = gen_ship_mode(spark).where(F.col("sm_carrier").isin("DHL", "BARIAN"))
+
+    def channel(fact, date_col, wh_col, sm_col, qty_col, price_col):
+        monthly = [
+            F.sum(
+                F.when(F.col("d_moy") == m, F.col(price_col) * F.col(qty_col)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"m{m:02d}_sales")
+            for m in range(1, 13)
+        ]
+        return (
+            fact.join(dd, F.col(date_col) == dd.d_date_sk)
+            .join(sm, F.col(sm_col) == sm.sm_ship_mode_sk)
+            .join(wh, F.col(wh_col) == wh.w_warehouse_sk)
+            .where(F.col("d_year") == 1999)
+            .groupBy("w_warehouse_name", "w_city", "w_state", "w_country", "d_year")
+            .agg(*monthly)
+        )
+
+    unioned = channel(
+        ws, "ws_ship_date_sk", "ws_warehouse_sk", "ws_ship_mode_sk",
+        "ws_quantity", "ws_ext_sales_price",
+    ).unionByName(
+        channel(
+            cs, "cs_ship_date_sk", "cs_warehouse_sk", "cs_ship_mode_sk",
+            "cs_quantity", "cs_ext_sales_price",
+        )
+    )
+    month_cols = [f"m{m:02d}_sales" for m in range(1, 13)]
+    return (
+        unioned.groupBy("w_warehouse_name", "w_city", "w_state", "w_country", "d_year")
+        .agg(*[F.round(F.sum(c), 2).cast("double").alias(c) for c in month_cols])
+        .orderBy("w_warehouse_name")
+        .limit(10)
+    )
+
+
+@register("tpcds_q95_web_multi_warehouse", """
+    SELECT * FROM (VALUES
+      (CAST(2984 AS BIGINT), CAST(253814.04 AS DOUBLE), CAST(4206353.53 AS DOUBLE))
+    ) AS t(order_count, total_shipping_cost, total_net_profit)
+    """)
+def tpcds_q95_web_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape: 60-day web orders that shipped from more than
+    one warehouse AND had a return — the spec expresses both via
+    self-join EXISTS (ws1×ws2 with differing warehouses) and a
+    web_returns EXISTS; here the multi-warehouse order list comes from
+    the distinct (order, warehouse) self-join and both probes are
+    left-semi joins carrying bare order numbers.
+
+    Scale: the self-join runs on the DISTINCT (order, warehouse)
+    projection — orders of magnitude smaller than the fact — and both
+    semi-join probe sides reduce to order-number sets before any
+    shuffle."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    ow = ws.select("ws_order_number", "ws_warehouse_sk").distinct()
+    a = ow.select(
+        F.col("ws_order_number").alias("o"), F.col("ws_warehouse_sk").alias("wh1")
+    )
+    b = ow.select(
+        F.col("ws_order_number").alias("o"), F.col("ws_warehouse_sk").alias("wh2")
+    )
+    multi = (
+        a.join(b, "o")
+        .where(F.col("wh1") != F.col("wh2"))
+        .select(F.col("o").alias("ws_order_number"))
+        .distinct()
+    )
+    returned = wr.select(F.col("wr_order_number").alias("ws_order_number")).distinct()
+    base = ws.join(dd, ws.ws_ship_date_sk == dd.d_date_sk).where(
+        F.col("d_date").between("1999-02-01", "1999-04-02")
+    )
+    filtered = base.join(multi, "ws_order_number", "leftsemi").join(
+        returned, "ws_order_number", "leftsemi"
+    )
+    return filtered.agg(
+        F.countDistinct("ws_order_number").cast("bigint").alias("order_count"),
+        _money("ws_ext_ship_cost").alias("total_shipping_cost"),
+        _money("ws_net_profit").alias("total_net_profit"),
+    )

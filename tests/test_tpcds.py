@@ -516,3 +516,31 @@ def test_q72_demographics_filter_before_inventory_join(spark, sf_dir):
     join."""
     plan = _plan(spark, "tpcds_q72_catalog_inventory_promo", sf_dir)
     assert "LeftOuter" in plan
+
+
+def test_q61_single_1x1_crossjoin(spark, sf_dir):
+    """q61's ratio join multiplies two 1-row aggregates — the plan's
+    cartesian/broadcast-nested-loop join must sit above two final
+    HashAggregates, never above fact rows."""
+    plan = _plan(spark, "tpcds_q61_promo_sales_ratio", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per leg
+
+
+def test_q66_pivot_one_agg_per_channel(spark, sf_dir):
+    """q66: the 12-month pivot is conditional aggregation inside each
+    channel's single hash-agg — 12 columns, not 12 scans."""
+    plan = _plan(spark, "tpcds_q66_warehouse_monthly_pivot", sf_dir)
+    assert "Union" in plan
+    assert plan.count("Scan parquet") == 0  # generated inputs, no files
+    # the pivot is CASE WHEN conditional aggregation, not per-month scans
+    assert "CASE WHEN" in plan
+
+
+def test_q95_semi_joins_on_order_numbers(spark, sf_dir):
+    """q95: both EXISTS probes lower to left-semi joins carrying bare
+    order numbers; the multi-warehouse detection self-joins the
+    DISTINCT (order, warehouse) projection."""
+    plan = _plan(spark, "tpcds_q95_web_multi_warehouse", sf_dir)
+    assert plan.count("LeftSemi") >= 2
+    assert "HashAggregate" in plan
