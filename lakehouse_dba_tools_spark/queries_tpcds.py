@@ -371,6 +371,8 @@ from lakehouse_dba_tools_spark.datagen.tpcds import (  # noqa: E402
     gen_customer_address,
     gen_customer_ds,
     gen_household_demographics,
+    gen_income_band,
+    gen_reason,
     gen_store_returns,
     gen_time_dim,
 )
@@ -903,6 +905,7 @@ def tpcds_q89_monthly_class_deviation(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 
 from lakehouse_dba_tools_spark.datagen.tpcds_channels import (  # noqa: E402
+    gen_call_center,
     gen_catalog_returns,
     gen_catalog_sales,
     gen_inventory,
@@ -2455,4 +2458,329 @@ def tpcds_q95_web_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("ws_order_number").cast("bigint").alias("order_count"),
         _money("ws_ext_ship_cost").alias("total_shipping_cost"),
         _money("ws_net_profit").alias("total_net_profit"),
+    )
+
+
+# Larger channel facts for the sparse cross-fact chains (q25/q85/q91):
+# matching (customer, item) pairs across independently-hashed facts are
+# rare, so these shapes get a 10× fact to keep multi-row results. The
+# generators are O(rows) column algebra — still instant to build.
+CS_BIG = 1_200_000
+WS_BIG = 1_200_000
+
+
+@register("tpcds_q25_buy_return_rebuy", """
+    SELECT * FROM (VALUES
+      ('000000000000I208', 'Premium imported supplies', '00000000000000S3', 'eing', CAST(2182.04 AS DOUBLE), CAST(414.14 AS DOUBLE), CAST(2013.05 AS DOUBLE)),
+      ('000000000000I310', 'Classic certified supplies', '00000000000000S6', 'ese', CAST(429.1 AS DOUBLE), CAST(78.52 AS DOUBLE), CAST(1803.62 AS DOUBLE)),
+      ('00000000000I1847', 'Durable everyday essentials', '00000000000000S2', 'cally', CAST(1647.3 AS DOUBLE), CAST(103.91 AS DOUBLE), CAST(746.36 AS DOUBLE)),
+      ('00000000000I2811', 'Premium imported wares', '00000000000000S8', 'able', CAST(1368.8 AS DOUBLE), CAST(214.09 AS DOUBLE), CAST(4089.53 AS DOUBLE)),
+      ('00000000000I4820', 'Classic seasonal supplies', '00000000000000S5', 'cally', CAST(1908.62 AS DOUBLE), CAST(152.28 AS DOUBLE), CAST(63.31 AS DOUBLE)),
+      ('00000000000I6317', 'Classic imported supplies', '00000000000000S5', 'cally', CAST(1432.06 AS DOUBLE), CAST(100.18 AS DOUBLE), CAST(2000.88 AS DOUBLE)),
+      ('00000000000I6320', 'Premium seasonal goods', '00000000000000S4', 'ese', CAST(1235.8 AS DOUBLE), CAST(149.92 AS DOUBLE), CAST(2111.91 AS DOUBLE)),
+      ('00000000000I7496', 'Popular certified items', '00000000000000S2', 'cally', CAST(2377.28 AS DOUBLE), CAST(187.25 AS DOUBLE), CAST(53.27 AS DOUBLE)),
+      ('00000000000I8041', 'Popular everyday wares', '00000000000000S6', 'ese', CAST(717.87 AS DOUBLE), CAST(141.53 AS DOUBLE), CAST(1674.49 AS DOUBLE)),
+      ('00000000000I8551', 'Durable certified items', '00000000000000S6', 'ese', CAST(1064.1 AS DOUBLE), CAST(184.53 AS DOUBLE), CAST(1640.41 AS DOUBLE)),
+      ('00000000000I8624', 'Durable imported goods', '00000000000000S8', 'able', CAST(915.93 AS DOUBLE), CAST(149.04 AS DOUBLE), CAST(2410.1 AS DOUBLE)),
+      ('00000000000I9179', 'Durable handmade goods', '00000000000000S2', 'cally', CAST(1454.18 AS DOUBLE), CAST(221.89 AS DOUBLE), CAST(176.0 AS DOUBLE)),
+      ('0000000000I10826', 'Classic certified goods', '00000000000000S4', 'ese', CAST(2182.82 AS DOUBLE), CAST(198.24 AS DOUBLE), CAST(936.28 AS DOUBLE)),
+      ('0000000000I11658', 'Durable seasonal wares', '00000000000000S8', 'able', CAST(12.07 AS DOUBLE), CAST(5.8 AS DOUBLE), CAST(494.56 AS DOUBLE)),
+      ('0000000000I14098', 'Durable imported goods', '00000000000000S7', 'cally', CAST(236.0 AS DOUBLE), CAST(29.42 AS DOUBLE), CAST(92.57 AS DOUBLE)),
+      ('0000000000I15441', 'Popular everyday items', '00000000000000S4', 'ese', CAST(1767.39 AS DOUBLE), CAST(164.02 AS DOUBLE), CAST(150.3 AS DOUBLE)),
+      ('0000000000I17964', 'Premium imported wares', '00000000000000S2', 'cally', CAST(107.71 AS DOUBLE), CAST(117.32 AS DOUBLE), CAST(2993.92 AS DOUBLE))
+    ) AS t(i_item_id, i_item_desc, s_store_id, s_store_name, store_sales_profit, store_returns_loss, catalog_sales_profit)
+    """)
+def tpcds_q25_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25 shape: customers who bought in-store in April, returned
+    the item later that year, and re-bought the SAME item by catalog —
+    the spec's three-fact chain joined on (customer, item) with a
+    ticket-matched sales↔returns leg and three date_dim roles, rolled
+    up to (item, store) net-profit/loss totals.
+
+    Scale: the chain joins run on their natural keys (ticket+item for
+    the returns leg, customer+item for the repurchase) — each step
+    co-partitions on the join key and reduces before the next; no
+    fact ever cross-joins."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    # Spec windows are one month → one quarter; with independently
+    # hashed facts the (customer, item) repurchase match is ~1e-3 per
+    # returned line, so the windows widen to the generators' full
+    # 1998-1999 span to keep a multi-row result (same join shape).
+    d1 = dd.where(F.col("d_year") == 1998).select(F.col("d_date_sk").alias("d1_sk"))
+    d2 = dd.where(F.col("d_year").isin(1998, 1999)).select(
+        F.col("d_date_sk").alias("d2_sk")
+    )
+    d3 = dd.where(F.col("d_year").isin(1998, 1999)).select(
+        F.col("d_date_sk").alias("d3_sk")
+    )
+    chain = (
+        ss.join(d1, ss.ss_sold_date_sk == F.col("d1_sk"))
+        .join(
+            sr.join(d2, sr.sr_returned_date_sk == F.col("d2_sk")),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_customer_sk") == F.col("sr_customer_sk")),
+        )
+        .join(
+            cs.join(d3, F.col("cs_sold_date_sk") == F.col("d3_sk")),
+            (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk"))
+            & (F.col("sr_item_sk") == F.col("cs_item_sk")),
+        )
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .join(it, F.col("ss_item_sk") == it.i_item_sk)
+    )
+    return (
+        chain.groupBy("i_item_id", "i_item_desc", "s_store_id", "s_store_name")
+        .agg(
+            _money("ss_net_profit").alias("store_sales_profit"),
+            _money("sr_net_loss").alias("store_returns_loss"),
+            _money("cs_net_profit").alias("catalog_sales_profit"),
+        )
+        .orderBy("i_item_id", "s_store_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q43_store_dow_pivot", """
+    SELECT * FROM (VALUES
+      ('anti', '00000000000000S1', CAST(154694.67 AS DOUBLE), CAST(149851.92 AS DOUBLE), CAST(155350.69 AS DOUBLE), CAST(146135.51 AS DOUBLE), CAST(156321.67 AS DOUBLE), CAST(143651.13 AS DOUBLE), CAST(151721.5 AS DOUBLE)),
+      ('cally', '00000000000000S2', CAST(154206.22 AS DOUBLE), CAST(160425.05 AS DOUBLE), CAST(154422.22 AS DOUBLE), CAST(149383.8 AS DOUBLE), CAST(149555.81 AS DOUBLE), CAST(156823.75 AS DOUBLE), CAST(149649.84 AS DOUBLE)),
+      ('eing', '00000000000000S3', CAST(150415.62 AS DOUBLE), CAST(155880.87 AS DOUBLE), CAST(158804.79 AS DOUBLE), CAST(147815.07 AS DOUBLE), CAST(153656.26 AS DOUBLE), CAST(153030.45 AS DOUBLE), CAST(156500.46 AS DOUBLE)),
+      ('ese', '00000000000000S4', CAST(150928.63 AS DOUBLE), CAST(152205.18 AS DOUBLE), CAST(145633.06 AS DOUBLE), CAST(150111.57 AS DOUBLE), CAST(161212.18 AS DOUBLE), CAST(150251.02 AS DOUBLE), CAST(147290.06 AS DOUBLE)),
+      ('cally', '00000000000000S5', CAST(157093.94 AS DOUBLE), CAST(159134.7 AS DOUBLE), CAST(151699.73 AS DOUBLE), CAST(146522.21 AS DOUBLE), CAST(154410.85 AS DOUBLE), CAST(154117.66 AS DOUBLE), CAST(144774.82 AS DOUBLE)),
+      ('ese', '00000000000000S6', CAST(153473.0 AS DOUBLE), CAST(154056.44 AS DOUBLE), CAST(159378.56 AS DOUBLE), CAST(150007.14 AS DOUBLE), CAST(152290.91 AS DOUBLE), CAST(150180.76 AS DOUBLE), CAST(150171.19 AS DOUBLE)),
+      ('cally', '00000000000000S7', CAST(158354.15 AS DOUBLE), CAST(153539.25 AS DOUBLE), CAST(160386.58 AS DOUBLE), CAST(153852.62 AS DOUBLE), CAST(156481.09 AS DOUBLE), CAST(147080.6 AS DOUBLE), CAST(150589.79 AS DOUBLE)),
+      ('able', '00000000000000S8', CAST(156018.24 AS DOUBLE), CAST(154555.34 AS DOUBLE), CAST(157019.43 AS DOUBLE), CAST(160456.57 AS DOUBLE), CAST(152933.02 AS DOUBLE), CAST(157485.38 AS DOUBLE), CAST(147492.68 AS DOUBLE))
+    ) AS t(s_store_name, s_store_id, sun_sales, mon_sales, tue_sales, wed_sales, thu_sales, fri_sales, sat_sales)
+    """)
+def tpcds_q43_store_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape: each store's 1998 revenue pivoted into
+    day-of-week columns — one dim-filtered hash-agg with seven
+    conditional sums on d_day_name."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+    return (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy("s_store_name", "s_store_id")
+        .agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.when(F.col("d_day_name") == day, F.col("ss_sales_price")).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias(f"{day[:3].lower()}_sales")
+                for day in days
+            ]
+        )
+        .orderBy("s_store_id")
+        .limit(10)
+    )
+
+
+@register("tpcds_q84_income_band_customers", """
+    SELECT * FROM (VALUES
+      ('00000000000C4616', 'Hernandez, Susan'),
+      ('0000000000C19324', 'Williams, Elizabeth'),
+      ('0000000000C20141', 'Brown, Mary'),
+      ('0000000000C23997', 'Brown, Linda'),
+      ('0000000000C28050', 'Brown, Patricia'),
+      ('0000000000C31075', 'Rodriguez, Susan'),
+      ('0000000000C34119', 'Hernandez, Michael'),
+      ('0000000000C37105', 'Lopez, Patricia'),
+      ('0000000000C48536', 'Jones, Elizabeth')
+    ) AS t(customer_id, customername)
+    """)
+def tpcds_q84_income_band_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q84 shape: customers in one city whose household income
+    band overlaps a $50k window and whose demographics appear in
+    store_returns — a five-dim key chain (customer → address /
+    household_demographics → income_band) ending in a semi-join probe
+    of the returns fact on cd_demo_sk.
+
+    Scale: every dim join is key-chained and broadcastable; the only
+    fact touch is a left-semi probe carrying bare demographic keys."""
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    hd = gen_household_demographics(spark)
+    ib = gen_income_band(spark)
+    cd = gen_customer_demographics(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    base = (
+        cu.join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .where(F.col("ca_city") == "Fairview")
+        .join(hd, cu.c_current_hdemo_sk == hd.hd_demo_sk)
+        .join(ib, hd.hd_income_band_sk == ib.ib_income_band_sk)
+        .where(
+            (F.col("ib_lower_bound") >= 38128) & (F.col("ib_upper_bound") <= 38128 + 50000)
+        )
+        .join(cd, cu.c_current_cdemo_sk == cd.cd_demo_sk)
+        .join(
+            sr.select(F.col("sr_cdemo_sk").alias("cd_demo_sk")),
+            "cd_demo_sk",
+            "leftsemi",
+        )
+    )
+    return (
+        base.select(
+            F.col("c_customer_id").alias("customer_id"),
+            F.concat_ws(", ", F.col("c_last_name"), F.col("c_first_name")).alias(
+                "customername"
+            ),
+        )
+        .orderBy("customer_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q85_return_reason_profile", """
+    SELECT * FROM (VALUES
+      ('Found a better exten', CAST(4.0 AS DOUBLE), CAST(373.72 AS DOUBLE), CAST(49.71 AS DOUBLE)),
+      ('reason 21', CAST(11.0 AS DOUBLE), CAST(26.83 AS DOUBLE), CAST(30.9 AS DOUBLE)),
+      ('reason 23', CAST(3.0 AS DOUBLE), CAST(55.61 AS DOUBLE), CAST(56.81 AS DOUBLE)),
+      ('reason 24', CAST(6.0 AS DOUBLE), CAST(143.12 AS DOUBLE), CAST(52.22 AS DOUBLE)),
+      ('reason 25', CAST(2.0 AS DOUBLE), CAST(93.35 AS DOUBLE), CAST(50.11 AS DOUBLE))
+    ) AS t(reason, avg_quantity, avg_refunded, avg_fee)
+    """)
+def tpcds_q85_return_reason_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q85 shape: average quantity / refund / fee per return
+    reason for web returns whose refunding and returning demographics
+    MATCH (the spec's cd1=cd2 equality pair) under disjunctive
+    marital×education×price bands, plus state×profit address bands —
+    the reason dim closes the star.
+
+    Scale: web_returns joins web_sales on its natural key (item,
+    order); the demographics pair joins are key lookups into the fixed
+    1.92M-row cross-product dim; every predicate lands before the
+    joins it feeds."""
+    ws = gen_web_sales(spark, WS_BIG, seed=100)
+    wr = gen_web_returns(spark, WS_BIG, seed=100)
+    wp = gen_web_page(spark)
+    dd = gen_date_dim(spark)
+    r = gen_reason(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    cd = gen_customer_demographics(spark)
+    cd1 = cd.select(
+        F.col("cd_demo_sk").alias("cd1_sk"),
+        F.col("cd_marital_status").alias("cd1_marital"),
+        F.col("cd_education_status").alias("cd1_edu"),
+    )
+    cd2 = cd.select(
+        F.col("cd_demo_sk").alias("cd2_sk"),
+        F.col("cd_marital_status").alias("cd2_marital"),
+        F.col("cd_education_status").alias("cd2_edu"),
+    )
+    base = (
+        wr.join(
+            ws,
+            (wr.wr_item_sk == ws.ws_item_sk)
+            & (wr.wr_order_number == ws.ws_order_number),
+        )
+        .join(wp, ws.ws_web_page_sk == wp.wp_web_page_sk)
+        .join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year").isin(1998, 1999))
+        .join(cd1, wr.wr_refunded_cdemo_sk == F.col("cd1_sk"))
+        .join(
+            cd2,
+            (wr.wr_returning_cdemo_sk == F.col("cd2_sk"))
+            & (F.col("cd1_marital") == F.col("cd2_marital"))
+            & (F.col("cd1_edu") == F.col("cd2_edu")),
+        )
+        .where(
+            (
+                (F.col("cd1_marital") == "M")
+                & (F.col("cd1_edu") == "4 yr Degree")
+                & F.col("ws_sales_price").between(100.00, 150.00)
+            )
+            | (
+                (F.col("cd1_marital") == "S")
+                & (F.col("cd1_edu") == "College")
+                & F.col("ws_sales_price").between(50.00, 100.00)
+            )
+            | (
+                (F.col("cd1_marital") == "W")
+                & (F.col("cd1_edu") == "2 yr Degree")
+                & F.col("ws_sales_price").between(150.00, 200.00)
+            )
+        )
+        .join(ca, wr.wr_refunded_addr_sk == ca.ca_address_sk)
+        .where(
+            (F.col("ca_country") == "United States")
+            & (
+                (F.col("ca_state").isin("FL", "IL", "MI") & F.col("ws_net_profit").between(50, 250))
+                | (F.col("ca_state").isin("NC", "TX", "CA") & F.col("ws_net_profit").between(100, 300))
+                | (F.col("ca_state").isin("WA", "NY", "KY") & F.col("ws_net_profit").between(0, 250))
+            )
+        )
+        .join(r, wr.wr_reason_sk == r.r_reason_sk)
+    )
+    return (
+        base.groupBy(F.substring("r_reason_desc", 1, 20).alias("reason"))
+        .agg(
+            F.round(F.avg("ws_quantity"), 4).cast("double").alias("avg_quantity"),
+            F.round(F.avg("wr_refunded_cash"), 4).cast("double").alias("avg_refunded"),
+            F.round(F.avg("wr_fee"), 4).cast("double").alias("avg_fee"),
+        )
+        .orderBy("reason")
+        .limit(20)
+    )
+
+
+@register("tpcds_q91_call_center_losses", """
+    SELECT * FROM (VALUES
+      ('0000000000000CC2', 'Hawaii/Alaska', 'Manager 2', CAST(1475.31 AS DOUBLE)),
+      ('0000000000000CC5', 'Pacific NW', 'Manager 5', CAST(1467.25 AS DOUBLE)),
+      ('0000000000000CC6', 'NY Metro', 'Manager 6', CAST(1369.48 AS DOUBLE)),
+      ('0000000000000CC3', 'Pacific NW', 'Manager 3', CAST(1316.1 AS DOUBLE)),
+      ('0000000000000CC1', 'North Midwest', 'Manager 1', CAST(866.48 AS DOUBLE)),
+      ('0000000000000CC4', 'North Midwest', 'Manager 4', CAST(609.84 AS DOUBLE))
+    ) AS t(call_center, call_center_name, manager, returns_loss)
+    """)
+def tpcds_q91_call_center_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q91 shape: November catalog-return losses per call
+    center, restricted to a demographic slice (marital × education
+    pairs, low buy-potential households) — call_center/customer dims
+    chain onto the returns fact, one hash-agg on the 6-row center dim.
+    """
+    cr = gen_catalog_returns(spark, CS_BIG, seed=100)
+    cc = gen_call_center(spark)
+    dd = gen_date_dim(spark)
+    cu = gen_customer_ds(spark)
+    cd = gen_customer_demographics(spark)
+    hd = gen_household_demographics(spark)
+    base = (
+        cr.join(cc, cr.cr_call_center_sk == cc.cc_call_center_sk)
+        .join(dd, cr.cr_returned_date_sk == dd.d_date_sk)
+        .where((F.col("d_year") == 1998) & (F.col("d_moy") == 11))
+        .join(cu, cr.cr_returning_customer_sk == cu.c_customer_sk)
+        .join(cd, cu.c_current_cdemo_sk == cd.cd_demo_sk)
+        .where(
+            ((F.col("cd_marital_status") == "M") & (F.col("cd_education_status") == "Unknown"))
+            | (
+                (F.col("cd_marital_status") == "W")
+                & (F.col("cd_education_status") == "Advanced Degree")
+            )
+        )
+        .join(hd, cu.c_current_hdemo_sk == hd.hd_demo_sk)
+        .where(F.col("hd_buy_potential") == "0-500")
+    )
+    return (
+        base.groupBy(
+            F.col("cc_call_center_id").alias("call_center"),
+            F.col("cc_name").alias("call_center_name"),
+            F.col("cc_manager").alias("manager"),
+        )
+        .agg(_money("cr_net_loss").alias("returns_loss"))
+        .orderBy(F.col("returns_loss").desc(), "call_center")
+        .limit(10)
     )

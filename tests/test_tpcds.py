@@ -544,3 +544,27 @@ def test_q95_semi_joins_on_order_numbers(spark, sf_dir):
     plan = _plan(spark, "tpcds_q95_web_multi_warehouse", sf_dir)
     assert plan.count("LeftSemi") >= 2
     assert "HashAggregate" in plan
+
+
+def test_q25_chain_joins_on_natural_keys(spark, sf_dir):
+    """q25's three-fact chain must join on natural keys (ticket+item
+    for returns, customer+item for the repurchase) — no cartesian or
+    nested-loop fallback anywhere."""
+    plan = _plan(spark, "tpcds_q25_buy_return_rebuy", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q84_fact_touch_is_semi_probe(spark, sf_dir):
+    """q84: the only fact contact is a left-semi probe on cd_demo_sk;
+    the dim chain stays broadcast-joined."""
+    plan = _plan(spark, "tpcds_q84_income_band_customers", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_q85_demographic_pair_single_fact_join(spark, sf_dir):
+    """q85: returns join sales on (item, order); the cd1/cd2 pair are
+    key lookups, not a self-cross of the demographics dim."""
+    plan = _plan(spark, "tpcds_q85_return_reason_profile", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
