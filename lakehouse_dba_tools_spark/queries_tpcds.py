@@ -2784,3 +2784,264 @@ def tpcds_q91_call_center_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("returns_loss").desc(), "call_center")
         .limit(10)
     )
+
+
+@register("tpcds_q28_price_band_stats", """    SELECT * FROM (VALUES
+      (CAST(101.2599 AS DOUBLE), CAST(10017 AS BIGINT), CAST(7879 AS BIGINT), CAST(83.2564 AS DOUBLE), CAST(1655 AS BIGINT), CAST(1305 AS BIGINT), CAST(116.6691 AS DOUBLE), CAST(1640 AS BIGINT), CAST(1303 AS BIGINT), CAST(150.3367 AS DOUBLE), CAST(1665 AS BIGINT), CAST(1323 AS BIGINT), CAST(176.9193 AS DOUBLE), CAST(2118 AS BIGINT), CAST(1671 AS BIGINT), CAST(104.9249 AS DOUBLE), CAST(533 AS BIGINT), CAST(421 AS BIGINT))
+    ) AS t(b1_lp, b1_cnt, b1_cntd, b2_lp, b2_cnt, b2_cntd, b3_lp, b3_cnt, b3_cntd, b4_lp, b4_cnt, b4_cntd, b5_lp, b5_cnt, b5_cntd, b6_lp, b6_cnt, b6_cntd)
+    """)
+def tpcds_q28_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape: six independent quantity-band profiles of
+    store_sales (avg / count / distinct-count of list price under
+    disjunctive price/coupon/wholesale bands), cross-joined into one
+    row — the spec's six-scalar-subquery SELECT.
+
+    Scale: six parallel one-row rollups over the same scan (Spark
+    reuses the exchange under AQE); every cross join multiplies 1×1.
+    """
+    ss, _, _ = _star(spark)
+
+    def band(lo_q, hi_q, lp, cp, ws, tag):
+        leg = ss.where(
+            F.col("ss_quantity").between(lo_q, hi_q)
+            & (
+                F.col("ss_list_price").between(lp, lp + 10)
+                | F.col("ss_coupon_amt").between(cp, cp + 1000)
+                | F.col("ss_wholesale_cost").between(ws, ws + 20)
+            )
+        )
+        return leg.agg(
+            F.round(F.avg("ss_list_price"), 4).cast("double").alias(f"b{tag}_lp"),
+            F.count("ss_list_price").cast("bigint").alias(f"b{tag}_cnt"),
+            F.countDistinct("ss_list_price").cast("bigint").alias(f"b{tag}_cntd"),
+        )
+
+    out = band(0, 5, 90, 0, 30, 1)
+    for i, (lo, hi, lp, cp, ws) in enumerate(
+        [(6, 10, 70, 500, 40), (11, 15, 120, 1000, 60), (16, 20, 135, 1500, 80),
+         (21, 25, 150, 2000, 100), (26, 30, 100, 2500, 120)],
+        start=2,
+    ):
+        out = out.crossJoin(band(lo, hi, lp, cp, ws, i))
+    return out
+
+
+@register("tpcds_q44_best_worst_items", """    SELECT * FROM (VALUES
+      (CAST(1 AS INT), 'Product 00017774', 'Product 00015812'),
+      (CAST(2 AS INT), 'Product 00000556', 'Product 00003849'),
+      (CAST(3 AS INT), 'Product 00006420', 'Product 00016215'),
+      (CAST(4 AS INT), 'Product 00012864', 'Product 00007909'),
+      (CAST(5 AS INT), 'Product 00007786', 'Product 00002523'),
+      (CAST(6 AS INT), 'Product 00001067', 'Product 00000988'),
+      (CAST(7 AS INT), 'Product 00014025', 'Product 00010898'),
+      (CAST(8 AS INT), 'Product 00002743', 'Product 00006383'),
+      (CAST(9 AS INT), 'Product 00016659', 'Product 00011000'),
+      (CAST(10 AS INT), 'Product 00004975', 'Product 00017693')
+    ) AS t(rnk, best_performing, worst_performing)
+    """)
+def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape: one store's ten best and ten worst items by
+    average net profit, joined POSITIONALLY on rank — two windowed
+    rankings of the same per-item rollup, then rank-equijoined and
+    closed with two item-dim lookups.
+
+    Scale: the per-item rollup reduces the fact once; both rankings
+    and the rank join operate on item-sized rows."""
+    ss, _, it = _star(spark)
+    perf = (
+        ss.where(ss.ss_store_sk == 4)
+        .groupBy("ss_item_sk")
+        .agg(F.avg("ss_net_profit").alias("avg_profit"))
+    )
+    asc = perf.select(
+        F.col("ss_item_sk").alias("worst_sk"),
+        F.rank()
+        .over(Window.orderBy(F.col("avg_profit").asc(), F.col("ss_item_sk")))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 10)
+    desc = perf.select(
+        F.col("ss_item_sk").alias("best_sk"),
+        F.rank()
+        .over(Window.orderBy(F.col("avg_profit").desc(), F.col("ss_item_sk")))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 10)
+    i1 = it.select(F.col("i_item_sk").alias("best_sk"), F.col("i_product_name").alias("best_performing"))
+    i2 = it.select(F.col("i_item_sk").alias("worst_sk"), F.col("i_product_name").alias("worst_performing"))
+    return (
+        desc.join(asc, "rnk")
+        .join(i1, "best_sk")
+        .join(i2, "worst_sk")
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "best_performing",
+            "worst_performing",
+        )
+        .orderBy("rnk")
+    )
+
+
+@register("tpcds_q47_monthly_deviation_lag", """    SELECT * FROM (VALUES
+      ('Men', 'Brand#28-9', 'cally', CAST(1999 AS INT), CAST(6 AS INT), CAST(8.19 AS DOUBLE), CAST(250.8586 AS DOUBLE), CAST(274.98 AS DOUBLE), CAST(668.62 AS DOUBLE)),
+      ('Home', 'Brand#25-4', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(13.76 AS DOUBLE), CAST(218.12 AS DOUBLE), CAST(83.91 AS DOUBLE), CAST(667.01 AS DOUBLE)),
+      ('Shoes', 'Brand#59-3', 'cally', CAST(1999 AS INT), CAST(8 AS INT), CAST(5.83 AS DOUBLE), CAST(198.7833 AS DOUBLE), CAST(261.18 AS DOUBLE), CAST(127.56 AS DOUBLE)),
+      ('Music', 'Brand#84-7', 'ese', CAST(1999 AS INT), CAST(4 AS INT), CAST(10.33 AS DOUBLE), CAST(201.015 AS DOUBLE), CAST(411.71 AS DOUBLE), CAST(5.74 AS DOUBLE)),
+      ('Electronics', 'Brand#89-3', 'ese', CAST(1999 AS INT), CAST(8 AS INT), CAST(71.98 AS DOUBLE), CAST(261.545 AS DOUBLE), CAST(72.53 AS DOUBLE), CAST(451.11 AS DOUBLE)),
+      ('Jewelry', 'Brand#28-5', 'cally', CAST(1999 AS INT), CAST(2 AS INT), CAST(5.54 AS DOUBLE), CAST(191.5338 AS DOUBLE), CAST(87.01 AS DOUBLE), CAST(137.42 AS DOUBLE)),
+      ('Electronics', 'Brand#90-9', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(4.75 AS DOUBLE), CAST(189.9936 AS DOUBLE), CAST(108.37 AS DOUBLE), CAST(395.14 AS DOUBLE)),
+      ('Shoes', 'Brand#74-4', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(33.6 AS DOUBLE), CAST(218.29 AS DOUBLE), CAST(575.65 AS DOUBLE), CAST(57.33 AS DOUBLE)),
+      ('Sports', 'Brand#34-3', 'cally', CAST(1999 AS INT), CAST(8 AS INT), CAST(29.58 AS DOUBLE), CAST(212.912 AS DOUBLE), CAST(278.07 AS DOUBLE), CAST(197.44 AS DOUBLE)),
+      ('Music', 'Brand#29-1', 'able', CAST(1999 AS INT), CAST(5 AS INT), CAST(77.03 AS DOUBLE), CAST(259.66 AS DOUBLE), CAST(543.33 AS DOUBLE), CAST(158.62 AS DOUBLE)),
+      ('Home', 'Brand#66-1', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(20.29 AS DOUBLE), CAST(202.45 AS DOUBLE), CAST(347.55 AS DOUBLE), CAST(420.88 AS DOUBLE)),
+      ('Jewelry', 'Brand#10-2', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(16.06 AS DOUBLE), CAST(197.644 AS DOUBLE), CAST(303.31 AS DOUBLE), CAST(334.06 AS DOUBLE)),
+      ('Music', 'Brand#25-9', 'able', CAST(1999 AS INT), CAST(3 AS INT), CAST(7.33 AS DOUBLE), CAST(185.98 AS DOUBLE), CAST(167.06 AS DOUBLE), CAST(292.52 AS DOUBLE)),
+      ('Shoes', 'Brand#92-3', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(19.56 AS DOUBLE), CAST(197.76 AS DOUBLE), CAST(421.93 AS DOUBLE), CAST(151.79 AS DOUBLE)),
+      ('Books', 'Brand#90-8', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(5.83 AS DOUBLE), CAST(183.4578 AS DOUBLE), CAST(316.24 AS DOUBLE), CAST(164.51 AS DOUBLE)),
+      ('Shoes', 'Brand#11-10', 'cally', CAST(1999 AS INT), CAST(3 AS INT), CAST(32.06 AS DOUBLE), CAST(208.94 AS DOUBLE), CAST(150.67 AS DOUBLE), CAST(125.8 AS DOUBLE)),
+      ('Music', 'Brand#5-7', 'cally', CAST(1999 AS INT), CAST(6 AS INT), CAST(79.2 AS DOUBLE), CAST(255.828 AS DOUBLE), CAST(452.32 AS DOUBLE), CAST(152.8 AS DOUBLE)),
+      ('Home', 'Brand#95-7', 'anti', CAST(1999 AS INT), CAST(1 AS INT), CAST(2.56 AS DOUBLE), CAST(178.325 AS DOUBLE), CAST(145.85 AS DOUBLE), CAST(146.89 AS DOUBLE)),
+      ('Music', 'Brand#75-2', 'cally', CAST(1999 AS INT), CAST(11 AS INT), CAST(46.45 AS DOUBLE), CAST(222.215 AS DOUBLE), CAST(197.71 AS DOUBLE), CAST(415.7 AS DOUBLE)),
+      ('Electronics', 'Brand#57-4', 'cally', CAST(1999 AS INT), CAST(4 AS INT), CAST(18.81 AS DOUBLE), CAST(194.5467 AS DOUBLE), CAST(227.85 AS DOUBLE), CAST(116.64 AS DOUBLE))
+    ) AS t(i_category, i_brand, s_store_name, d_year, d_moy, sum_sales, avg_monthly_sales, psum, nsum)
+    """)
+def tpcds_q47_monthly_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape: brand-months whose sales deviate >10% from the
+    brand's yearly average, reported with the neighboring months'
+    sales — the spec's v1/v1_lag/v1_lead self-join expressed as lag()/
+    lead() windows over the monthly rollup (same result, one pass, no
+    3-way self-join).
+
+    Scale: one fact rollup to (brand, category, year, month); the avg
+    and lag/lead windows share the (brand, category) partitioning —
+    one window exchange total."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    monthly = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(F.col("d_year").isin(1998, 1999))
+        .groupBy("i_category", "i_brand", "s_store_name", "d_year", "d_moy")
+        .agg(F.sum("ss_sales_price").alias("sum_sales"))
+    )
+    part = ["i_category", "i_brand", "s_store_name"]
+    w_avg = Window.partitionBy(*part, "d_year")
+    w_seq = Window.partitionBy(*part).orderBy("d_year", "d_moy")
+    v = monthly.select(
+        *part,
+        "d_year",
+        "d_moy",
+        "sum_sales",
+        F.avg("sum_sales").over(w_avg).alias("avg_monthly_sales"),
+        F.lag("sum_sales").over(w_seq).alias("psum"),
+        F.lead("sum_sales").over(w_seq).alias("nsum"),
+    )
+    dev = (
+        F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+        / F.col("avg_monthly_sales")
+    )
+    return (
+        v.where(
+            (F.col("d_year") == 1999)
+            & (F.col("avg_monthly_sales") > 0)
+            & (dev > 0.1)
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .select(
+            "i_category",
+            "i_brand",
+            "s_store_name",
+            "d_year",
+            "d_moy",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            F.round("avg_monthly_sales", 4).cast("double").alias("avg_monthly_sales"),
+            F.round("psum", 2).cast("double").alias("psum"),
+            F.round("nsum", 2).cast("double").alias("nsum"),
+        )
+        .orderBy(
+            (F.col("sum_sales") - F.col("avg_monthly_sales")).asc(),
+            "i_category",
+            "i_brand",
+            "s_store_name",
+            "d_moy",
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q67_rollup_topk_items", """    SELECT * FROM (VALUES
+      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(8569485.65 AS DOUBLE), CAST(1 AS INT)),
+      ('Books', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(829435.18 AS DOUBLE), CAST(1 AS INT)),
+      ('Books', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63475.6 AS DOUBLE), CAST(2 AS INT)),
+      ('Books', 'decor', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(58059.82 AS DOUBLE), CAST(3 AS INT)),
+      ('Children', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(882237.5 AS DOUBLE), CAST(1 AS INT)),
+      ('Children', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(64322.88 AS DOUBLE), CAST(2 AS INT)),
+      ('Children', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62478.25 AS DOUBLE), CAST(3 AS INT)),
+      ('Electronics', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(859002.59 AS DOUBLE), CAST(1 AS INT)),
+      ('Electronics', 'decor', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62331.25 AS DOUBLE), CAST(2 AS INT)),
+      ('Electronics', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(61364.38 AS DOUBLE), CAST(3 AS INT)),
+      ('Home', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(851925.99 AS DOUBLE), CAST(1 AS INT)),
+      ('Home', 'infants', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(61360.9 AS DOUBLE), CAST(2 AS INT)),
+      ('Home', 'bedding', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(58704.31 AS DOUBLE), CAST(3 AS INT)),
+      ('Jewelry', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(891900.27 AS DOUBLE), CAST(1 AS INT)),
+      ('Jewelry', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(69375.52 AS DOUBLE), CAST(2 AS INT)),
+      ('Jewelry', 'kids', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65921.17 AS DOUBLE), CAST(3 AS INT)),
+      ('Men', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(879987.84 AS DOUBLE), CAST(1 AS INT)),
+      ('Men', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63817.68 AS DOUBLE), CAST(2 AS INT)),
+      ('Men', 'fiction', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63409.61 AS DOUBLE), CAST(3 AS INT)),
+      ('Music', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(833591.51 AS DOUBLE), CAST(1 AS INT)),
+      ('Music', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(59798.7 AS DOUBLE), CAST(2 AS INT)),
+      ('Music', 'blinds/shades', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(59375.32 AS DOUBLE), CAST(3 AS INT)),
+      ('Shoes', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(845098.99 AS DOUBLE), CAST(1 AS INT)),
+      ('Shoes', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65919.01 AS DOUBLE), CAST(2 AS INT)),
+      ('Shoes', 'glassware', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(60863.03 AS DOUBLE), CAST(3 AS INT)),
+      ('Sports', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(867038.11 AS DOUBLE), CAST(1 AS INT)),
+      ('Sports', 'glassware', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63784.59 AS DOUBLE), CAST(2 AS INT)),
+      ('Sports', 'blinds/shades', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62869.01 AS DOUBLE), CAST(3 AS INT)),
+      ('Women', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(829267.67 AS DOUBLE), CAST(1 AS INT)),
+      ('Women', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65132.14 AS DOUBLE), CAST(2 AS INT))
+    ) AS t(i_category, i_class, i_brand, d_qoy, d_moy, s_store_id, sumsales, rk)
+    """)
+def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: sales rolled up over the full product × time ×
+    store hierarchy (ROLLUP), then the top 3 rows per category by a
+    rank window over the rollup output — grouped top-k over grouping
+    sets.
+
+    Scale: the rollup expands inside one hash-agg pipeline; the rank
+    window partitions by category over already-reduced rows. NULL
+    category (the grand-total levels) forms its own rank partition,
+    exactly as the spec's RANK() OVER (PARTITION BY i_category)."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    rolled = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(F.col("d_month_seq").between(1176, 1187))
+        .rollup("i_category", "i_class", "i_brand", "d_qoy", "d_moy", "s_store_id")
+        .agg(_money("ss_sales_price").alias("sumsales"))
+    )
+    w = Window.partitionBy("i_category").orderBy(
+        F.col("sumsales").desc(),
+        "i_class",
+        "i_brand",
+        "d_qoy",
+        "d_moy",
+        "s_store_id",
+    )
+    return (
+        rolled.select(
+            "i_category",
+            "i_class",
+            "i_brand",
+            "d_qoy",
+            "d_moy",
+            "s_store_id",
+            "sumsales",
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("i_category", "rk", "i_class", "i_brand")
+        .limit(30)
+    )

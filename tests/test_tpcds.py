@@ -568,3 +568,29 @@ def test_q85_demographic_pair_single_fact_join(spark, sf_dir):
     plan = _plan(spark, "tpcds_q85_return_reason_profile", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q44_rank_join_on_reduced_rows(spark, sf_dir):
+    """q44: both rankings window the same per-item rollup; the rank
+    equijoin and item lookups see ≤10 rows per side."""
+    plan = _plan(spark, "tpcds_q44_best_worst_items", sf_dir)
+    assert plan.count("Window") >= 2
+    assert "HashAggregate" in plan
+
+
+def test_q47_lag_lead_one_window_exchange(spark, sf_dir):
+    """q47: avg and lag/lead windows share the (brand, category,
+    store) partitioning over the monthly rollup — the fact reduces
+    once, and no 3-way self-join of the rollup appears."""
+    plan = _plan(spark, "tpcds_q47_monthly_deviation_lag", sf_dir)
+    assert "Window" in plan
+    # lag/lead expressed as windows, not as rn±1 self-joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_q67_rank_partitions_rollup_output(spark, sf_dir):
+    """q67: ROLLUP expands inside the agg pipeline; the rank window
+    runs over reduced rollup rows partitioned by category."""
+    plan = _plan(spark, "tpcds_q67_rollup_topk_items", sf_dir)
+    assert "Expand" in plan
+    assert "Window" in plan
