@@ -3045,3 +3045,307 @@ def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i_category", "rk", "i_class", "i_brand")
         .limit(30)
     )
+
+
+@register("tpcds_q31_county_qoq_growth", """    SELECT * FROM (VALUES
+      ('Daviess County', CAST(1.0077 AS DOUBLE), CAST(0.9839 AS DOUBLE), CAST(1.0289 AS DOUBLE), CAST(1.0207 AS DOUBLE))
+    ) AS t(ca_county, web_q1_q2_increase, store_q1_q2_increase, web_q2_q3_increase, store_q2_q3_increase)
+    """)
+def tpcds_q31_county_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: counties where web revenue grew faster than
+    store revenue in BOTH 1998 Q1→Q2 and Q2→Q3 — the spec writes six
+    quarterly self-joins; here each channel pivots its three quarters
+    inside ONE hash-agg (conditional sums), then the two channel rows
+    join once on county. Same county/quarter semantics, 6× fewer
+    shuffles.
+
+    Scale: each channel reduces to ≤ |county| rows before the only
+    join; the address dim joins by key ahead of the rollup."""
+    ss, dd, _ = _star(spark)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    dates = dd.where((F.col("d_year") == 1998) & F.col("d_qoy").isin(1, 2, 3)).select(
+        "d_date_sk", "d_qoy"
+    )
+
+    def quarters(fact, date_col, addr_col, price_col, prefix):
+        q = [
+            F.sum(
+                F.when(F.col("d_qoy") == i, F.col(price_col)).otherwise(F.lit(0))
+            ).alias(f"{prefix}{i}")
+            for i in (1, 2, 3)
+        ]
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(ca, F.col(addr_col) == ca.ca_address_sk)
+            .groupBy("ca_county")
+            .agg(*q)
+        )
+
+    store_q = quarters(ss, "ss_sold_date_sk", "ss_addr_sk", "ss_ext_sales_price", "ss")
+    web_q = quarters(ws, "ws_sold_date_sk", "ws_bill_addr_sk", "ws_ext_sales_price", "ws")
+    joined = store_q.join(web_q, "ca_county").where(
+        (F.col("ss1") > 0) & (F.col("ss2") > 0) & (F.col("ws1") > 0) & (F.col("ws2") > 0)
+    )
+    web_g1 = F.col("ws2") / F.col("ws1")
+    web_g2 = F.col("ws3") / F.col("ws2")
+    store_g1 = F.col("ss2") / F.col("ss1")
+    store_g2 = F.col("ss3") / F.col("ss2")
+    return (
+        joined.where((web_g1 > store_g1) & (web_g2 > store_g2))
+        .select(
+            "ca_county",
+            F.round(web_g1, 4).cast("double").alias("web_q1_q2_increase"),
+            F.round(store_g1, 4).cast("double").alias("store_q1_q2_increase"),
+            F.round(web_g2, 4).cast("double").alias("web_q2_q3_increase"),
+            F.round(store_g2, 4).cast("double").alias("store_q2_q3_increase"),
+        )
+        .orderBy("ca_county")
+        .limit(20)
+    )
+
+
+@register("tpcds_q22_inventory_hierarchy_avg", """    SELECT * FROM (VALUES
+      ('Product 00001626', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
+      ('Product 00001626', 'Brand#86-1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
+      ('Product 00001626', 'Brand#86-1', 'mens watch', CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
+      ('Product 00001626', 'Brand#86-1', 'mens watch', 'Music', CAST(422.8038 AS DOUBLE)),
+      ('Product 00001870', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
+      ('Product 00001870', 'Brand#26-8', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
+      ('Product 00001870', 'Brand#26-8', 'classical', CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
+      ('Product 00001870', 'Brand#26-8', 'classical', 'Jewelry', CAST(434.6453 AS DOUBLE)),
+      ('Product 00000982', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
+      ('Product 00000982', 'Brand#60-9', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
+      ('Product 00000982', 'Brand#60-9', 'mens watch', CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
+      ('Product 00000982', 'Brand#60-9', 'mens watch', 'Electronics', CAST(440.3057 AS DOUBLE)),
+      ('Product 00000157', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
+      ('Product 00000157', 'Brand#24-7', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
+      ('Product 00000157', 'Brand#24-7', 'accent', CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
+      ('Product 00000157', 'Brand#24-7', 'accent', 'Books', CAST(440.3132 AS DOUBLE)),
+      ('Product 00001504', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
+      ('Product 00001504', 'Brand#5-5', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
+      ('Product 00001504', 'Brand#5-5', 'classical', CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
+      ('Product 00001504', 'Brand#5-5', 'classical', 'Electronics', CAST(444.6679 AS DOUBLE))
+    ) AS t(i_product_name, i_brand, i_class, i_category, qoh)
+    """)
+def tpcds_q22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q22 shape: average on-hand inventory rolled up the full
+    product hierarchy (product → brand → class → category → grand
+    total) for a 12-month window — ROLLUP inside one hash-agg over the
+    inventory grid.
+
+    Determinism: avg = exact integer sum / count (Spark computes avg
+    of an int column as exact partials), rounded once."""
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    return (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .join(it, inv.inv_item_sk == it.i_item_sk)
+        .where(F.col("d_month_seq").between(1176, 1187))
+        .rollup("i_product_name", "i_brand", "i_class", "i_category")
+        .agg(
+            F.round(F.avg("inv_quantity_on_hand"), 4).cast("double").alias("qoh")
+        )
+        .orderBy(
+            F.col("qoh").asc(),
+            F.col("i_product_name").asc_nulls_first(),
+            F.col("i_brand").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+            F.col("i_category").asc_nulls_first(),
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q9_bucket_case_stats", """    SELECT * FROM (VALUES
+      (CAST(157.2121 AS DOUBLE), CAST(461.1303 AS DOUBLE), CAST(764.2287 AS DOUBLE), CAST(1069.439 AS DOUBLE), CAST(1363.7235 AS DOUBLE))
+    ) AS t(bucket1, bucket2, bucket3, bucket4, bucket5)
+    """)
+def tpcds_q9_bucket_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 shape: five quantity-band CASE expressions, each
+    choosing between two averages depending on the band's row count —
+    the spec runs 15 scalar subqueries over store_sales; here ONE
+    conditional-aggregation pass computes every band's count and both
+    averages, and the CASE picks in the projection. Same semantics,
+    one scan instead of 15.
+
+    Scale: a single hash-agg with no keys (all-partial reduction to
+    one row); the reason 1-row probe is the spec's driving-table
+    artifact, kept as a 1×1 cross join."""
+    ss, _, _ = _star(spark)
+    r = gen_reason(spark).where(F.col("r_reason_sk") == 1).select("r_reason_sk")
+    bands = [(1, 20, 5000), (21, 40, 5000), (41, 60, 5000), (61, 80, 5000), (81, 100, 5000)]
+    aggs = []
+    for i, (lo, hi, _thr) in enumerate(bands, start=1):
+        in_band = F.col("ss_quantity").between(lo, hi)
+        aggs += [
+            F.sum(F.when(in_band, 1).otherwise(0)).alias(f"cnt{i}"),
+            F.avg(F.when(in_band, F.col("ss_ext_discount_amt"))).alias(f"disc{i}"),
+            F.avg(F.when(in_band, F.col("ss_net_paid"))).alias(f"paid{i}"),
+        ]
+    one = ss.agg(*aggs).crossJoin(r)
+    out_cols = []
+    for i, (_lo, _hi, thr) in enumerate(bands, start=1):
+        out_cols.append(
+            F.round(
+                F.when(F.col(f"cnt{i}") > thr, F.col(f"disc{i}")).otherwise(
+                    F.col(f"paid{i}")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias(f"bucket{i}")
+        )
+    return one.select(*out_cols)
+
+
+@register("tpcds_q92_excess_discount", """    SELECT * FROM (VALUES
+      (CAST(561313.06 AS DOUBLE), CAST(330 AS BIGINT))
+    ) AS t(excess_discount_amount, excess_line_count)
+    """)
+def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92 shape: total web discount on line items whose
+    discount exceeds 1.3× their item's 90-day average — the spec's
+    correlated per-item average subquery decorrelated into an avg
+    window partitioned by item over the filtered fact.
+
+    Scale: one window exchange on item_sk over the date-filtered fact,
+    then an all-partial global sum; the item dim filter (one
+    manufacturer) shrinks the fact before the window."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    base = (
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .join(it, ws.ws_item_sk == it.i_item_sk)
+        # Spec uses a 90-day window; the generator spreads one
+        # manufacturer's ~18 items over 2 years (~1 row/item/quarter),
+        # which degenerates the per-item average — the full span keeps
+        # the correlated-average semantics testable.
+        .where(F.col("d_date").between("1998-01-01", "1999-12-31"))
+        .where(F.col("i_manufact_id") == 35)  # generator domain is 1..100
+    )
+    w = Window.partitionBy("ws_item_sk")
+    flagged = base.select(
+        "ws_ext_discount_amt",
+        (F.avg("ws_ext_discount_amt").over(w) * 1.3).alias("threshold"),
+    ).where(F.col("ws_ext_discount_amt") > F.col("threshold"))
+    return flagged.agg(
+        _money("ws_ext_discount_amt").alias("excess_discount_amount"),
+        F.count("*").cast("bigint").alias("excess_line_count"),
+    )
+
+
+@register("tpcds_q75_declining_items_yoy", """    SELECT * FROM (VALUES
+      (CAST(4502 AS INT), CAST(14 AS INT), CAST(3 AS INT), CAST(45 AS INT), CAST(1608 AS BIGINT), CAST(534 AS BIGINT), CAST(-1074 AS BIGINT), CAST(-79994.4 AS DOUBLE)),
+      (CAST(8001 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(80 AS INT), CAST(1110 AS BIGINT), CAST(243 AS BIGINT), CAST(-867 AS BIGINT), CAST(-99490.97 AS DOUBLE)),
+      (CAST(5101 AS INT), CAST(8 AS INT), CAST(3 AS INT), CAST(51 AS INT), CAST(1789 AS BIGINT), CAST(925 AS BIGINT), CAST(-864 AS BIGINT), CAST(-61988.74 AS DOUBLE)),
+      (CAST(9304 AS INT), CAST(2 AS INT), CAST(3 AS INT), CAST(93 AS INT), CAST(1013 AS BIGINT), CAST(195 AS BIGINT), CAST(-818 AS BIGINT), CAST(-57465.73 AS DOUBLE)),
+      (CAST(5208 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(52 AS INT), CAST(1249 AS BIGINT), CAST(455 AS BIGINT), CAST(-794 AS BIGINT), CAST(-34808.88 AS DOUBLE)),
+      (CAST(2501 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(25 AS INT), CAST(1028 AS BIGINT), CAST(272 AS BIGINT), CAST(-756 AS BIGINT), CAST(-90261.3 AS DOUBLE)),
+      (CAST(9804 AS INT), CAST(13 AS INT), CAST(3 AS INT), CAST(98 AS INT), CAST(1110 AS BIGINT), CAST(357 AS BIGINT), CAST(-753 AS BIGINT), CAST(-41517.57 AS DOUBLE)),
+      (CAST(6503 AS INT), CAST(6 AS INT), CAST(3 AS INT), CAST(65 AS INT), CAST(1087 AS BIGINT), CAST(353 AS BIGINT), CAST(-734 AS BIGINT), CAST(-57846.1 AS DOUBLE)),
+      (CAST(2403 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(24 AS INT), CAST(1593 AS BIGINT), CAST(862 AS BIGINT), CAST(-731 AS BIGINT), CAST(-41694.97 AS DOUBLE)),
+      (CAST(6001 AS INT), CAST(16 AS INT), CAST(3 AS INT), CAST(60 AS INT), CAST(775 AS BIGINT), CAST(71 AS BIGINT), CAST(-704 AS BIGINT), CAST(-43022.54 AS DOUBLE)),
+      (CAST(1402 AS INT), CAST(13 AS INT), CAST(3 AS INT), CAST(14 AS INT), CAST(936 AS BIGINT), CAST(243 AS BIGINT), CAST(-693 AS BIGINT), CAST(-52627.88 AS DOUBLE)),
+      (CAST(9104 AS INT), CAST(5 AS INT), CAST(3 AS INT), CAST(91 AS INT), CAST(1144 AS BIGINT), CAST(453 AS BIGINT), CAST(-691 AS BIGINT), CAST(-56752.09 AS DOUBLE)),
+      (CAST(8303 AS INT), CAST(15 AS INT), CAST(3 AS INT), CAST(83 AS INT), CAST(935 AS BIGINT), CAST(248 AS BIGINT), CAST(-687 AS BIGINT), CAST(-48359.07 AS DOUBLE)),
+      (CAST(8207 AS INT), CAST(11 AS INT), CAST(3 AS INT), CAST(82 AS INT), CAST(919 AS BIGINT), CAST(240 AS BIGINT), CAST(-679 AS BIGINT), CAST(-65995.74 AS DOUBLE)),
+      (CAST(7205 AS INT), CAST(6 AS INT), CAST(3 AS INT), CAST(72 AS INT), CAST(1203 AS BIGINT), CAST(528 AS BIGINT), CAST(-675 AS BIGINT), CAST(-62755.35 AS DOUBLE)),
+      (CAST(8506 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(85 AS INT), CAST(953 AS BIGINT), CAST(279 AS BIGINT), CAST(-674 AS BIGINT), CAST(-42227.58 AS DOUBLE)),
+      (CAST(9207 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(92 AS INT), CAST(1432 AS BIGINT), CAST(776 AS BIGINT), CAST(-656 AS BIGINT), CAST(-31737.62 AS DOUBLE)),
+      (CAST(6305 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(63 AS INT), CAST(758 AS BIGINT), CAST(124 AS BIGINT), CAST(-634 AS BIGINT), CAST(-63350.48 AS DOUBLE)),
+      (CAST(1310 AS INT), CAST(14 AS INT), CAST(3 AS INT), CAST(13 AS INT), CAST(862 AS BIGINT), CAST(234 AS BIGINT), CAST(-628 AS BIGINT), CAST(-58169.34 AS DOUBLE)),
+      (CAST(1006 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(10 AS INT), CAST(1099 AS BIGINT), CAST(475 AS BIGINT), CAST(-624 AS BIGINT), CAST(-45471.07 AS DOUBLE))
+    ) AS t(i_brand_id, i_class_id, i_category_id, i_manufact_id, prev_qty, curr_qty, qty_delta, amt_delta)
+    """)
+def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape: items of one category whose returns-netted
+    quantity DECLINED year-over-year, summed across all three sales
+    channels — each channel left-joins its returns on the natural key,
+    nets quantity/amount, the three union, aggregate per (year, item
+    identity), and the two years join for the delta.
+
+    Scale: returns net out BEFORE the union (channel-local natural-key
+    joins); the yoy join sees (year × item) rollups only."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    items = it.where(F.col("i_category") == "Electronics").select(
+        "i_item_sk", "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"
+    )
+
+    def channel(fact, ret, date_col, item_col, keys, qty_col, amt_col, r_keys, r_qty, r_amt):
+        r = ret.select(
+            *[F.col(k).alias(f"rk{i}") for i, k in enumerate(r_keys)],
+            F.col(r_qty).alias("r_qty"),
+            F.col(r_amt).alias("r_amt"),
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            c = F.col(k) == F.col(f"rk{i}")
+            cond = c if cond is None else (cond & c)
+        return (
+            fact.join(dd, F.col(date_col) == dd.d_date_sk)
+            .join(items, F.col(item_col) == F.col("i_item_sk"))
+            .join(r, cond, "left")
+            .select(
+                "d_year",
+                "i_brand_id",
+                "i_class_id",
+                "i_category_id",
+                "i_manufact_id",
+                (F.col(qty_col) - F.coalesce(F.col("r_qty"), F.lit(0))).alias("net_qty"),
+                (F.col(amt_col) - F.coalesce(F.col("r_amt"), F.lit(0))).alias("net_amt"),
+            )
+        )
+
+    unioned = (
+        channel(ss, sr, "ss_sold_date_sk", "ss_item_sk",
+                ["ss_ticket_number", "ss_item_sk"], "ss_quantity", "ss_ext_sales_price",
+                ["sr_ticket_number", "sr_item_sk"], "sr_return_quantity", "sr_return_amt")
+        .unionByName(
+            channel(cs, cr, "cs_sold_date_sk", "cs_item_sk",
+                    ["cs_order_number", "cs_item_sk"], "cs_quantity", "cs_ext_sales_price",
+                    ["cr_order_number", "cr_item_sk"], "cr_return_quantity", "cr_return_amount"))
+        .unionByName(
+            channel(ws, wr, "ws_sold_date_sk", "ws_item_sk",
+                    ["ws_order_number", "ws_item_sk"], "ws_quantity", "ws_ext_sales_price",
+                    ["wr_order_number", "wr_item_sk"], "wr_return_quantity", "wr_return_amt"))
+    )
+    yearly = unioned.groupBy(
+        "d_year", "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"
+    ).agg(
+        F.sum("net_qty").alias("qty"),
+        F.sum("net_amt").alias("amt"),
+    )
+    prev = yearly.where(F.col("d_year") == 1998).select(
+        "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id",
+        F.col("qty").alias("prev_qty"), F.col("amt").alias("prev_amt"),
+    )
+    curr = yearly.where(F.col("d_year") == 1999).select(
+        "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id",
+        F.col("qty").alias("curr_qty"), F.col("amt").alias("curr_amt"),
+    )
+    return (
+        curr.join(prev, ["i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"])
+        .where(F.col("curr_qty") < F.col("prev_qty"))
+        .select(
+            "i_brand_id",
+            "i_class_id",
+            "i_category_id",
+            "i_manufact_id",
+            F.col("prev_qty").cast("bigint").alias("prev_qty"),
+            F.col("curr_qty").cast("bigint").alias("curr_qty"),
+            (F.col("curr_qty") - F.col("prev_qty")).cast("bigint").alias("qty_delta"),
+            F.round(F.col("curr_amt") - F.col("prev_amt"), 2)
+            .cast("double")
+            .alias("amt_delta"),
+        )
+        .orderBy("qty_delta", "i_brand_id", "i_class_id", "i_manufact_id")
+        .limit(20)
+    )

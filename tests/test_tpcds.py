@@ -594,3 +594,36 @@ def test_q67_rank_partitions_rollup_output(spark, sf_dir):
     plan = _plan(spark, "tpcds_q67_rollup_topk_items", sf_dir)
     assert "Expand" in plan
     assert "Window" in plan
+
+
+def test_q31_one_agg_per_channel_no_six_way_selfjoin(spark, sf_dir):
+    """q31: three quarters pivot inside each channel's single hash-agg
+    — the county join joins exactly two reduced sides, not six."""
+    plan = _plan(spark, "tpcds_q31_county_qoq_growth", sf_dir)
+    import re as _re
+    joins = len(_re.findall(r"\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    # 2 dim joins per channel + 1 county join = 5; spec's 6-way
+    # self-join formulation would need 10+
+    assert joins <= 6, plan
+
+
+def test_q9_single_pass_no_fifteen_subqueries(spark, sf_dir):
+    """q9: all 15 band statistics reduce in ONE aggregation over one
+    scan — the plan contains a single global hash-agg pair, not 15
+    scalar-subquery scans."""
+    plan = _plan(spark, "tpcds_q9_bucket_case_stats", sf_dir)
+    import re as _re
+
+    # 2 inputs only (store_sales range + reason range); the spec's
+    # 15-subquery form would scan store_sales 15 times
+    scans = set(_re.findall(r"\((\d+)\) Range", plan))
+    assert len(scans) <= 2, plan
+    assert "CASE WHEN" in plan
+
+
+def test_q92_window_decorrelates_avg_subquery(spark, sf_dir):
+    """q92: the correlated per-item average is one avg window over the
+    filtered fact — no self-join of the fact against its own rollup."""
+    plan = _plan(spark, "tpcds_q92_excess_discount", sf_dir)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
