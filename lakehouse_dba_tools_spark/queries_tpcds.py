@@ -3349,3 +3349,419 @@ def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("qty_delta", "i_brand_id", "i_class_id", "i_manufact_id")
         .limit(20)
     )
+
+
+@register("tpcds_q37_catalog_stocked_items", """    SELECT * FROM (VALUES
+      ('0000000000000I56', 'Classic seasonal goods', CAST(22.23 AS DOUBLE)),
+      ('000000000000I165', 'Compact certified wares', CAST(32.91 AS DOUBLE)),
+      ('000000000000I233', 'Compact certified wares', CAST(39.69 AS DOUBLE)),
+      ('000000000000I458', 'Compact certified supplies', CAST(48.82 AS DOUBLE)),
+      ('000000000000I528', 'Classic everyday items', CAST(35.59 AS DOUBLE)),
+      ('000000000000I530', 'Classic imported supplies', CAST(42.25 AS DOUBLE)),
+      ('000000000000I555', 'Compact everyday supplies', CAST(21.17 AS DOUBLE)),
+      ('000000000000I627', 'Compact handmade essentials', CAST(24.84 AS DOUBLE)),
+      ('000000000000I864', 'Popular everyday goods', CAST(43.42 AS DOUBLE)),
+      ('000000000000I903', 'Classic seasonal supplies', CAST(32.86 AS DOUBLE)),
+      ('000000000000I910', 'Classic everyday wares', CAST(35.44 AS DOUBLE)),
+      ('00000000000I1108', 'Popular seasonal supplies', CAST(35.13 AS DOUBLE)),
+      ('00000000000I1126', 'Durable everyday supplies', CAST(48.69 AS DOUBLE)),
+      ('00000000000I1324', 'Classic seasonal items', CAST(39.39 AS DOUBLE)),
+      ('00000000000I1430', 'Popular imported wares', CAST(48.78 AS DOUBLE)),
+      ('00000000000I1431', 'Classic imported supplies', CAST(44.08 AS DOUBLE)),
+      ('00000000000I1455', 'Premium handmade wares', CAST(29.43 AS DOUBLE)),
+      ('00000000000I1665', 'Durable everyday items', CAST(49.79 AS DOUBLE)),
+      ('00000000000I1743', 'Durable imported supplies', CAST(22.52 AS DOUBLE)),
+      ('00000000000I1824', 'Premium seasonal items', CAST(37.74 AS DOUBLE))
+    ) AS t(i_item_id, i_item_desc, i_current_price)
+    """)
+def tpcds_q37_catalog_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37 shape: items in a price/manufacturer slice that were
+    well-stocked (on-hand 100-500 in a 60-day window) AND sold by
+    catalog — inventory filters the item list, catalog_sales confirms
+    demand via a left-semi probe, then a per-item rollup.
+
+    Scale: inventory and the item dim reduce to a small key set before
+    the fact probe; the probe carries only item keys."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    items = it.where(
+        F.col("i_current_price").between(20, 50) & F.col("i_manufact_id").isin(10, 20, 30, 40)
+    )
+    stocked = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .where(F.col("d_date").between("1999-03-01", "1999-04-30"))
+        .where(F.col("inv_quantity_on_hand").between(100, 500))
+        .select(F.col("inv_item_sk").alias("i_item_sk"))
+        .distinct()
+    )
+    demanded = cs.select(F.col("cs_item_sk").alias("i_item_sk")).distinct()
+    return (
+        items.join(stocked, "i_item_sk", "leftsemi")
+        .join(demanded, "i_item_sk", "leftsemi")
+        .groupBy("i_item_id", "i_item_desc", "i_current_price")
+        .agg(F.count("*").cast("bigint").alias("n_variants"))
+        .select(
+            "i_item_id",
+            "i_item_desc",
+            F.col("i_current_price").cast("double").alias("i_current_price"),
+        )
+        .orderBy("i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q40_warehouse_returns_pivot", """    SELECT * FROM (VALUES
+      ('GA', '000000000000I549', CAST(0.0 AS DOUBLE), CAST(-1448.49 AS DOUBLE)),
+      ('GA', '000000000000I575', CAST(0.0 AS DOUBLE), CAST(107.72 AS DOUBLE)),
+      ('GA', '00000000000I1163', CAST(0.0 AS DOUBLE), CAST(139.18 AS DOUBLE)),
+      ('GA', '00000000000I7433', CAST(0.0 AS DOUBLE), CAST(69.54 AS DOUBLE)),
+      ('GA', '00000000000I7565', CAST(72.48 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('GA', '0000000000I10449', CAST(272.7 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('GA', '0000000000I10777', CAST(0.0 AS DOUBLE), CAST(2.19 AS DOUBLE)),
+      ('GA', '0000000000I14852', CAST(126.08 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '00000000000I1317', CAST(121.17 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '00000000000I1452', CAST(0.0 AS DOUBLE), CAST(43.65 AS DOUBLE)),
+      ('MI', '00000000000I1573', CAST(0.0 AS DOUBLE), CAST(120.44 AS DOUBLE)),
+      ('MI', '00000000000I3623', CAST(0.0 AS DOUBLE), CAST(175.5 AS DOUBLE)),
+      ('MI', '00000000000I6123', CAST(138.96 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '00000000000I8399', CAST(109.18 AS DOUBLE), CAST(57.34 AS DOUBLE)),
+      ('MI', '0000000000I10424', CAST(31.68 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '0000000000I10839', CAST(57.56 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '0000000000I13060', CAST(0.0 AS DOUBLE), CAST(60.05 AS DOUBLE)),
+      ('MI', '0000000000I13447', CAST(0.0 AS DOUBLE), CAST(81.73 AS DOUBLE)),
+      ('MI', '0000000000I14689', CAST(9.07 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('MI', '0000000000I15985', CAST(140.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+    ) AS t(w_state, i_item_id, sales_before, sales_after)
+    """)
+def tpcds_q40_warehouse_returns_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 shape: returns-netted catalog sales value per
+    (warehouse, item) split before/after a pivot date — catalog_sales
+    left-joins catalog_returns on the natural (order, item) key, nets
+    the refund, and one hash-agg computes both date halves as
+    conditional sums."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    wh = gen_warehouse(spark)
+    pivot = "1998-06-01"
+    r = cr.select(
+        F.col("cr_order_number").alias("cs_order_number"),
+        F.col("cr_item_sk").alias("cs_item_sk"),
+        "cr_refunded_cash",
+    )
+    net = (
+        cs.join(r, ["cs_order_number", "cs_item_sk"], "left")
+        .join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .join(wh, cs.cs_warehouse_sk == wh.w_warehouse_sk)
+        .where(F.col("d_date").between("1998-05-01", "1998-07-01"))
+        .where(F.col("i_current_price").between(0.99, 1.49))
+        .select(
+            "w_state",
+            "i_item_id",
+            "d_date",
+            (F.col("cs_sales_price") - F.coalesce(F.col("cr_refunded_cash"), F.lit(0))).alias(
+                "net_value"
+            ),
+        )
+    )
+    return (
+        net.groupBy("w_state", "i_item_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("d_date") < pivot, F.col("net_value")).otherwise(0)), 2
+            )
+            .cast("double")
+            .alias("sales_before"),
+            F.round(
+                F.sum(F.when(F.col("d_date") >= pivot, F.col("net_value")).otherwise(0)), 2
+            )
+            .cast("double")
+            .alias("sales_after"),
+        )
+        .orderBy("w_state", "i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q58_equal_channel_items", """    SELECT * FROM (VALUES
+      ('000000000000I256', CAST(2816.49 AS DOUBLE), CAST(3561.6 AS DOUBLE), CAST(2560.04 AS DOUBLE), CAST(2979.3767 AS DOUBLE)),
+      ('00000000000I1006', CAST(6851.53 AS DOUBLE), CAST(7263.36 AS DOUBLE), CAST(9925.74 AS DOUBLE), CAST(8013.5433 AS DOUBLE)),
+      ('00000000000I1570', CAST(3018.56 AS DOUBLE), CAST(4610.11 AS DOUBLE), CAST(4634.91 AS DOUBLE), CAST(4087.86 AS DOUBLE)),
+      ('00000000000I1731', CAST(4378.25 AS DOUBLE), CAST(3939.44 AS DOUBLE), CAST(4068.16 AS DOUBLE), CAST(4128.6167 AS DOUBLE)),
+      ('00000000000I2363', CAST(5094.28 AS DOUBLE), CAST(7613.49 AS DOUBLE), CAST(7527.23 AS DOUBLE), CAST(6745.0 AS DOUBLE)),
+      ('00000000000I3326', CAST(5250.04 AS DOUBLE), CAST(5277.12 AS DOUBLE), CAST(5093.66 AS DOUBLE), CAST(5206.94 AS DOUBLE)),
+      ('00000000000I3493', CAST(2841.93 AS DOUBLE), CAST(3366.29 AS DOUBLE), CAST(2220.02 AS DOUBLE), CAST(2809.4133 AS DOUBLE)),
+      ('00000000000I3688', CAST(2447.86 AS DOUBLE), CAST(2902.59 AS DOUBLE), CAST(2172.61 AS DOUBLE), CAST(2507.6867 AS DOUBLE)),
+      ('00000000000I3919', CAST(4910.7 AS DOUBLE), CAST(8061.28 AS DOUBLE), CAST(7588.16 AS DOUBLE), CAST(6853.38 AS DOUBLE)),
+      ('00000000000I4388', CAST(4903.6 AS DOUBLE), CAST(5279.89 AS DOUBLE), CAST(4213.94 AS DOUBLE), CAST(4799.1433 AS DOUBLE)),
+      ('00000000000I4474', CAST(8147.88 AS DOUBLE), CAST(6807.01 AS DOUBLE), CAST(8728.0 AS DOUBLE), CAST(7894.2967 AS DOUBLE)),
+      ('00000000000I5262', CAST(1331.58 AS DOUBLE), CAST(1939.24 AS DOUBLE), CAST(2130.2 AS DOUBLE), CAST(1800.34 AS DOUBLE)),
+      ('00000000000I5425', CAST(1506.49 AS DOUBLE), CAST(1454.07 AS DOUBLE), CAST(1556.44 AS DOUBLE), CAST(1505.6667 AS DOUBLE)),
+      ('00000000000I6476', CAST(5741.62 AS DOUBLE), CAST(7231.91 AS DOUBLE), CAST(6169.92 AS DOUBLE), CAST(6381.15 AS DOUBLE)),
+      ('00000000000I6718', CAST(9700.32 AS DOUBLE), CAST(7891.25 AS DOUBLE), CAST(7748.4 AS DOUBLE), CAST(8446.6567 AS DOUBLE)),
+      ('00000000000I6762', CAST(17590.14 AS DOUBLE), CAST(13117.91 AS DOUBLE), CAST(10072.8 AS DOUBLE), CAST(13593.6167 AS DOUBLE)),
+      ('00000000000I7989', CAST(2149.53 AS DOUBLE), CAST(2584.98 AS DOUBLE), CAST(3584.5 AS DOUBLE), CAST(2773.0033 AS DOUBLE)),
+      ('00000000000I8465', CAST(2738.67 AS DOUBLE), CAST(3164.26 AS DOUBLE), CAST(4389.43 AS DOUBLE), CAST(3430.7867 AS DOUBLE)),
+      ('00000000000I8915', CAST(2812.12 AS DOUBLE), CAST(2385.77 AS DOUBLE), CAST(3656.51 AS DOUBLE), CAST(2951.4667 AS DOUBLE)),
+      ('00000000000I9166', CAST(1546.82 AS DOUBLE), CAST(1695.49 AS DOUBLE), CAST(1899.66 AS DOUBLE), CAST(1713.99 AS DOUBLE))
+    ) AS t(i_item_id, ss_rev, cs_rev, ws_rev, average)
+    """)
+def tpcds_q58_equal_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape: items whose revenue is BALANCED across all
+    three channels (each channel within ±20% of the others' average)
+    for one week — three per-item channel rollups three-way joined on
+    item, with mutual tolerance predicates.
+
+    Scale: each channel reduces independently; the 3-way join runs on
+    per-item rollups."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    # Spec restricts to one week; the generators' per-(item, week,
+    # channel) density is <0.1, which empties a 3-way inner join — a
+    # month keeps the same balanced-revenue semantics testable.
+    week_dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 12)).select(
+        "d_date_sk"
+    )
+
+    def channel(fact, date_col, item_col, price_col, out):
+        return (
+            fact.join(week_dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(it, F.col(item_col) == it.i_item_sk)
+            .groupBy("i_item_id")
+            .agg(F.sum(price_col).alias(out))
+        )
+
+    s = channel(ss, "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price", "ss_rev")
+    c = channel(cs, "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price", "cs_rev")
+    w = channel(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price", "ws_rev")
+    joined = s.join(c, "i_item_id").join(w, "i_item_id")
+    avg_rev = (F.col("ss_rev") + F.col("cs_rev") + F.col("ws_rev")) / 3
+
+    def within(col):
+        # spec tolerance is 0.9-1.1 over dsdgen's dense weeks; single
+        # line items per channel need a wider band to ever balance
+        return (F.col(col) >= 0.7 * avg_rev) & (F.col(col) <= 1.3 * avg_rev)
+
+    return (
+        joined.where(within("ss_rev") & within("cs_rev") & within("ws_rev"))
+        .select(
+            "i_item_id",
+            F.round("ss_rev", 2).cast("double").alias("ss_rev"),
+            F.round("cs_rev", 2).cast("double").alias("cs_rev"),
+            F.round("ws_rev", 2).cast("double").alias("ws_rev"),
+            F.round(avg_rev, 4).cast("double").alias("average"),
+        )
+        .orderBy("i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q71_brand_time_buckets", """    SELECT * FROM (VALUES
+      (CAST(5207 AS INT), 'Brand#52-7', CAST(19 AS INT), 'dinner', CAST(19465.07 AS DOUBLE)),
+      (CAST(5207 AS INT), 'Brand#52-7', CAST(18 AS INT), 'dinner', CAST(18710.4 AS DOUBLE)),
+      (CAST(5208 AS INT), 'Brand#52-8', CAST(8 AS INT), 'breakfast', CAST(16019.5 AS DOUBLE)),
+      (CAST(5202 AS INT), 'Brand#52-2', CAST(18 AS INT), 'dinner', CAST(15495.82 AS DOUBLE)),
+      (CAST(5210 AS INT), 'Brand#52-10', CAST(17 AS INT), 'dinner', CAST(11925.63 AS DOUBLE)),
+      (CAST(5210 AS INT), 'Brand#52-10', CAST(8 AS INT), 'breakfast', CAST(11150.8 AS DOUBLE)),
+      (CAST(5209 AS INT), 'Brand#52-9', CAST(19 AS INT), 'dinner', CAST(10545.1 AS DOUBLE)),
+      (CAST(5208 AS INT), 'Brand#52-8', CAST(19 AS INT), 'dinner', CAST(10432.88 AS DOUBLE)),
+      (CAST(5207 AS INT), 'Brand#52-7', CAST(7 AS INT), 'breakfast', CAST(10318.31 AS DOUBLE)),
+      (CAST(5205 AS INT), 'Brand#52-5', CAST(7 AS INT), 'breakfast', CAST(8894.47 AS DOUBLE)),
+      (CAST(5204 AS INT), 'Brand#52-4', CAST(7 AS INT), 'breakfast', CAST(8162.64 AS DOUBLE)),
+      (CAST(5205 AS INT), 'Brand#52-5', CAST(18 AS INT), 'dinner', CAST(7421.15 AS DOUBLE)),
+      (CAST(5208 AS INT), 'Brand#52-8', CAST(17 AS INT), 'dinner', CAST(6000.13 AS DOUBLE)),
+      (CAST(5206 AS INT), 'Brand#52-6', CAST(19 AS INT), 'dinner', CAST(5440.69 AS DOUBLE)),
+      (CAST(5208 AS INT), 'Brand#52-8', CAST(18 AS INT), 'dinner', CAST(5266.91 AS DOUBLE)),
+      (CAST(5204 AS INT), 'Brand#52-4', CAST(19 AS INT), 'dinner', CAST(4622.78 AS DOUBLE)),
+      (CAST(5209 AS INT), 'Brand#52-9', CAST(18 AS INT), 'dinner', CAST(4460.16 AS DOUBLE)),
+      (CAST(5210 AS INT), 'Brand#52-10', CAST(18 AS INT), 'dinner', CAST(3321.16 AS DOUBLE)),
+      (CAST(5205 AS INT), 'Brand#52-5', CAST(19 AS INT), 'dinner', CAST(3319.85 AS DOUBLE)),
+      (CAST(5205 AS INT), 'Brand#52-5', CAST(6 AS INT), 'breakfast', CAST(2709.56 AS DOUBLE))
+    ) AS t(i_brand_id, i_brand, t_hour, t_meal_time, ext_price)
+    """)
+def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q71 shape: one manufacturer's December revenue per brand
+    split by meal-time shift (breakfast/dinner via time_dim) across
+    all three channels — the channels union as (item, time, price)
+    triples BEFORE the dim joins, then one rollup on (brand, hour,
+    meal time).
+
+    Scale: the union carries projected fact columns only; time_dim
+    (86,400 rows) and item broadcast from size estimates."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    td = gen_time_dim(spark)
+    items = it.where(F.col("i_manufact_id") == 52).select(
+        "i_item_sk", "i_brand_id", "i_brand"
+    )
+    dates = dd.where((F.col("d_moy") == 12) & (F.col("d_year") == 1998)).select("d_date_sk")
+
+    def leg(fact, date_col, item_col, time_col, price_col):
+        return fact.join(dates, F.col(date_col) == F.col("d_date_sk")).select(
+            F.col(item_col).alias("item_sk"),
+            F.col(time_col).alias("time_sk"),
+            F.col(price_col).alias("ext_price"),
+        )
+
+    unioned = (
+        leg(ws, "ws_sold_date_sk", "ws_item_sk", "ws_sold_time_sk", "ws_ext_sales_price")
+        .unionByName(leg(cs, "cs_sold_date_sk", "cs_item_sk", "cs_sold_time_sk", "cs_ext_sales_price"))
+        .unionByName(leg(ss, "ss_sold_date_sk", "ss_item_sk", "ss_sold_time_sk", "ss_ext_sales_price"))
+    )
+    meal = td.where(F.col("t_meal_time").isin("breakfast", "dinner")).select(
+        "t_time_sk", "t_hour", "t_meal_time"
+    )
+    return (
+        unioned.join(items, F.col("item_sk") == F.col("i_item_sk"))
+        .join(meal, F.col("time_sk") == F.col("t_time_sk"))
+        .groupBy("i_brand_id", "i_brand", "t_hour", "t_meal_time")
+        .agg(_money("ext_price").alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), "i_brand_id", "t_hour")
+        .limit(20)
+    )
+
+
+@register("tpcds_q83_returned_items_3way", """    SELECT * FROM (VALUES
+      ('00000000000I2168', CAST(1 AS BIGINT), CAST(1.4925 AS DOUBLE), CAST(27 AS BIGINT), CAST(40.2985 AS DOUBLE), CAST(39 AS BIGINT), CAST(58.209 AS DOUBLE), CAST(22.333333333333332 AS DOUBLE)),
+      ('00000000000I2228', CAST(43 AS BIGINT), CAST(61.4286 AS DOUBLE), CAST(16 AS BIGINT), CAST(22.8571 AS DOUBLE), CAST(11 AS BIGINT), CAST(15.7143 AS DOUBLE), CAST(23.333333333333332 AS DOUBLE)),
+      ('00000000000I3187', CAST(36 AS BIGINT), CAST(58.0645 AS DOUBLE), CAST(18 AS BIGINT), CAST(29.0323 AS DOUBLE), CAST(8 AS BIGINT), CAST(12.9032 AS DOUBLE), CAST(20.666666666666668 AS DOUBLE)),
+      ('00000000000I3438', CAST(30 AS BIGINT), CAST(54.5455 AS DOUBLE), CAST(4 AS BIGINT), CAST(7.2727 AS DOUBLE), CAST(21 AS BIGINT), CAST(38.1818 AS DOUBLE), CAST(18.333333333333332 AS DOUBLE)),
+      ('00000000000I5944', CAST(32 AS BIGINT), CAST(21.1921 AS DOUBLE), CAST(79 AS BIGINT), CAST(52.3179 AS DOUBLE), CAST(40 AS BIGINT), CAST(26.4901 AS DOUBLE), CAST(50.333333333333336 AS DOUBLE)),
+      ('00000000000I9010', CAST(14 AS BIGINT), CAST(51.8519 AS DOUBLE), CAST(7 AS BIGINT), CAST(25.9259 AS DOUBLE), CAST(6 AS BIGINT), CAST(22.2222 AS DOUBLE), CAST(9.0 AS DOUBLE)),
+      ('0000000000I12681', CAST(16 AS BIGINT), CAST(19.5122 AS DOUBLE), CAST(15 AS BIGINT), CAST(18.2927 AS DOUBLE), CAST(51 AS BIGINT), CAST(62.1951 AS DOUBLE), CAST(27.333333333333332 AS DOUBLE)),
+      ('0000000000I17025', CAST(9 AS BIGINT), CAST(26.4706 AS DOUBLE), CAST(13 AS BIGINT), CAST(38.2353 AS DOUBLE), CAST(12 AS BIGINT), CAST(35.2941 AS DOUBLE), CAST(11.333333333333334 AS DOUBLE)),
+      ('0000000000I17608', CAST(22 AS BIGINT), CAST(23.913 AS DOUBLE), CAST(2 AS BIGINT), CAST(2.1739 AS DOUBLE), CAST(68 AS BIGINT), CAST(73.913 AS DOUBLE), CAST(30.666666666666668 AS DOUBLE))
+    ) AS t(i_item_id, sr_qty, sr_share_pct, cr_qty, cr_share_pct, wr_qty, wr_share_pct, average)
+    """)
+def tpcds_q83_returned_items_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q83 shape: items returned through ALL THREE channels in
+    one month, with each channel's return quantity and its share of
+    the three-channel total — per-channel returns rollups three-way
+    joined on item id.
+
+    Scale: returns facts reduce per item before the join; shares are
+    column algebra on the joined rollups."""
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    dates = dd.where((F.col("d_year") == 1998) & F.col("d_moy").isin(9, 10)).select(
+        "d_date_sk"
+    )
+
+    def channel(ret, date_col, item_col, qty_col, out):
+        return (
+            ret.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(it, F.col(item_col) == it.i_item_sk)
+            .groupBy("i_item_id")
+            .agg(F.sum(qty_col).cast("bigint").alias(out))
+        )
+
+    s = channel(sr, "sr_returned_date_sk", "sr_item_sk", "sr_return_quantity", "sr_qty")
+    c = channel(cr, "cr_returned_date_sk", "cr_item_sk", "cr_return_quantity", "cr_qty")
+    w = channel(wr, "wr_returned_date_sk", "wr_item_sk", "wr_return_quantity", "wr_qty")
+    joined = s.join(c, "i_item_id").join(w, "i_item_id")
+    total = F.col("sr_qty") + F.col("cr_qty") + F.col("wr_qty")
+    return (
+        joined.select(
+            "i_item_id",
+            "sr_qty",
+            F.round(F.col("sr_qty") / total * 100, 4).cast("double").alias("sr_share_pct"),
+            "cr_qty",
+            F.round(F.col("cr_qty") / total * 100, 4).cast("double").alias("cr_share_pct"),
+            "wr_qty",
+            F.round(F.col("wr_qty") / total * 100, 4).cast("double").alias("wr_share_pct"),
+            ((total / 3).cast("double")).alias("average"),
+        )
+        .orderBy("i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q78_loyal_item_customers", """    SELECT * FROM (VALUES
+      (CAST(551 AS INT), CAST(10625 AS INT), CAST(75 AS BIGINT), CAST(3573.8 AS DOUBLE), CAST(0 AS BIGINT), CAST(92 AS BIGINT)),
+      (CAST(15402 AS INT), CAST(1257 AS INT), CAST(72 AS BIGINT), CAST(2663.47 AS DOUBLE), CAST(79 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(48834 AS INT), CAST(5586 AS INT), CAST(62 AS BIGINT), CAST(6441.06 AS DOUBLE), CAST(67 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(22490 AS INT), CAST(16690 AS INT), CAST(50 AS BIGINT), CAST(9183.18 AS DOUBLE), CAST(19 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(2250 AS INT), CAST(11852 AS INT), CAST(46 AS BIGINT), CAST(5368.32 AS DOUBLE), CAST(0 AS BIGINT), CAST(46 AS BIGINT)),
+      (CAST(43324 AS INT), CAST(3696 AS INT), CAST(44 AS BIGINT), CAST(4855.95 AS DOUBLE), CAST(21 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(45417 AS INT), CAST(16847 AS INT), CAST(37 AS BIGINT), CAST(5373.11 AS DOUBLE), CAST(49 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(14507 AS INT), CAST(14291 AS INT), CAST(31 AS BIGINT), CAST(4334.24 AS DOUBLE), CAST(0 AS BIGINT), CAST(62 AS BIGINT))
+    ) AS t(cust_sk, item_sk, ss_qty, ss_amt, ws_qty, cs_qty)
+    """)
+def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: (customer, item) pairs with UNRETURNED store
+    sales, their store quantity/value vs the other channels' — store
+    sales anti-joined against returns on the natural key, rolled up
+    per (year, customer, item), left-joined to the web and catalog
+    rollups, keeping pairs where the other channels also sold.
+
+    Scale: the anti-join carries (ticket, item) keys; all three
+    rollups reduce to (year, customer, item) before joining on that
+    shared key."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+
+    ss_clean = (
+        ss.join(
+            sr.select(
+                F.col("sr_ticket_number").alias("ss_ticket_number"),
+                F.col("sr_item_sk").alias("ss_item_sk"),
+            ),
+            ["ss_ticket_number", "ss_item_sk"],
+            "leftanti",
+        )
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy(
+            F.col("ss_customer_sk").alias("cust_sk"), F.col("ss_item_sk").alias("item_sk")
+        )
+        .agg(
+            F.sum("ss_quantity").cast("bigint").alias("ss_qty"),
+            F.sum("ss_net_paid").alias("ss_amt"),
+        )
+    )
+    ws_roll = (
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy(
+            F.col("ws_bill_customer_sk").alias("cust_sk"),
+            F.col("ws_item_sk").alias("item_sk"),
+        )
+        .agg(F.sum("ws_quantity").cast("bigint").alias("ws_qty"))
+    )
+    cs_roll = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .groupBy(
+            F.col("cs_bill_customer_sk").alias("cust_sk"),
+            F.col("cs_item_sk").alias("item_sk"),
+        )
+        .agg(F.sum("cs_quantity").cast("bigint").alias("cs_qty"))
+    )
+    joined = (
+        ss_clean.join(ws_roll, ["cust_sk", "item_sk"], "left")
+        .join(cs_roll, ["cust_sk", "item_sk"], "left")
+        .where(F.coalesce(F.col("ws_qty"), F.lit(0)) + F.coalesce(F.col("cs_qty"), F.lit(0)) > 0)
+    )
+    return (
+        joined.select(
+            "cust_sk",
+            "item_sk",
+            "ss_qty",
+            F.round("ss_amt", 2).cast("double").alias("ss_amt"),
+            F.coalesce(F.col("ws_qty"), F.lit(0)).cast("bigint").alias("ws_qty"),
+            F.coalesce(F.col("cs_qty"), F.lit(0)).cast("bigint").alias("cs_qty"),
+        )
+        .orderBy(F.col("ss_qty").desc(), "cust_sk", "item_sk")
+        .limit(20)
+    )

@@ -627,3 +627,26 @@ def test_q92_window_decorrelates_avg_subquery(spark, sf_dir):
     plan = _plan(spark, "tpcds_q92_excess_discount", sf_dir)
     assert "Window" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q37_probes_carry_item_keys_only(spark, sf_dir):
+    """q37: inventory and catalog demand reduce to distinct item-key
+    sets probed via left-semi joins — the fact tables never join each
+    other."""
+    plan = _plan(spark, "tpcds_q37_catalog_stocked_items", sf_dir)
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_q58_three_way_join_on_rollups(spark, sf_dir):
+    """q58: the 3-way balance join runs on per-item channel rollups —
+    each channel hash-aggregates before any cross-channel join."""
+    plan = _plan(spark, "tpcds_q58_equal_channel_items", sf_dir)
+    assert plan.count("HashAggregate") >= 6  # partial+final × 3 channels
+
+
+def test_q78_anti_join_carries_natural_key(spark, sf_dir):
+    """q78: returned lines are removed with a left-anti join on
+    (ticket, item) before any rollup; the cross-channel joins see
+    (customer, item) rollups."""
+    plan = _plan(spark, "tpcds_q78_loyal_item_customers", sf_dir)
+    assert "LeftAnti" in plan
