@@ -3765,3 +3765,257 @@ def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("ss_qty").desc(), "cust_sk", "item_sk")
         .limit(20)
     )
+
+
+@register("tpcds_q64_cross_sales_yoy", """    SELECT * FROM (VALUES
+      ('Product 00000003', CAST(3 AS INT), 'able', CAST(1 AS BIGINT), CAST(47.23 AS DOUBLE), CAST(78.71 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(2.19 AS DOUBLE), CAST(3.65 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00000359', CAST(359 AS INT), 'cally', CAST(1 AS BIGINT), CAST(96.06 AS DOUBLE), CAST(160.1 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(88.46 AS DOUBLE), CAST(147.44 AS DOUBLE), CAST(238.85 AS DOUBLE)),
+      ('Product 00000594', CAST(594 AS INT), 'ese', CAST(1 AS BIGINT), CAST(106.45 AS DOUBLE), CAST(177.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(97.91 AS DOUBLE), CAST(163.18 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00000685', CAST(685 AS INT), 'cally', CAST(1 AS BIGINT), CAST(44.08 AS DOUBLE), CAST(73.47 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(82.76 AS DOUBLE), CAST(137.94 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00000871', CAST(871 AS INT), 'cally', CAST(1 AS BIGINT), CAST(85.2 AS DOUBLE), CAST(142.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(96.93 AS DOUBLE), CAST(161.55 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001004', CAST(1004 AS INT), 'ese', CAST(1 AS BIGINT), CAST(104.31 AS DOUBLE), CAST(173.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(101.39 AS DOUBLE), CAST(168.99 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001059', CAST(1059 AS INT), 'ese', CAST(1 AS BIGINT), CAST(71.42 AS DOUBLE), CAST(119.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(41.8 AS DOUBLE), CAST(69.67 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001134', CAST(1134 AS INT), 'eing', CAST(1 AS BIGINT), CAST(69.47 AS DOUBLE), CAST(115.78 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(92.43 AS DOUBLE), CAST(154.05 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001352', CAST(1352 AS INT), 'eing', CAST(1 AS BIGINT), CAST(6.68 AS DOUBLE), CAST(11.13 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(19.18 AS DOUBLE), CAST(31.97 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001413', CAST(1413 AS INT), 'cally', CAST(1 AS BIGINT), CAST(110.29 AS DOUBLE), CAST(183.82 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(15.99 AS DOUBLE), CAST(26.65 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001439', CAST(1439 AS INT), 'ese', CAST(1 AS BIGINT), CAST(35.93 AS DOUBLE), CAST(59.88 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(105.73 AS DOUBLE), CAST(176.21 AS DOUBLE), CAST(811.62 AS DOUBLE)),
+      ('Product 00001455', CAST(1455 AS INT), 'cally', CAST(1 AS BIGINT), CAST(29.92 AS DOUBLE), CAST(49.86 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(59.02 AS DOUBLE), CAST(98.37 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001623', CAST(1623 AS INT), 'anti', CAST(1 AS BIGINT), CAST(93.91 AS DOUBLE), CAST(156.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(50.14 AS DOUBLE), CAST(83.56 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00001966', CAST(1966 AS INT), 'cally', CAST(1 AS BIGINT), CAST(73.34 AS DOUBLE), CAST(122.23 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(99.2 AS DOUBLE), CAST(165.33 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00002059', CAST(2059 AS INT), 'cally', CAST(1 AS BIGINT), CAST(39.01 AS DOUBLE), CAST(65.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(39.57 AS DOUBLE), CAST(65.95 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00002180', CAST(2180 AS INT), 'cally', CAST(1 AS BIGINT), CAST(8.17 AS DOUBLE), CAST(13.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(43.42 AS DOUBLE), CAST(72.37 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00002378', CAST(2378 AS INT), 'cally', CAST(1 AS BIGINT), CAST(76.21 AS DOUBLE), CAST(127.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(90.17 AS DOUBLE), CAST(150.28 AS DOUBLE), CAST(259.83 AS DOUBLE)),
+      ('Product 00002379', CAST(2379 AS INT), 'cally', CAST(1 AS BIGINT), CAST(61.59 AS DOUBLE), CAST(102.65 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(57.23 AS DOUBLE), CAST(95.38 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      ('Product 00002417', CAST(2417 AS INT), 'eing', CAST(1 AS BIGINT), CAST(109.67 AS DOUBLE), CAST(182.78 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(17.09 AS DOUBLE), CAST(28.48 AS DOUBLE), CAST(183.7 AS DOUBLE)),
+      ('Product 00002529', CAST(2529 AS INT), 'ese', CAST(1 AS BIGINT), CAST(110.0 AS DOUBLE), CAST(183.33 AS DOUBLE), CAST(717.74 AS DOUBLE), CAST(1 AS BIGINT), CAST(106.58 AS DOUBLE), CAST(177.63 AS DOUBLE), CAST(0.0 AS DOUBLE))
+    ) AS t(i_product_name, ss_item_sk, s_store_name, cnt1, wh1, lp1, cp1, cnt2, wh2, lp2, cp2)
+    """)
+def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape — the suite's largest composite: store sales of
+    catalog-cross-sold items (catalog gross sale > 2× its refunds),
+    returned in store, by customers whose CURRENT demographics differ
+    from their AT-SALE demographics (cd1 ≠ cd2 marital), with both
+    household income bands resolved and three date roles (sold /
+    first-sale / first-ship) — rolled up per (item, store, year) and
+    self-joined 1998 vs 1999 keeping pairs whose activity did not grow.
+
+    Adaptations for generator independence (documented, shape kept):
+    the spec also groups by both address zips — independently hashed
+    addresses make every (zip, zip) group a singleton, which would
+    empty the yoy self-join — so the rollup keys are (item, store,
+    year) and the address/income joins remain as row filters.
+
+    Scale: cs_ui reduces catalog+returns to an item key set first; the
+    ss→sr leg joins on (ticket, item); every dim join is keyed; the
+    yoy self-join sees (item × store) rollups only."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    cd = gen_customer_demographics(spark)
+    hd = gen_household_demographics(spark)
+    ib = gen_income_band(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+
+    r = cr.select(
+        F.col("cr_order_number").alias("cs_order_number"),
+        F.col("cr_item_sk").alias("cs_item_sk"),
+        (F.col("cr_refunded_cash") + F.col("cr_reversed_charge") + F.col("cr_store_credit")).alias(
+            "refund"
+        ),
+    )
+    cs_ui = (
+        cs.join(r, ["cs_order_number", "cs_item_sk"], "left")
+        .groupBy("cs_item_sk")
+        .agg(
+            F.sum("cs_ext_list_price").alias("sale"),
+            F.sum(F.coalesce(F.col("refund"), F.lit(0))).alias("refund_total"),
+        )
+        .where(F.col("sale") > 2 * F.col("refund_total"))
+        .select(F.col("cs_item_sk").alias("ss_item_sk"))
+    )
+    cd1 = cd.select(
+        F.col("cd_demo_sk").alias("cd1_sk"), F.col("cd_marital_status").alias("cd1_marital")
+    )
+    cd2 = cd.select(
+        F.col("cd_demo_sk").alias("cd2_sk"), F.col("cd_marital_status").alias("cd2_marital")
+    )
+    hd1 = hd.select(F.col("hd_demo_sk").alias("hd1_sk"), F.col("hd_income_band_sk").alias("ib1_sk"))
+    hd2 = hd.select(F.col("hd_demo_sk").alias("hd2_sk"), F.col("hd_income_band_sk").alias("ib2_sk"))
+    ib1 = ib.select(F.col("ib_income_band_sk").alias("ib1_sk"))
+    ib2 = ib.select(F.col("ib_income_band_sk").alias("ib2_sk"))
+    ad1 = ca.select(F.col("ca_address_sk").alias("ad1_sk"))
+    ad2 = ca.select(F.col("ca_address_sk").alias("ad2_sk"))
+    d1 = dd.select(F.col("d_date_sk").alias("d1_sk"), F.col("d_year").alias("syear"))
+    d2 = dd.select(F.col("d_date_sk").alias("d2_sk"))
+    d3 = dd.select(F.col("d_date_sk").alias("d3_sk"))
+    items = it.where(F.col("i_color").isin("azure", "gold", "cream", "khaki")).select(
+        "i_item_sk", "i_product_name"
+    )
+    base = (
+        ss.join(
+            sr.select(
+                F.col("sr_ticket_number").alias("ss_ticket_number"),
+                F.col("sr_item_sk").alias("ss_item_sk"),
+            ),
+            ["ss_ticket_number", "ss_item_sk"],
+        )
+        .join(cs_ui, "ss_item_sk", "leftsemi")
+        .join(items, F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .join(cu, F.col("ss_customer_sk") == cu.c_customer_sk)
+        .join(d1, F.col("ss_sold_date_sk") == F.col("d1_sk"))
+        .join(d2, F.col("c_first_sales_date_sk") == F.col("d2_sk"))
+        .join(d3, F.col("c_first_shipto_date_sk") == F.col("d3_sk"))
+        .join(cd1, F.col("ss_cdemo_sk") == F.col("cd1_sk"))
+        .join(cd2, F.col("c_current_cdemo_sk") == F.col("cd2_sk"))
+        .where(F.col("cd1_marital") != F.col("cd2_marital"))
+        .join(hd1, F.col("ss_hdemo_sk") == F.col("hd1_sk"))
+        .join(ib1, "ib1_sk")
+        .join(hd2, F.col("c_current_hdemo_sk") == F.col("hd2_sk"))
+        .join(ib2, "ib2_sk")
+        .join(ad1, F.col("ss_addr_sk") == F.col("ad1_sk"))
+        .join(ad2, F.col("c_current_addr_sk") == F.col("ad2_sk"))
+    )
+    rolled = base.groupBy(
+        "i_product_name", "ss_item_sk", "s_store_name", "s_zip", "syear"
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("ss_wholesale_cost").alias("wholesale"),
+        F.sum("ss_list_price").alias("list_price"),
+        F.sum("ss_coupon_amt").alias("coupon"),
+    )
+    y1 = rolled.where(F.col("syear") == 1998).select(
+        "i_product_name", "ss_item_sk", "s_store_name", "s_zip",
+        F.col("cnt").alias("cnt1"),
+        F.col("wholesale").alias("wh1"),
+        F.col("list_price").alias("lp1"),
+        F.col("coupon").alias("cp1"),
+    )
+    y2 = rolled.where(F.col("syear") == 1999).select(
+        "ss_item_sk", "s_store_name", "s_zip",
+        F.col("cnt").alias("cnt2"),
+        F.col("wholesale").alias("wh2"),
+        F.col("list_price").alias("lp2"),
+        F.col("coupon").alias("cp2"),
+    )
+    return (
+        y1.join(y2, ["ss_item_sk", "s_store_name", "s_zip"])
+        .where(F.col("cnt2") <= F.col("cnt1"))
+        .select(
+            "i_product_name",
+            "ss_item_sk",
+            "s_store_name",
+            "cnt1",
+            F.round("wh1", 2).cast("double").alias("wh1"),
+            F.round("lp1", 2).cast("double").alias("lp1"),
+            F.round("cp1", 2).cast("double").alias("cp1"),
+            "cnt2",
+            F.round("wh2", 2).cast("double").alias("wh2"),
+            F.round("lp2", 2).cast("double").alias("lp2"),
+            F.round("cp2", 2).cast("double").alias("cp2"),
+        )
+        .orderBy("i_product_name", "ss_item_sk", "s_store_name")
+        .limit(20)
+    )
+
+
+@register("tpcds_q54_revenue_segments", """    SELECT * FROM (VALUES
+      (CAST(1 AS INT), CAST(2 AS BIGINT), CAST(50 AS INT)),
+      (CAST(2 AS INT), CAST(1 AS BIGINT), CAST(100 AS INT)),
+      (CAST(3 AS INT), CAST(2 AS BIGINT), CAST(150 AS INT)),
+      (CAST(4 AS INT), CAST(1 AS BIGINT), CAST(200 AS INT)),
+      (CAST(5 AS INT), CAST(2 AS BIGINT), CAST(250 AS INT)),
+      (CAST(12 AS INT), CAST(4 AS BIGINT), CAST(600 AS INT)),
+      (CAST(17 AS INT), CAST(1 AS BIGINT), CAST(850 AS INT)),
+      (CAST(19 AS INT), CAST(1 AS BIGINT), CAST(950 AS INT)),
+      (CAST(25 AS INT), CAST(1 AS BIGINT), CAST(1250 AS INT)),
+      (CAST(27 AS INT), CAST(2 AS BIGINT), CAST(1350 AS INT)),
+      (CAST(34 AS INT), CAST(1 AS BIGINT), CAST(1700 AS INT)),
+      (CAST(35 AS INT), CAST(1 AS BIGINT), CAST(1750 AS INT)),
+      (CAST(39 AS INT), CAST(2 AS BIGINT), CAST(1950 AS INT)),
+      (CAST(42 AS INT), CAST(1 AS BIGINT), CAST(2100 AS INT)),
+      (CAST(54 AS INT), CAST(2 AS BIGINT), CAST(2700 AS INT)),
+      (CAST(59 AS INT), CAST(1 AS BIGINT), CAST(2950 AS INT)),
+      (CAST(61 AS INT), CAST(1 AS BIGINT), CAST(3050 AS INT)),
+      (CAST(62 AS INT), CAST(1 AS BIGINT), CAST(3100 AS INT)),
+      (CAST(63 AS INT), CAST(1 AS BIGINT), CAST(3150 AS INT)),
+      (CAST(65 AS INT), CAST(1 AS BIGINT), CAST(3250 AS INT)),
+      (CAST(70 AS INT), CAST(1 AS BIGINT), CAST(3500 AS INT)),
+      (CAST(78 AS INT), CAST(1 AS BIGINT), CAST(3900 AS INT)),
+      (CAST(82 AS INT), CAST(1 AS BIGINT), CAST(4100 AS INT)),
+      (CAST(84 AS INT), CAST(1 AS BIGINT), CAST(4200 AS INT)),
+      (CAST(87 AS INT), CAST(1 AS BIGINT), CAST(4350 AS INT)),
+      (CAST(92 AS INT), CAST(1 AS BIGINT), CAST(4600 AS INT)),
+      (CAST(95 AS INT), CAST(1 AS BIGINT), CAST(4750 AS INT)),
+      (CAST(99 AS INT), CAST(1 AS BIGINT), CAST(4950 AS INT)),
+      (CAST(100 AS INT), CAST(3 AS BIGINT), CAST(5000 AS INT)),
+      (CAST(107 AS INT), CAST(1 AS BIGINT), CAST(5350 AS INT))
+    ) AS t(segment, num_customers, segment_base)
+    """)
+def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: customers who bought one category by catalog
+    or web in December 1998, live in a county with a store, and their
+    following-quarter store revenue bucketed into $50 segments — a
+    cross-channel distinct customer set, an address↔store county/state
+    semi-join, a per-customer revenue rollup, and a histogram rollup.
+
+    Scale: my_customers reduces to distinct keys before touching
+    store_sales; the county/state match is a semi-join against the
+    8-row store dim; the histogram runs over per-customer rollups."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    st = gen_store(spark)
+    # Spec filters category+class and one month; the generators'
+    # independent hashing leaves ~6 customers after the county
+    # semi-join at that selectivity, so the buyer set is category-wide
+    # (same funnel shape, every stage still selective).
+    items = it.where(F.col("i_category") == "Women").select("i_item_sk")
+    dec98 = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 12)).select("d_date_sk")
+
+    def buyers(fact, date_col, item_col, cust_col):
+        return (
+            fact.join(dec98, F.col(date_col) == F.col("d_date_sk"))
+            .join(items, F.col(item_col) == F.col("i_item_sk"), "leftsemi")
+            .select(F.col(cust_col).alias("c_customer_sk"))
+        )
+
+    my_customers = (
+        buyers(cs, "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk")
+        .unionByName(buyers(ws, "ws_sold_date_sk", "ws_item_sk", "ws_bill_customer_sk"))
+        .distinct()
+        .join(cu, "c_customer_sk")
+        .join(ca, F.col("c_current_addr_sk") == ca.ca_address_sk)
+        .join(
+            st.select(
+                F.col("s_county").alias("ca_county"), F.col("s_state").alias("ca_state")
+            ).distinct(),
+            ["ca_county", "ca_state"],
+            "leftsemi",
+        )
+        .select("c_customer_sk")
+    )
+    q1_99 = dd.where(F.col("d_month_seq").between(1188, 1193)).select("d_date_sk")
+    revenue = (
+        ss.join(q1_99, ss.ss_sold_date_sk == F.col("d_date_sk"))
+        .join(my_customers, ss.ss_customer_sk == my_customers.c_customer_sk, "leftsemi")
+        .groupBy("ss_customer_sk")
+        .agg(F.sum("ss_ext_sales_price").alias("revenue"))
+    )
+    return (
+        revenue.select(F.floor(F.col("revenue") / 50).cast("int").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("num_customers"))
+        .select(
+            "segment",
+            "num_customers",
+            (F.col("segment") * 50).cast("int").alias("segment_base"),
+        )
+        .orderBy("segment")
+        .limit(30)
+    )

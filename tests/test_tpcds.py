@@ -650,3 +650,21 @@ def test_q78_anti_join_carries_natural_key(spark, sf_dir):
     (customer, item) rollups."""
     plan = _plan(spark, "tpcds_q78_loyal_item_customers", sf_dir)
     assert "LeftAnti" in plan
+
+
+def test_q64_composite_no_cartesian(spark, sf_dir):
+    """q64 — the suite's largest composite: every join is keyed (the
+    cs_ui item probe is a semi join; demographics/household/income/
+    address legs are key lookups); no cartesian or nested-loop join
+    anywhere, and the yoy self-join runs on (item, store) rollups."""
+    plan = _plan(spark, "tpcds_q64_cross_sales_yoy", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q54_customer_set_reduces_before_fact(spark, sf_dir):
+    """q54: the cross-channel buyer set deduplicates and the county
+    match resolves BEFORE store_sales is probed (semi joins only)."""
+    plan = _plan(spark, "tpcds_q54_revenue_segments", sf_dir)
+    assert plan.count("LeftSemi") >= 2
