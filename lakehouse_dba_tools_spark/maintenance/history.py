@@ -74,15 +74,20 @@ def record_commit(
     return version
 
 
+def read_log(table_path: str) -> list[dict]:
+    """All commit entries for a location (empty list if no log)."""
+    path = _log_path(table_path)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
 def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
     """History of this engine's commits against a parquet location,
     newest first — the `DESCRIBE HISTORY` shape (version, timestamp,
     operation, operationParameters, num_output_rows)."""
-    path = _log_path(table_path)
-    entries = []
-    if os.path.exists(path):
-        with open(path) as f:
-            entries = [json.loads(line) for line in f if line.strip()]
+    entries = read_log(table_path)
     rows = [
         (
             e["version"],

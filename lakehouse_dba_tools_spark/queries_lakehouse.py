@@ -458,3 +458,93 @@ def orc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Time-travel + CDF analog (maintenance/timetravel.py): versioned writes,
+# VERSION AS OF reads, and exceptAll-derived change feeds. The oracle is
+# fully relational — every version is a deterministic transform of the
+# orders fixture, so DuckDB recomputes the same counts from scratch.
+# --------------------------------------------------------------------------
+@register(
+    "time_travel_changes",
+    """
+    SELECT
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS BIGINT) AS v0_rows,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+         + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 3) AS BIGINT) AS v1_rows,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+         + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 3)
+         - (SELECT count(*) FROM orders WHERE o_orderkey % 21 = 0) AS BIGINT) AS v2_rows,
+      CAST(2 AS BIGINT) AS latest_version,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 3)
+         + (SELECT count(*) FROM orders WHERE o_orderkey % 14 = 0) AS BIGINT) AS cdf01_inserts,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 14 = 0) AS BIGINT) AS cdf01_deletes,
+      CAST(0 AS BIGINT) AS cdf12_inserts,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 21 = 0) AS BIGINT) AS cdf12_deletes,
+      CAST(3 AS BIGINT) AS n_commits
+    """,
+)
+def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF + table_changes() analog (Delta time travel —
+    `resources/TPC-datagen-notebook.scala:2168-2183` reads the same
+    log family): three versions of an orders-derived table (create →
+    update+insert → delete), then as-of reads of every version and
+    exceptAll change feeds between consecutive versions. The oracle
+    recomputes every count relationally from the orders fixture —
+    updates surface as insert+delete pairs, exactly the documented
+    CDF-analog contract."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.maintenance.history import read_log
+    from lakehouse_dba_tools_spark.maintenance.timetravel import (
+        latest_version,
+        read_as_of,
+        table_changes,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v0_df = orders.where(F.col("o_orderkey") % 7 == 0)
+    v1_df = v0_df.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 14 == 0, F.col("o_totalprice") + 10
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(orders.where(F.col("o_orderkey") % 7 == 3))
+    v2_df = v1_df.where(F.col("o_orderkey") % 21 != 0)
+
+    tmp = tempfile.mkdtemp(prefix="time_travel_")
+    try:
+        path = f"{tmp}/orders_versions"
+        write_version(v0_df, path, operation="CREATE")
+        write_version(v1_df, path, operation="MERGE")
+        write_version(v2_df, path, operation="DELETE")
+
+        def cnt(df) -> int:
+            return df.count()
+
+        cdf01 = table_changes(spark, path, 0, 1)
+        cdf12 = table_changes(spark, path, 1, 2)
+        row = (
+            cnt(read_as_of(spark, path, 0)),
+            cnt(read_as_of(spark, path, 1)),
+            cnt(read_as_of(spark, path)),  # latest == v2
+            latest_version(path),
+            cnt(cdf01.where(F.col("_change_type") == "insert")),
+            cnt(cdf01.where(F.col("_change_type") == "delete")),
+            cnt(cdf12.where(F.col("_change_type") == "insert")),
+            cnt(cdf12.where(F.col("_change_type") == "delete")),
+            len(read_log(path)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "v0_rows long, v1_rows long, v2_rows long, latest_version long, "
+            "cdf01_inserts long, cdf01_deletes long, cdf12_inserts long, "
+            "cdf12_deletes long, n_commits long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -275,3 +275,52 @@ def test_optimize_zorder_bounds_every_dimension(spark, tmp_path):
     assert avg_span(zor, "b") < 0.75 * avg_span(lex, "b")
     # leading key a: z-order still bounds it (within 2x of lex's tight span)
     assert avg_span(zor, "a") < n  # bounded below full domain
+
+
+def test_time_travel_versions_immutable_and_vacuumable(spark, sf_dir):
+    """Versioned writes are immutable (re-writing a version errors),
+    as-of reads return exact snapshots, and vacuum_versions drops only
+    old version dirs while the log keeps full history."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.maintenance.history import read_log
+    from lakehouse_dba_tools_spark.maintenance.timetravel import (
+        latest_version,
+        read_as_of,
+        table_changes,
+        vacuum_versions,
+        write_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tt_test_")
+    try:
+        path = f"{tmp}/t"
+        a = spark.range(0, 10).select(F.col("id").alias("k"))
+        b = spark.range(5, 15).select(F.col("id").alias("k"))
+        assert write_version(a, path) == 0
+        assert write_version(b, path) == 1
+        assert latest_version(path) == 1
+        assert sorted(r.k for r in read_as_of(spark, path, 0).collect()) == list(range(10))
+        assert sorted(r.k for r in read_as_of(spark, path).collect()) == list(range(5, 15))
+        # CDF: 5 inserts (10-14), 5 deletes (0-4)
+        cdf = table_changes(spark, path, 0, 1)
+        by_type = {
+            r._change_type: r.n
+            for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_type == {"insert": 5, "delete": 5}
+        # vacuum drops v0's data but keeps its commit entry
+        assert vacuum_versions(path, keep_last=1) == [0]
+        assert not os.path.isdir(f"{path}/_v0")
+        assert len(read_log(path)) == 2
+        try:
+            read_as_of(spark, path, 0)
+            raise AssertionError("vacuumed version must not be readable")
+        except FileNotFoundError:
+            pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
