@@ -4019,3 +4019,179 @@ def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("segment")
         .limit(30)
     )
+
+
+@register("tpcds_q14_cross_channel_intersect", """    SELECT * FROM (VALUES
+      ('store', CAST(1602 AS INT), CAST(14 AS INT), CAST(4 AS INT), CAST(49566.42 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('store', CAST(4604 AS INT), CAST(11 AS INT), CAST(10 AS INT), CAST(48709.27 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('store', CAST(1706 AS INT), CAST(16 AS INT), CAST(7 AS INT), CAST(48538.51 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('catalog', CAST(3404 AS INT), CAST(12 AS INT), CAST(9 AS INT), CAST(40756.52 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('store', CAST(4202 AS INT), CAST(9 AS INT), CAST(5 AS INT), CAST(38448.33 AS DOUBLE), CAST(7 AS BIGINT)),
+      ('store', CAST(9906 AS INT), CAST(14 AS INT), CAST(7 AS INT), CAST(36884.01 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('store', CAST(2206 AS INT), CAST(7 AS INT), CAST(1 AS INT), CAST(36859.5 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('catalog', CAST(3804 AS INT), CAST(7 AS INT), CAST(7 AS INT), CAST(36852.93 AS DOUBLE), CAST(2 AS BIGINT)),
+      ('store', CAST(509 AS INT), CAST(12 AS INT), CAST(10 AS INT), CAST(36689.4 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('catalog', CAST(3402 AS INT), CAST(15 AS INT), CAST(9 AS INT), CAST(36411.26 AS DOUBLE), CAST(5 AS BIGINT)),
+      ('store', CAST(703 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(35869.21 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('store', CAST(6001 AS INT), CAST(5 AS INT), CAST(2 AS INT), CAST(34419.07 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('catalog', CAST(9302 AS INT), CAST(9 AS INT), CAST(5 AS INT), CAST(34268.31 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('catalog', CAST(9603 AS INT), CAST(13 AS INT), CAST(6 AS INT), CAST(34081.3 AS DOUBLE), CAST(2 AS BIGINT)),
+      ('web', CAST(1003 AS INT), CAST(11 AS INT), CAST(7 AS INT), CAST(33988.91 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('catalog', CAST(8510 AS INT), CAST(11 AS INT), CAST(6 AS INT), CAST(33859.95 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('catalog', CAST(5203 AS INT), CAST(7 AS INT), CAST(2 AS INT), CAST(33603.39 AS DOUBLE), CAST(2 AS BIGINT)),
+      ('store', CAST(9102 AS INT), CAST(3 AS INT), CAST(5 AS INT), CAST(33338.49 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('store', CAST(4109 AS INT), CAST(2 AS INT), CAST(1 AS INT), CAST(33242.87 AS DOUBLE), CAST(4 AS BIGINT)),
+      ('store', CAST(5607 AS INT), CAST(5 AS INT), CAST(6 AS INT), CAST(32918.36 AS DOUBLE), CAST(3 AS BIGINT))
+    ) AS t(channel, i_brand_id, i_class_id, i_category_id, sum_sales, n_sales)
+    """)
+def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (first variant): December revenue per channel
+    for items whose (brand, class, category) triple sold in ALL THREE
+    channels over the full span — the spec's cross_items INTERSECT
+    chain (computed on distinct attribute triples, then semi-joined
+    back to the item dim) and its avg_sales scalar threshold (1-row
+    cross join), rolled up per channel with grouping sets.
+
+    Scale: the INTERSECT operates on distinct (brand, class, category)
+    triples — bounded by the item-attribute domain, not the facts; the
+    scalar threshold leg reduces the union of facts to ONE row before
+    the cross join; each channel's December rollup joins the small
+    cross_items key set via leftsemi."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+
+    def sold_triples(fact, item_col):
+        return (
+            fact.join(it, F.col(item_col) == it.i_item_sk)
+            .select("i_brand_id", "i_class_id", "i_category_id")
+            .distinct()
+        )
+
+    triple_cols = ["i_brand_id", "i_class_id", "i_category_id"]
+    cross_triples = (
+        sold_triples(ss, "ss_item_sk")
+        .intersect(sold_triples(cs, "cs_item_sk"))
+        .intersect(sold_triples(ws, "ws_item_sk"))
+    )
+    cross_items = it.join(cross_triples, triple_cols, "leftsemi").select(
+        "i_item_sk", *triple_cols
+    )
+
+    def december(fact, date_col, item_col, qty, price, label):
+        return (
+            fact.join(dd, F.col(date_col) == dd.d_date_sk)
+            .where((F.col("d_year") == 1999) & (F.col("d_moy") == 12))
+            .join(cross_items, F.col(item_col) == F.col("i_item_sk"))
+            .select(
+                F.lit(label).alias("channel"),
+                *triple_cols,
+                (F.col(qty) * F.col(price)).alias("sales"),
+            )
+        )
+
+    avg_sales = (
+        ss.select((F.col("ss_quantity") * F.col("ss_list_price")).alias("s"))
+        .unionByName(cs.select((F.col("cs_quantity") * F.col("cs_list_price")).alias("s")))
+        .unionByName(ws.select((F.col("ws_quantity") * F.col("ws_list_price")).alias("s")))
+        .agg(F.avg("s").alias("avg_sales"))
+    )
+    unioned = (
+        december(ss, "ss_sold_date_sk", "ss_item_sk", "ss_quantity", "ss_list_price", "store")
+        .unionByName(december(cs, "cs_sold_date_sk", "cs_item_sk", "cs_quantity", "cs_list_price", "catalog"))
+        .unionByName(december(ws, "ws_sold_date_sk", "ws_item_sk", "ws_quantity", "ws_list_price", "web"))
+    )
+    rolled = (
+        unioned.groupBy("channel", "i_brand_id", "i_class_id", "i_category_id")
+        .agg(F.sum("sales").alias("sum_sales"), F.count("*").cast("bigint").alias("n_sales"))
+        .crossJoin(avg_sales)
+        .where(F.col("sum_sales") > F.col("avg_sales"))
+    )
+    return (
+        rolled.select(
+            "channel",
+            "i_brand_id",
+            "i_class_id",
+            "i_category_id",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            "n_sales",
+        )
+        .orderBy(F.col("sum_sales").desc(), "channel", "i_brand_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q76_null_key_report", """    SELECT * FROM (VALUES
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Books', CAST(35 AS BIGINT), CAST(185498.82 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Children', CAST(23 AS BIGINT), CAST(71717.57 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Electronics', CAST(21 AS BIGINT), CAST(102763.5 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Home', CAST(31 AS BIGINT), CAST(145964.37 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Jewelry', CAST(36 AS BIGINT), CAST(195233.65 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Men', CAST(27 AS BIGINT), CAST(120259.07 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Music', CAST(34 AS BIGINT), CAST(144336.4 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Shoes', CAST(33 AS BIGINT), CAST(140249.5 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Sports', CAST(14 AS BIGINT), CAST(44054.36 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Women', CAST(24 AS BIGINT), CAST(82316.97 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Books', CAST(40 AS BIGINT), CAST(137759.36 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Children', CAST(23 AS BIGINT), CAST(72002.76 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Electronics', CAST(39 AS BIGINT), CAST(193019.69 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Home', CAST(29 AS BIGINT), CAST(164234.61 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Jewelry', CAST(22 AS BIGINT), CAST(128501.33 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Men', CAST(31 AS BIGINT), CAST(142519.01 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Music', CAST(24 AS BIGINT), CAST(107943.85 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Shoes', CAST(34 AS BIGINT), CAST(124144.53 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Sports', CAST(30 AS BIGINT), CAST(127890.73 AS DOUBLE)),
+      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Women', CAST(25 AS BIGINT), CAST(83682.85 AS DOUBLE))
+    ) AS t(channel, col_name, d_year, d_qoy, i_category, sales_cnt, sales_amt)
+    """)
+def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape: sales rows with a NULL surrogate key, counted
+    and summed per (channel, null-column, year, quarter) over the
+    3-channel union. dsdgen plants NULL FKs; these generators don't,
+    so a deterministic subset (key hash ≡ 0 mod 50) is nulled
+    IN-QUERY via NULLIF — the union/rollup plan and null-handling
+    semantics are exactly the spec's, only the null-planting site
+    differs (documented adaptation).
+
+    Scale: each channel projects and filters to its null-key rows
+    BEFORE the union; the rollup sees only the (tiny) null slices."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+
+    def leg(fact, date_col, item_col, key_col, price_col, channel, col_name):
+        nulled = F.when(F.xxhash64(F.col(key_col)) % 50 == 0, None).otherwise(
+            F.col(key_col)
+        )
+        return (
+            fact.withColumn("_k", nulled)
+            .where(F.col("_k").isNull())
+            .join(dd, F.col(date_col) == dd.d_date_sk)
+            .join(it, F.col(item_col) == it.i_item_sk)
+            .select(
+                F.lit(channel).alias("channel"),
+                F.lit(col_name).alias("col_name"),
+                "d_year",
+                "d_qoy",
+                "i_category",
+                F.col(price_col).alias("ext_sales_price"),
+            )
+        )
+
+    unioned = (
+        leg(ss, "ss_sold_date_sk", "ss_item_sk", "ss_customer_sk",
+            "ss_ext_sales_price", "store", "ss_customer_sk")
+        .unionByName(leg(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ship_customer_sk",
+                         "ws_ext_sales_price", "web", "ws_ship_customer_sk"))
+        .unionByName(leg(cs, "cs_sold_date_sk", "cs_item_sk", "cs_ship_addr_sk",
+                         "cs_ext_sales_price", "catalog", "cs_ship_addr_sk"))
+    )
+    return (
+        unioned.groupBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+        .agg(
+            F.count("*").cast("bigint").alias("sales_cnt"),
+            _money("ext_sales_price").alias("sales_amt"),
+        )
+        .orderBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+        .limit(20)
+    )

@@ -668,3 +668,21 @@ def test_q54_customer_set_reduces_before_fact(spark, sf_dir):
     match resolves BEFORE store_sales is probed (semi joins only)."""
     plan = _plan(spark, "tpcds_q54_revenue_segments", sf_dir)
     assert plan.count("LeftSemi") >= 2
+
+
+def test_q14_intersect_on_attribute_triples(spark, sf_dir):
+    """q14: the INTERSECT chain runs on distinct (brand, class,
+    category) triples (aggregate-then-intersect), and the avg_sales
+    threshold joins as a 1-row broadcast — no fact×fact join."""
+    plan = _plan(spark, "tpcds_q14_cross_channel_intersect", sf_dir)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan  # 1-row scalar
+    assert "Union" in plan
+
+
+def test_q76_null_slices_before_union(spark, sf_dir):
+    """q76: each channel filters to its null-key slice BEFORE the
+    union — the union inputs are filtered projections."""
+    plan = _plan(spark, "tpcds_q76_null_key_report", sf_dir)
+    assert "Union" in plan
+    assert "isnull" in plan.lower()
