@@ -4195,3 +4195,90 @@ def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("channel", "col_name", "d_year", "d_qoy", "i_category")
         .limit(20)
     )
+
+
+@register(
+    "tpcds_stress_corpus",
+    """
+    SELECT 'q3_brand_rollup' AS unit_name, CAST(4 AS BIGINT) AS n_runs,
+           CAST(4 AS BIGINT) AS n_ok, CAST(10 AS BIGINT) AS min_rows, CAST(10 AS BIGINT) AS max_rows
+    UNION ALL
+    SELECT 'q42_category_rollup', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)
+    UNION ALL
+    SELECT 'q52_brand_monthly', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)
+    UNION ALL
+    SELECT 'q55_manager_brands', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)
+    ORDER BY unit_name
+    """,
+)
+def tpcds_stress_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HEADLINE use case end-to-end: the dbstress
+    harness driving TPC-DS corpus SQL against a TPC-DS warehouse
+    (`evaluation_tools/dbstress__Current.py:93-175` loads
+    `queries/tpcds_2.13/*.sql` and fans them over parallel
+    connections). Here: the generated star registers as temp views,
+    four q3-family SQL TEXTS (comments stripped, exactly as the
+    reference's sqlparse pass) run 2-parallel × 2-repeats through the
+    thread-pool harness, and the summary exports the deterministic
+    columns (latencies go to latency_summary, never hashed).
+
+    Scale: the harness is control-plane — Spark's scheduler interleaves
+    the concurrent jobs; each unit's plan is the same dims-broadcast
+    single-shuffle rollup the dedicated tpcds_q3 query pins."""
+    from lakehouse_dba_tools_spark.workload.harness import (
+        SqlUnit,
+        run_workload,
+        latency_summary,
+        strip_sql_comments,
+    )
+
+    ss, dd, it = _star(spark)
+    ss.createOrReplaceTempView("v_store_sales")
+    dd.createOrReplaceTempView("v_date_dim")
+    it.createOrReplaceTempView("v_item")
+    corpus = {
+        "q3_brand_rollup": """
+            -- TPC-DS q3 family
+            SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price) AS sum_agg
+            FROM v_store_sales JOIN v_date_dim ON ss_sold_date_sk = d_date_sk
+            JOIN v_item ON ss_item_sk = i_item_sk
+            WHERE i_manufact_id = 43 AND d_moy = 11
+            GROUP BY d_year, i_brand_id, i_brand
+            ORDER BY d_year, sum_agg DESC, i_brand_id LIMIT 10;
+        """,
+        "q42_category_rollup": """
+            /* q42: category rollup for one month */
+            SELECT d_year, i_category_id, i_category, sum(ss_ext_sales_price) AS sum_agg
+            FROM v_store_sales JOIN v_date_dim ON ss_sold_date_sk = d_date_sk
+            JOIN v_item ON ss_item_sk = i_item_sk
+            WHERE i_manager_id = 1 AND d_moy = 11 AND d_year = 1998
+            GROUP BY d_year, i_category_id, i_category
+            ORDER BY sum_agg DESC, d_year, i_category_id LIMIT 10;
+        """,
+        "q52_brand_monthly": """
+            SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price) AS ext_price
+            FROM v_store_sales JOIN v_date_dim ON ss_sold_date_sk = d_date_sk
+            JOIN v_item ON ss_item_sk = i_item_sk
+            WHERE i_manager_id = 1 AND d_moy = 11 AND d_year = 1998
+            GROUP BY d_year, i_brand_id, i_brand
+            ORDER BY d_year, ext_price DESC, i_brand_id LIMIT 10;
+        """,
+        "q55_manager_brands": """
+            SELECT i_brand_id, i_brand, sum(ss_ext_sales_price) AS ext_price
+            FROM v_store_sales JOIN v_date_dim ON ss_sold_date_sk = d_date_sk
+            JOIN v_item ON ss_item_sk = i_item_sk
+            WHERE i_manager_id = 28 AND d_moy = 11 AND d_year = 1998
+            GROUP BY i_brand_id, i_brand
+            ORDER BY ext_price DESC, i_brand_id LIMIT 10;
+        """,
+    }
+    units = [
+        SqlUnit(name, strip_sql_comments(sql), parallel=2, repeats=2)
+        for name, sql in sorted(corpus.items())
+    ]
+    results = run_workload(spark, units)
+    return (
+        latency_summary(results)
+        .select("unit_name", "n_runs", "n_ok", "min_rows", "max_rows")
+        .orderBy("unit_name")
+    )
