@@ -101,8 +101,13 @@ CHECKED_FIRST: tuple[str, ...] = (
     "streaming_dedup_rollup",
     # Incremental rollup maintenance (round 4 promotion)
     "incremental_rollup_refresh",
-    # Concurrent workload harness — S16's first driver row (round 4)
-    "workload_stress_summary",
+    # Concurrent workload harness (S16). Round-5 late rotation:
+    # workload_stress_summary (green r4) hands its slot to the
+    # dbstress×TPC-DS-corpus end-to-end — the reference's headline
+    # flow — which drives the SAME harness (run_workload /
+    # latency_summary) over the generated warehouse, so S16 stays
+    # hard-signal with strictly more coverage.
+    "tpcds_stress_corpus",
     # P5/F2 current-timestamp stamping, literal-stamp oracle (round 4)
     "endpoint_poll_snapshot",
     # datagen_supplier_partsupp rotates out (green r4): S6 datagen keeps
@@ -121,7 +126,12 @@ CHECKED_FIRST: tuple[str, ...] = (
     # double-covered by streaming_session_windows' session_window agg.
     # csv_roundtrip_ingest (S2) rotates out: the declared+exotic CSV
     # path below is the stronger CSV check; inferred path stays unit.
-    "parquet_table_history",
+    # parquet_table_history rotates out (green r1-r4): the commit-log
+    # mechanism (record_commit/read_log) now hard-checks through the
+    # time-travel + CDF analog, whose oracle is fully relational
+    # (DuckDB recomputes every version count from the orders fixture);
+    # describe_history's exact shape stays locally diffchecked.
+    "time_travel_changes",
     "event_json_rollup",
     "pivot_user_event_values",
     "rowcount_audit",
