@@ -4282,3 +4282,339 @@ def tpcds_stress_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("unit_name", "n_runs", "n_ok", "min_rows", "max_rows")
         .orderBy("unit_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 completion sweep: the remaining numbers of the 99-query corpus.
+# Most are channel/dim twins of shapes implemented above; each docstring
+# names its prototype. Same pinned-VALUES oracle discipline throughout.
+# ---------------------------------------------------------------------------
+
+
+@register("tpcds_q99_catalog_ship_latency", """    SELECT * FROM (VALUES
+      ('Bad cards must make', 'EXPRESS', 'Hawaii/Alaska', CAST(93 AS BIGINT), CAST(101 AS BIGINT), CAST(83 AS BIGINT), CAST(62 AS BIGINT), CAST(4 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'NY Metro', CAST(95 AS BIGINT), CAST(79 AS BIGINT), CAST(95 AS BIGINT), CAST(71 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'North Midwest', CAST(212 AS BIGINT), CAST(173 AS BIGINT), CAST(184 AS BIGINT), CAST(137 AS BIGINT), CAST(6 AS BIGINT)),
+      ('Bad cards must make', 'EXPRESS', 'Pacific NW', CAST(190 AS BIGINT), CAST(191 AS BIGINT), CAST(150 AS BIGINT), CAST(145 AS BIGINT), CAST(4 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'Hawaii/Alaska', CAST(97 AS BIGINT), CAST(93 AS BIGINT), CAST(74 AS BIGINT), CAST(66 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'NY Metro', CAST(103 AS BIGINT), CAST(74 AS BIGINT), CAST(76 AS BIGINT), CAST(81 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'North Midwest', CAST(179 AS BIGINT), CAST(168 AS BIGINT), CAST(164 AS BIGINT), CAST(153 AS BIGINT), CAST(6 AS BIGINT)),
+      ('Bad cards must make', 'NEXT DAY', 'Pacific NW', CAST(180 AS BIGINT), CAST(202 AS BIGINT), CAST(153 AS BIGINT), CAST(150 AS BIGINT), CAST(4 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'Hawaii/Alaska', CAST(79 AS BIGINT), CAST(83 AS BIGINT), CAST(77 AS BIGINT), CAST(63 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'NY Metro', CAST(83 AS BIGINT), CAST(99 AS BIGINT), CAST(83 AS BIGINT), CAST(79 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'North Midwest', CAST(158 AS BIGINT), CAST(182 AS BIGINT), CAST(169 AS BIGINT), CAST(144 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Bad cards must make', 'OVERNIGHT', 'Pacific NW', CAST(165 AS BIGINT), CAST(158 AS BIGINT), CAST(142 AS BIGINT), CAST(128 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'Hawaii/Alaska', CAST(104 AS BIGINT), CAST(66 AS BIGINT), CAST(66 AS BIGINT), CAST(60 AS BIGINT), CAST(5 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'NY Metro', CAST(93 AS BIGINT), CAST(87 AS BIGINT), CAST(93 AS BIGINT), CAST(60 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'North Midwest', CAST(200 AS BIGINT), CAST(169 AS BIGINT), CAST(165 AS BIGINT), CAST(144 AS BIGINT), CAST(5 AS BIGINT)),
+      ('Bad cards must make', 'REGULAR', 'Pacific NW', CAST(168 AS BIGINT), CAST(153 AS BIGINT), CAST(154 AS BIGINT), CAST(148 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'TWO DAY', 'Hawaii/Alaska', CAST(96 AS BIGINT), CAST(76 AS BIGINT), CAST(82 AS BIGINT), CAST(69 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'TWO DAY', 'NY Metro', CAST(84 AS BIGINT), CAST(88 AS BIGINT), CAST(77 AS BIGINT), CAST(69 AS BIGINT), CAST(1 AS BIGINT)),
+      ('Bad cards must make', 'TWO DAY', 'North Midwest', CAST(210 AS BIGINT), CAST(154 AS BIGINT), CAST(153 AS BIGINT), CAST(131 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Bad cards must make', 'TWO DAY', 'Pacific NW', CAST(184 AS BIGINT), CAST(143 AS BIGINT), CAST(148 AS BIGINT), CAST(142 AS BIGINT), CAST(7 AS BIGINT))
+    ) AS t(warehouse, sm_type, cc_name, d30, d60, d90, d120, dmore)
+    """)
+def tpcds_q99_catalog_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99: catalog ship-latency buckets per (warehouse, ship
+    mode, call center) — the q62 shape with the catalog channel's
+    dims."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    wh = gen_warehouse(spark)
+    sm = gen_ship_mode(spark)
+    cc = gen_call_center(spark)
+    gap = F.col("cs_ship_date_sk") - F.col("cs_sold_date_sk")
+
+    def bucket(lo, hi, name):
+        if hi is None:
+            cond = gap > lo
+        elif lo is None:
+            cond = gap <= hi
+        else:
+            cond = (gap > lo) & (gap <= hi)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        cs.join(dd, cs.cs_ship_date_sk == dd.d_date_sk)
+        .join(wh, cs.cs_warehouse_sk == wh.w_warehouse_sk)
+        .join(sm, cs.cs_ship_mode_sk == sm.sm_ship_mode_sk)
+        .join(cc, cs.cs_call_center_sk == cc.cc_call_center_sk)
+        .where(F.col("d_month_seq").between(1176, 1187))
+        .groupBy(
+            F.substring("w_warehouse_name", 1, 20).alias("warehouse"),
+            "sm_type",
+            "cc_name",
+        )
+        .agg(
+            bucket(None, 30, "d30"),
+            bucket(30, 60, "d60"),
+            bucket(60, 90, "d90"),
+            bucket(90, 120, "d120"),
+            bucket(120, None, "dmore"),
+        )
+        .orderBy("warehouse", "sm_type", "cc_name")
+        .limit(20)
+    )
+
+
+@register("tpcds_q50_store_return_latency", """    SELECT * FROM (VALUES
+      ('able', CAST(1 AS INT), 'First', CAST(43 AS BIGINT), CAST(35 AS BIGINT), CAST(39 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('anti', CAST(1 AS INT), 'Main', CAST(40 AS BIGINT), CAST(28 AS BIGINT), CAST(44 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('cally', CAST(1 AS INT), 'Oak', CAST(33 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('cally', CAST(1 AS INT), 'Park', CAST(68 AS BIGINT), CAST(60 AS BIGINT), CAST(73 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('eing', CAST(1 AS INT), 'Elm', CAST(20 AS BIGINT), CAST(39 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('ese', CAST(1 AS INT), 'Elm', CAST(36 AS BIGINT), CAST(45 AS BIGINT), CAST(43 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('ese', CAST(1 AS INT), 'First', CAST(31 AS BIGINT), CAST(45 AS BIGINT), CAST(39 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(s_store_name, s_company_id, s_street_name, d30, d60, d90, d120, dmore)
+    """)
+def tpcds_q50_store_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50: days-to-return buckets per store — sales joined to
+    their returns on the (ticket, item, customer) natural key, the
+    sold→returned day gap bucketed like q62's ship latency."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    r = sr.select(
+        F.col("sr_ticket_number").alias("ss_ticket_number"),
+        F.col("sr_item_sk").alias("ss_item_sk"),
+        F.col("sr_customer_sk").alias("ss_customer_sk"),
+        "sr_returned_date_sk",
+    )
+    d2 = dd.select(F.col("d_date_sk").alias("sr_returned_date_sk"), "d_year", "d_moy")
+    gap = F.col("sr_returned_date_sk") - F.col("ss_sold_date_sk")
+
+    def bucket(lo, hi, name):
+        if hi is None:
+            cond = gap > lo
+        elif lo is None:
+            cond = gap <= hi
+        else:
+            cond = (gap > lo) & (gap <= hi)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        ss.join(r, ["ss_ticket_number", "ss_item_sk", "ss_customer_sk"])
+        .join(d2, "sr_returned_date_sk")
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .where((F.col("d_year") == 1998) & (F.col("d_moy") == 9))
+        .groupBy("s_store_name", "s_company_id", "s_street_name")
+        .agg(
+            bucket(None, 30, "d30"),
+            bucket(30, 60, "d60"),
+            bucket(60, 90, "d90"),
+            bucket(90, 120, "d120"),
+            bucket(120, None, "dmore"),
+        )
+        .orderBy("s_store_name", "s_company_id", "s_street_name")
+        .limit(10)
+    )
+
+
+@register("tpcds_q33_manufacturer_cross_channel", """    SELECT * FROM (VALUES
+      (CAST(17 AS INT), CAST(152772.77 AS DOUBLE)),
+      (CAST(70 AS INT), CAST(152741.07 AS DOUBLE)),
+      (CAST(64 AS INT), CAST(149734.26 AS DOUBLE)),
+      (CAST(13 AS INT), CAST(130316.93 AS DOUBLE)),
+      (CAST(71 AS INT), CAST(123887.51 AS DOUBLE)),
+      (CAST(100 AS INT), CAST(121228.18 AS DOUBLE)),
+      (CAST(68 AS INT), CAST(117766.92 AS DOUBLE)),
+      (CAST(89 AS INT), CAST(111244.72 AS DOUBLE)),
+      (CAST(92 AS INT), CAST(110666.34 AS DOUBLE)),
+      (CAST(30 AS INT), CAST(103897.89 AS DOUBLE)),
+      (CAST(97 AS INT), CAST(102049.37 AS DOUBLE)),
+      (CAST(10 AS INT), CAST(101837.09 AS DOUBLE)),
+      (CAST(84 AS INT), CAST(101236.29 AS DOUBLE)),
+      (CAST(9 AS INT), CAST(100721.76 AS DOUBLE)),
+      (CAST(25 AS INT), CAST(97712.83 AS DOUBLE))
+    ) AS t(i_manufact_id, total_sales)
+    """)
+def tpcds_q33_manufacturer_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33: one category's September revenue per MANUFACTURER
+    summed across the three channels — the q60 cross-channel union
+    shape keyed by i_manufact_id."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    items = it.where(F.col("i_category") == "Books").select("i_item_sk", "i_manufact_id")
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 9)).select("d_date_sk")
+
+    def channel(fact, date_col, item_col, price_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(items, F.col(item_col) == F.col("i_item_sk"))
+            .groupBy("i_manufact_id")
+            .agg(F.sum(price_col).alias("sales"))
+        )
+
+    unioned = (
+        channel(ss, "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")
+        .unionByName(channel(cs, "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price"))
+        .unionByName(channel(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price"))
+    )
+    return (
+        unioned.groupBy("i_manufact_id")
+        .agg(F.round(F.sum("sales"), 2).cast("double").alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "i_manufact_id")
+        .limit(15)
+    )
+
+
+@register("tpcds_q56_color_cross_channel", """    SELECT * FROM (VALUES
+      ('0000000000I13540', CAST(36820.88 AS DOUBLE)),
+      ('00000000000I8350', CAST(36465.91 AS DOUBLE)),
+      ('0000000000I13881', CAST(32629.05 AS DOUBLE)),
+      ('0000000000I11402', CAST(32312.18 AS DOUBLE)),
+      ('0000000000I16644', CAST(31399.21 AS DOUBLE)),
+      ('00000000000I6773', CAST(30806.1 AS DOUBLE)),
+      ('00000000000I3750', CAST(30417.79 AS DOUBLE)),
+      ('00000000000I1550', CAST(30353.7 AS DOUBLE)),
+      ('00000000000I1704', CAST(29945.49 AS DOUBLE)),
+      ('0000000000I14571', CAST(29488.01 AS DOUBLE)),
+      ('00000000000I6068', CAST(29343.75 AS DOUBLE)),
+      ('00000000000I9542', CAST(29172.96 AS DOUBLE)),
+      ('0000000000I14938', CAST(29047.13 AS DOUBLE)),
+      ('00000000000I1549', CAST(28648.17 AS DOUBLE)),
+      ('0000000000I12539', CAST(28372.41 AS DOUBLE))
+    ) AS t(i_item_id, total_sales)
+    """)
+def tpcds_q56_color_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q56: revenue of color-picked items per item id across
+    the three channels — the q60 union shape with an i_color IN-list
+    item filter."""
+    ss, dd, it = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    items = it.where(F.col("i_color").isin("coral", "indigo", "cyan")).select(
+        "i_item_sk", "i_item_id"
+    )
+    dates = dd.where((F.col("d_year") == 1999) & (F.col("d_moy") == 2)).select("d_date_sk")
+
+    def channel(fact, date_col, item_col, price_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(items, F.col(item_col) == F.col("i_item_sk"))
+            .groupBy("i_item_id")
+            .agg(F.sum(price_col).alias("sales"))
+        )
+
+    unioned = (
+        channel(ss, "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")
+        .unionByName(channel(cs, "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price"))
+        .unionByName(channel(ws, "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price"))
+    )
+    return (
+        unioned.groupBy("i_item_id")
+        .agg(F.round(F.sum("sales"), 2).cast("double").alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "i_item_id")
+        .limit(15)
+    )
+
+
+@register("tpcds_q12_web_class_ratio", """    SELECT * FROM (VALUES
+      ('000000000000I346', 'Books', 'accent', CAST(1644.81 AS DOUBLE), CAST(0.3535 AS DOUBLE)),
+      ('000000000000I464', 'Books', 'accent', CAST(610.89 AS DOUBLE), CAST(0.1313 AS DOUBLE)),
+      ('00000000000I1030', 'Books', 'accent', CAST(1919.54 AS DOUBLE), CAST(0.4125 AS DOUBLE)),
+      ('00000000000I1947', 'Books', 'accent', CAST(9979.16 AS DOUBLE), CAST(2.1447 AS DOUBLE)),
+      ('00000000000I2011', 'Books', 'accent', CAST(181.09 AS DOUBLE), CAST(0.0389 AS DOUBLE)),
+      ('00000000000I2180', 'Books', 'accent', CAST(4054.85 AS DOUBLE), CAST(0.8714 AS DOUBLE)),
+      ('00000000000I2650', 'Books', 'accent', CAST(5604.7 AS DOUBLE), CAST(1.2045 AS DOUBLE)),
+      ('00000000000I3810', 'Books', 'accent', CAST(13572.03 AS DOUBLE), CAST(2.9168 AS DOUBLE)),
+      ('00000000000I3957', 'Books', 'accent', CAST(3361.33 AS DOUBLE), CAST(0.7224 AS DOUBLE)),
+      ('00000000000I5412', 'Books', 'accent', CAST(4793.34 AS DOUBLE), CAST(1.0302 AS DOUBLE)),
+      ('00000000000I7530', 'Books', 'accent', CAST(11733.02 AS DOUBLE), CAST(2.5216 AS DOUBLE)),
+      ('00000000000I7818', 'Books', 'accent', CAST(1727.6 AS DOUBLE), CAST(0.3713 AS DOUBLE)),
+      ('00000000000I9571', 'Books', 'accent', CAST(2423.15 AS DOUBLE), CAST(0.5208 AS DOUBLE)),
+      ('00000000000I9617', 'Books', 'accent', CAST(2027.93 AS DOUBLE), CAST(0.4358 AS DOUBLE)),
+      ('0000000000I11489', 'Books', 'accent', CAST(6169.35 AS DOUBLE), CAST(1.3259 AS DOUBLE)),
+      ('0000000000I12463', 'Books', 'accent', CAST(705.3 AS DOUBLE), CAST(0.1516 AS DOUBLE)),
+      ('0000000000I13294', 'Books', 'accent', CAST(574.76 AS DOUBLE), CAST(0.1235 AS DOUBLE)),
+      ('0000000000I14535', 'Books', 'accent', CAST(11254.4 AS DOUBLE), CAST(2.4187 AS DOUBLE)),
+      ('0000000000I14801', 'Books', 'accent', CAST(1253.75 AS DOUBLE), CAST(0.2694 AS DOUBLE)),
+      ('0000000000I15177', 'Books', 'accent', CAST(7642.96 AS DOUBLE), CAST(1.6426 AS DOUBLE))
+    ) AS t(i_item_id, i_category, i_class, itemrevenue, revenueratio)
+    """)
+def tpcds_q12_web_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12: 30-day web item revenue with share-of-class — the
+    q98 window-over-rollup shape on the web channel."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    rolled = (
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .join(it, ws.ws_item_sk == it.i_item_sk)
+        .where(
+            F.col("i_category").isin("Sports", "Books", "Home")
+            & F.col("d_date").between("1999-02-22", "1999-03-24")
+        )
+        .groupBy("i_item_id", "i_category", "i_class")
+        .agg(F.sum("ws_ext_sales_price").alias("itemrevenue"))
+    )
+    w = Window.partitionBy("i_class")
+    return (
+        rolled.select(
+            "i_item_id",
+            "i_category",
+            "i_class",
+            F.round("itemrevenue", 2).cast("double").alias("itemrevenue"),
+            F.round(F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w), 4)
+            .cast("double")
+            .alias("revenueratio"),
+        )
+        .orderBy("i_category", "i_class", "i_item_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q20_catalog_class_ratio", """    SELECT * FROM (VALUES
+      ('000000000000I346', 'Books', 'accent', CAST(2150.32 AS DOUBLE), CAST(0.4686 AS DOUBLE)),
+      ('000000000000I804', 'Books', 'accent', CAST(4617.11 AS DOUBLE), CAST(1.0062 AS DOUBLE)),
+      ('000000000000I958', 'Books', 'accent', CAST(1147.19 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+      ('00000000000I1488', 'Books', 'accent', CAST(2286.75 AS DOUBLE), CAST(0.4983 AS DOUBLE)),
+      ('00000000000I1947', 'Books', 'accent', CAST(4754.56 AS DOUBLE), CAST(1.0361 AS DOUBLE)),
+      ('00000000000I2101', 'Books', 'accent', CAST(3014.43 AS DOUBLE), CAST(0.6569 AS DOUBLE)),
+      ('00000000000I2595', 'Books', 'accent', CAST(981.59 AS DOUBLE), CAST(0.2139 AS DOUBLE)),
+      ('00000000000I3561', 'Books', 'accent', CAST(6498.7 AS DOUBLE), CAST(1.4162 AS DOUBLE)),
+      ('00000000000I3763', 'Books', 'accent', CAST(6515.19 AS DOUBLE), CAST(1.4198 AS DOUBLE)),
+      ('00000000000I3880', 'Books', 'accent', CAST(852.18 AS DOUBLE), CAST(0.1857 AS DOUBLE)),
+      ('00000000000I6443', 'Books', 'accent', CAST(2826.86 AS DOUBLE), CAST(0.616 AS DOUBLE)),
+      ('00000000000I6929', 'Books', 'accent', CAST(2055.39 AS DOUBLE), CAST(0.4479 AS DOUBLE)),
+      ('00000000000I7530', 'Books', 'accent', CAST(11904.89 AS DOUBLE), CAST(2.5943 AS DOUBLE)),
+      ('00000000000I8361', 'Books', 'accent', CAST(11972.4 AS DOUBLE), CAST(2.609 AS DOUBLE)),
+      ('00000000000I9215', 'Books', 'accent', CAST(206.23 AS DOUBLE), CAST(0.0449 AS DOUBLE)),
+      ('00000000000I9508', 'Books', 'accent', CAST(12578.8 AS DOUBLE), CAST(2.7412 AS DOUBLE)),
+      ('00000000000I9571', 'Books', 'accent', CAST(11677.68 AS DOUBLE), CAST(2.5448 AS DOUBLE)),
+      ('00000000000I9801', 'Books', 'accent', CAST(6664.76 AS DOUBLE), CAST(1.4524 AS DOUBLE)),
+      ('0000000000I10154', 'Books', 'accent', CAST(3599.87 AS DOUBLE), CAST(0.7845 AS DOUBLE)),
+      ('0000000000I10887', 'Books', 'accent', CAST(4168.48 AS DOUBLE), CAST(0.9084 AS DOUBLE))
+    ) AS t(i_item_id, i_category, i_class, itemrevenue, revenueratio)
+    """)
+def tpcds_q20_catalog_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q20: the q98/q12 share-of-class shape on the catalog
+    channel."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    rolled = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .where(
+            F.col("i_category").isin("Sports", "Books", "Home")
+            & F.col("d_date").between("1999-02-22", "1999-03-24")
+        )
+        .groupBy("i_item_id", "i_category", "i_class")
+        .agg(F.sum("cs_ext_sales_price").alias("itemrevenue"))
+    )
+    w = Window.partitionBy("i_class")
+    return (
+        rolled.select(
+            "i_item_id",
+            "i_category",
+            "i_class",
+            F.round("itemrevenue", 2).cast("double").alias("itemrevenue"),
+            F.round(F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w), 4)
+            .cast("double")
+            .alias("revenueratio"),
+        )
+        .orderBy("i_category", "i_class", "i_item_id")
+        .limit(20)
+    )
