@@ -4618,3 +4618,312 @@ def tpcds_q20_catalog_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("i_category", "i_class", "i_item_id")
         .limit(20)
     )
+
+
+@register("tpcds_q30_web_return_outliers", """    SELECT * FROM (VALUES
+      ('000000000000C770', 'Linda', 'Hernandez', CAST(2889.6 AS DOUBLE)),
+      ('00000000000C2212', 'Robert', 'Martinez', CAST(4192.44 AS DOUBLE)),
+      ('00000000000C2388', 'Linda', 'Garcia', CAST(3243.65 AS DOUBLE)),
+      ('00000000000C2527', 'Michael', 'Brown', CAST(2986.55 AS DOUBLE)),
+      ('00000000000C2640', 'Mary', 'Davis', CAST(8804.25 AS DOUBLE)),
+      ('00000000000C2662', 'Robert', 'Hernandez', CAST(3117.8 AS DOUBLE)),
+      ('00000000000C3797', 'Patricia', 'Lopez', CAST(8149.68 AS DOUBLE)),
+      ('00000000000C4254', 'Elizabeth', 'Rodriguez', CAST(11446.68 AS DOUBLE)),
+      ('00000000000C4613', 'James', 'Williams', CAST(5514.94 AS DOUBLE)),
+      ('00000000000C5917', 'Patricia', 'Brown', CAST(5676.88 AS DOUBLE)),
+      ('00000000000C5951', 'Elizabeth', 'Garcia', CAST(3030.72 AS DOUBLE)),
+      ('00000000000C6159', 'Patricia', 'Johnson', CAST(5205.75 AS DOUBLE)),
+      ('00000000000C6434', 'Elizabeth', 'Williams', CAST(7138.56 AS DOUBLE)),
+      ('00000000000C6797', 'Maria', 'Smith', CAST(12529.74 AS DOUBLE)),
+      ('00000000000C6870', 'Linda', 'Garcia', CAST(2998.2 AS DOUBLE)),
+      ('00000000000C6881', 'Elizabeth', 'Davis', CAST(3701.24 AS DOUBLE)),
+      ('00000000000C7316', 'James', 'Johnson', CAST(4292.02 AS DOUBLE)),
+      ('00000000000C8088', 'Jennifer', 'Rodriguez', CAST(6314.42 AS DOUBLE)),
+      ('00000000000C9119', 'Barbara', 'Smith', CAST(3293.46 AS DOUBLE)),
+      ('0000000000C10387', 'James', 'Martinez', CAST(3513.0 AS DOUBLE))
+    ) AS t(c_customer_id, c_first_name, c_last_name, ctr_total_return)
+    """)
+def tpcds_q30_web_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30: customers whose web-returns total beats 1.2× their
+    state's average — the q1 decorrelated-average shape keyed by the
+    returning customer's STATE (address join) instead of store, with
+    customer detail output."""
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    cu = gen_customer_ds(spark)
+    ctr = (
+        wr.join(dd, wr.wr_returned_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .join(ca, wr.wr_returning_addr_sk == ca.ca_address_sk)
+        .groupBy(
+            F.col("wr_returning_customer_sk").alias("ctr_customer_sk"),
+            F.col("ca_state").alias("ctr_state"),
+        )
+        .agg(F.sum("wr_return_amt").alias("ctr_total_return"))
+    )
+    # state-keyed average: cardinality bounded by the state domain
+    avg_by_state = F.broadcast(
+        ctr.groupBy(F.col("ctr_state").alias("avg_state")).agg(
+            (F.avg("ctr_total_return") * 1.2).alias("bar")
+        )
+    )
+    return (
+        ctr.join(avg_by_state, ctr.ctr_state == F.col("avg_state"))
+        .where(F.col("ctr_total_return") > F.col("bar"))
+        .where(F.col("ctr_state") == "GA")
+        .join(cu, ctr.ctr_customer_sk == cu.c_customer_sk)
+        .select(
+            "c_customer_id",
+            "c_first_name",
+            "c_last_name",
+            F.round("ctr_total_return", 2).cast("double").alias("ctr_total_return"),
+        )
+        .orderBy("c_customer_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q81_catalog_return_outliers", """    SELECT * FROM (VALUES
+      ('000000000000C206', 'Miss', 'Jones', CAST(5841.05 AS DOUBLE)),
+      ('000000000000C855', 'Mrs.', 'Brown', CAST(4389.84 AS DOUBLE)),
+      ('00000000000C2467', 'Miss', 'Lopez', CAST(3825.97 AS DOUBLE)),
+      ('00000000000C2726', 'Ms.', 'Rodriguez', CAST(3992.69 AS DOUBLE)),
+      ('00000000000C3041', 'Mrs.', 'Williams', CAST(5047.72 AS DOUBLE)),
+      ('00000000000C3062', 'Sir', 'Williams', CAST(2986.03 AS DOUBLE)),
+      ('00000000000C3155', 'Mrs.', 'Martinez', CAST(3261.15 AS DOUBLE)),
+      ('00000000000C3575', 'Sir', 'Jones', CAST(5119.54 AS DOUBLE)),
+      ('00000000000C3604', 'Ms.', 'Rodriguez', CAST(2941.47 AS DOUBLE)),
+      ('00000000000C3617', 'Mrs.', 'Miller', CAST(2829.52 AS DOUBLE)),
+      ('00000000000C3751', 'Miss', 'Hernandez', CAST(3798.82 AS DOUBLE)),
+      ('00000000000C4037', 'Mrs.', 'Johnson', CAST(4265.1 AS DOUBLE)),
+      ('00000000000C4971', 'Miss', 'Brown', CAST(6304.91 AS DOUBLE)),
+      ('00000000000C5961', 'Sir', 'Rodriguez', CAST(6638.56 AS DOUBLE)),
+      ('00000000000C6371', 'Dr.', 'Davis', CAST(5429.45 AS DOUBLE)),
+      ('00000000000C6624', 'Miss', 'Smith', CAST(3883.69 AS DOUBLE)),
+      ('00000000000C7742', 'Ms.', 'Miller', CAST(14039.84 AS DOUBLE)),
+      ('00000000000C8147', 'Ms.', 'Johnson', CAST(3293.35 AS DOUBLE)),
+      ('00000000000C8489', 'Mrs.', 'Hernandez', CAST(3400.09 AS DOUBLE)),
+      ('00000000000C9355', 'Ms.', 'Brown', CAST(3991.3 AS DOUBLE))
+    ) AS t(c_customer_id, c_salutation, c_last_name, ctr_total_return)
+    """)
+def tpcds_q81_catalog_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q81: the q1/q30 decorrelated-average outlier shape on
+    CATALOG returns, state-keyed, with customer + address output."""
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    cu = gen_customer_ds(spark)
+    ctr = (
+        cr.join(dd, cr.cr_returned_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .join(ca, cr.cr_returning_addr_sk == ca.ca_address_sk)
+        .groupBy(
+            F.col("cr_returning_customer_sk").alias("ctr_customer_sk"),
+            F.col("ca_state").alias("ctr_state"),
+        )
+        .agg(F.sum("cr_return_amt_inc_tax").alias("ctr_total_return"))
+    )
+    avg_by_state = F.broadcast(
+        ctr.groupBy(F.col("ctr_state").alias("avg_state")).agg(
+            (F.avg("ctr_total_return") * 1.2).alias("bar")
+        )
+    )
+    return (
+        ctr.join(avg_by_state, ctr.ctr_state == F.col("avg_state"))
+        .where(F.col("ctr_total_return") > F.col("bar"))
+        .where(F.col("ctr_state") == "TX")
+        .join(cu, ctr.ctr_customer_sk == cu.c_customer_sk)
+        .select(
+            "c_customer_id",
+            "c_salutation",
+            "c_last_name",
+            F.round("ctr_total_return", 2).cast("double").alias("ctr_total_return"),
+        )
+        .orderBy("c_customer_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q26_catalog_demographics", """    SELECT * FROM (VALUES
+      ('00000000000000I8', CAST(73.0 AS DOUBLE), CAST(36.39 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(29.84 AS DOUBLE)),
+      ('0000000000000I18', CAST(60.0 AS DOUBLE), CAST(29.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(28.2 AS DOUBLE)),
+      ('0000000000000I21', CAST(5.0 AS DOUBLE), CAST(147.81 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(119.73 AS DOUBLE)),
+      ('0000000000000I45', CAST(90.0 AS DOUBLE), CAST(57.49 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(46.57 AS DOUBLE)),
+      ('0000000000000I49', CAST(98.0 AS DOUBLE), CAST(22.61 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(20.58 AS DOUBLE)),
+      ('0000000000000I53', CAST(29.0 AS DOUBLE), CAST(162.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(160.38 AS DOUBLE)),
+      ('0000000000000I72', CAST(100.0 AS DOUBLE), CAST(62.19 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(55.35 AS DOUBLE)),
+      ('0000000000000I93', CAST(73.0 AS DOUBLE), CAST(13.94 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(9.9 AS DOUBLE)),
+      ('000000000000I102', CAST(26.0 AS DOUBLE), CAST(38.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(35.78 AS DOUBLE)),
+      ('000000000000I114', CAST(90.0 AS DOUBLE), CAST(142.58 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(118.34 AS DOUBLE))
+    ) AS t(i_item_id, agg1, agg2, agg3, agg4)
+    """)
+def tpcds_q26_catalog_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q26: the q7 demographics star on the CATALOG channel
+    (bill-side demographics)."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    cd = gen_customer_demographics(spark)
+    pr = gen_promotion(spark)
+    return (
+        cs.join(cd, cs.cs_bill_cdemo_sk == cd.cd_demo_sk)
+        .join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .join(pr, cs.cs_promo_sk == pr.p_promo_sk)
+        .where(
+            (F.col("cd_gender") == "F")
+            & (F.col("cd_marital_status") == "W")
+            & (F.col("cd_education_status") == "Primary")
+            & ((F.col("p_channel_email") == "N") | (F.col("p_channel_event") == "N"))
+            & (F.col("d_year") == 1998)
+        )
+        .groupBy("i_item_id")
+        .agg(
+            F.round(F.avg("cs_quantity"), 4).cast("double").alias("agg1"),
+            F.round(F.avg("cs_list_price"), 4).cast("double").alias("agg2"),
+            F.round(F.avg("cs_coupon_amt"), 4).cast("double").alias("agg3"),
+            F.round(F.avg("cs_sales_price"), 4).cast("double").alias("agg4"),
+        )
+        .orderBy("i_item_id")
+        .limit(10)
+    )
+
+
+@register("tpcds_q27_store_demographics_rollup", """    SELECT * FROM (VALUES
+      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(49.5156 AS DOUBLE), CAST(95.7001 AS DOUBLE), CAST(26.5623 AS DOUBLE), CAST(80.9227 AS DOUBLE)),
+      ('0000000000000I42', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(8.0 AS DOUBLE), CAST(149.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.57 AS DOUBLE)),
+      ('0000000000000I42', 'GA', CAST(0 AS INT), CAST(8.0 AS DOUBLE), CAST(149.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.57 AS DOUBLE)),
+      ('0000000000000I96', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(71.0 AS DOUBLE), CAST(188.72 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(152.86 AS DOUBLE)),
+      ('0000000000000I96', 'TX', CAST(0 AS INT), CAST(71.0 AS DOUBLE), CAST(188.72 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(152.86 AS DOUBLE)),
+      ('000000000000I136', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(24.0 AS DOUBLE), CAST(107.37 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(98.78 AS DOUBLE)),
+      ('000000000000I136', 'GA', CAST(0 AS INT), CAST(24.0 AS DOUBLE), CAST(107.37 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(98.78 AS DOUBLE)),
+      ('000000000000I140', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(15.0 AS DOUBLE), CAST(199.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(177.56 AS DOUBLE)),
+      ('000000000000I140', 'GA', CAST(0 AS INT), CAST(15.0 AS DOUBLE), CAST(199.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(177.56 AS DOUBLE)),
+      ('000000000000I162', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(69.0 AS DOUBLE), CAST(21.68 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(18.43 AS DOUBLE)),
+      ('000000000000I162', 'TX', CAST(0 AS INT), CAST(69.0 AS DOUBLE), CAST(21.68 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(18.43 AS DOUBLE)),
+      ('000000000000I186', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(59.0 AS DOUBLE), CAST(172.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(122.31 AS DOUBLE)),
+      ('000000000000I186', 'TN', CAST(0 AS INT), CAST(59.0 AS DOUBLE), CAST(172.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(122.31 AS DOUBLE)),
+      ('000000000000I193', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(52.0 AS DOUBLE), CAST(139.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.48 AS DOUBLE)),
+      ('000000000000I193', 'TX', CAST(0 AS INT), CAST(52.0 AS DOUBLE), CAST(139.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.48 AS DOUBLE)),
+      ('000000000000I234', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(92.0 AS DOUBLE), CAST(46.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(41.64 AS DOUBLE)),
+      ('000000000000I234', 'TX', CAST(0 AS INT), CAST(92.0 AS DOUBLE), CAST(46.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(41.64 AS DOUBLE)),
+      ('000000000000I309', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(42.0 AS DOUBLE), CAST(159.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(138.93 AS DOUBLE)),
+      ('000000000000I309', 'TN', CAST(0 AS INT), CAST(42.0 AS DOUBLE), CAST(159.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(138.93 AS DOUBLE)),
+      ('000000000000I327', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(63.0 AS DOUBLE), CAST(120.35 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(99.89 AS DOUBLE))
+    ) AS t(i_item_id, s_state, g_state, agg1, agg2, agg3, agg4)
+    """)
+def tpcds_q27_store_demographics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q27: the q7 star with ROLLUP(i_item_id, s_state) and
+    grouping level exported — q7's averages at every hierarchy level
+    in one agg pipeline (q36's Expand contract)."""
+    ss, dd, it = _star(spark)
+    cd = gen_customer_demographics(spark)
+    st = gen_store(spark)
+    base = (
+        ss.join(cd, ss.ss_cdemo_sk == cd.cd_demo_sk)
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .where(
+            (F.col("cd_gender") == "M")
+            & (F.col("cd_marital_status") == "S")
+            & (F.col("cd_education_status") == "College")
+            & (F.col("d_year") == 1998)
+            & F.col("s_state").isin("TN", "TX", "GA")
+        )
+    )
+    return (
+        base.rollup("i_item_id", "s_state")
+        .agg(
+            F.grouping("s_state").cast("int").alias("g_state"),
+            F.round(F.avg("ss_quantity"), 4).cast("double").alias("agg1"),
+            F.round(F.avg("ss_list_price"), 4).cast("double").alias("agg2"),
+            F.round(F.avg("ss_coupon_amt"), 4).cast("double").alias("agg3"),
+            F.round(F.avg("ss_sales_price"), 4).cast("double").alias("agg4"),
+        )
+        .orderBy(
+            F.col("i_item_id").asc_nulls_first(), F.col("s_state").asc_nulls_first()
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q32_catalog_excess_discount", """    SELECT * FROM (VALUES
+      (CAST(575935.68 AS DOUBLE), CAST(326 AS BIGINT))
+    ) AS t(excess_discount_amount, excess_line_count)
+    """)
+def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32: the q92 correlated-average excess-discount shape on
+    the CATALOG channel (avg window partitioned by item)."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    base = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .where(F.col("d_date").between("1998-01-01", "1999-12-31"))
+        .where(F.col("i_manufact_id") == 61)
+    )
+    w = Window.partitionBy("cs_item_sk")
+    flagged = base.select(
+        "cs_ext_discount_amt",
+        (F.avg("cs_ext_discount_amt").over(w) * 1.3).alias("threshold"),
+    ).where(F.col("cs_ext_discount_amt") > F.col("threshold"))
+    return flagged.agg(
+        _money("cs_ext_discount_amt").alias("excess_discount_amount"),
+        F.count("*").cast("bigint").alias("excess_line_count"),
+    )
+
+
+@register("tpcds_q82_store_stocked_items", """    SELECT * FROM (VALUES
+      ('0000000000000I44', 'Popular imported items', CAST(50.21 AS DOUBLE)),
+      ('000000000000I108', 'Classic imported wares', CAST(55.53 AS DOUBLE)),
+      ('000000000000I315', 'Compact seasonal wares', CAST(50.48 AS DOUBLE)),
+      ('000000000000I359', 'Popular certified supplies', CAST(46.42 AS DOUBLE)),
+      ('000000000000I372', 'Durable handmade goods', CAST(51.71 AS DOUBLE)),
+      ('000000000000I391', 'Premium seasonal wares', CAST(49.93 AS DOUBLE)),
+      ('000000000000I406', 'Durable imported essentials', CAST(56.59 AS DOUBLE)),
+      ('000000000000I411', 'Compact everyday items', CAST(56.37 AS DOUBLE)),
+      ('000000000000I462', 'Compact handmade supplies', CAST(32.28 AS DOUBLE)),
+      ('000000000000I513', 'Classic imported supplies', CAST(47.41 AS DOUBLE)),
+      ('000000000000I596', 'Compact handmade goods', CAST(30.45 AS DOUBLE)),
+      ('000000000000I634', 'Popular seasonal wares', CAST(52.54 AS DOUBLE)),
+      ('000000000000I665', 'Classic everyday supplies', CAST(33.62 AS DOUBLE)),
+      ('000000000000I666', 'Classic certified wares', CAST(52.4 AS DOUBLE)),
+      ('000000000000I676', 'Classic imported essentials', CAST(42.89 AS DOUBLE)),
+      ('000000000000I835', 'Compact handmade goods', CAST(43.67 AS DOUBLE)),
+      ('000000000000I922', 'Durable everyday items', CAST(36.58 AS DOUBLE)),
+      ('00000000000I1180', 'Classic handmade wares', CAST(37.6 AS DOUBLE)),
+      ('00000000000I1200', 'Premium certified wares', CAST(57.75 AS DOUBLE)),
+      ('00000000000I1378', 'Compact handmade items', CAST(42.24 AS DOUBLE))
+    ) AS t(i_item_id, i_item_desc, i_current_price)
+    """)
+def tpcds_q82_store_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q82: the q37 stocked-and-demanded item shape with STORE
+    sales as the demand probe."""
+    ss, _, it = _star(spark)
+    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    dd = gen_date_dim(spark)
+    items = it.where(
+        F.col("i_current_price").between(30, 60) & F.col("i_manufact_id").isin(15, 25, 35, 45)
+    )
+    stocked = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .where(F.col("d_date").between("1998-06-01", "1998-07-31"))
+        .where(F.col("inv_quantity_on_hand").between(100, 500))
+        .select(F.col("inv_item_sk").alias("i_item_sk"))
+        .distinct()
+    )
+    demanded = ss.select(F.col("ss_item_sk").alias("i_item_sk")).distinct()
+    return (
+        items.join(stocked, "i_item_sk", "leftsemi")
+        .join(demanded, "i_item_sk", "leftsemi")
+        .select(
+            "i_item_id",
+            "i_item_desc",
+            F.col("i_current_price").cast("double").alias("i_current_price"),
+        )
+        .orderBy("i_item_id")
+        .limit(20)
+    )
