@@ -4927,3 +4927,268 @@ def tpcds_q82_store_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("i_item_id")
         .limit(20)
     )
+
+
+@register("tpcds_q34_bulk_ticket_customers", """    SELECT * FROM (VALUES
+      ('Davis', 'Elizabeth', 'Sir', 'Y', CAST(59328 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Johnson', 'William', 'Ms.', 'N', CAST(51928 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Jones', 'Linda', 'Miss', 'N', CAST(45310 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Rodriguez', 'John', 'Sir', 'N', CAST(60743 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Smith', 'Charles', 'Mr.', 'Y', CAST(33192 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Smith', 'William', 'Dr.', 'Y', CAST(44776 AS BIGINT), CAST(3 AS BIGINT)),
+      ('Brown', 'Linda', 'Mrs.', 'Y', CAST(771 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Elizabeth', 'Mrs.', 'N', CAST(1589 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Charles', 'Miss', 'N', CAST(2361 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Linda', 'Sir', 'N', CAST(3877 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Elizabeth', 'Sir', 'N', CAST(5618 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Maria', 'Mrs.', 'Y', CAST(6067 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Mary', 'Miss', 'N', CAST(8678 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Mary', 'Sir', 'N', CAST(8897 AS BIGINT), CAST(2 AS BIGINT)),
+      ('Brown', 'Jennifer', 'Miss', 'Y', CAST(11417 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, ss_ticket_number, cnt)
+    """)
+def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34: the q73 two-phase ticket-count shape with a bulk
+    band (cnt ≥ 2 here; the spec's 15-20 needs dsdgen's denser
+    tickets) and the holiday d_dom window. The generator assigns
+    customers per LINE, so the spec's ticket↔customer functional
+    dependency is restored by attributing each ticket to its minimum
+    customer key before the lookup (documented adaptation)."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    hd = gen_household_demographics(spark)
+    cu = gen_customer_ds(spark)
+    dj = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .where(
+            (F.col("d_dom").between(1, 3) | F.col("d_dom").between(25, 28))
+            & F.col("hd_buy_potential").isin(">10000", "5001-10000")
+            & (F.col("hd_vehicle_count") > 0)
+            & F.col("d_year").isin(1998, 1999)
+        )
+        .groupBy("ss_ticket_number")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("ss_customer_sk").alias("ss_customer_sk"),
+        )
+        .where(F.col("cnt").between(2, 10))
+    )
+    return (
+        dj.join(cu, dj.ss_customer_sk == cu.c_customer_sk)
+        .select(
+            "c_last_name", "c_first_name", "c_salutation", "c_preferred_cust_flag",
+            "ss_ticket_number", "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "c_last_name", "ss_ticket_number")
+        .limit(15)
+    )
+
+
+@register("tpcds_q46_city_mismatch_tickets", """    SELECT * FROM (VALUES
+      ('Brown', 'Barbara', CAST(1637 AS BIGINT), 'Pleasant Hill', CAST(0.0 AS DOUBLE), CAST(1305.74 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(4106 AS BIGINT), 'Five Points', CAST(0.0 AS DOUBLE), CAST(451.15 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(4372 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(63.88 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(5406 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(895.8 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(5941 AS BIGINT), 'Shiloh', CAST(1371.62 AS DOUBLE), CAST(2662.16 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(7267 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(2167.06 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(7559 AS BIGINT), 'Midway', CAST(0.0 AS DOUBLE), CAST(2656.27 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(10238 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(500.48 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(11580 AS BIGINT), 'Liberty', CAST(0.0 AS DOUBLE), CAST(755.62 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(11830 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(2154.21 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(12036 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(471.68 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(12207 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(1535.44 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(12303 AS BIGINT), 'Shiloh', CAST(49.34 AS DOUBLE), CAST(59.6 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(17897 AS BIGINT), 'Oak Grove', CAST(0.0 AS DOUBLE), CAST(4399.36 AS DOUBLE)),
+      ('Brown', 'Barbara', CAST(18405 AS BIGINT), 'Union', CAST(0.0 AS DOUBLE), CAST(1288.98 AS DOUBLE))
+    ) AS t(c_last_name, c_first_name, ss_ticket_number, bought_city, amt, profit)
+    """)
+def tpcds_q46_city_mismatch_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46: the q68 double-role address shape with the weekend
+    day filter and coupon/profit ticket sums."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    hd = gen_household_demographics(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark)
+    bought = ca.select(
+        F.col("ca_address_sk").alias("b_addr_sk"), F.col("ca_city").alias("bought_city")
+    )
+    current = ca.select(
+        F.col("ca_address_sk").alias("cur_addr_sk"), F.col("ca_city").alias("current_city")
+    )
+    dn = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(bought, ss.ss_addr_sk == F.col("b_addr_sk"))
+        .where(
+            F.col("d_dow").isin(6, 0)
+            & ((F.col("hd_dep_count") == 5) | (F.col("hd_vehicle_count") == 2))
+            & F.col("d_year").isin(1998, 1999)
+        )
+        .groupBy("ss_ticket_number", "ss_customer_sk", "bought_city")
+        .agg(
+            _money("ss_coupon_amt").alias("amt"),
+            _money("ss_net_profit").alias("profit"),
+        )
+    )
+    return (
+        dn.join(cu, dn.ss_customer_sk == cu.c_customer_sk)
+        .join(current, cu.c_current_addr_sk == F.col("cur_addr_sk"))
+        .where(F.col("current_city") != F.col("bought_city"))
+        .select(
+            "c_last_name", "c_first_name", "ss_ticket_number", "bought_city",
+            "amt", "profit",
+        )
+        .orderBy("c_last_name", "c_first_name", "ss_ticket_number")
+        .limit(15)
+    )
+
+
+@register("tpcds_q94_web_order_spread", """    SELECT * FROM (VALUES
+      (CAST(5817 AS BIGINT), CAST(505019.74 AS DOUBLE), CAST(8190931.59 AS DOUBLE))
+    ) AS t(order_count, total_shipping_cost, total_net_profit)
+    """)
+def tpcds_q94_web_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94: the q16 EXISTS/NOT-EXISTS order-spread shape on the
+    WEB channel — >1-warehouse semi probe, never-returned anti probe,
+    both carrying bare order numbers."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    base = ws.join(dd, ws.ws_ship_date_sk == dd.d_date_sk).where(
+        F.col("d_date").between("1999-02-01", "1999-04-02")
+    )
+    multi_wh = (
+        ws.groupBy("ws_order_number")
+        .agg(F.countDistinct("ws_warehouse_sk").alias("n_wh"))
+        .where(F.col("n_wh") > 1)
+        .select("ws_order_number")
+    )
+    filtered = base.join(multi_wh, "ws_order_number", "leftsemi").join(
+        wr.select(F.col("wr_order_number").alias("ws_order_number")),
+        "ws_order_number",
+        "leftanti",
+    )
+    return filtered.agg(
+        F.countDistinct("ws_order_number").cast("bigint").alias("order_count"),
+        _money("ws_ext_ship_cost").alias("total_shipping_cost"),
+        _money("ws_net_profit").alias("total_net_profit"),
+    )
+
+
+@register("tpcds_q10_active_channel_demo", """    SELECT * FROM (VALUES
+      ('F', 'D', '2 yr Degree', 'Good', CAST(43 AS BIGINT)),
+      ('F', 'D', '2 yr Degree', 'High Risk', CAST(53 AS BIGINT)),
+      ('F', 'D', '2 yr Degree', 'Low Risk', CAST(48 AS BIGINT)),
+      ('F', 'D', '2 yr Degree', 'Unknown', CAST(38 AS BIGINT)),
+      ('F', 'D', '4 yr Degree', 'Good', CAST(48 AS BIGINT)),
+      ('F', 'D', '4 yr Degree', 'High Risk', CAST(42 AS BIGINT)),
+      ('F', 'D', '4 yr Degree', 'Low Risk', CAST(41 AS BIGINT)),
+      ('F', 'D', '4 yr Degree', 'Unknown', CAST(43 AS BIGINT)),
+      ('F', 'D', 'Advanced Degree', 'Good', CAST(58 AS BIGINT)),
+      ('F', 'D', 'Advanced Degree', 'High Risk', CAST(42 AS BIGINT)),
+      ('F', 'D', 'Advanced Degree', 'Low Risk', CAST(58 AS BIGINT)),
+      ('F', 'D', 'Advanced Degree', 'Unknown', CAST(29 AS BIGINT)),
+      ('F', 'D', 'College', 'Good', CAST(53 AS BIGINT)),
+      ('F', 'D', 'College', 'High Risk', CAST(46 AS BIGINT)),
+      ('F', 'D', 'College', 'Low Risk', CAST(56 AS BIGINT)),
+      ('F', 'D', 'College', 'Unknown', CAST(37 AS BIGINT)),
+      ('F', 'D', 'Primary', 'Good', CAST(42 AS BIGINT)),
+      ('F', 'D', 'Primary', 'High Risk', CAST(47 AS BIGINT)),
+      ('F', 'D', 'Primary', 'Low Risk', CAST(51 AS BIGINT)),
+      ('F', 'D', 'Primary', 'Unknown', CAST(43 AS BIGINT))
+    ) AS t(cd_gender, cd_marital_status, cd_education_status, cd_credit_rating, cnt)
+    """)
+def tpcds_q10_active_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10: demographics counts of customers active in store
+    AND (catalog OR web) in a quarter — q69's semi/anti pattern with
+    the OR expressed as a union of the two channel key sets before one
+    semi probe."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    cd = gen_customer_demographics(spark)
+    dates = dd.where((F.col("d_year") == 1999) & F.col("d_moy").between(1, 4)).select(
+        "d_date_sk"
+    )
+
+    def active(fact, date_col, cust_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .select(F.col(cust_col).alias("active_sk"))
+            .distinct()
+        )
+
+    store_active = active(ss, "ss_sold_date_sk", "ss_customer_sk")
+    other_active = active(cs, "cs_sold_date_sk", "cs_bill_customer_sk").unionByName(
+        active(ws, "ws_sold_date_sk", "ws_bill_customer_sk")
+    ).distinct()
+    chosen = cu.join(
+        store_active, cu.c_customer_sk == store_active.active_sk, "leftsemi"
+    ).join(other_active, cu.c_customer_sk == other_active.active_sk, "leftsemi")
+    return (
+        chosen.join(cd, chosen.c_current_cdemo_sk == cd.cd_demo_sk)
+        .groupBy("cd_gender", "cd_marital_status", "cd_education_status", "cd_credit_rating")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("cd_gender", "cd_marital_status", "cd_education_status", "cd_credit_rating")
+        .limit(20)
+    )
+
+
+@register("tpcds_q35_active_customer_stats", """    SELECT * FROM (VALUES
+      ('F', 'D', CAST(2139 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.015 AS DOUBLE)),
+      ('F', 'M', CAST(2221 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9806 AS DOUBLE)),
+      ('F', 'S', CAST(2114 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.035 AS DOUBLE)),
+      ('F', 'U', CAST(2157 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9569 AS DOUBLE)),
+      ('F', 'W', CAST(2236 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0237 AS DOUBLE)),
+      ('M', 'D', CAST(2239 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0795 AS DOUBLE)),
+      ('M', 'M', CAST(2200 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9345 AS DOUBLE)),
+      ('M', 'S', CAST(2247 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0147 AS DOUBLE)),
+      ('M', 'U', CAST(2132 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9742 AS DOUBLE)),
+      ('M', 'W', CAST(2142 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9902 AS DOUBLE))
+    ) AS t(cd_gender, cd_marital_status, cnt, min_dep, max_dep, avg_dep)
+    """)
+def tpcds_q35_active_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35: q10's activity pattern with dependent-count
+    aggregate statistics per demographic slice (the spec's
+    min/max/avg over cd_dep_count) — exact-integer partials keep the
+    pin partition-invariant."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    cd = gen_customer_demographics(spark)
+    dates = dd.where((F.col("d_year") == 1999) & F.col("d_qoy").isin(1, 2)).select(
+        "d_date_sk"
+    )
+
+    def active(fact, date_col, cust_col):
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .select(F.col(cust_col).alias("active_sk"))
+            .distinct()
+        )
+
+    store_active = active(ss, "ss_sold_date_sk", "ss_customer_sk")
+    other_active = active(cs, "cs_sold_date_sk", "cs_bill_customer_sk").unionByName(
+        active(ws, "ws_sold_date_sk", "ws_bill_customer_sk")
+    ).distinct()
+    chosen = cu.join(
+        store_active, cu.c_customer_sk == store_active.active_sk, "leftsemi"
+    ).join(other_active, cu.c_customer_sk == other_active.active_sk, "leftsemi")
+    return (
+        chosen.join(cd, chosen.c_current_cdemo_sk == cd.cd_demo_sk)
+        .groupBy("cd_gender", "cd_marital_status")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("cd_dep_count").cast("int").alias("min_dep"),
+            F.max("cd_dep_count").cast("int").alias("max_dep"),
+            F.round(F.avg("cd_dep_count"), 4).cast("double").alias("avg_dep"),
+        )
+        .orderBy("cd_gender", "cd_marital_status")
+        .limit(20)
+    )
