@@ -5192,3 +5192,432 @@ def tpcds_q35_active_customer_stats(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("cd_gender", "cd_marital_status")
         .limit(20)
     )
+
+
+@register("tpcds_q5_channel_profit_rollup", """    SELECT * FROM (VALUES
+      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(38269594.5 AS DOUBLE), CAST(1944455.87 AS DOUBLE), CAST(10775745.53 AS DOUBLE)),
+      ('catalog channel', CAST(NULL AS VARCHAR), CAST(10336251.67 AS DOUBLE), CAST(504511.6 AS DOUBLE), CAST(2895572.85 AS DOUBLE)),
+      ('catalog channel', '10', CAST(13047.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(4056.82 AS DOUBLE)),
+      ('catalog channel', '100', CAST(9311.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1997.21 AS DOUBLE)),
+      ('catalog channel', '10002', CAST(1157.45 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(368.2 AS DOUBLE)),
+      ('catalog channel', '10004', CAST(3277.73 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(583.91 AS DOUBLE)),
+      ('catalog channel', '1002', CAST(915.89 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(305.28 AS DOUBLE)),
+      ('catalog channel', '10024', CAST(6177.92 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1235.45 AS DOUBLE)),
+      ('catalog channel', '10028', CAST(15264.23 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(5724.28 AS DOUBLE)),
+      ('catalog channel', '1003', CAST(2709.91 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1016.27 AS DOUBLE)),
+      ('catalog channel', '10034', CAST(1379.34 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(275.71 AS DOUBLE)),
+      ('catalog channel', '1004', CAST(1182.09 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(435.74 AS DOUBLE)),
+      ('catalog channel', '10042', CAST(1361.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(344.23 AS DOUBLE)),
+      ('catalog channel', '10043', CAST(3368.7 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1147.75 AS DOUBLE)),
+      ('catalog channel', '10044', CAST(4735.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1680.04 AS DOUBLE)),
+      ('catalog channel', '1005', CAST(2076.44 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(538.34 AS DOUBLE)),
+      ('catalog channel', '10052', CAST(0.0 AS DOUBLE), CAST(369.39 AS DOUBLE), CAST(-124.15 AS DOUBLE)),
+      ('catalog channel', '10057', CAST(10292.67 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3431.07 AS DOUBLE)),
+      ('catalog channel', '10060', CAST(5659.21 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2158.56 AS DOUBLE)),
+      ('catalog channel', '10061', CAST(4098.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(862.56 AS DOUBLE))
+    ) AS t(channel, entity_id, sales, returns, profit)
+    """)
+def tpcds_q5_channel_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5: the q77 per-channel P&L with per-ENTITY granularity
+    — sales and returns union per channel keyed by store / catalog
+    page / web site, rolled up with the channel label (spec's ROLLUP
+    (channel, id) kept as a two-level rollup)."""
+    ss, dd, _ = _star(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    dates = dd.where(F.col("d_date").between("1998-08-04", "1998-08-18")).select("d_date_sk")
+
+    def leg(fact, date_col, channel, id_col, sales_col, ret_col, profit_col, sign):
+        return fact.join(dates, F.col(date_col) == F.col("d_date_sk")).select(
+            F.lit(channel).alias("channel"),
+            F.col(id_col).cast("string").alias("entity_id"),
+            (F.col(sales_col) if sign > 0 else F.lit(0).cast("decimal(7,2)")).alias(
+                "sales_price"
+            ),
+            (F.col(ret_col) if sign < 0 else F.lit(0).cast("decimal(7,2)")).alias(
+                "return_amt"
+            ),
+            (F.col(profit_col) * sign).alias("profit"),
+        )
+
+    unioned = (
+        leg(ss, "ss_sold_date_sk", "store channel", "ss_store_sk",
+            "ss_ext_sales_price", "ss_ext_sales_price", "ss_net_profit", 1)
+        .unionByName(leg(sr, "sr_returned_date_sk", "store channel", "sr_store_sk",
+                         "sr_return_amt", "sr_return_amt", "sr_net_loss", -1))
+        .unionByName(leg(cs, "cs_sold_date_sk", "catalog channel", "cs_catalog_page_sk",
+                         "cs_ext_sales_price", "cs_ext_sales_price", "cs_net_profit", 1))
+        .unionByName(leg(cr, "cr_returned_date_sk", "catalog channel", "cr_catalog_page_sk",
+                         "cr_return_amount", "cr_return_amount", "cr_net_loss", -1))
+        .unionByName(leg(ws, "ws_sold_date_sk", "web channel", "ws_web_site_sk",
+                         "ws_ext_sales_price", "ws_ext_sales_price", "ws_net_profit", 1))
+        .unionByName(leg(wr, "wr_returned_date_sk", "web channel", "wr_web_page_sk",
+                         "wr_return_amt", "wr_return_amt", "wr_net_loss", -1))
+    )
+    return (
+        unioned.rollup("channel", "entity_id")
+        .agg(
+            _money("sales_price").alias("sales"),
+            _money("return_amt").alias("returns"),
+            _money("profit").alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(), F.col("entity_id").asc_nulls_first()
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q80_channel_item_profit", """    SELECT * FROM (VALUES
+      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(21675410.09 AS DOUBLE), CAST(1094511.3 AS DOUBLE), CAST(6094489.39 AS DOUBLE)),
+      ('catalog channel', CAST(NULL AS VARCHAR), CAST(5754289.45 AS DOUBLE), CAST(318409.83 AS DOUBLE), CAST(1603599.01 AS DOUBLE)),
+      ('catalog channel', '0000000000000I39', CAST(3488.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1330.85 AS DOUBLE)),
+      ('catalog channel', '0000000000000I53', CAST(1303.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(424.57 AS DOUBLE)),
+      ('catalog channel', '0000000000000I72', CAST(1976.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(329.45 AS DOUBLE)),
+      ('catalog channel', '0000000000000I73', CAST(3033.18 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(638.48 AS DOUBLE)),
+      ('catalog channel', '0000000000000I96', CAST(4024.07 AS DOUBLE), CAST(529.72 AS DOUBLE), CAST(1239.61 AS DOUBLE)),
+      ('catalog channel', '0000000000000I97', CAST(6740.41 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2527.73 AS DOUBLE)),
+      ('catalog channel', '000000000000I148', CAST(9905.31 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3478.43 AS DOUBLE)),
+      ('catalog channel', '000000000000I156', CAST(1607.73 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(431.43 AS DOUBLE)),
+      ('catalog channel', '000000000000I170', CAST(3399.43 AS DOUBLE), CAST(1504.8 AS DOUBLE), CAST(1131.03 AS DOUBLE)),
+      ('catalog channel', '000000000000I177', CAST(3203.56 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1059.69 AS DOUBLE)),
+      ('catalog channel', '000000000000I199', CAST(2470.54 AS DOUBLE), CAST(2470.58 AS DOUBLE), CAST(706.35 AS DOUBLE)),
+      ('catalog channel', '000000000000I210', CAST(2046.66 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(446.54 AS DOUBLE)),
+      ('catalog channel', '000000000000I211', CAST(12444.54 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3660.46 AS DOUBLE)),
+      ('catalog channel', '000000000000I214', CAST(3700.59 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(483.92 AS DOUBLE)),
+      ('catalog channel', '000000000000I220', CAST(7165.15 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2733.1 AS DOUBLE)),
+      ('catalog channel', '000000000000I255', CAST(6446.44 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2499.64 AS DOUBLE)),
+      ('catalog channel', '000000000000I272', CAST(6581.49 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1582.74 AS DOUBLE)),
+      ('catalog channel', '000000000000I280', CAST(10170.75 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(906.94 AS DOUBLE))
+    ) AS t(channel, i_item_id, sales, returns, profit)
+    """)
+def tpcds_q80_channel_item_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80: returns-netted sales/returns/profit per channel ×
+    item — each channel left-joins its returns on the natural key
+    (q93's netting), filters promoted non-TV items, and the three
+    per-item rollups union under a channel rollup."""
+    ss, dd, it = _star(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    pm = gen_promotion(spark).where(F.col("p_channel_tv") == "N").select("p_promo_sk")
+    dates = dd.where(F.col("d_date").between("1998-08-04", "1998-09-03")).select("d_date_sk")
+    items = it.where(F.col("i_current_price") > 50).select("i_item_sk", "i_item_id")
+
+    def channel(fact, ret, date_col, item_col, promo_col, keys, r_keys, price, r_amt, profit, r_loss, label):
+        r = ret.select(
+            *[F.col(k).alias(kk) for k, kk in zip(r_keys, keys)],
+            F.col(r_amt).alias("ret_amt"),
+            F.col(r_loss).alias("ret_loss"),
+        )
+        return (
+            fact.join(dates, F.col(date_col) == F.col("d_date_sk"))
+            .join(items, F.col(item_col) == F.col("i_item_sk"))
+            .join(pm, F.col(promo_col) == F.col("p_promo_sk"), "leftsemi")
+            .join(r, keys, "left")
+            .groupBy("i_item_id")
+            .agg(
+                F.sum(price).alias("sales"),
+                F.sum(F.coalesce(F.col("ret_amt"), F.lit(0))).alias("returns_"),
+                F.sum(
+                    F.col(profit) - F.coalesce(F.col("ret_loss"), F.lit(0))
+                ).alias("profit"),
+            )
+            .select(F.lit(label).alias("channel"), "i_item_id", "sales", "returns_", "profit")
+        )
+
+    unioned = (
+        channel(ss, sr, "ss_sold_date_sk", "ss_item_sk", "ss_promo_sk",
+                ["ss_ticket_number", "ss_item_sk"], ["sr_ticket_number", "sr_item_sk"],
+                "ss_ext_sales_price", "sr_return_amt", "ss_net_profit", "sr_net_loss",
+                "store channel")
+        .unionByName(channel(cs, cr, "cs_sold_date_sk", "cs_item_sk", "cs_promo_sk",
+                             ["cs_order_number", "cs_item_sk"], ["cr_order_number", "cr_item_sk"],
+                             "cs_ext_sales_price", "cr_return_amount", "cs_net_profit", "cr_net_loss",
+                             "catalog channel"))
+        .unionByName(channel(ws, wr, "ws_sold_date_sk", "ws_item_sk", "ws_promo_sk",
+                             ["ws_order_number", "ws_item_sk"], ["wr_order_number", "wr_item_sk"],
+                             "ws_ext_sales_price", "wr_return_amt", "ws_net_profit", "wr_net_loss",
+                             "web channel"))
+    )
+    return (
+        unioned.rollup("channel", "i_item_id")
+        .agg(
+            _money("sales").alias("sales"),
+            _money("returns_").alias("returns"),
+            _money("profit").alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("i_item_id").asc_nulls_first())
+        .limit(20)
+    )
+
+
+@register("tpcds_q86_web_margin_rollup", """    SELECT * FROM (VALUES
+      (CAST(254706514.08 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(2 AS INT), CAST(1 AS INT)),
+      (CAST(25108960.22 AS DOUBLE), 'Books', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(6 AS INT)),
+      (CAST(26226057.21 AS DOUBLE), 'Children', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(1 AS INT)),
+      (CAST(24994570.87 AS DOUBLE), 'Electronics', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(9 AS INT)),
+      (CAST(25701779.12 AS DOUBLE), 'Home', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(4 AS INT)),
+      (CAST(26141195.36 AS DOUBLE), 'Jewelry', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(2 AS INT)),
+      (CAST(26002167.58 AS DOUBLE), 'Men', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(3 AS INT)),
+      (CAST(24953419.81 AS DOUBLE), 'Music', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(10 AS INT)),
+      (CAST(25415863.93 AS DOUBLE), 'Shoes', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(5 AS INT)),
+      (CAST(25103944.61 AS DOUBLE), 'Sports', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(7 AS INT)),
+      (CAST(25058555.37 AS DOUBLE), 'Women', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(8 AS INT)),
+      (CAST(1975681.5 AS DOUBLE), 'Books', 'fitness', CAST(0 AS INT), CAST(1 AS INT)),
+      (CAST(1952072.57 AS DOUBLE), 'Books', 'decor', CAST(0 AS INT), CAST(2 AS INT)),
+      (CAST(1880673.9 AS DOUBLE), 'Books', 'glassware', CAST(0 AS INT), CAST(3 AS INT)),
+      (CAST(1692550.16 AS DOUBLE), 'Books', 'flatware', CAST(0 AS INT), CAST(4 AS INT)),
+      (CAST(1674893.91 AS DOUBLE), 'Books', 'classical', CAST(0 AS INT), CAST(5 AS INT)),
+      (CAST(1663501.16 AS DOUBLE), 'Books', 'fiction', CAST(0 AS INT), CAST(6 AS INT)),
+      (CAST(1631036.38 AS DOUBLE), 'Books', 'computers', CAST(0 AS INT), CAST(7 AS INT)),
+      (CAST(1534815.65 AS DOUBLE), 'Books', 'kids', CAST(0 AS INT), CAST(8 AS INT)),
+      (CAST(1526255.29 AS DOUBLE), 'Books', 'accent', CAST(0 AS INT), CAST(9 AS INT))
+    ) AS t(total_sum, i_category, i_class, lochierarchy, rank_within_parent)
+    """)
+def tpcds_q86_web_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86: the q36 ROLLUP + rank-within-parent shape on the
+    WEB channel (net paid over category/class hierarchy)."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    rolled = (
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .join(it, ws.ws_item_sk == it.i_item_sk)
+        .where(F.col("d_month_seq").between(1176, 1187))
+        .rollup("i_category", "i_class")
+        .agg(
+            _money("ws_net_paid").alias("total_sum"),
+            (F.grouping("i_category") + F.grouping("i_class"))
+            .cast("int")
+            .alias("lochierarchy"),
+        )
+    )
+    wr_ = Window.partitionBy(
+        "lochierarchy", F.when(F.col("lochierarchy") == 0, F.col("i_category"))
+    ).orderBy(F.col("total_sum").desc(), F.col("i_category"), F.col("i_class"))
+    return (
+        rolled.select(
+            "total_sum",
+            "i_category",
+            "i_class",
+            "lochierarchy",
+            F.rank().over(wr_).cast("int").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("i_category").asc_nulls_first(),
+            F.col("rank_within_parent"),
+            F.col("i_class").asc_nulls_first(),
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q53_manufacturer_quarterly", """    SELECT * FROM (VALUES
+      (CAST(1 AS INT), CAST(4 AS INT), CAST(6837.04 AS DOUBLE), CAST(6197.9875 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1 AS INT), CAST(9662.91 AS DOUBLE), CAST(8051.165 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(4 AS INT), CAST(7157.25 AS DOUBLE), CAST(8051.165 AS DOUBLE)),
+      (CAST(6 AS INT), CAST(2 AS INT), CAST(6304.83 AS DOUBLE), CAST(5670.7625 AS DOUBLE)),
+      (CAST(6 AS INT), CAST(4 AS INT), CAST(4677.23 AS DOUBLE), CAST(5670.7625 AS DOUBLE)),
+      (CAST(9 AS INT), CAST(1 AS INT), CAST(8646.39 AS DOUBLE), CAST(7532.8725 AS DOUBLE)),
+      (CAST(9 AS INT), CAST(2 AS INT), CAST(6588.04 AS DOUBLE), CAST(7532.8725 AS DOUBLE)),
+      (CAST(10 AS INT), CAST(1 AS INT), CAST(5673.53 AS DOUBLE), CAST(6733.6675 AS DOUBLE)),
+      (CAST(10 AS INT), CAST(2 AS INT), CAST(7931.75 AS DOUBLE), CAST(6733.6675 AS DOUBLE)),
+      (CAST(11 AS INT), CAST(1 AS INT), CAST(6722.67 AS DOUBLE), CAST(7809.71 AS DOUBLE)),
+      (CAST(11 AS INT), CAST(4 AS INT), CAST(9273.93 AS DOUBLE), CAST(7809.71 AS DOUBLE)),
+      (CAST(12 AS INT), CAST(3 AS INT), CAST(7226.61 AS DOUBLE), CAST(6400.8225 AS DOUBLE)),
+      (CAST(12 AS INT), CAST(4 AS INT), CAST(5535.67 AS DOUBLE), CAST(6400.8225 AS DOUBLE)),
+      (CAST(13 AS INT), CAST(3 AS INT), CAST(6668.9 AS DOUBLE), CAST(6030.005 AS DOUBLE)),
+      (CAST(15 AS INT), CAST(2 AS INT), CAST(8457.92 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
+      (CAST(15 AS INT), CAST(3 AS INT), CAST(5680.46 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
+      (CAST(15 AS INT), CAST(4 AS INT), CAST(5679.19 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
+      (CAST(16 AS INT), CAST(1 AS INT), CAST(4821.34 AS DOUBLE), CAST(5511.7625 AS DOUBLE)),
+      (CAST(16 AS INT), CAST(3 AS INT), CAST(6200.36 AS DOUBLE), CAST(5511.7625 AS DOUBLE)),
+      (CAST(18 AS INT), CAST(1 AS INT), CAST(4408.13 AS DOUBLE), CAST(5523.7875 AS DOUBLE))
+    ) AS t(i_manufact_id, d_qoy, sum_sales, avg_quarterly_sales)
+    """)
+def tpcds_q53_manufacturer_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53: the q89 deviation shape keyed by MANUFACTURER with
+    quarterly averages."""
+    ss, dd, it = _star(spark)
+    rolled = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .where(
+            (F.col("d_year") == 1998)
+            & F.col("i_category").isin("Books", "Home", "Sports")
+            & (F.col("i_manufact_id") <= 20)
+        )
+        .groupBy("i_manufact_id", "d_qoy")
+        .agg(F.sum("ss_sales_price").alias("sum_sales"))
+    )
+    w = Window.partitionBy("i_manufact_id")
+    avg_q = F.avg("sum_sales").over(w)
+    return (
+        rolled.select(
+            "i_manufact_id",
+            "d_qoy",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            F.round(avg_q, 4).cast("double").alias("avg_quarterly_sales"),
+        )
+        .where(
+            (F.col("avg_quarterly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_quarterly_sales"))
+                / F.col("avg_quarterly_sales")
+                > 0.1
+            )
+        )
+        .orderBy("i_manufact_id", "d_qoy")
+        .limit(20)
+    )
+
+
+@register("tpcds_q63_manager_monthly", """    SELECT * FROM (VALUES
+      (CAST(1 AS INT), CAST(1 AS INT), CAST(1633.43 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(3 AS INT), CAST(3289.09 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(6 AS INT), CAST(1289.89 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(7 AS INT), CAST(2285.12 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(8 AS INT), CAST(2391.58 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(9 AS INT), CAST(1162.07 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(10 AS INT), CAST(2413.39 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(1 AS INT), CAST(11 AS INT), CAST(1748.4 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(2 AS INT), CAST(2552.86 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(3 AS INT), CAST(4038.15 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(4 AS INT), CAST(1773.08 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(7 AS INT), CAST(2500.41 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(10 AS INT), CAST(2219.17 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(11 AS INT), CAST(4275.66 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(2 AS INT), CAST(12 AS INT), CAST(3461.51 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(1 AS INT), CAST(2270.35 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(2 AS INT), CAST(1356.71 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(4 AS INT), CAST(1167.36 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(5 AS INT), CAST(1371.31 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
+      (CAST(3 AS INT), CAST(6 AS INT), CAST(2059.88 AS DOUBLE), CAST(1623.3217 AS DOUBLE))
+    ) AS t(i_manager_id, d_moy, sum_sales, avg_monthly_sales)
+    """)
+def tpcds_q63_manager_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q63: the q53/q89 deviation shape keyed by item MANAGER
+    with monthly averages."""
+    ss, dd, it = _star(spark)
+    rolled = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .where(
+            (F.col("d_year") == 1998)
+            & F.col("i_category").isin("Men", "Women", "Music")
+            & (F.col("i_manager_id") <= 10)
+        )
+        .groupBy("i_manager_id", "d_moy")
+        .agg(F.sum("ss_sales_price").alias("sum_sales"))
+    )
+    w = Window.partitionBy("i_manager_id")
+    avg_m = F.avg("sum_sales").over(w)
+    return (
+        rolled.select(
+            "i_manager_id",
+            "d_moy",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            F.round(avg_m, 4).cast("double").alias("avg_monthly_sales"),
+        )
+        .where(
+            (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+        )
+        .orderBy("i_manager_id", "d_moy")
+        .limit(20)
+    )
+
+
+@register("tpcds_q57_catalog_deviation_lag", """    SELECT * FROM (VALUES
+      ('Women', 'Brand#85-8', 'North Midwest', CAST(1999 AS INT), CAST(3 AS INT), CAST(12.98 AS DOUBLE), CAST(264.65 AS DOUBLE), CAST(81.16 AS DOUBLE), CAST(516.32 AS DOUBLE)),
+      ('Home', 'Brand#27-4', 'Pacific NW', CAST(1999 AS INT), CAST(5 AS INT), CAST(11.37 AS DOUBLE), CAST(210.582 AS DOUBLE), CAST(334.71 AS DOUBLE), CAST(260.31 AS DOUBLE)),
+      ('Shoes', 'Brand#39-2', 'North Midwest', CAST(1999 AS INT), CAST(10 AS INT), CAST(41.33 AS DOUBLE), CAST(222.7033 AS DOUBLE), CAST(367.06 AS DOUBLE), CAST(259.72 AS DOUBLE)),
+      ('Shoes', 'Brand#20-4', 'Pacific NW', CAST(1999 AS INT), CAST(6 AS INT), CAST(30.21 AS DOUBLE), CAST(208.5667 AS DOUBLE), CAST(143.41 AS DOUBLE), CAST(452.08 AS DOUBLE)),
+      ('Shoes', 'Brand#19-10', 'North Midwest', CAST(1999 AS INT), CAST(8 AS INT), CAST(6.66 AS DOUBLE), CAST(184.28 AS DOUBLE), CAST(294.82 AS DOUBLE), CAST(300.88 AS DOUBLE)),
+      ('Jewelry', 'Brand#59-4', 'Pacific NW', CAST(1999 AS INT), CAST(10 AS INT), CAST(42.35 AS DOUBLE), CAST(216.395 AS DOUBLE), CAST(317.58 AS DOUBLE), CAST(317.04 AS DOUBLE)),
+      ('Shoes', 'Brand#13-3', 'North Midwest', CAST(1999 AS INT), CAST(7 AS INT), CAST(11.15 AS DOUBLE), CAST(183.0375 AS DOUBLE), CAST(249.23 AS DOUBLE), CAST(283.06 AS DOUBLE)),
+      ('Jewelry', 'Brand#26-6', 'Hawaii/Alaska', CAST(1999 AS INT), CAST(2 AS INT), CAST(7.91 AS DOUBLE), CAST(175.255 AS DOUBLE), CAST(100.7 AS DOUBLE), CAST(342.6 AS DOUBLE)),
+      ('Men', 'Brand#40-5', 'North Midwest', CAST(1999 AS INT), CAST(3 AS INT), CAST(70.12 AS DOUBLE), CAST(236.5875 AS DOUBLE), CAST(55.24 AS DOUBLE), CAST(192.83 AS DOUBLE)),
+      ('Sports', 'Brand#65-9', 'Pacific NW', CAST(1999 AS INT), CAST(3 AS INT), CAST(12.28 AS DOUBLE), CAST(178.2 AS DOUBLE), CAST(298.86 AS DOUBLE), CAST(201.71 AS DOUBLE)),
+      ('Shoes', 'Brand#25-5', 'Pacific NW', CAST(1999 AS INT), CAST(11 AS INT), CAST(5.25 AS DOUBLE), CAST(170.2017 AS DOUBLE), CAST(304.67 AS DOUBLE), CAST(210.71 AS DOUBLE)),
+      ('Women', 'Brand#71-3', 'North Midwest', CAST(1999 AS INT), CAST(4 AS INT), CAST(14.07 AS DOUBLE), CAST(176.7425 AS DOUBLE), CAST(128.54 AS DOUBLE), CAST(116.57 AS DOUBLE)),
+      ('Sports', 'Brand#39-5', 'North Midwest', CAST(1999 AS INT), CAST(8 AS INT), CAST(8.17 AS DOUBLE), CAST(167.89 AS DOUBLE), CAST(124.0 AS DOUBLE), CAST(355.19 AS DOUBLE)),
+      ('Women', 'Brand#25-7', 'Pacific NW', CAST(1999 AS INT), CAST(1 AS INT), CAST(32.19 AS DOUBLE), CAST(188.7767 AS DOUBLE), CAST(184.69 AS DOUBLE), CAST(246.74 AS DOUBLE)),
+      ('Sports', 'Brand#62-3', 'North Midwest', CAST(1999 AS INT), CAST(4 AS INT), CAST(12.98 AS DOUBLE), CAST(167.795 AS DOUBLE), CAST(26.72 AS DOUBLE), CAST(322.61 AS DOUBLE)),
+      ('Electronics', 'Brand#83-5', 'North Midwest', CAST(1999 AS INT), CAST(5 AS INT), CAST(9.6 AS DOUBLE), CAST(163.55 AS DOUBLE), CAST(56.84 AS DOUBLE), CAST(317.5 AS DOUBLE)),
+      ('Home', 'Brand#16-2', 'Hawaii/Alaska', CAST(1999 AS INT), CAST(2 AS INT), CAST(15.84 AS DOUBLE), CAST(169.135 AS DOUBLE), CAST(43.54 AS DOUBLE), CAST(322.43 AS DOUBLE)),
+      ('Music', 'Brand#18-2', 'Pacific NW', CAST(1999 AS INT), CAST(3 AS INT), CAST(2.62 AS DOUBLE), CAST(154.9133 AS DOUBLE), CAST(82.17 AS DOUBLE), CAST(404.23 AS DOUBLE)),
+      ('Children', 'Brand#48-10', 'North Midwest', CAST(1999 AS INT), CAST(6 AS INT), CAST(16.29 AS DOUBLE), CAST(168.325 AS DOUBLE), CAST(254.37 AS DOUBLE), CAST(236.01 AS DOUBLE)),
+      ('Jewelry', 'Brand#100-5', 'Pacific NW', CAST(1999 AS INT), CAST(5 AS INT), CAST(20.99 AS DOUBLE), CAST(172.735 AS DOUBLE), CAST(237.64 AS DOUBLE), CAST(324.48 AS DOUBLE))
+    ) AS t(i_category, i_brand, cc_name, d_year, d_moy, sum_sales, avg_monthly_sales, psum, nsum)
+    """)
+def tpcds_q57_catalog_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57: the q47 lag/lead deviation shape on the CATALOG
+    channel with call centers in place of stores."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    cc = gen_call_center(spark)
+    monthly = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .join(cc, cs.cs_call_center_sk == cc.cc_call_center_sk)
+        .where(F.col("d_year").isin(1998, 1999))
+        .groupBy("i_category", "i_brand", "cc_name", "d_year", "d_moy")
+        .agg(F.sum("cs_sales_price").alias("sum_sales"))
+    )
+    part = ["i_category", "i_brand", "cc_name"]
+    w_avg = Window.partitionBy(*part, "d_year")
+    w_seq = Window.partitionBy(*part).orderBy("d_year", "d_moy")
+    v = monthly.select(
+        *part,
+        "d_year",
+        "d_moy",
+        "sum_sales",
+        F.avg("sum_sales").over(w_avg).alias("avg_monthly_sales"),
+        F.lag("sum_sales").over(w_seq).alias("psum"),
+        F.lead("sum_sales").over(w_seq).alias("nsum"),
+    )
+    dev = (
+        F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+        / F.col("avg_monthly_sales")
+    )
+    return (
+        v.where(
+            (F.col("d_year") == 1999)
+            & (F.col("avg_monthly_sales") > 0)
+            & (dev > 0.1)
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .select(
+            "i_category",
+            "i_brand",
+            "cc_name",
+            "d_year",
+            "d_moy",
+            F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+            F.round("avg_monthly_sales", 4).cast("double").alias("avg_monthly_sales"),
+            F.round("psum", 2).cast("double").alias("psum"),
+            F.round("nsum", 2).cast("double").alias("nsum"),
+        )
+        .orderBy(
+            (F.col("sum_sales") - F.col("avg_monthly_sales")).asc(),
+            "i_category",
+            "i_brand",
+            "cc_name",
+            "d_moy",
+        )
+        .limit(20)
+    )
