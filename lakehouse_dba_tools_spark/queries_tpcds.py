@@ -5621,3 +5621,362 @@ def tpcds_q57_catalog_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .limit(20)
     )
+
+
+@register("tpcds_q2_week_dow_ratios", """    SELECT * FROM (VALUES
+      (CAST(5113 AS INT), CAST(0.9403 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.9268 AS DOUBLE), CAST(1.0051 AS DOUBLE), CAST(1.2101 AS DOUBLE)),
+      (CAST(5114 AS INT), CAST(0.8869 AS DOUBLE), CAST(1.0213 AS DOUBLE), CAST(0.8636 AS DOUBLE), CAST(0.9958 AS DOUBLE), CAST(0.9776 AS DOUBLE), CAST(1.0117 AS DOUBLE), CAST(0.9853 AS DOUBLE)),
+      (CAST(5115 AS INT), CAST(1.0446 AS DOUBLE), CAST(1.0102 AS DOUBLE), CAST(1.0029 AS DOUBLE), CAST(0.8863 AS DOUBLE), CAST(1.0139 AS DOUBLE), CAST(1.1378 AS DOUBLE), CAST(1.0181 AS DOUBLE)),
+      (CAST(5116 AS INT), CAST(1.0554 AS DOUBLE), CAST(1.1019 AS DOUBLE), CAST(0.8421 AS DOUBLE), CAST(1.0466 AS DOUBLE), CAST(1.042 AS DOUBLE), CAST(0.9665 AS DOUBLE), CAST(0.8027 AS DOUBLE)),
+      (CAST(5117 AS INT), CAST(1.1779 AS DOUBLE), CAST(1.0415 AS DOUBLE), CAST(1.1946 AS DOUBLE), CAST(0.9725 AS DOUBLE), CAST(1.097 AS DOUBLE), CAST(1.0364 AS DOUBLE), CAST(1.071 AS DOUBLE)),
+      (CAST(5118 AS INT), CAST(0.9731 AS DOUBLE), CAST(1.0367 AS DOUBLE), CAST(1.0171 AS DOUBLE), CAST(0.9199 AS DOUBLE), CAST(1.0794 AS DOUBLE), CAST(0.9244 AS DOUBLE), CAST(0.8978 AS DOUBLE)),
+      (CAST(5119 AS INT), CAST(0.8446 AS DOUBLE), CAST(0.8982 AS DOUBLE), CAST(0.9409 AS DOUBLE), CAST(1.0488 AS DOUBLE), CAST(1.0494 AS DOUBLE), CAST(1.0566 AS DOUBLE), CAST(1.0075 AS DOUBLE)),
+      (CAST(5120 AS INT), CAST(0.7456 AS DOUBLE), CAST(1.2186 AS DOUBLE), CAST(0.9166 AS DOUBLE), CAST(0.9756 AS DOUBLE), CAST(1.1418 AS DOUBLE), CAST(1.0052 AS DOUBLE), CAST(0.9735 AS DOUBLE)),
+      (CAST(5121 AS INT), CAST(1.0122 AS DOUBLE), CAST(0.9145 AS DOUBLE), CAST(0.9407 AS DOUBLE), CAST(1.0506 AS DOUBLE), CAST(0.9873 AS DOUBLE), CAST(0.9265 AS DOUBLE), CAST(1.0715 AS DOUBLE)),
+      (CAST(5122 AS INT), CAST(0.9716 AS DOUBLE), CAST(1.1475 AS DOUBLE), CAST(0.9879 AS DOUBLE), CAST(1.044 AS DOUBLE), CAST(0.9879 AS DOUBLE), CAST(1.0184 AS DOUBLE), CAST(0.9375 AS DOUBLE)),
+      (CAST(5123 AS INT), CAST(1.0187 AS DOUBLE), CAST(0.8638 AS DOUBLE), CAST(0.9941 AS DOUBLE), CAST(1.0314 AS DOUBLE), CAST(1.055 AS DOUBLE), CAST(1.0066 AS DOUBLE), CAST(1.0462 AS DOUBLE)),
+      (CAST(5124 AS INT), CAST(1.0086 AS DOUBLE), CAST(1.2024 AS DOUBLE), CAST(0.9676 AS DOUBLE), CAST(1.3774 AS DOUBLE), CAST(1.06 AS DOUBLE), CAST(0.9293 AS DOUBLE), CAST(1.0622 AS DOUBLE)),
+      (CAST(5125 AS INT), CAST(0.853 AS DOUBLE), CAST(0.874 AS DOUBLE), CAST(0.8947 AS DOUBLE), CAST(1.0815 AS DOUBLE), CAST(0.9531 AS DOUBLE), CAST(1.0423 AS DOUBLE), CAST(0.8572 AS DOUBLE)),
+      (CAST(5126 AS INT), CAST(1.0834 AS DOUBLE), CAST(1.0548 AS DOUBLE), CAST(1.2022 AS DOUBLE), CAST(1.2839 AS DOUBLE), CAST(0.9287 AS DOUBLE), CAST(0.813 AS DOUBLE), CAST(0.9169 AS DOUBLE)),
+      (CAST(5127 AS INT), CAST(1.0937 AS DOUBLE), CAST(1.1182 AS DOUBLE), CAST(0.9865 AS DOUBLE), CAST(0.8427 AS DOUBLE), CAST(1.0593 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.9386 AS DOUBLE)),
+      (CAST(5128 AS INT), CAST(1.0965 AS DOUBLE), CAST(1.1129 AS DOUBLE), CAST(0.972 AS DOUBLE), CAST(0.948 AS DOUBLE), CAST(1.0239 AS DOUBLE), CAST(1.0748 AS DOUBLE), CAST(0.9569 AS DOUBLE)),
+      (CAST(5129 AS INT), CAST(0.98 AS DOUBLE), CAST(1.016 AS DOUBLE), CAST(1.1214 AS DOUBLE), CAST(0.966 AS DOUBLE), CAST(0.8349 AS DOUBLE), CAST(1.0201 AS DOUBLE), CAST(1.0543 AS DOUBLE)),
+      (CAST(5130 AS INT), CAST(0.9513 AS DOUBLE), CAST(1.1282 AS DOUBLE), CAST(1.1251 AS DOUBLE), CAST(1.0734 AS DOUBLE), CAST(1.1253 AS DOUBLE), CAST(0.9858 AS DOUBLE), CAST(0.9157 AS DOUBLE)),
+      (CAST(5131 AS INT), CAST(1.0483 AS DOUBLE), CAST(1.0603 AS DOUBLE), CAST(0.9427 AS DOUBLE), CAST(1.116 AS DOUBLE), CAST(1.0175 AS DOUBLE), CAST(0.9684 AS DOUBLE), CAST(1.1303 AS DOUBLE)),
+      (CAST(5132 AS INT), CAST(1.0702 AS DOUBLE), CAST(1.0843 AS DOUBLE), CAST(1.2699 AS DOUBLE), CAST(0.8273 AS DOUBLE), CAST(1.0061 AS DOUBLE), CAST(1.0093 AS DOUBLE), CAST(0.9255 AS DOUBLE))
+    ) AS t(week_seq1, r_sun_sales, r_mon_sales, r_tue_sales, r_wed_sales, r_thu_sales, r_fri_sales, r_sat_sales)
+    """)
+def tpcds_q2_week_dow_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2: web+catalog weekly revenue pivoted by day-of-week,
+    then each 1998 week ratioed against the same week one year later
+    (week_seq + 53) — the q59 self-join shape over the combined
+    channel union."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    union = ws.select(
+        F.col("ws_sold_date_sk").alias("sold_date_sk"),
+        F.col("ws_ext_sales_price").alias("sales_price"),
+    ).unionByName(
+        cs.select(
+            F.col("cs_sold_date_sk").alias("sold_date_sk"),
+            F.col("cs_ext_sales_price").alias("sales_price"),
+        )
+    )
+    days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+    weekly = (
+        union.join(dd, F.col("sold_date_sk") == dd.d_date_sk)
+        .groupBy("d_week_seq")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("d_day_name") == day, F.col("sales_price")).otherwise(0)
+                ).alias(f"{day[:3].lower()}_sales")
+                for day in days
+            ]
+        )
+    )
+    cols = [f"{d[:3].lower()}_sales" for d in days]
+    y1 = weekly.select(
+        F.col("d_week_seq").alias("week_seq1"),
+        *[F.col(c).alias(f"{c}1") for c in cols],
+    )
+    y2 = weekly.select(
+        (F.col("d_week_seq") - 53).alias("week_seq1"),
+        *[F.col(c).alias(f"{c}2") for c in cols],
+    )
+    joined = y1.join(y2, "week_seq1")
+    return (
+        joined.select(
+            "week_seq1",
+            *[
+                F.when(
+                    F.col(f"{c}2") != 0, F.round(F.col(f"{c}1") / F.col(f"{c}2"), 4)
+                )
+                .cast("double")
+                .alias(f"r_{c}")
+                for c in cols
+            ],
+        )
+        .orderBy("week_seq1")
+        .limit(20)
+    )
+
+
+@register("tpcds_q4_three_channel_growth", """    SELECT * FROM (VALUES
+      ('00000000000000C6', 'Jennifer', 'Lopez'),
+      ('00000000000000C7', 'Susan', 'Martinez'),
+      ('0000000000000C10', 'Michael', 'Miller'),
+      ('0000000000000C16', 'Charles', 'Martinez'),
+      ('0000000000000C31', 'Charles', 'Brown'),
+      ('0000000000000C44', 'Jennifer', 'Martinez'),
+      ('0000000000000C52', 'Maria', 'Lopez'),
+      ('0000000000000C53', 'Susan', 'Jones'),
+      ('0000000000000C76', 'Jennifer', 'Hernandez'),
+      ('0000000000000C84', 'Michael', 'Jones'),
+      ('0000000000000C91', 'Michael', 'Martinez'),
+      ('000000000000C104', 'Linda', 'Martinez'),
+      ('000000000000C134', 'Susan', 'Rodriguez'),
+      ('000000000000C143', 'Linda', 'Brown'),
+      ('000000000000C144', 'Barbara', 'Brown'),
+      ('000000000000C155', 'Mary', 'Davis'),
+      ('000000000000C174', 'Linda', 'Rodriguez'),
+      ('000000000000C188', 'William', 'Brown'),
+      ('000000000000C214', 'James', 'Davis'),
+      ('000000000000C232', 'Richard', 'Miller')
+    ) AS t(c_customer_id, c_first_name, c_last_name)
+    """)
+def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4: customers whose catalog AND web spending grew faster
+    1998→1999 than their store spending — the q74 year_total self-join
+    extended to all three channels (six per-customer rollups joined on
+    customer id). Totals use the spec's full price formula
+    (((list - wholesale - discount) + sales) / 2)."""
+    ss, dd, _ = _star(spark)
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+
+    def year_total(fact, date_col, cust_col, lp, wc, disc, sp, label):
+        total = (
+            (F.col(lp) - F.col(wc) - F.col(disc)) + F.col(sp)
+        ) / 2
+        return (
+            fact.join(dd, F.col(date_col) == dd.d_date_sk)
+            .where(F.col("d_year").isin(1998, 1999))
+            .groupBy(F.col(cust_col).alias("cust_sk"), "d_year")
+            .agg(F.sum(total).alias(f"{label}_total"))
+        )
+
+    s = year_total(ss, "ss_sold_date_sk", "ss_customer_sk",
+                   "ss_ext_list_price", "ss_ext_wholesale_cost",
+                   "ss_ext_discount_amt", "ss_ext_sales_price", "s")
+    c = year_total(cs, "cs_sold_date_sk", "cs_bill_customer_sk",
+                   "cs_ext_list_price", "cs_ext_wholesale_cost",
+                   "cs_ext_discount_amt", "cs_ext_sales_price", "c")
+    w = year_total(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+                   "ws_ext_list_price", "ws_ext_wholesale_cost",
+                   "ws_ext_discount_amt", "ws_ext_sales_price", "w")
+
+    def split(df, label):
+        first = df.where(F.col("d_year") == 1998).select(
+            "cust_sk", F.col(f"{label}_total").alias(f"{label}98")
+        )
+        second = df.where(F.col("d_year") == 1999).select(
+            "cust_sk", F.col(f"{label}_total").alias(f"{label}99")
+        )
+        return first.join(second, "cust_sk")
+    joined = split(s, "s").join(split(c, "c"), "cust_sk").join(split(w, "w"), "cust_sk")
+    grown = joined.where(
+        (F.col("s98") > 0) & (F.col("c98") > 0) & (F.col("w98") > 0)
+        & (F.col("c99") / F.col("c98") > F.col("s99") / F.col("s98"))
+        & (F.col("w99") / F.col("w98") > F.col("s99") / F.col("s98"))
+    )
+    return (
+        grown.join(cu, grown.cust_sk == cu.c_customer_sk)
+        .select("c_customer_id", "c_first_name", "c_last_name")
+        .orderBy("c_customer_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q11_two_channel_growth", """    SELECT * FROM (VALUES
+      ('00000000000000C6', 'Jennifer', 'Lopez'),
+      ('00000000000000C7', 'Susan', 'Martinez'),
+      ('0000000000000C10', 'Michael', 'Miller'),
+      ('0000000000000C16', 'Charles', 'Martinez'),
+      ('0000000000000C30', 'John', 'Lopez'),
+      ('0000000000000C31', 'Charles', 'Brown'),
+      ('0000000000000C44', 'Jennifer', 'Martinez'),
+      ('0000000000000C49', 'Susan', 'Miller'),
+      ('0000000000000C50', 'Barbara', 'Lopez'),
+      ('0000000000000C53', 'Susan', 'Jones'),
+      ('0000000000000C60', 'Richard', 'Martinez'),
+      ('0000000000000C63', 'David', 'Martinez'),
+      ('0000000000000C71', 'Richard', 'Davis'),
+      ('0000000000000C76', 'Jennifer', 'Hernandez'),
+      ('0000000000000C77', 'Charles', 'Lopez'),
+      ('0000000000000C78', 'Barbara', 'Johnson'),
+      ('0000000000000C79', 'William', 'Johnson'),
+      ('0000000000000C83', 'William', 'Martinez'),
+      ('0000000000000C84', 'Michael', 'Jones'),
+      ('0000000000000C86', 'Susan', 'Hernandez')
+    ) AS t(c_customer_id, c_first_name, c_last_name)
+    """)
+def tpcds_q11_two_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11: the q4 growth shape on store vs web only, with the
+    simpler (list - discount) total formula."""
+    ss, dd, _ = _star(spark)
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+
+    def year_total(fact, date_col, cust_col, lp, disc, label):
+        total = F.col(lp) - F.col(disc)
+        return (
+            fact.join(dd, F.col(date_col) == dd.d_date_sk)
+            .where(F.col("d_year").isin(1998, 1999))
+            .groupBy(F.col(cust_col).alias("cust_sk"), "d_year")
+            .agg(F.sum(total).alias(f"{label}_total"))
+        )
+
+    s = year_total(ss, "ss_sold_date_sk", "ss_customer_sk",
+                   "ss_ext_list_price", "ss_ext_discount_amt", "s")
+    w = year_total(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+                   "ws_ext_list_price", "ws_ext_discount_amt", "w")
+
+    def split(df, label):
+        first = df.where(F.col("d_year") == 1998).select(
+            "cust_sk", F.col(f"{label}_total").alias(f"{label}98")
+        )
+        second = df.where(F.col("d_year") == 1999).select(
+            "cust_sk", F.col(f"{label}_total").alias(f"{label}99")
+        )
+        return first.join(second, "cust_sk")
+
+    joined = split(s, "s").join(split(w, "w"), "cust_sk")
+    grown = joined.where(
+        (F.col("s98") > 0) & (F.col("w98") > 0)
+        & (F.col("w99") / F.col("w98") > F.col("s99") / F.col("s98"))
+    )
+    return (
+        grown.join(cu, joined.cust_sk == cu.c_customer_sk)
+        .select("c_customer_id", "c_first_name", "c_last_name")
+        .orderBy("c_customer_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q6_pricey_item_states", """    SELECT * FROM (VALUES
+      ('CA', CAST(259 AS BIGINT)),
+      ('FL', CAST(253 AS BIGINT)),
+      ('VA', CAST(250 AS BIGINT)),
+      ('IL', CAST(248 AS BIGINT)),
+      ('NY', CAST(248 AS BIGINT)),
+      ('TN', CAST(248 AS BIGINT)),
+      ('WA', CAST(247 AS BIGINT)),
+      ('NC', CAST(241 AS BIGINT)),
+      ('OH', CAST(237 AS BIGINT)),
+      ('KY', CAST(235 AS BIGINT)),
+      ('MI', CAST(232 AS BIGINT)),
+      ('TX', CAST(231 AS BIGINT)),
+      ('GA', CAST(226 AS BIGINT)),
+      ('MO', CAST(212 AS BIGINT))
+    ) AS t(ca_state, cnt)
+    """)
+def tpcds_q6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6: customer states buying items priced >1.2× their
+    category average in one month — the correlated category-average
+    subquery decorrelated into an avg window over the item dim, the
+    spec's HAVING count ≥ 10."""
+    ss, dd, it = _star(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    w = Window.partitionBy("i_category")
+    pricey = (
+        it.withColumn("cat_avg", F.avg("i_current_price").over(w))
+        .where(F.col("i_current_price") > 1.2 * F.col("cat_avg"))
+        .select("i_item_sk")
+    )
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 7)).select("d_date_sk")
+    return (
+        ss.join(dates, ss.ss_sold_date_sk == F.col("d_date_sk"))
+        .join(pricey, ss.ss_item_sk == F.col("i_item_sk"), "leftsemi")
+        .join(cu, ss.ss_customer_sk == cu.c_customer_sk)
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .groupBy("ca_state")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= 10)
+        .orderBy(F.col("cnt").desc(), "ca_state")
+        .limit(20)
+    )
+
+
+@register("tpcds_q8_preferred_zip_stores", """    SELECT * FROM (VALUES
+      ('able', CAST(3788732.73 AS DOUBLE)),
+      ('anti', CAST(3779115.06 AS DOUBLE)),
+      ('cally', CAST(11621757.25 AS DOUBLE)),
+      ('eing', CAST(4011533.32 AS DOUBLE)),
+      ('ese', CAST(7376619.14 AS DOUBLE))
+    ) AS t(s_store_name, net_profit)
+    """)
+def tpcds_q8_preferred_zip_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8: store net profit restricted to stores whose zip
+    2-prefix matches a preferred-customer zip — the qualifying zip set
+    (preferred customers' 5-digit zips, >5 holders) reduces first,
+    then probes the 8-row store dim by prefix."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    # Spec counts >10 preferred holders per 5-digit zip; the uniform
+    # 90k-zip generator leaves <1 holder per zip, so the density rule
+    # moves to the 3-digit prefix (same reduce-then-probe shape).
+    qual_zips = (
+        cu.where(F.col("c_preferred_cust_flag") == "Y")
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .groupBy(F.substring("ca_zip", 1, 3).alias("zip3"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 30)
+        .select(F.substring("zip3", 1, 2).alias("zip2"))
+        .distinct()
+    )
+    stores = st.join(
+        qual_zips, F.substring(st.s_zip, 1, 2) == F.col("zip2"), "leftsemi"
+    )
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_qoy") == 2)).select("d_date_sk")
+    return (
+        ss.join(dates, ss.ss_sold_date_sk == F.col("d_date_sk"))
+        .join(stores, ss.ss_store_sk == stores.s_store_sk)
+        .groupBy("s_store_name")
+        .agg(_money("ss_net_profit").alias("net_profit"))
+        .orderBy("s_store_name")
+        .limit(10)
+    )
+
+
+@register("tpcds_q15_catalog_zip_revenue", """    SELECT * FROM (VALUES
+      ('22264', CAST(746.85 AS DOUBLE)),
+      ('90981', CAST(630.47 AS DOUBLE)),
+      ('78038', CAST(601.7 AS DOUBLE)),
+      ('42334', CAST(589.52 AS DOUBLE)),
+      ('88514', CAST(563.65 AS DOUBLE)),
+      ('17844', CAST(531.88 AS DOUBLE)),
+      ('63881', CAST(518.35 AS DOUBLE)),
+      ('27029', CAST(512.8 AS DOUBLE)),
+      ('85752', CAST(502.47 AS DOUBLE)),
+      ('60605', CAST(491.75 AS DOUBLE)),
+      ('41332', CAST(455.07 AS DOUBLE)),
+      ('38452', CAST(437.93 AS DOUBLE)),
+      ('71120', CAST(436.51 AS DOUBLE)),
+      ('76565', CAST(435.11 AS DOUBLE)),
+      ('39390', CAST(428.41 AS DOUBLE)),
+      ('94783', CAST(422.19 AS DOUBLE)),
+      ('89462', CAST(421.09 AS DOUBLE)),
+      ('17956', CAST(420.18 AS DOUBLE)),
+      ('88330', CAST(414.64 AS DOUBLE)),
+      ('85684', CAST(413.72 AS DOUBLE))
+    ) AS t(ca_zip, sum_sales)
+    """)
+def tpcds_q15_catalog_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15: catalog revenue by customer zip where the zip
+    prefix, state, or a large sale qualifies the row — the spec's
+    disjunctive qualification over the bill-customer's address."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_qoy") == 1)).select("d_date_sk")
+    return (
+        cs.join(dates, cs.cs_sold_date_sk == F.col("d_date_sk"))
+        .join(cu, cs.cs_bill_customer_sk == cu.c_customer_sk)
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .where(
+            F.substring("ca_zip", 1, 2).isin("85", "86", "88")
+            | F.col("ca_state").isin("CA", "WA", "GA")
+            | (F.col("cs_sales_price") > 180)
+        )
+        .groupBy(F.col("ca_zip"))
+        .agg(_money("cs_sales_price").alias("sum_sales"))
+        .orderBy(F.col("sum_sales").desc(), "ca_zip")
+        .limit(20)
+    )
