@@ -5980,3 +5980,494 @@ def tpcds_q15_catalog_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("sum_sales").desc(), "ca_zip")
         .limit(20)
     )
+
+
+@register("tpcds_q13_band_averages", """
+    SELECT * FROM (VALUES
+      (CAST(5.3571 AS DOUBLE), CAST(465.7786 AS DOUBLE), CAST(344.7036 AS DOUBLE), CAST(4825.85 AS DOUBLE))
+    ) AS t(avg_quantity, avg_ext_sales, avg_wholesale, sum_wholesale)
+    """)
+def tpcds_q13_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13: store-sales averages under disjunctive demographic
+    price bands AND address profit bands — q85's OR-of-ANDs predicate
+    architecture on the store channel with a single demographics
+    role."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    cd = gen_customer_demographics(spark)
+    hd = gen_household_demographics(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    base = (
+        ss.join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .join(cd, ss.ss_cdemo_sk == cd.cd_demo_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(ca, ss.ss_addr_sk == ca.ca_address_sk)
+        .where(
+            (
+                (
+                    (F.col("cd_marital_status") == "M")
+                    & (F.col("cd_education_status") == "Advanced Degree")
+                    & F.col("ss_sales_price").between(100.00, 150.00)
+                    & (F.col("hd_dep_count") == 3)
+                )
+                | (
+                    (F.col("cd_marital_status") == "S")
+                    & (F.col("cd_education_status") == "College")
+                    & F.col("ss_sales_price").between(50.00, 100.00)
+                    & (F.col("hd_dep_count") == 1)
+                )
+                | (
+                    (F.col("cd_marital_status") == "W")
+                    & (F.col("cd_education_status") == "2 yr Degree")
+                    & F.col("ss_sales_price").between(150.00, 200.00)
+                    & (F.col("hd_dep_count") == 1)
+                )
+            )
+            & (
+                (F.col("ca_country") == "United States")
+                & (
+                    (F.col("ca_state").isin("TX", "OH", "TN") & F.col("ss_net_profit").between(0, 240))
+                    | (F.col("ca_state").isin("GA", "MI", "IL") & F.col("ss_net_profit").between(50, 250))
+                    | (F.col("ca_state").isin("NC", "FL", "CA") & F.col("ss_net_profit").between(0, 250))
+                )
+            )
+        )
+    )
+    return base.agg(
+        F.round(F.avg("ss_quantity"), 4).cast("double").alias("avg_quantity"),
+        F.round(F.avg("ss_ext_sales_price"), 4).cast("double").alias("avg_ext_sales"),
+        F.round(F.avg("ss_ext_wholesale_cost"), 4).cast("double").alias("avg_wholesale"),
+        F.round(F.sum("ss_ext_wholesale_cost"), 2).cast("double").alias("sum_wholesale"),
+    )
+
+
+@register("tpcds_q17_chain_quantity_stats", """    SELECT * FROM (VALUES
+      ('000000000000I208', CAST(1 AS BIGINT), CAST(94.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(77.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(61.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('000000000000I310', CAST(1 AS BIGINT), CAST(12.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(11.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(35.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I1847', CAST(1 AS BIGINT), CAST(98.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(18.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(40.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I2811', CAST(1 AS BIGINT), CAST(88.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(64.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(94.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I4820', CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(24.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(40.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I6317', CAST(1 AS BIGINT), CAST(55.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(7.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(63.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I6320', CAST(1 AS BIGINT), CAST(34.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(16.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(65.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I7496', CAST(1 AS BIGINT), CAST(91.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(32.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I8041', CAST(1 AS BIGINT), CAST(63.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(39.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I8551', CAST(1 AS BIGINT), CAST(46.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(39.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(82.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I8624', CAST(1 AS BIGINT), CAST(73.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(28.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('00000000000I9179', CAST(1 AS BIGINT), CAST(76.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(6.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('0000000000I10826', CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(34.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(47.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('0000000000I11658', CAST(1 AS BIGINT), CAST(15.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(15.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(18.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+      ('0000000000I14098', CAST(1 AS BIGINT), CAST(27.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(11.0 AS DOUBLE), CAST(NULL AS DOUBLE))
+    ) AS t(i_item_id, store_cnt, store_mean, store_cov, ret_cnt, ret_mean, ret_cov, catalog_cnt, catalog_mean, catalog_cov)
+    """)
+def tpcds_q17_chain_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17: the q25 buy→return→rebuy chain reporting quantity
+    statistics (count / mean / coefficient of variation) per stage —
+    variance from exact integer partials like q39, so the pin is
+    partition-invariant."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    d1 = dd.where(F.col("d_year") == 1998).select(F.col("d_date_sk").alias("d1_sk"))
+    d23 = dd.where(F.col("d_year").isin(1998, 1999)).select(
+        F.col("d_date_sk").alias("d23_sk")
+    )
+    chain = (
+        ss.join(d1, ss.ss_sold_date_sk == F.col("d1_sk"))
+        .join(
+            sr.join(d23, sr.sr_returned_date_sk == F.col("d23_sk")),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_customer_sk") == F.col("sr_customer_sk")),
+        )
+        .join(
+            cs.join(
+                d23.withColumnRenamed("d23_sk", "d3_sk"),
+                F.col("cs_sold_date_sk") == F.col("d3_sk"),
+            ),
+            (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk"))
+            & (F.col("sr_item_sk") == F.col("cs_item_sk")),
+        )
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .join(it, F.col("ss_item_sk") == it.i_item_sk)
+    )
+
+    def stats(col, tag):
+        n = F.count(col)
+        s = F.sum(col).cast("bigint")
+        ss_ = F.sum(F.col(col) * F.col(col)).cast("bigint")
+        mean = s / n
+        var = (ss_ - s * s / n) / (n - 1)
+        # cov defined only for n>1 groups (sample variance); the
+        # generators' sparse chain leaves singleton groups NULL
+        cov = F.when(n > 1, F.round(F.sqrt(var) / mean, 4)).cast("double")
+        return [
+            n.cast("bigint").alias(f"{tag}_cnt"),
+            F.round(mean, 4).cast("double").alias(f"{tag}_mean"),
+            cov.alias(f"{tag}_cov"),
+        ]
+
+    return (
+        chain.groupBy("i_item_id")
+        .agg(
+            *stats("ss_quantity", "store"),
+            *stats("sr_return_quantity", "ret"),
+            *stats("cs_quantity", "catalog"),
+        )
+        .orderBy("i_item_id")
+        .limit(15)
+    )
+
+
+@register("tpcds_q18_catalog_demo_averages", """    SELECT * FROM (VALUES
+      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(49.6921 AS DOUBLE), CAST(102.1688 AS DOUBLE), CAST(40.5617 AS DOUBLE), CAST(1168.1483 AS DOUBLE)),
+      ('United States', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(49.6921 AS DOUBLE), CAST(102.1688 AS DOUBLE), CAST(40.5617 AS DOUBLE), CAST(1168.1483 AS DOUBLE)),
+      ('United States', 'CA', CAST(NULL AS VARCHAR), CAST(47.1875 AS DOUBLE), CAST(103.7716 AS DOUBLE), CAST(21.7123 AS DOUBLE), CAST(1076.0846 AS DOUBLE)),
+      ('United States', 'CA', 'Daviess County', CAST(48.8148 AS DOUBLE), CAST(115.3711 AS DOUBLE), CAST(40.1641 AS DOUBLE), CAST(1163.7419 AS DOUBLE)),
+      ('United States', 'CA', 'Walker County', CAST(51.3125 AS DOUBLE), CAST(85.96 AS DOUBLE), CAST(24.7838 AS DOUBLE), CAST(1030.8363 AS DOUBLE)),
+      ('United States', 'CA', 'Williamson County', CAST(56.0588 AS DOUBLE), CAST(112.9447 AS DOUBLE), CAST(12.7224 AS DOUBLE), CAST(1351.6118 AS DOUBLE)),
+      ('United States', 'CA', 'Ziebach County', CAST(34.15 AS DOUBLE), CAST(94.5645 AS DOUBLE), CAST(1.9865 AS DOUBLE), CAST(759.748 AS DOUBLE)),
+      ('United States', 'GA', CAST(NULL AS VARCHAR), CAST(45.8783 AS DOUBLE), CAST(108.5207 AS DOUBLE), CAST(25.0972 AS DOUBLE), CAST(1128.5601 AS DOUBLE)),
+      ('United States', 'GA', 'Daviess County', CAST(43.7143 AS DOUBLE), CAST(104.5707 AS DOUBLE), CAST(50.4268 AS DOUBLE), CAST(1131.1907 AS DOUBLE)),
+      ('United States', 'GA', 'Walker County', CAST(44.7273 AS DOUBLE), CAST(108.4164 AS DOUBLE), CAST(3.5127 AS DOUBLE), CAST(1087.5288 AS DOUBLE)),
+      ('United States', 'GA', 'Williamson County', CAST(47.9667 AS DOUBLE), CAST(110.1633 AS DOUBLE), CAST(34.6117 AS DOUBLE), CAST(1278.755 AS DOUBLE)),
+      ('United States', 'GA', 'Ziebach County', CAST(47.375 AS DOUBLE), CAST(111.2192 AS DOUBLE), CAST(13.3317 AS DOUBLE), CAST(994.1654 AS DOUBLE)),
+      ('United States', 'TX', CAST(NULL AS VARCHAR), CAST(53.1146 AS DOUBLE), CAST(98.6324 AS DOUBLE), CAST(59.2852 AS DOUBLE), CAST(1172.3916 AS DOUBLE)),
+      ('United States', 'TX', 'Daviess County', CAST(48.0 AS DOUBLE), CAST(94.2669 AS DOUBLE), CAST(47.3492 AS DOUBLE), CAST(1047.0231 AS DOUBLE)),
+      ('United States', 'TX', 'Walker County', CAST(50.9643 AS DOUBLE), CAST(100.4143 AS DOUBLE), CAST(139.6664 AS DOUBLE), CAST(1084.3729 AS DOUBLE)),
+      ('United States', 'TX', 'Williamson County', CAST(55.1304 AS DOUBLE), CAST(115.6474 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1521.6987 AS DOUBLE)),
+      ('United States', 'TX', 'Ziebach County', CAST(60.8421 AS DOUBLE), CAST(81.3832 AS DOUBLE), CAST(28.9284 AS DOUBLE), CAST(1050.8147 AS DOUBLE)),
+      ('United States', 'VA', CAST(NULL AS VARCHAR), CAST(53.1798 AS DOUBLE), CAST(96.3349 AS DOUBLE), CAST(57.291 AS DOUBLE), CAST(1297.4784 AS DOUBLE)),
+      ('United States', 'VA', 'Daviess County', CAST(55.5263 AS DOUBLE), CAST(86.57 AS DOUBLE), CAST(111.2942 AS DOUBLE), CAST(1098.0795 AS DOUBLE)),
+      ('United States', 'VA', 'Walker County', CAST(54.0 AS DOUBLE), CAST(82.6396 AS DOUBLE), CAST(33.6962 AS DOUBLE), CAST(1255.2277 AS DOUBLE))
+    ) AS t(ca_country, ca_state, ca_county, agg1, agg2, agg3, agg4)
+    """)
+def tpcds_q18_catalog_demo_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q18: catalog averages for a demographic slice with birth
+    months, rolled up the customer GEOGRAPHY hierarchy
+    (country/state/county ROLLUP over the address dim)."""
+    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    cd = gen_customer_demographics(spark)
+    base = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .join(cd, cs.cs_bill_cdemo_sk == cd.cd_demo_sk)
+        .where(
+            (F.col("cd_gender") == "F") & (F.col("cd_education_status") == "Unknown")
+        )
+        .join(cu, cs.cs_bill_customer_sk == cu.c_customer_sk)
+        .where(F.col("c_birth_month").isin(1, 6, 8, 9))
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .where(F.col("ca_state").isin("MS", "IN", "ND", "OK", "NM", "VA", "CA", "TX", "GA"))
+    )
+    return (
+        base.rollup("ca_country", "ca_state", "ca_county")
+        .agg(
+            F.round(F.avg("cs_quantity"), 4).cast("double").alias("agg1"),
+            F.round(F.avg("cs_list_price"), 4).cast("double").alias("agg2"),
+            F.round(F.avg("cs_coupon_amt"), 4).cast("double").alias("agg3"),
+            F.round(F.avg("cs_net_profit"), 4).cast("double").alias("agg4"),
+        )
+        .orderBy(
+            F.col("ca_country").asc_nulls_first(),
+            F.col("ca_state").asc_nulls_first(),
+            F.col("ca_county").asc_nulls_first(),
+        )
+        .limit(20)
+    )
+
+
+@register("tpcds_q24_returned_color_spenders", """    SELECT * FROM (VALUES
+      ('Brown', 'Barbara', 'able', CAST(687.72 AS DOUBLE)),
+      ('Brown', 'Barbara', 'anti', CAST(3049.07 AS DOUBLE)),
+      ('Brown', 'Barbara', 'cally', CAST(5614.97 AS DOUBLE)),
+      ('Brown', 'Barbara', 'eing', CAST(1254.26 AS DOUBLE)),
+      ('Brown', 'Charles', 'cally', CAST(9269.12 AS DOUBLE)),
+      ('Brown', 'Charles', 'eing', CAST(4443.67 AS DOUBLE)),
+      ('Brown', 'Charles', 'ese', CAST(3004.17 AS DOUBLE)),
+      ('Brown', 'David', 'cally', CAST(14838.05 AS DOUBLE)),
+      ('Brown', 'David', 'ese', CAST(3521.41 AS DOUBLE)),
+      ('Brown', 'Elizabeth', 'able', CAST(30821.09 AS DOUBLE)),
+      ('Brown', 'Elizabeth', 'cally', CAST(22854.22 AS DOUBLE)),
+      ('Brown', 'James', 'able', CAST(1410.91 AS DOUBLE)),
+      ('Brown', 'James', 'anti', CAST(17079.81 AS DOUBLE)),
+      ('Brown', 'James', 'cally', CAST(7784.79 AS DOUBLE)),
+      ('Brown', 'James', 'ese', CAST(5550.79 AS DOUBLE)),
+      ('Brown', 'Jennifer', 'able', CAST(4669.92 AS DOUBLE)),
+      ('Brown', 'Jennifer', 'anti', CAST(1928.38 AS DOUBLE)),
+      ('Brown', 'Jennifer', 'cally', CAST(10020.96 AS DOUBLE)),
+      ('Brown', 'Jennifer', 'eing', CAST(15278.89 AS DOUBLE)),
+      ('Brown', 'John', 'cally', CAST(4274.92 AS DOUBLE))
+    ) AS t(c_last_name, c_first_name, s_store_name, paid)
+    """)
+def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24: customers whose net paid on RETURNED store lines of
+    one color beats 5% of the average — sales↔returns natural-key
+    join, customer/store/address roles, and the spec's scalar
+    average-threshold cross join. (Spec's birth-country≠address-
+    country filter becomes a zip mismatch: the generator emits one
+    country.)"""
+    ss, _, it = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    base = (
+        ss.join(
+            sr.select(
+                F.col("sr_ticket_number").alias("ss_ticket_number"),
+                F.col("sr_item_sk").alias("ss_item_sk"),
+            ),
+            ["ss_ticket_number", "ss_item_sk"],
+        )
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(cu, ss.ss_customer_sk == cu.c_customer_sk)
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .where(F.col("s_zip") != F.col("ca_zip"))
+    )
+    ssales = base.groupBy("c_last_name", "c_first_name", "s_store_name", "i_color").agg(
+        F.sum("ss_net_paid").alias("netpaid")
+    )
+    threshold = ssales.agg((F.avg("netpaid") * 0.05).alias("bar"))
+    return (
+        ssales.where(F.col("i_color") == "gold")
+        .crossJoin(F.broadcast(threshold))
+        .where(F.col("netpaid") > F.col("bar"))
+        .select(
+            "c_last_name",
+            "c_first_name",
+            "s_store_name",
+            F.round("netpaid", 2).cast("double").alias("paid"),
+        )
+        .orderBy("c_last_name", "c_first_name", "s_store_name", F.col("paid"))
+        .limit(20)
+    )
+
+
+@register("tpcds_q29_chain_quantity_sums", """    SELECT * FROM (VALUES
+      ('000000000000I208', 'Premium imported supplies', '00000000000000S3', 'eing', CAST(94 AS BIGINT), CAST(77 AS BIGINT), CAST(61 AS BIGINT)),
+      ('000000000000I310', 'Classic certified supplies', '00000000000000S6', 'ese', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(35 AS BIGINT)),
+      ('00000000000I1847', 'Durable everyday essentials', '00000000000000S2', 'cally', CAST(98 AS BIGINT), CAST(18 AS BIGINT), CAST(40 AS BIGINT)),
+      ('00000000000I2811', 'Premium imported wares', '00000000000000S8', 'able', CAST(88 AS BIGINT), CAST(64 AS BIGINT), CAST(94 AS BIGINT)),
+      ('00000000000I4820', 'Classic seasonal supplies', '00000000000000S5', 'cally', CAST(75 AS BIGINT), CAST(24 AS BIGINT), CAST(40 AS BIGINT)),
+      ('00000000000I6317', 'Classic imported supplies', '00000000000000S5', 'cally', CAST(55 AS BIGINT), CAST(7 AS BIGINT), CAST(63 AS BIGINT)),
+      ('00000000000I6320', 'Premium seasonal goods', '00000000000000S4', 'ese', CAST(34 AS BIGINT), CAST(16 AS BIGINT), CAST(65 AS BIGINT)),
+      ('00000000000I7496', 'Popular certified items', '00000000000000S2', 'cally', CAST(91 AS BIGINT), CAST(32 AS BIGINT), CAST(48 AS BIGINT)),
+      ('00000000000I8041', 'Popular everyday wares', '00000000000000S6', 'ese', CAST(63 AS BIGINT), CAST(48 AS BIGINT), CAST(39 AS BIGINT)),
+      ('00000000000I8551', 'Durable certified items', '00000000000000S6', 'ese', CAST(46 AS BIGINT), CAST(39 AS BIGINT), CAST(82 AS BIGINT)),
+      ('00000000000I8624', 'Durable imported goods', '00000000000000S8', 'able', CAST(73 AS BIGINT), CAST(28 AS BIGINT), CAST(75 AS BIGINT)),
+      ('00000000000I9179', 'Durable handmade goods', '00000000000000S2', 'cally', CAST(76 AS BIGINT), CAST(48 AS BIGINT), CAST(6 AS BIGINT)),
+      ('0000000000I10826', 'Classic certified goods', '00000000000000S4', 'ese', CAST(75 AS BIGINT), CAST(34 AS BIGINT), CAST(47 AS BIGINT)),
+      ('0000000000I11658', 'Durable seasonal wares', '00000000000000S8', 'able', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(18 AS BIGINT)),
+      ('0000000000I14098', 'Durable imported goods', '00000000000000S7', 'cally', CAST(27 AS BIGINT), CAST(9 AS BIGINT), CAST(11 AS BIGINT)),
+      ('0000000000I15441', 'Popular everyday items', '00000000000000S4', 'ese', CAST(79 AS BIGINT), CAST(36 AS BIGINT), CAST(25 AS BIGINT)),
+      ('0000000000I17964', 'Premium imported wares', '00000000000000S2', 'cally', CAST(54 AS BIGINT), CAST(13 AS BIGINT), CAST(95 AS BIGINT))
+    ) AS t(i_item_id, i_item_desc, s_store_id, s_store_name, store_sales_quantity, store_returns_quantity, catalog_sales_quantity)
+    """)
+def tpcds_q29_chain_quantity_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q29: the q25 chain reporting quantity SUMS per (item,
+    store) for the three stages."""
+    ss, dd, it = _star(spark)
+    st = gen_store(spark)
+    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    d1 = dd.where(F.col("d_year") == 1998).select(F.col("d_date_sk").alias("d1_sk"))
+    d2 = dd.where(F.col("d_year").isin(1998, 1999)).select(
+        F.col("d_date_sk").alias("d2_sk")
+    )
+    d3 = dd.where(F.col("d_year").isin(1998, 1999)).select(
+        F.col("d_date_sk").alias("d3_sk")
+    )
+    chain = (
+        ss.join(d1, ss.ss_sold_date_sk == F.col("d1_sk"))
+        .join(
+            sr.join(d2, sr.sr_returned_date_sk == F.col("d2_sk")),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_customer_sk") == F.col("sr_customer_sk")),
+        )
+        .join(
+            cs.join(d3, F.col("cs_sold_date_sk") == F.col("d3_sk")),
+            (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk"))
+            & (F.col("sr_item_sk") == F.col("cs_item_sk")),
+        )
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .join(it, F.col("ss_item_sk") == it.i_item_sk)
+    )
+    return (
+        chain.groupBy("i_item_id", "i_item_desc", "s_store_id", "s_store_name")
+        .agg(
+            F.sum("ss_quantity").cast("bigint").alias("store_sales_quantity"),
+            F.sum("sr_return_quantity").cast("bigint").alias("store_returns_quantity"),
+            F.sum("cs_quantity").cast("bigint").alias("catalog_sales_quantity"),
+        )
+        .orderBy("i_item_id", "s_store_id")
+        .limit(20)
+    )
+
+
+@register("tpcds_q41_manufact_attribute_probe", """    SELECT * FROM (VALUES
+      ('Product 00000006'),
+      ('Product 00000014'),
+      ('Product 00000027'),
+      ('Product 00000064'),
+      ('Product 00000083'),
+      ('Product 00000107'),
+      ('Product 00000113'),
+      ('Product 00000117'),
+      ('Product 00000118'),
+      ('Product 00000126'),
+      ('Product 00000128'),
+      ('Product 00000134'),
+      ('Product 00000135'),
+      ('Product 00000137'),
+      ('Product 00000152'),
+      ('Product 00000154'),
+      ('Product 00000155'),
+      ('Product 00000162'),
+      ('Product 00000164'),
+      ('Product 00000185')
+    ) AS t(i_product_name)
+    """)
+def tpcds_q41_manufact_attribute_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41: distinct product names of items whose MANUFACTURER
+    also makes an item matching a disjunctive attribute battery — the
+    spec's correlated EXISTS over the item dim itself, expressed as a
+    manufacturer-key semi join against the battery-filtered probe
+    set."""
+    it = gen_item(spark, 18_000, seed=100)
+    probe = it.where(
+        (
+            F.col("i_color").isin("azure", "blue")
+            & F.col("i_units").isin("Each", "Dozen")
+            & (F.col("i_size") == "large")
+        )
+        | (
+            F.col("i_color").isin("gold", "cream")
+            & F.col("i_units").isin("Case", "Pound")
+            & (F.col("i_size") == "small")
+        )
+        | (
+            F.col("i_color").isin("coral", "cyan")
+            & F.col("i_units").isin("Oz", "Gram")
+            & (F.col("i_size") == "medium")
+        )
+    ).select("i_manufact_id")
+    return (
+        it.where(F.col("i_manufact_id").between(70, 80))
+        .join(probe, "i_manufact_id", "leftsemi")
+        .select("i_product_name")
+        .distinct()
+        .orderBy("i_product_name")
+        .limit(20)
+    )
+
+
+@register("tpcds_q45_web_zip_revenue", """    SELECT * FROM (VALUES
+      ('86000', 'Fairview', CAST(521.29 AS DOUBLE)),
+      ('85499', 'Centerville', CAST(495.07 AS DOUBLE)),
+      ('85359', 'Riverside', CAST(486.11 AS DOUBLE)),
+      ('93873', 'Five Points', CAST(420.57 AS DOUBLE)),
+      ('85368', 'Pleasant Hill', CAST(396.33 AS DOUBLE)),
+      ('93143', 'Oak Grove', CAST(395.01 AS DOUBLE)),
+      ('93646', 'Fairview', CAST(383.92 AS DOUBLE)),
+      ('85490', 'Midway', CAST(363.62 AS DOUBLE)),
+      ('93619', 'Pleasant Hill', CAST(363.26 AS DOUBLE)),
+      ('88481', 'Five Points', CAST(359.83 AS DOUBLE)),
+      ('85528', 'Liberty', CAST(352.14 AS DOUBLE)),
+      ('91387', 'Fairview', CAST(350.91 AS DOUBLE)),
+      ('93378', 'Centerville', CAST(349.88 AS DOUBLE)),
+      ('91786', 'Pleasant Hill', CAST(349.84 AS DOUBLE)),
+      ('88657', 'Oak Grove', CAST(342.85 AS DOUBLE)),
+      ('88721', 'Union', CAST(342.53 AS DOUBLE)),
+      ('88609', 'Pleasant Hill', CAST(336.22 AS DOUBLE)),
+      ('88905', 'Five Points', CAST(335.87 AS DOUBLE)),
+      ('91768', 'Centerville', CAST(335.35 AS DOUBLE)),
+      ('86895', 'Midway', CAST(332.32 AS DOUBLE))
+    ) AS t(ca_zip, ca_city, sum_sales)
+    """)
+def tpcds_q45_web_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45: web revenue by customer (zip, city) where the zip
+    is in a fixed list OR the item is in a picked item-id set — the
+    spec's OR of an address predicate with an item-key semi
+    condition."""
+    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    dd = gen_date_dim(spark)
+    it = gen_item(spark, 18_000, seed=100)
+    cu = gen_customer_ds(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    picked = it.where(F.col("i_item_sk").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)).select(
+        F.col("i_item_sk").alias("picked_sk")
+    )
+    dates = dd.where((F.col("d_year") == 1998) & (F.col("d_qoy") == 2)).select("d_date_sk")
+    base = (
+        ws.join(dates, ws.ws_sold_date_sk == F.col("d_date_sk"))
+        .join(cu, ws.ws_bill_customer_sk == cu.c_customer_sk)
+        .join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
+        .join(picked, ws.ws_item_sk == F.col("picked_sk"), "left")
+        .where(
+            F.substring("ca_zip", 1, 2).isin("85", "86", "88", "91", "93")
+            | F.col("picked_sk").isNotNull()
+        )
+    )
+    return (
+        base.groupBy("ca_zip", "ca_city")
+        .agg(_money("ws_sales_price").alias("sum_sales"))
+        .orderBy(F.col("sum_sales").desc(), "ca_zip", "ca_city")
+        .limit(20)
+    )
+
+
+@register("tpcds_q48_band_quantity_sum", """
+    SELECT * FROM (VALUES
+      (CAST(29530 AS BIGINT))
+    ) AS t(total_quantity)
+    """)
+def tpcds_q48_band_quantity_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48: total store quantity under the q13-style disjunctive
+    demographic and address bands — single scalar output."""
+    ss, dd, _ = _star(spark)
+    st = gen_store(spark)
+    cd = gen_customer_demographics(spark)
+    ca = gen_customer_address(spark, 50_000, seed=100)
+    base = (
+        ss.join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .where(F.col("d_year") == 1998)
+        .join(cd, ss.ss_cdemo_sk == cd.cd_demo_sk)
+        .join(ca, ss.ss_addr_sk == ca.ca_address_sk)
+        .where(
+            (
+                (
+                    (F.col("cd_marital_status") == "M")
+                    & (F.col("cd_education_status") == "4 yr Degree")
+                    & F.col("ss_sales_price").between(100.00, 150.00)
+                )
+                | (
+                    (F.col("cd_marital_status") == "D")
+                    & (F.col("cd_education_status") == "2 yr Degree")
+                    & F.col("ss_sales_price").between(50.00, 100.00)
+                )
+                | (
+                    (F.col("cd_marital_status") == "S")
+                    & (F.col("cd_education_status") == "College")
+                    & F.col("ss_sales_price").between(150.00, 200.00)
+                )
+            )
+            & (F.col("ca_country") == "United States")
+            & (
+                (F.col("ca_state").isin("CO", "OH", "TX") & F.col("ss_net_profit").between(0, 2000))
+                | (F.col("ca_state").isin("OR", "MN", "KY") & F.col("ss_net_profit").between(150, 3000))
+                | (F.col("ca_state").isin("VA", "CA", "MS") & F.col("ss_net_profit").between(50, 25000))
+            )
+        )
+    )
+    return base.agg(F.sum("ss_quantity").cast("bigint").alias("total_quantity"))
