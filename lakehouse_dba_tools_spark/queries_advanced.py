@@ -7,7 +7,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_dba_tools_spark.operators.skew import salted_agg
+from lakehouse_dba_tools_spark.operators.skew import salted_agg, salted_join
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 from lakehouse_dba_tools_spark.streaming.windows import run_stream_to_table, sliding_rollup, stream_events
@@ -90,6 +90,37 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("*").alias("_n"), F.sum("value").alias("_s")],
         [F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")],
         n_salts=16,
+    )
+
+
+@register(
+    "salted_join_weighted_rollup",
+    """
+    WITH w(event_type, weight) AS (VALUES
+      ('signup', 2.0), ('error', 0.5), ('click', 1.0),
+      ('view', 0.1), ('purchase', 5.0))
+    SELECT e.event_type, count(*) AS n,
+           round(sum(e.value * w.weight), 2) AS weighted_total
+    FROM events e JOIN w USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN: events (5 distinct event_type values —
+    a maximally hot join key) joined to a per-type weight dim through
+    `salted_join`, which spreads each hot key across 8 salt reducers.
+    The oracle is the plain unsalted join — the salt must be
+    semantically invisible."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    weights = spark.createDataFrame(
+        [("signup", 2.0), ("error", 0.5), ("click", 1.0),
+         ("view", 0.1), ("purchase", 5.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, weights, ["event_type"], n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_total"),
     )
 
 

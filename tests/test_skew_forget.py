@@ -129,3 +129,55 @@ def test_cascade_plan_broadcasts_and_never_shuffles_facts(spark, sf_dir):
     plan = deleted["lineitem"]._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_salted_join_matches_plain_inner(spark):
+    from lakehouse_dba_tools_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, v) for v, k in enumerate(["a", "a", "a", "b", "c", "a"])],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([("a", 10), ("b", 20), ("d", 40)], ["k", "w"])
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, ["k"], n_salts=4).collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
+def test_salted_join_matches_plain_left(spark):
+    from lakehouse_dba_tools_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([("a", 1), ("zz", 2)], ["k", "v"])
+    dim = spark.createDataFrame([("a", 10)], ["k", "w"])
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(fact, dim, ["k"], n_salts=3, how="left").collect()
+    )
+    assert got == [("a", 1, 10), ("zz", 2, None)]
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest as _pytest
+
+    from lakehouse_dba_tools_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how=how)
+
+
+def test_salted_join_salt_reaches_join_keys(spark):
+    """The physical join must key on _salt (the whole point: the hot
+    key's rows hash to n_salts partitions, not one)."""
+    from lakehouse_dba_tools_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([("a", 1)] * 8, ["k", "v"])
+    dim = spark.createDataFrame([("a", 10)], ["k", "w"])
+    plan = (
+        salted_join(fact, dim, ["k"], n_salts=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
