@@ -236,28 +236,42 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # bounded: N_QUERY*TOP_K rows — persist so the 3 recall joins don't
-    # each re-run the brute corpus pass
+    # bounded: N_QUERY*TOP_K rows — persist so the recall join doesn't
+    # re-run the brute corpus pass
     truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id").persist()
     n_total = N_QUERY * TOP_K
-    # one centroid training + one corpus assignment serves every nprobe;
-    # persist=False: the fixture corpus is small enough that the cache
-    # stage barrier costs more than recomputing the assignment (the
-    # at-scale default persists — see ivf_topk_curve docstring)
+    # one centroid training + ONE persisted corpus assignment serves
+    # every nprobe (the at-scale default — see ivf_topk_curve), and the
+    # three per-config recall counts fold into ONE union job keyed by
+    # nprobe: per-job overhead (scheduling + Python-worker round trips)
+    # dominates at any corpus size, and at 100 TB the assignment pass
+    # is the expensive part so running it once instead of three times
+    # is the difference between 1× and 3× corpus scans.
     corpus_assign, curve = ivf_topk_curve(
         emb, q, k=TOP_K, n_centroids=16,
-        nprobes=tuple(p for p, _ in _IVF_PROBE_FLOORS), persist=False,
+        nprobes=tuple(p for p, _ in _IVF_PROBE_FLOORS), persist=True,
     )
     floors = dict(_IVF_PROBE_FLOORS)
-    rows, prev = [], -1.0
     try:
-        for nprobe, approx in curve:
-            recall = (
-                approx.select("query_id", "neighbor_id")
-                .join(truth, ["query_id", "neighbor_id"])
-                .count()
-                / n_total
+        tagged = [
+            approx.select(
+                F.lit(nprobe).alias("nprobe"), "query_id", "neighbor_id"
             )
+            for nprobe, approx in curve
+        ]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t)
+        hits = {
+            r["nprobe"]: r["n_hits"]
+            for r in union.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("nprobe")
+            .agg(F.count("*").alias("n_hits"))
+            .collect()
+        }
+        rows, prev = [], -1.0
+        for nprobe, _ in curve:
+            recall = hits.get(nprobe, 0) / n_total
             rows.append((nprobe, floors[nprobe], recall >= floors[nprobe], recall >= prev))
             prev = recall
     finally:
@@ -305,18 +319,31 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles, curve = lsh_topk_curve(
         emb, q, k=TOP_K, n_planes=6,
         n_tables_list=tuple(t for t, _ in _LSH_TABLE_FLOORS),
-        persist=False,  # small fixture corpus; see ivf_recall_report
+        persist=True,  # one bucketing pass serves every config; the
+        # three recall counts fold into one union job (see
+        # ivf_recall_report)
     )
     floors = dict(_LSH_TABLE_FLOORS)
-    rows, prev = [], -1.0
     try:
-        for n_tables, approx in curve:
-            recall = (
-                approx.select("query_id", "neighbor_id")
-                .join(truth, ["query_id", "neighbor_id"])
-                .count()
-                / n_total
+        tagged = [
+            approx.select(
+                F.lit(n_tables).alias("n_tables"), "query_id", "neighbor_id"
             )
+            for n_tables, approx in curve
+        ]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t)
+        hits = {
+            r["n_tables"]: r["n_hits"]
+            for r in union.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("n_tables")
+            .agg(F.count("*").alias("n_hits"))
+            .collect()
+        }
+        rows, prev = [], -1.0
+        for n_tables, _ in curve:
+            recall = hits.get(n_tables, 0) / n_total
             rows.append((6, n_tables, floors[n_tables], recall >= floors[n_tables], recall >= prev))
             prev = recall
     finally:
@@ -355,9 +382,10 @@ def int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = brute_topk(emb, q, k=TOP_K).select("query_id", "neighbor_id").persist()
     n_total = N_QUERY * TOP_K
-    rows = []
+    configs = ((127, 0.85), (15, 0.75))
     try:
-        for levels, floor in ((127, 0.85), (15, 0.75)):
+        tagged = []
+        for levels, _ in configs:
             scale = F.lit(float(levels)) / F.array_max(
                 F.transform(F.col("embedding"), lambda x: F.abs(x))
             )
@@ -370,14 +398,26 @@ def int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             qq = quantized.filter(F.col("vec_id") < N_QUERY).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-            approx = brute_topk(quantized, qq, k=TOP_K)
-            recall = (
-                approx.select("query_id", "neighbor_id")
-                .join(truth, ["query_id", "neighbor_id"])
-                .count()
-                / n_total
+            tagged.append(
+                brute_topk(quantized, qq, k=TOP_K).select(
+                    F.lit(levels).alias("q_levels"), "query_id", "neighbor_id"
+                )
             )
-            rows.append((levels, floor, recall >= floor))
+        # both quantization levels score in ONE union job against the
+        # persisted truth — per-job overhead halves, and both quantized
+        # corpus passes schedule together
+        hits = {
+            r["q_levels"]: r["n_hits"]
+            for r in tagged[0].unionByName(tagged[1])
+            .join(truth, ["query_id", "neighbor_id"])
+            .groupBy("q_levels")
+            .agg(F.count("*").alias("n_hits"))
+            .collect()
+        }
+        rows = [
+            (levels, floor, hits.get(levels, 0) / n_total >= floor)
+            for levels, floor in configs
+        ]
     finally:
         truth.unpersist()
     return spark.createDataFrame(rows, "q_levels int, recall_floor double, recall_ok boolean")
