@@ -125,6 +125,81 @@ def salted_join_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_copurchase_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1e0 / (SELECT n FROM nn) AS rank FROM nodes),
+    m1 AS (
+      SELECT e.dst AS node, sum(r0.rank / od.deg) AS in_mass
+      FROM edges e JOIN r0 ON r0.node = e.src JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n2.node,
+             round((1 - 0.85e0) / (SELECT n FROM nn)
+                   + 0.85e0 * coalesce(m1.in_mass, 0), 12) AS rank
+      FROM nodes n2 LEFT JOIN m1 ON m1.node = n2.node
+    ),
+    m2 AS (
+      SELECT e.dst AS node, sum(r1.rank / od.deg) AS in_mass
+      FROM edges e JOIN r1 ON r1.node = e.src JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n2.node,
+             round((1 - 0.85e0) / (SELECT n FROM nn)
+                   + 0.85e0 * coalesce(m2.in_mass, 0), 12) AS rank
+      FROM nodes n2 LEFT JOIN m2 ON m2.node = n2.node
+    ),
+    m3 AS (
+      SELECT e.dst AS node, sum(r2.rank / od.deg) AS in_mass
+      FROM edges e JOIN r2 ON r2.node = e.src JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n2.node,
+             round((1 - 0.85e0) / (SELECT n FROM nn)
+                   + 0.85e0 * coalesce(m3.in_mass, 0), 12) AS rank
+      FROM nodes n2 LEFT JOIN m3 ON m3.node = n2.node
+    )
+    SELECT node AS part, round(rank * 1e6, 6) AS rank_ppm FROM r3
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality: 3 power iterations of PageRank over
+    the part co-purchase graph (parts sharing an order, both
+    directions, deduped) — the graph-quality-prior pattern web-corpus
+    curation uses (rank docs/domains by link centrality). The oracle
+    unrolls the identical simplified formula (dangling mass dropped)
+    in SQL; per-iteration round(12) makes double-summation order
+    noise vanish so Spark and DuckDB agree bit-exactly."""
+    from lakehouse_dba_tools_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("part"),
+        F.round(F.col("rank") * 1e6, 6).alias("rank_ppm"),
+    )
+
+
+@register(
     "order_price_percentiles",
     """
     SELECT o_orderpriority,

@@ -181,3 +181,33 @@ def test_salted_join_salt_reaches_join_keys(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_salt" in plan
+
+
+def test_pagerank_one_iteration_hand_values(spark):
+    """A→B, A→C, B→C (C dangling): r1(A)=(1-d)/3, r1(B)=0.05+0.85/6,
+    r1(C)=0.05+0.85*(1/6+1/3)."""
+    from lakehouse_dba_tools_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    assert got["A"] == round(0.15 / 3, 12)
+    assert got["B"] == round(0.15 / 3 + 0.85 * (1 / 3) / 2, 12)
+    assert got["C"] == round(0.15 / 3 + 0.85 * ((1 / 3) / 2 + (1 / 3)), 12)
+
+
+def test_pagerank_run_invariant(spark):
+    """Shuffle/summation order must not leak into ranks (the
+    per-iteration round(12) guarantee)."""
+    from lakehouse_dba_tools_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 7) % 23) for i in range(300) if i % 17 != (i * 7) % 23],
+        ["src", "dst"],
+    ).distinct()
+    a = sorted(tuple(r) for r in pagerank(edges, iterations=4).collect())
+    b = sorted(
+        tuple(r) for r in pagerank(edges.repartition(13), iterations=4).collect()
+    )
+    assert a == b
