@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -42,6 +43,13 @@ def pagerank(
     Ranks are rounded to 12 dp each iteration (see module docstring).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list appears in every iteration's contribution join AND
+    # feeds nodes/outdeg — without materialization an expensive edge
+    # derivation (e.g. a fact-table self-join) recomputes once per
+    # appearance in the final plan. localCheckpoint computes it once
+    # and truncates lineage, same discipline as the CC min-label loop.
+    if materialize_edges:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -51,6 +59,9 @@ def pagerank(
     # for scalars that feed the plan)
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
     nodes = nodes.crossJoin(F.broadcast(n_df))
+    if materialize_edges:
+        # reused by every iteration's rank merge (left join) + init
+        nodes = nodes.localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     contrib_src = e.join(outdeg, "src")
 

@@ -73,7 +73,11 @@ CHECKED_FIRST: tuple[str, ...] = (
     # of the 22 (q1 via pricing_summary, q3-q11, q13, q14, q16, q17,
     # q19-q21) trails, still diffchecked locally.
     "q12_shipmode_priority",
-    "q15_top_supplier",
+    # q15_top_supplier rotates out (green r4; view+max-subquery shape
+    # stays locally diffchecked) to fund salted_join_weighted_rollup —
+    # the skew-safe salted join added this round, same join+agg cost
+    # envelope (~0.6s at sf0.1) so the swap is bench-neutral.
+    "salted_join_weighted_rollup",
     "q18_large_orders",
     # q22_idle_customers rotates out (green r4): its anti-join +
     # avg-subquery shapes are carried by tpcds_q16 (leftanti+leftsemi)
