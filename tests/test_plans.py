@@ -140,3 +140,48 @@ def test_tpch_topk_uses_take_ordered(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
         assert "Sort " not in plan.replace("SortMergeJoin", ""), name
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic half of the skew story (salted_join is the manual
+    half): AQE's runtime skew-split must fire on a hot-key sort-merge
+    join — SortMergeJoin(skew=true) + AQEShuffleRead skewed in the
+    FINAL adaptive plan. Thresholds are lowered to make local-scale
+    shuffle sizes eligible; values are drawn from rand() so lz4 can't
+    compress the hot partition below the skew threshold."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20000",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10000",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), (F.rand(5) * 1e9).cast("long").alias("v")
+        ).union(
+            spark.range(1, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        )
+        other = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(other, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
