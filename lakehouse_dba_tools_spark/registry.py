@@ -82,7 +82,8 @@ CHECKED_FIRST: tuple[str, ...] = (
     # q22_idle_customers rotates out (green r4): its anti-join +
     # avg-subquery shapes are carried by tpcds_q16 (leftanti+leftsemi)
     # and tpcds_q1/q65's decorrelated-average (q1 trails, locally
-    # diffchecked); TPC-H keeps q12/q15/q18 checked, the rest local.
+    # diffchecked); TPC-H keeps q12/q18 checked (q15 rotated out
+    # round 5 for salted_join_weighted_rollup), the rest local.
     # TPC-DS tier (rounds 5) — the reference's benchmark corpus
     # (evaluation_tools/dbstress__Current.py:103). q3 = the date×item
     # brand-rollup family (q42/q52/q55 trail as its variants), q7 = the
@@ -120,7 +121,7 @@ CHECKED_FIRST: tuple[str, ...] = (
     # Core relational / ETL / lakehouse tier
     # pricing_summary + region_revenue trail (round 4): the q1 rollup
     # shape is checked via datagen_lineitem_rollup, the inner equi-join
-    # via q15/q18/event_cost_attribution.
+    # via q18/event_cost_attribution (q15 trails since round 5).
     # W1 dedup-by-key is exercised inside query_history_etl_e2e (checked);
     # first_order_per_customer stays registered as its bench-stable twin.
     # latest_event_per_user (W2) rotates out (green r1-r4): same
