@@ -136,3 +136,46 @@ def test_merge_upsert_bucketed_target_shuffles_only_source(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_merge_target")
+
+
+def test_bucketed_merge_upsert_zero_exchange(spark, sf_dir):
+    """The 100 TB MERGE story, plan-pinned: a merge_upsert whose target
+    AND source are same-bucketed on the merge key must run its
+    left-anti (kept-target) join with ZERO exchanges — the write-time
+    bucket shuffle replaces the per-merge shuffle Delta MERGE pays on
+    every run against an unclustered target."""
+    from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        "b_merge_target", ["k"], 8,
+    )
+    write_bucketed(
+        orders.limit(500).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        "b_merge_source", ["k"], 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        target = spark.table("b_merge_target")
+        source = spark.table("b_merge_source")
+        merged = merge_upsert(target, source, ["k"], validate_unique=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "Exchange" not in plan, plan
+        assert merged.count() == target.count()
+        # matched rows really were replaced
+        doubled = (
+            merged.join(orders, merged["k"] == orders["o_orderkey"])
+            .filter(merged["o_totalprice"] == orders["o_totalprice"] * 2)
+            .count()
+        )
+        assert doubled >= 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_merge_target")
+        spark.sql("DROP TABLE IF EXISTS b_merge_source")
