@@ -87,3 +87,31 @@ def rollup_report(
         cols.append(F.col(f"min_{m}"))
         cols.append(F.col(f"max_{m}"))
     return rollup.select(*cols)
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Insert-only IVM for an inner equi-join.
+
+    The classic delta algebra: with A' = A ∪ ΔA and B' = B ∪ ΔB,
+
+        A'⋈B' = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    so the VIEW refresh only computes the three delta joins — cost
+    ∝ |Δ| × match rate, never |A⋈B|. At 100 TB the deltas are the
+    small sides: Catalyst broadcasts them against the standing tables
+    (or, with both sides bucketed on the key, all three joins
+    co-locate shuffle-free — same discipline as merge_upsert).
+    Complements the partial-aggregate rollup maintenance above: joins
+    via delta algebra, aggregates via re-aggregatable partials.
+    """
+    return (
+        delta_a.join(b_old, on)
+        .unionByName(a_old.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

@@ -269,6 +269,51 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_refresh",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_rows,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM (maintenance/rollup.py incremental_join_delta):
+    orders and lineitem each arrive as (old, delta) splits; the
+    standing join view is refreshed with the three delta joins
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) instead of recomputing A'⋈B'. The rolled-up
+    refreshed view must equal the from-scratch join (the oracle) —
+    the equality that makes join-view maintenance safe. Exact decimal
+    sums so merge order is immaterial."""
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+    from lakehouse_dba_tools_spark.maintenance.rollup import incremental_join_delta
+
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_extendedprice"
+    )
+    a_old, delta_a = a.filter(F.col("okey") % 7 != 0), a.filter(F.col("okey") % 7 == 0)
+    b_old, delta_b = b.filter(F.col("l_quantity") <= 25), b.filter(F.col("l_quantity") > 25)
+    view = a_old.join(b_old, ["okey"]).unionByName(
+        incremental_join_delta(a_old, delta_a, b_old, delta_b, ["okey"])
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
     "rollup_cascade_report",
     """
     SELECT event_type,

@@ -93,3 +93,24 @@ def test_streaming_dedup_drops_redelivery(spark, sf_dir):
     agg = dd.groupBy().agg(F.count("*").alias("n"))
     out = run_stream_to_table(agg, spark)
     assert out.collect()[0]["n"] == base
+
+
+def test_incremental_join_delta_identity(spark):
+    """A'⋈B' == A⋈B ∪ deltas, including duplicate-key multiplicities."""
+    from lakehouse_dba_tools_spark.maintenance.rollup import incremental_join_delta
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2"), (2, "a2x")], ["k", "av"])
+    d_a = spark.createDataFrame([(2, "a3"), (3, "a4")], ["k", "av"])
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2")], ["k", "bv"])
+    d_b = spark.createDataFrame([(2, "b3"), (3, "b4"), (9, "b5")], ["k", "bv"])
+    full = sorted(
+        tuple(r)
+        for r in a_old.unionByName(d_a).join(b_old.unionByName(d_b), ["k"]).collect()
+    )
+    incr = sorted(
+        tuple(r)
+        for r in a_old.join(b_old, ["k"])
+        .unionByName(incremental_join_delta(a_old, d_a, b_old, d_b, ["k"]))
+        .collect()
+    )
+    assert incr == full
