@@ -200,6 +200,44 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_time_window_totals",
+    """
+    SELECT user_id, event_id,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS rolling_2h_value
+    FROM events
+    """,
+)
+def rolling_time_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame (rangeBetween over epoch seconds): each
+    event's rolling 2-hour value total per user. RANGE frames are
+    value-bounded, so tied timestamps are all peers regardless of row
+    order — deterministic where a rowsBetween frame would not be.
+    Exact decimal sums make frame-internal order immaterial. One hash
+    exchange on user_id; the frame scan is a single sorted pass per
+    partition (no self-join range explosion)."""
+    from pyspark.sql import Window
+
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7200, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("rolling_2h_value"),
+    )
+
+
+@register(
     "order_price_percentiles",
     """
     SELECT o_orderpriority,
