@@ -238,6 +238,77 @@ def rolling_time_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_gapfill_locf",
+    """
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS v,
+             count(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM b GROUP BY event_type),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.h, b.v, coalesce(b.n, 0) AS n
+      FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.h = s.h
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour, n,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM j
+    """,
+)
+def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + LOCF (the hypertable
+    time_bucket_gapfill pattern): build the dense hourly spine per
+    event_type with sequence()+explode between each series' min/max
+    bucket, left-join the sparse rollup onto it, and carry the last
+    non-null bucket value forward with last(ignorenulls) — empty hours
+    report n=0 and the previous hour's value. The spine generation is
+    per-group and distributed (no driver date loop); bucket values are
+    rounded BEFORE the fill so both engines carry identical doubles."""
+    from pyspark.sql import Window
+
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(b, ["event_type", "h"], "left").select(
+        "event_type", "h", "v", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@register(
     "order_price_percentiles",
     """
     SELECT o_orderpriority,
