@@ -349,6 +349,54 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INT) AS k,
+           count(*) AS n_classes,
+           min(class_size) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             AS BIGINT) AS rows_violating,
+           CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS classes_violating
+    FROM g
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pre-flight for training-data release: k-anonymity over a
+    quasi-identifier tuple (nation, segment, coarsened balance band) —
+    one groupBy for the equivalence classes, one 1-row aggregate for
+    the report (min class size, rows/classes below k). The release
+    rule: rows_violating must be suppressed or the bands coarsened
+    before export. Pure relational — a single shuffle on the QI tuple
+    at any scale; complements doc_pii_redaction's row-level scrubbing
+    with dataset-level re-identification risk."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    k = 5
+    return g.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(F.lit(0))
+        ).alias("rows_violating"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.lit(1)).otherwise(F.lit(0))
+        ).alias("classes_violating"),
+    )
+
+
+@register(
     "order_price_percentiles",
     """
     SELECT o_orderpriority,
