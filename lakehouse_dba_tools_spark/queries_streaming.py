@@ -168,3 +168,38 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "n_events", F.col("sum_value"))
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    """
+    SELECT e.event_type, c.c_mktsegment, count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/joins.py enrich_with_static):
+    the events stream joins the static customer dim per micro-batch —
+    stateless, broadcast dim — then rolls up per (event_type, segment).
+    On a bounded replay the final state must equal the batch join (the
+    oracle). Exact decimal sums make micro-batch arrival order
+    immaterial."""
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+    from lakehouse_dba_tools_spark.sources.tables import load_table
+    from lakehouse_dba_tools_spark.streaming.joins import enrich_with_static
+
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_static(ev, dim, ["user_id"])
+    rollup = enriched.groupBy("event_type", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast(DEC)), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_stream_to_table(rollup, spark)

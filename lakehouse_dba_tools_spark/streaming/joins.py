@@ -54,3 +54,13 @@ def purchases_after_views(
         "view_id",
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static enrichment join: STATELESS — the static side is
+    re-planned per micro-batch (picking up dim updates between
+    batches), no watermark or state store involved. The dim is
+    broadcast-hinted: at scale the enrichment dim is the small side by
+    construction, and a per-batch shuffle of the stream would defeat
+    micro-batch latency."""
+    return stream.join(F.broadcast(dim), on)
