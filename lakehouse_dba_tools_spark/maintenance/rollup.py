@@ -115,3 +115,33 @@ def incremental_join_delta(
         .unionByName(a_old.join(delta_b, on))
         .unionByName(delta_a.join(delta_b, on))
     )
+
+
+def incremental_join_retract(
+    old_view: DataFrame,
+    a_new: DataFrame,
+    del_a: DataFrame,
+    b_old: DataFrame,
+    del_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Deletion-aware IVM for an inner equi-join (multiset semantics).
+
+    With A = A' ⊎ ∇A and B = B' ⊎ ∇B (∇ = deleted rows), the removals
+    from the standing view A⋈B are
+
+        ∇A⋈B  ⊎  A'⋈∇B
+
+    (the second term uses the NEW A' so the ∇A⋈∇B intersection is not
+    subtracted twice), and the refreshed view is
+
+        A'⋈B' = (A⋈B) exceptAll removals.
+
+    exceptAll is multiset-exact (duplicate join rows retract one-for-
+    one). Cost ∝ |view| + |∇|·match — the view re-shuffles once for
+    the exceptAll, which is the honest price of retraction without a
+    keyed state store; insert-only pipelines should prefer
+    incremental_join_delta. ``b_old`` is the pre-deletion B.
+    """
+    removals = del_a.join(b_old, on).unionByName(a_new.join(del_b, on))
+    return old_view.exceptAll(removals)

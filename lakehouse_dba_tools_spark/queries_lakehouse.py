@@ -314,6 +314,49 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_retract_refresh",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_rows,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 11 <> 0 AND l.l_quantity <= 45
+    GROUP BY o.o_orderpriority
+    """,
+)
+def incremental_join_retract_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware join-view IVM (incremental_join_retract): rows
+    deleted from orders (∇A) and lineitem (∇B) retract from the
+    standing join view via exceptAll of ∇A⋈B ∪ A'⋈∇B — multiset-exact,
+    no view recompute. The rolled-up retracted view must equal the
+    join of the post-deletion tables (the oracle)."""
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+    from lakehouse_dba_tools_spark.maintenance.rollup import incremental_join_retract
+
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_extendedprice"
+    )
+    del_a, a_new = a.filter(F.col("okey") % 11 == 0), a.filter(F.col("okey") % 11 != 0)
+    del_b = b.filter(F.col("l_quantity") > 45)
+    old_view = a.join(b, ["okey"])
+    refreshed = incremental_join_retract(old_view, a_new, del_a, b, del_b, ["okey"])
+    return refreshed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
     "rollup_cascade_report",
     """
     SELECT event_type,

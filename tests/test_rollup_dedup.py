@@ -114,3 +114,29 @@ def test_incremental_join_delta_identity(spark):
         .collect()
     )
     assert incr == full
+
+
+def test_incremental_join_retract_identity(spark):
+    """Retraction is multiset-exact: duplicate join rows retract
+    one-for-one, and the refreshed view equals the post-deletion
+    from-scratch join."""
+    from lakehouse_dba_tools_spark.maintenance.rollup import incremental_join_retract
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2"), (3, "a3")], ["k", "av"]
+    )
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (3, "b3"), (3, "b3x")], ["k", "bv"])
+    del_a = a.filter("k = 3")
+    a_new = a.exceptAll(del_a)
+    del_b = b.filter("bv = 'b2'")
+    b_new = b.exceptAll(del_b)
+    refreshed = sorted(
+        tuple(r)
+        for r in incremental_join_retract(
+            a.join(b, ["k"]), a_new, del_a, b, del_b, ["k"]
+        ).collect()
+    )
+    scratch = sorted(tuple(r) for r in a_new.join(b_new, ["k"]).collect())
+    assert refreshed == scratch
+    # the duplicate (2, 'a2') rows are both gone with b2 deleted
+    assert all(r[0] != 2 for r in refreshed)
