@@ -100,7 +100,8 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('signup', 2.0), ('error', 0.5), ('click', 1.0),
       ('view', 0.1), ('purchase', 5.0))
     SELECT e.event_type, count(*) AS n,
-           round(sum(e.value * w.weight), 2) AS weighted_total
+           CAST(round(sum(CAST(e.value * w.weight AS DECIMAL(38,12))), 2)
+             AS DOUBLE) AS weighted_total
     FROM events e JOIN w USING (event_type)
     GROUP BY e.event_type
     """,
@@ -117,10 +118,17 @@ def salted_join_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("view", 0.1), ("purchase", 5.0)],
         "event_type string, weight double",
     )
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+
     joined = salted_join(ev, weights, ["event_type"], n_salts=8)
+    # exact-decimal sum: the per-row double product is engine-identical,
+    # the decimal sum makes accumulation order immaterial (a plain
+    # double sum flipped the cents digit at sf0.1)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_total"),
+        F.round(F.sum((F.col("value") * F.col("weight")).cast(DEC)), 2)
+        .cast("double")
+        .alias("weighted_total"),
     )
 
 
