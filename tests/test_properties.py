@@ -185,3 +185,34 @@ def test_store_returns_derivation_invariants(spark, n_sales, seed, rate):
     assert (agg.bad_split or 0) == 0
     again = gen_store_returns(spark, n_sales, seed=seed, return_rate=rate)
     assert again.count() == sr.count()
+
+
+join_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key (few values → hot)
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(
+    fact=join_rows,
+    dim=join_rows,
+    n_salts=st.integers(min_value=1, max_value=6),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim, n_salts, how):
+    """salted_join must be semantically invisible for any inputs,
+    salt count, and supported join type — including duplicate keys on
+    both sides (multiset multiplicities must match)."""
+    from lakehouse_dba_tools_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(fact, "k int, v int") if fact else spark.range(0).selectExpr("0 k", "0 v").limit(0)
+    d_rows = [(k, v) for k, v in dim]
+    d = spark.createDataFrame(d_rows, "k int, w int") if d_rows else spark.range(0).selectExpr("0 k", "0 w").limit(0)
+    got = sorted(tuple(r) for r in salted_join(f, d, ["k"], n_salts=n_salts, how=how).collect())
+    want = sorted(tuple(r) for r in f.join(d, ["k"], how).collect())
+    assert got == want
