@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.functions.stable import DEC
 from lakehouse_dba_tools_spark.operators.skew import salted_agg, salted_join
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.tables import load_table
@@ -75,20 +76,27 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_event_rollup",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
 def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over the low-cardinality (skew-prone)
     event_type key — result must be identical to the direct groupBy
-    (the oracle)."""
+    (the oracle). Exact-decimal partials: two-phase salting maximally
+    reorders accumulation, so a double sum could flip a rounding
+    boundary vs the oracle's single-phase sum (observed on the salted
+    JOIN at sf0.1)."""
     ev = load_table(spark, sf_dir, "events")
     return salted_agg(
         ev,
         ["event_type"],
-        [F.count("*").alias("_n"), F.sum("value").alias("_s")],
-        [F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")],
+        [F.count("*").alias("_n"), F.sum(F.col("value").cast(DEC)).alias("_s")],
+        [
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_s"), 2).cast("double").alias("total"),
+        ],
         n_salts=16,
     )
 
