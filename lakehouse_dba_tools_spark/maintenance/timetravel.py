@@ -43,11 +43,27 @@ def _version_dir(table_path: str, version: int) -> str:
 def write_version(df: DataFrame, table_path: str, operation: str = "WRITE") -> int:
     """Write ``df`` as the table's next immutable version; returns the
     version number. The commit is recorded AFTER a successful write so
-    a failed write never becomes a readable version."""
+    a failed write never becomes a readable version.
+
+    Crash-safe: the parquet lands in a `_tmp_v{N}` staging dir and is
+    RENAMED into `_v{N}` (atomic on one filesystem) only when complete.
+    A `_v{N}` dir present on disk but absent from the log is an orphan
+    from a crash between rename and record_commit — it is removed and
+    the version slot reused, so a half-failed write can never wedge the
+    table on `errorifexists`."""
+    import shutil
+
     entries = read_log(table_path)
     version = max((e["version"] for e in entries), default=-1) + 1
     target = _version_dir(table_path, version)
-    df.write.mode("errorifexists").parquet(target)
+    if os.path.isdir(target):
+        # on-disk but not in the log ⇒ orphaned partial commit
+        shutil.rmtree(target)
+    staging = os.path.join(table_path, f"_tmp_v{version}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, target)
     record_commit(
         table_path,
         operation,

@@ -220,7 +220,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id,
            CAST(round(sum(CAST(value AS DECIMAL(38,12))) OVER (
-             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
              AS rolling_2h_value
     FROM events
@@ -231,7 +231,11 @@ def rolling_time_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     event's rolling 2-hour value total per user. RANGE frames are
     value-bounded, so tied timestamps are all peers regardless of row
     order — deterministic where a rowsBetween frame would not be.
-    Exact decimal sums make frame-internal order immaterial. One hash
+    Spark's ``ts.cast('long')`` TRUNCATES fractional seconds, so the
+    oracle floors (``floor(epoch(ts))``) rather than casting — DuckDB's
+    BIGINT cast rounds half-to-even, which would put ~half the rows on
+    a different 1s RANGE-frame key. Exact decimal sums make
+    frame-internal order immaterial. One hash
     exchange on user_id; the frame scan is a single sorted pass per
     partition (no self-join range explosion)."""
     from pyspark.sql import Window

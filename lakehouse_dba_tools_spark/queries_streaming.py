@@ -183,7 +183,9 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/joins.py enrich_with_static):
     the events stream joins the static customer dim per micro-batch —
-    stateless, broadcast dim — then rolls up per (event_type, segment).
+    stateless — then rolls up per (event_type, segment). customer is
+    SF-scaling, so broadcast=False: AQE decides from size estimates
+    (at gate SF it still broadcasts; at 100 TB it shuffles safely).
     On a bounded replay the final state must equal the batch join (the
     oracle). Exact decimal sums make micro-batch arrival order
     immaterial."""
@@ -195,7 +197,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    enriched = enrich_with_static(ev, dim, ["user_id"])
+    enriched = enrich_with_static(ev, dim, ["user_id"], broadcast=False)
     rollup = enriched.groupBy("event_type", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast(DEC)), 2)

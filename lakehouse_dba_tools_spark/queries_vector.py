@@ -439,10 +439,18 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-reproducible, the CONTRACT is):
     - conservation: kept + dropped == corpus,
     - kept-pairwise: no two kept docs in one cluster reach the
-      threshold (recomputed independently from the kept set),
+      threshold — recomputed INDEPENDENTLY by self-joining the
+      realized kept set within re-derived clusters (assign_clusters
+      is deterministic in (data, seed) so they are the dedup's
+      clusters) and re-scoring cosine from the raw vectors, not by
+      filtering the dedup's own pair set,
     - monotone: a stricter threshold drops at most as many docs.
     The oracle recomputes n_docs relationally and pins the booleans."""
-    from lakehouse_dba_tools_spark.similarity.search import semantic_dedup
+    from lakehouse_dba_tools_spark.similarity.kernels import pair_dot
+    from lakehouse_dba_tools_spark.similarity.search import (
+        assign_clusters,
+        semantic_dedup,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_docs = emb.count()
@@ -454,6 +462,10 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pinned booleans hold for ANY data by construction
     _kept_loose, near_all = semantic_dedup(emb, threshold=0.30, n_centroids=16)
     near_all = near_all.persist()
+    # independent verifier's view of the corpus: same deterministic
+    # clustering re-derived from the raw vectors (bounded: one extra
+    # within-cluster self-join per threshold — same O() as the dedup)
+    assigned = assign_clusters(emb, n_centroids=16).persist()
     # all per-threshold stats fold into ONE aggregation over the pair
     # set (conditional countDistinct per threshold)
     stats = near_all.agg(
@@ -481,11 +493,21 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         # kept-pairwise contract: a near pair with BOTH endpoints kept
-        # would break it. Structural under the drop rule (every near
-        # pair's hi is dropped), verified against the realized set.
+        # would break it. Recomputed from scratch: self-join the
+        # realized kept set within its clusters and re-score cosine —
+        # a wrong drop rule (or wrong pair set) in semantic_dedup
+        # would surface here as a surviving ≥-threshold pair.
+        kept_assigned = assigned.join(dropped_ids, "doc_id", "leftanti")
+        ka = kept_assigned.select(
+            F.col("doc_id").alias("lo_id"), F.col("_v").alias("_va"), "cid"
+        )
+        kb = kept_assigned.select(
+            F.col("doc_id").alias("hi_id"), F.col("_v").alias("_vb"), "cid"
+        )
         n_violations = (
-            near_all.where(F.col("sim") >= threshold)
-            .join(dropped_ids.withColumnRenamed("doc_id", "hi_id"), "hi_id", "leftanti")
+            ka.join(kb, "cid")
+            .where(F.col("lo_id") < F.col("hi_id"))
+            .where(F.round(pair_dot("_va", "_vb"), 9) >= threshold)
             .count()
         )
         rows.append(
@@ -499,6 +521,7 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_kept = n_kept
     near_all.unpersist()
+    assigned.unpersist()
     return spark.createDataFrame(
         rows,
         "threshold double, n_docs long, conservation_ok boolean, "

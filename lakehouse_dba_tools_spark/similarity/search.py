@@ -345,6 +345,27 @@ def embedding_near_dups(
     )
 
 
+def assign_clusters(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse-quantizer cluster assignment: ``(doc_id, cid, _v)``
+    with ``_v`` L2-normalized. Deterministic in (data, seed) — callers
+    (semantic_dedup, and verification queries that need to re-derive
+    within-cluster pairs from a realized kept set) get identical
+    clusters by construction."""
+    cents = np.asarray(
+        train_centroids(corpus, n_centroids, vec_col, seed=seed, id_col=id_col)
+    )
+    assign1 = nearest_centroids_udf(cents, 1)
+    return fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"), l2_normalize(as_double(vec_col)).alias("_v")
+    ).withColumn("cid", assign1(F.col("_v"))[0])
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
@@ -371,13 +392,9 @@ def semantic_dedup(
     equi-join shuffle on cid, never the corpus × corpus cross.
     Centroids train on a bounded driver sample (train_centroids);
     everything else stays distributed."""
-    cents = np.asarray(
-        train_centroids(corpus, n_centroids, vec_col, seed=seed, id_col=id_col)
+    assigned = assign_clusters(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    assign1 = nearest_centroids_udf(cents, 1)
-    assigned = fan_out(corpus).select(
-        F.col(id_col).alias("doc_id"), l2_normalize(as_double(vec_col)).alias("_v")
-    ).withColumn("cid", assign1(F.col("_v"))[0])
     a = assigned.select(
         F.col("doc_id").alias("lo_id"), F.col("_v").alias("_va"), "cid"
     )

@@ -56,11 +56,17 @@ def purchases_after_views(
     )
 
 
-def enrich_with_static(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: list[str], broadcast: bool = True
+) -> DataFrame:
     """Stream-static enrichment join: STATELESS — the static side is
     re-planned per micro-batch (picking up dim updates between
-    batches), no watermark or state store involved. The dim is
-    broadcast-hinted: at scale the enrichment dim is the small side by
-    construction, and a per-batch shuffle of the stream would defeat
-    micro-batch latency."""
-    return stream.join(F.broadcast(dim), on)
+    batches), no watermark or state store involved.
+
+    ``broadcast=True`` is for genuinely FIXED-SIZE dims (lookup/config
+    tables), where a per-batch shuffle of the stream would defeat
+    micro-batch latency. For SF-scaling dims (customer, part, ...)
+    pass ``broadcast=False`` and let Catalyst/AQE pick the strategy
+    from size estimates — forcing a broadcast on a scaling side OOMs
+    at large SF (repo rule, queries_tpcds.py header)."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, on)

@@ -324,3 +324,36 @@ def test_time_travel_versions_immutable_and_vacuumable(spark, sf_dir):
             pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_write_version_recovers_from_orphaned_partial_commit(spark):
+    """Crash-safety (round-5 advice): a `_v{N}` dir on disk with no
+    matching log entry (crash between rename and record_commit) must
+    not wedge the table — the next write_version reclaims the slot.
+    Likewise a leftover `_tmp_v{N}` staging dir is swept."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.maintenance.timetravel import (
+        read_as_of,
+        write_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tt_orphan_")
+    try:
+        path = f"{tmp}/t"
+        a = spark.range(0, 5).select(F.col("id").alias("k"))
+        assert write_version(a, path) == 0
+        # simulate a crashed writer: orphan version dir + stale staging,
+        # neither recorded in the log
+        os.makedirs(f"{path}/_v1/garbage")
+        os.makedirs(f"{path}/_tmp_v1")
+        b = spark.range(5, 9).select(F.col("id").alias("k"))
+        assert write_version(b, path) == 1  # reclaims the orphaned slot
+        assert sorted(r.k for r in read_as_of(spark, path, 1).collect()) == [5, 6, 7, 8]
+        assert not os.path.isdir(f"{path}/_tmp_v1")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
