@@ -47,17 +47,99 @@ from lakehouse_dba_tools_spark.datagen.tpcds import (
 )
 from lakehouse_dba_tools_spark.registry import register
 
-# One fact size for the whole tier: big enough that every group in the
-# checked rollups is multi-row, small enough for the sf0.01 gate.
+# Gate fact size: big enough that every group in the checked rollups
+# is multi-row, small enough for the sf0.01 gate. Bench at sf0.1 runs
+# 10× via scale_for(sf_dir) (round-5 directive: the tier's BENCH cost
+# must grow with SF); pins and oracles stay at the gate, where scale
+# is 1 and generator output equals the parquet export byte-for-byte.
 SS_ROWS = 200_000
 
 
-def _star(spark: SparkSession):
+def _sf_scale(sf_dir: str) -> int:
+    from lakehouse_dba_tools_spark.datagen.export import scale_for
+
+    return scale_for(sf_dir)
+
+
+def _ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_store_sales(spark, SS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _sr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_store_returns(spark, SS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_catalog_sales(spark, CS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _cr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_catalog_returns(spark, CS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_web_sales(spark, WS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _wr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_web_returns(spark, WS_ROWS * _sf_scale(sf_dir), seed=100)
+
+
+def _cs_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_catalog_sales(spark, CS_BIG * _sf_scale(sf_dir), seed=100)
+
+
+def _cr_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_catalog_returns(spark, CS_BIG * _sf_scale(sf_dir), seed=100)
+
+
+def _ws_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_web_sales(spark, WS_BIG * _sf_scale(sf_dir), seed=100)
+
+
+def _wr_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_web_returns(spark, WS_BIG * _sf_scale(sf_dir), seed=100)
+
+
+def _inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_inventory(
+        spark,
+        n_items=2_000 * _sf_scale(sf_dir),
+        n_warehouses=5,
+        n_weeks=104,
+        seed=100,
+    )
+
+
+def _star(spark: SparkSession, sf_dir: str = ""):
     """The generated TPC-DS star: fact + the dims this tier touches."""
-    ss = gen_store_sales(spark, SS_ROWS, seed=100)
+    ss = _ss(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     return ss, dd, it
+
+
+def _gate(spark: SparkSession, big: bool = False) -> None:
+    """Queries with an INDEPENDENT oracle (DuckDB executing real
+    adapted TPC-DS SQL over the exported gate warehouse,
+    datagen/export.py) must guarantee the export exists before the
+    oracle runs — the driver runs the Spark side first, so an eager
+    ensure here is sufficient. No-op after the first call (marker
+    stat)."""
+    from lakehouse_dba_tools_spark.datagen.export import ensure_gate_export
+
+    ensure_gate_export(spark, big=big)
+
+
+def _wh_sql(sql: str, *tables: str) -> str:
+    """Build an independent oracle: real (adapted) TPC-DS SQL text
+    over the exported parquet warehouse. Replaces the round-5 pinned
+    VALUES blocks (tools/pin_tpcds.py) for converted queries — the
+    oracle now exercises DuckDB's own join/filter/aggregate semantics
+    instead of replaying the engine's output."""
+    from lakehouse_dba_tools_spark.datagen.export import with_tables
+
+    return with_tables(sql, *tables)
 
 
 def _money(col, ndigits: int = 2):
@@ -67,28 +149,42 @@ def _money(col, ndigits: int = 2):
 
 @register(
     "tpcds_q3_brand_rollup",
-    """
-    SELECT * FROM (VALUES
-      (CAST(1998 AS INT), CAST(4302 AS INT), 'Brand#43-2', CAST(68000.47 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4309 AS INT), 'Brand#43-9', CAST(52454.51 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4307 AS INT), 'Brand#43-7', CAST(51570.72 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4306 AS INT), 'Brand#43-6', CAST(45688.14 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4310 AS INT), 'Brand#43-10', CAST(26700.89 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4308 AS INT), 'Brand#43-8', CAST(21648.32 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4304 AS INT), 'Brand#43-4', CAST(21095.52 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4305 AS INT), 'Brand#43-5', CAST(19728.6 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4301 AS INT), 'Brand#43-1', CAST(15715.16 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4303 AS INT), 'Brand#43-3', CAST(4394.68 AS DOUBLE))
-    ) AS t(d_year, i_brand_id, i_brand, sum_agg)
+    _wh_sql(
+        """
+    SELECT dt.d_year,
+           item.i_brand_id AS i_brand_id,
+           item.i_brand AS i_brand,
+           CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS sum_agg
+    FROM date_dim dt,
+         store_sales,
+         item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND item.i_manufact_id = 43
+      AND dt.d_moy = 11
+    GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+    ORDER BY dt.d_year, sum_agg DESC, i_brand_id
+    LIMIT 10
     """,
+        "date_dim",
+        "store_sales",
+        "item",
+    ),
 )
 def tpcds_q3_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q3 shape (`evaluation_tools/dbstress__Current.py:103`
     corpus): November sales of one manufacturer's items by brand and
     year. Fact filtered through two dim equi-joins, one hash-agg, top-k
     with deterministic tiebreak. d_moy pushes into date_dim's scan;
-    i_manufact_id into item's — the fact joins only surviving keys."""
-    ss, dd, it = _star(spark)
+    i_manufact_id into item's — the fact joins only surviving keys.
+
+    INDEPENDENT oracle (round 6): DuckDB executes the real q3 text
+    (adapted: this tier's substitution params i_manufact_id=43 /
+    d_moy=11, exact-decimal money sum, unique-tiebreak LIMIT 10)
+    over the exported gate warehouse — not a pinned replay."""
+    _gate(spark)
+    ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -102,28 +198,50 @@ def tpcds_q3_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpcds_q7_demographics_star",
-    """
-    SELECT * FROM (VALUES
-      ('0000000000000I22', CAST(4.0 AS DOUBLE), CAST(169.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(156.26 AS DOUBLE)),
-      ('0000000000000I42', CAST(8.0 AS DOUBLE), CAST(149.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.57 AS DOUBLE)),
-      ('0000000000000I61', CAST(30.5 AS DOUBLE), CAST(67.965 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(49.07 AS DOUBLE)),
-      ('000000000000I111', CAST(32.0 AS DOUBLE), CAST(182.79 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(131.61 AS DOUBLE)),
-      ('000000000000I140', CAST(15.0 AS DOUBLE), CAST(199.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(177.56 AS DOUBLE)),
-      ('000000000000I149', CAST(43.0 AS DOUBLE), CAST(161.52 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(129.22 AS DOUBLE)),
-      ('000000000000I162', CAST(69.0 AS DOUBLE), CAST(21.68 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(18.43 AS DOUBLE)),
-      ('000000000000I165', CAST(84.0 AS DOUBLE), CAST(12.12 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11.39 AS DOUBLE)),
-      ('000000000000I181', CAST(3.0 AS DOUBLE), CAST(85.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(74.86 AS DOUBLE)),
-      ('000000000000I182', CAST(79.0 AS DOUBLE), CAST(70.22 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(66.71 AS DOUBLE))
-    ) AS t(i_item_id, agg1, agg2, agg3, agg4)
+    _wh_sql(
+        """
+    SELECT i_item_id,
+           CAST(round(avg(ss_quantity), 4) AS DOUBLE) AS agg1,
+           CAST(round(avg(ss_list_price), 4) AS DOUBLE) AS agg2,
+           CAST(round(avg(ss_coupon_amt), 4) AS DOUBLE) AS agg3,
+           CAST(round(avg(ss_sales_price), 4) AS DOUBLE) AS agg4
+    FROM store_sales,
+         customer_demographics,
+         date_dim,
+         item,
+         promotion
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_cdemo_sk = cd_demo_sk
+      AND ss_promo_sk = p_promo_sk
+      AND cd_gender = 'M'
+      AND cd_marital_status = 'S'
+      AND cd_education_status = 'College'
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      AND d_year = 1998
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 10
     """,
+        "store_sales",
+        "customer_demographics",
+        "date_dim",
+        "item",
+        "promotion",
+    ),
 )
 def tpcds_q7_demographics_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q7 shape: average sales metrics per item for one
     demographic slice in promoted transactions. Five-table star; the
     1.92M-row demographics cross-product is filtered to 1/70th by its
     predicate BEFORE the join (predicate pushdown), so the join-side
-    stays small without any forced broadcast."""
-    ss, dd, it = _star(spark)
+    stays small without any forced broadcast.
+
+    INDEPENDENT oracle (round 6): DuckDB executes the real q7 text
+    (adapted: d_year=1998, round(4) doubles, LIMIT 10; i_item_id order
+    is unique) over the exported gate warehouse."""
+    _gate(spark)
+    ss, dd, it = _star(spark, sf_dir)
     cd = gen_customer_demographics(spark)
     pr = gen_promotion(spark)
     return (
@@ -171,7 +289,7 @@ def tpcds_q42_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q42 shape: one month's revenue by item category. The
     10-category domain makes this the low-cardinality end of the rollup
     family (map-side partials collapse almost everything)."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -203,7 +321,7 @@ def tpcds_q42_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q52_brand_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q52 shape: December brand revenue leaderboard (q3 without
     the manufacturer filter — higher fact survival rate, bigger agg)."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -234,7 +352,7 @@ def tpcds_q52_brand_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q55_manager_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q55 shape: one manager's brand revenue for one month."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -271,7 +389,7 @@ def tpcds_q65_underperforming_items(spark: SparkSession, sf_dir: str) -> DataFra
     aggregate, join the two back. The per-(store,item) rollup shuffles
     once; the per-store average is a rollup OF that result (tiny), so
     the second join broadcasts it by size without a hint."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     it = gen_item(spark, 18_000, seed=100)
     sa = (
@@ -332,7 +450,7 @@ def tpcds_q98_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     its class revenue — a window aggregate OVER a hash aggregate. The
     window partitions by i_class (16-value domain), so its shuffle
     moves only the rolled-up rows, never the fact."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -390,7 +508,7 @@ def tpcds_q96_time_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (time_dim 86.4k, household_demographics 7.2k, store 8) — all below
     any sane autoBroadcastJoinThreshold, so Catalyst broadcasts them
     from size estimates; the SF-scaling fact never moves."""
-    ss, _, _ = _star(spark)
+    ss, _, _ = _star(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
     st = gen_store(spark)
@@ -421,7 +539,7 @@ def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same BNLJ-stamp pattern as the BM25 stats join). At cluster scale
     the eight scans share the cached fact; here each block's dim filters
     prune before the fact join."""
-    ss, _, _ = _star(spark)
+    ss, _, _ = _star(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
     st = gen_store(spark)
@@ -479,7 +597,7 @@ def tpcds_q19_brand_zip_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer_address and compares against the store's zip. customer and
     customer_address are SF-scaling, so neither is force-broadcast; the
     zip inequality is evaluated post-join (it is not an equi-key)."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark)
     st = gen_store(spark)
@@ -527,7 +645,7 @@ def tpcds_q73_ticket_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, then the customer lookup AFTER the aggregate — the join
     input is the rolled-up ticket list, not the fact. cnt is computed
     before customer attributes attach, the spec's two-phase shape."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
     cu = gen_customer_ds(spark)
@@ -584,7 +702,7 @@ def tpcds_q68_two_city_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
     city differs from the customer's CURRENT address city — the same
     SF-scaling address dim joins twice under different keys (bought vs
     current), the spec's double-role-dim pattern."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
     cu = gen_customer_ds(spark)
@@ -648,7 +766,7 @@ def tpcds_q68_two_city_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q79_ticket_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q79 shape: Monday-shopper ticket coupon/profit rollup at
     big stores, customer attributes attached after the aggregate."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
     cu = gen_customer_ds(spark)
@@ -795,7 +913,7 @@ def tpcds_q1_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate that result per store (tiny), join the two. Same
     decorrelation pattern as q65/q15; the second side broadcasts by
     size without a hint."""
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
     dd = gen_date_dim(spark)
     st = gen_store(spark)
     cu = gen_customer_ds(spark)
@@ -855,7 +973,7 @@ def tpcds_q89_monthly_class_deviation(spark: SparkSession, sf_dir: str) -> DataF
     combination's year-average — a window AVG over a hash aggregate,
     filtering rows that deviate >10%. The window partitions over
     rolled-up rows only (brand × store × month), never the fact."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -949,9 +1067,9 @@ def tpcds_q60_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
     small per-item results union and re-aggregate. The union never
     carries fact rows, only rolled-up (item, revenue) pairs, so the
     cross-channel step is dim-sized at any SF."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     items = it.where(F.col("i_category") == "Music").select("i_item_sk", "i_item_id")
     dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 9)).select("d_date_sk")
 
@@ -976,38 +1094,61 @@ def tpcds_q60_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q62_web_ship_latency", """
-    SELECT * FROM (VALUES
-      ('Bad cards must make', 'EXPRESS', 'site_0', CAST(89 AS BIGINT), CAST(86 AS BIGINT), CAST(86 AS BIGINT), CAST(85 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'site_1', CAST(78 AS BIGINT), CAST(59 AS BIGINT), CAST(73 AS BIGINT), CAST(60 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'site_2', CAST(127 AS BIGINT), CAST(121 AS BIGINT), CAST(83 AS BIGINT), CAST(66 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'site_3', CAST(155 AS BIGINT), CAST(144 AS BIGINT), CAST(142 AS BIGINT), CAST(121 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'site_4', CAST(111 AS BIGINT), CAST(91 AS BIGINT), CAST(85 AS BIGINT), CAST(83 AS BIGINT), CAST(5 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'site_0', CAST(96 AS BIGINT), CAST(86 AS BIGINT), CAST(70 AS BIGINT), CAST(74 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'site_1', CAST(77 AS BIGINT), CAST(83 AS BIGINT), CAST(56 AS BIGINT), CAST(57 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'site_2', CAST(97 AS BIGINT), CAST(112 AS BIGINT), CAST(83 AS BIGINT), CAST(90 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'site_3', CAST(163 AS BIGINT), CAST(148 AS BIGINT), CAST(148 AS BIGINT), CAST(156 AS BIGINT), CAST(6 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'site_4', CAST(115 AS BIGINT), CAST(102 AS BIGINT), CAST(91 AS BIGINT), CAST(62 AS BIGINT), CAST(4 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'site_0', CAST(97 AS BIGINT), CAST(81 AS BIGINT), CAST(85 AS BIGINT), CAST(89 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'site_1', CAST(72 AS BIGINT), CAST(63 AS BIGINT), CAST(65 AS BIGINT), CAST(53 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'site_2', CAST(116 AS BIGINT), CAST(101 AS BIGINT), CAST(99 AS BIGINT), CAST(96 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'site_3', CAST(155 AS BIGINT), CAST(149 AS BIGINT), CAST(141 AS BIGINT), CAST(114 AS BIGINT), CAST(5 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'site_4', CAST(119 AS BIGINT), CAST(114 AS BIGINT), CAST(96 AS BIGINT), CAST(86 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'site_0', CAST(76 AS BIGINT), CAST(78 AS BIGINT), CAST(90 AS BIGINT), CAST(74 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'site_1', CAST(62 AS BIGINT), CAST(79 AS BIGINT), CAST(58 AS BIGINT), CAST(55 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'site_2', CAST(115 AS BIGINT), CAST(84 AS BIGINT), CAST(91 AS BIGINT), CAST(94 AS BIGINT), CAST(4 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'site_3', CAST(168 AS BIGINT), CAST(145 AS BIGINT), CAST(157 AS BIGINT), CAST(128 AS BIGINT), CAST(5 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'site_4', CAST(105 AS BIGINT), CAST(109 AS BIGINT), CAST(113 AS BIGINT), CAST(99 AS BIGINT), CAST(5 AS BIGINT))
-    ) AS t(warehouse, sm_type, web_name, d30, d60, d90, d120, dmore)
-    
-    """)
+@register(
+    "tpcds_q62_web_ship_latency",
+    _wh_sql(
+        """
+    SELECT w_substr AS warehouse,
+           sm_type,
+           web_name,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 60)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 90)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                          AND (ws_ship_date_sk - ws_sold_date_sk <= 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+    FROM web_sales,
+      (SELECT substring(w_warehouse_name, 1, 20) w_substr, *
+       FROM warehouse) sq1,
+         ship_mode,
+         web_site,
+         date_dim
+    WHERE d_month_seq BETWEEN 1176 AND 1187
+      AND ws_ship_date_sk = d_date_sk
+      AND ws_warehouse_sk = w_warehouse_sk
+      AND ws_ship_mode_sk = sm_ship_mode_sk
+      AND ws_web_site_sk = web_site_sk
+    GROUP BY w_substr, sm_type, web_name
+    ORDER BY 1, 2, 3
+    LIMIT 20
+    """,
+        "web_sales",
+        "warehouse",
+        "ship_mode",
+        "web_site",
+        "date_dim",
+    ),
+)
 def tpcds_q62_web_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q62 shape: web shipping latency buckets (sold→ship day
     gap ≤30/60/90/120/120+) per (warehouse, ship mode, web site). The
     bucketing is pure column algebra on the fact's two date keys — no
     date_dim join needed for the gap itself (surrogate keys ARE Julian
-    days), one hash-agg, every dim fixed-size."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    days), one hash-agg, every dim fixed-size.
+
+    INDEPENDENT oracle (round 6): DuckDB runs the real q62 text
+    (adapted: month_seq window 1176-1187, this tier's aliases, LIMIT
+    20 on the unique (warehouse, sm_type, web_name) order) over the
+    exported gate warehouse."""
+    _gate(spark)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     wh = gen_warehouse(spark)
     sm = gen_ship_mode(spark)
@@ -1046,20 +1187,51 @@ def tpcds_q62_web_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q16_catalog_order_spread", """
-    SELECT * FROM (VALUES
-      (CAST(5751 AS BIGINT), CAST(486970.22 AS DOUBLE), CAST(7972109.28 AS DOUBLE))
-    ) AS t(order_count, total_shipping_cost, total_net_profit)
-    
-    """)
+@register(
+    "tpcds_q16_catalog_order_spread",
+    _wh_sql(
+        """
+    SELECT CAST(count(DISTINCT cs_order_number) AS BIGINT) AS order_count,
+           CAST(round(sum(CAST(cs_ext_ship_cost AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_shipping_cost,
+           CAST(round(sum(CAST(cs_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_net_profit
+    FROM catalog_sales cs1,
+         date_dim
+    WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+      AND cs1.cs_sold_date_sk = d_date_sk
+      AND EXISTS
+        (SELECT *
+         FROM catalog_sales cs2
+         WHERE cs1.cs_order_number = cs2.cs_order_number
+           AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      AND NOT EXISTS
+        (SELECT *
+         FROM catalog_returns cr1
+         WHERE cs1.cs_order_number = cr1.cr_order_number)
+    """,
+        "catalog_sales",
+        "date_dim",
+        "catalog_returns",
+    ),
+)
 def tpcds_q16_catalog_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q16 shape: 60-day catalog orders that shipped from MORE
     THAN ONE warehouse (EXISTS) and were never returned (NOT EXISTS) —
     the spec's semi/anti-join pair on order_number, expressed as a
     leftsemi against the >1-warehouse order list and a leftanti against
-    catalog_returns. Both probe sides carry only order numbers."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    catalog_returns. Both probe sides carry only order numbers.
+
+    INDEPENDENT oracle (round 6): DuckDB runs the real q16 text in its
+    native correlated EXISTS/NOT-EXISTS form (adapted: this tier's
+    1999 date window on the sold-date key, exact-decimal sums) — a
+    different relational formulation than the engine's semi/anti
+    joins, over the exported gate warehouse. Equivalence of "row has
+    a same-order different-warehouse sibling" and "order's distinct
+    warehouse count > 1" is exactly what the differential checks."""
+    _gate(spark)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
     dd = gen_date_dim(spark)
     base = cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk).where(
         F.col("d_date").between("1999-02-01", "1999-04-02")
@@ -1112,7 +1284,7 @@ def tpcds_q21_inventory_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     date per (warehouse, item), keeping items whose balance stayed
     within ±50%. The inventory grid reduces with one hash-agg; the
     before/after split is a conditional sum, not two scans."""
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     wh = gen_warehouse(spark)
@@ -1153,7 +1325,7 @@ def tpcds_q90_web_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q90 shape: morning vs evening web traffic ratio for one
     demographic and page-size band — two independently filtered scalar
     aggregates joined by a 1-row cross (the BNLJ stats-stamp pattern)."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
     wp = gen_web_page(spark)
@@ -1188,12 +1360,12 @@ def tpcds_q77_channel_profit_report(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-DS q77 shape: the per-channel P&L — each channel's sales and
     returns roll up to ONE row (sales, returns, profit), stitched with
     a by-name union. Six bounded aggregates; no fact ever joins a fact."""
-    ss, dd, _ = _star(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dates = dd.where(F.col("d_date").between("1998-08-04", "1998-09-03")).select("d_date_sk")
 
     def leg(fact, date_col, channel, sales_col, profit_col, loss=False):
@@ -1266,7 +1438,7 @@ def tpcds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `grouping_id` labels the level (lochierarchy) and the rank window
     partitions over rolled-up rows only. Margin stays exact decimal
     until the final round."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -1316,9 +1488,9 @@ def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     distinct customer-key set BEFORE intersecting (Spark plans
     intersect as a distinct + semi-join ladder), so the set operation
     never carries fact rows."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     dates = dd.where(F.col("d_month_seq").between(1176, 1178)).select("d_date_sk")
 
     def channel_customers(fact, date_col, cust_col):
@@ -1456,8 +1628,8 @@ def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and self-joined on customer. The rollup is computed once and the
     four legs filter it; every self-join input is customer-grained
     (already aggregated), so fact rows never join fact rows."""
-    ss, dd, _ = _star(spark)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     store = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -1529,7 +1701,7 @@ def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     week-over-week ratios — the time-shifted self-join on a rolled-up
     key. Both join inputs are (store, week) grained aggregates; the
     52-week shift happens in the join condition, never by re-scanning."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     wk = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -1588,8 +1760,8 @@ def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     store-only / catalog-only / both via a FULL OUTER join of the two
     channels' DISTINCT key sets — set reconciliation as one outer join
     over aggregated keys, counted with null-pattern conditionals."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
     dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select("d_date_sk")
     ssci = (
         ss.join(dates, ss.ss_sold_date_sk == F.col("d_date_sk"))
@@ -1650,9 +1822,9 @@ def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFram
     reused across both channels, the max threshold a 1-row scalar
     broadcast. Both sets are aggregates (item- and customer-grained),
     so the channel facts take two semi-joins, never a fact-fact join."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     frequent_items = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .groupBy("ss_item_sk", "d_year")
@@ -1718,8 +1890,8 @@ def tpcds_q93_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-fact join in the tier, co-keyed on the returns' natural join
     key; both sides hash the same (ticket, item) so at scale this is
     the bucketed-join candidate (SCALE.md MERGE notes apply)."""
-    ss, _, _ = _star(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    ss, _, _ = _star(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
     r = sr.where(F.col("sr_reason_sk") == 7).select(
         "sr_ticket_number", "sr_item_sk", "sr_return_quantity"
     )
@@ -1776,9 +1948,9 @@ def tpcds_q69_inactive_channel_demo(spark: SparkSession, sf_dir: str) -> DataFra
     semi-join and two anti-joins against per-channel customer key
     sets, then the demographics rollup. The probe sides carry only
     customer keys."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     cd = gen_customer_demographics(spark)
     dates = dd.where((F.col("d_year") == 1999) & F.col("d_moy").between(1, 3)).select(
@@ -1847,8 +2019,8 @@ def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFram
     channel on the reduced (item, day) rollup, never on fact rows; the
     full-outer join keys the same partitioning so AQE can pipeline it.
     """
-    ss, dd, _ = _star(spark)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select(
         "d_date_sk", "d_date"
     )
@@ -1931,7 +2103,7 @@ def tpcds_q70_state_profit_ranking(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the fact reduces with one hash-agg before any window; the
     top-state probe side is a handful of rows (leftsemi broadcast);
     rollup rows are dim-sized so both windows are trivial."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     dates = dd.where(F.col("d_month_seq").between(1176, 1187)).select("d_date_sk")
     base = (
@@ -1998,9 +2170,9 @@ def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: each leg is (names × day) — already deduplicated before the
     set difference, so the EXCEPTs shuffle only distinct triples; the
     fact tables never meet each other directly."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     dates = dd.where(F.col("d_month_seq").between(1176, 1178)).select(
         "d_date_sk", "d_date"
@@ -2057,12 +2229,12 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
     (order+item) — co-partitioned shuffle, no cross-channel fact join;
     ranking windows run over per-item rollups only.
     """
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dates = dd.where((F.col("d_year") == 1999) & (F.col("d_moy") == 12)).select(
         "d_date_sk"
     )
@@ -2160,7 +2332,7 @@ def tpcds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned doubles reproduce bit-for-bit under any partition count.
     Scale: the inventory grid reduces with one hash-agg; the
     month-over-month join sees only the tiny flagged survivors."""
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     monthly = (
         inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
@@ -2252,8 +2424,8 @@ def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataF
     join; the join keys (item_sk, week_seq) co-partition both facts —
     the only multi-TB×multi-TB shuffle in the tier, keyed exactly as
     a production short-stock audit would be."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    cs = _cs(spark, sf_dir)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     wh = gen_warehouse(spark)
@@ -2324,7 +2496,7 @@ def tpcds_q61_promo_sales_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both legs reduce the fact to ONE row before the cross join —
     the only crossJoin in the query multiplies 1×1; promotion is a
     300-row dim the optimizer broadcasts."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     pm = gen_promotion(spark)
     base = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -2372,8 +2544,8 @@ def tpcds_q66_warehouse_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataF
     Scale: the 12-way pivot is conditional aggregation inside ONE
     hash-agg per channel (no per-month scans); the union carries
     (warehouse, year) rows only."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     wh = gen_warehouse(spark)
     sm = gen_ship_mode(spark).where(F.col("sm_carrier").isin("DHL", "BARIAN"))
@@ -2431,8 +2603,8 @@ def tpcds_q95_web_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame
     projection — orders of magnitude smaller than the fact — and both
     semi-join probe sides reduce to order-number sets before any
     shuffle."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
     ow = ws.select("ws_order_number", "ws_warehouse_sk").distinct()
     a = ow.select(
@@ -2501,10 +2673,10 @@ def tpcds_q25_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returns leg, customer+item for the repurchase) — each step
     co-partitions on the join key and reduces before the next; no
     fact ever cross-joins."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    sr = _sr(spark, sf_dir)
+    cs = _cs_big(spark, sf_dir)
     # Spec windows are one month → one quarter; with independently
     # hashed facts the (customer, item) repurchase match is ~1e-3 per
     # returned line, so the windows widen to the generators' full
@@ -2560,7 +2732,7 @@ def tpcds_q43_store_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q43 shape: each store's 1998 revenue pivoted into
     day-of-week columns — one dim-filtered hash-agg with seven
     conditional sums on d_day_name."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
     return (
@@ -2615,7 +2787,7 @@ def tpcds_q84_income_band_customers(spark: SparkSession, sf_dir: str) -> DataFra
     hd = gen_household_demographics(spark)
     ib = gen_income_band(spark)
     cd = gen_customer_demographics(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
     base = (
         cu.join(ca, cu.c_current_addr_sk == ca.ca_address_sk)
         .where(F.col("ca_city") == "Fairview")
@@ -2663,8 +2835,8 @@ def tpcds_q85_return_reason_profile(spark: SparkSession, sf_dir: str) -> DataFra
     order); the demographics pair joins are key lookups into the fixed
     1.92M-row cross-product dim; every predicate lands before the
     joins it feeds."""
-    ws = gen_web_sales(spark, WS_BIG, seed=100)
-    wr = gen_web_returns(spark, WS_BIG, seed=100)
+    ws = _ws_big(spark, sf_dir)
+    wr = _wr_big(spark, sf_dir)
     wp = gen_web_page(spark)
     dd = gen_date_dim(spark)
     r = gen_reason(spark)
@@ -2752,7 +2924,7 @@ def tpcds_q91_call_center_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, low buy-potential households) — call_center/customer dims
     chain onto the returns fact, one hash-agg on the 6-row center dim.
     """
-    cr = gen_catalog_returns(spark, CS_BIG, seed=100)
+    cr = _cr_big(spark, sf_dir)
     cc = gen_call_center(spark)
     dd = gen_date_dim(spark)
     cu = gen_customer_ds(spark)
@@ -2799,7 +2971,7 @@ def tpcds_q28_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: six parallel one-row rollups over the same scan (Spark
     reuses the exchange under AQE); every cross join multiplies 1×1.
     """
-    ss, _, _ = _star(spark)
+    ss, _, _ = _star(spark, sf_dir)
 
     def band(lo_q, hi_q, lp, cp, ws, tag):
         leg = ss.where(
@@ -2847,7 +3019,7 @@ def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-item rollup reduces the fact once; both rankings
     and the rank join operate on item-sized rows."""
-    ss, _, it = _star(spark)
+    ss, _, it = _star(spark, sf_dir)
     perf = (
         ss.where(ss.ss_store_sk == 4)
         .groupBy("ss_item_sk")
@@ -2913,7 +3085,7 @@ def tpcds_q47_monthly_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: one fact rollup to (brand, category, year, month); the avg
     and lag/lead windows share the (brand, category) partitioning —
     one window exchange total."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     monthly = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -3012,7 +3184,7 @@ def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by category over already-reduced rows. NULL
     category (the grand-total levels) forms its own rank partition,
     exactly as the spec's RANK() OVER (PARTITION BY i_category)."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -3061,8 +3233,8 @@ def tpcds_q31_county_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each channel reduces to ≤ |county| rows before the only
     join; the address dim joins by key ahead of the rollup."""
-    ss, dd, _ = _star(spark)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     ca = gen_customer_address(spark, 50_000, seed=100)
     dates = dd.where((F.col("d_year") == 1998) & F.col("d_qoy").isin(1, 2, 3)).select(
         "d_date_sk", "d_qoy"
@@ -3136,7 +3308,7 @@ def tpcds_q22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataF
 
     Determinism: avg = exact integer sum / count (Spark computes avg
     of an int column as exact partials), rounded once."""
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     return (
@@ -3173,7 +3345,7 @@ def tpcds_q9_bucket_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a single hash-agg with no keys (all-partial reduction to
     one row); the reason 1-row probe is the spec's driving-table
     artifact, kept as a 1×1 cross join."""
-    ss, _, _ = _star(spark)
+    ss, _, _ = _star(spark, sf_dir)
     r = gen_reason(spark).where(F.col("r_reason_sk") == 1).select("r_reason_sk")
     bands = [(1, 20, 5000), (21, 40, 5000), (41, 60, 5000), (61, 80, 5000), (81, 100, 5000)]
     aggs = []
@@ -3213,7 +3385,7 @@ def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window exchange on item_sk over the date-filtered fact,
     then an all-partial global sum; the item dim filter (one
     manufacturer) shrinks the fact before the window."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     base = (
@@ -3269,12 +3441,12 @@ def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: returns net out BEFORE the union (channel-local natural-key
     joins); the yoy join sees (year × item) rollups only."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     items = it.where(F.col("i_category") == "Electronics").select(
         "i_item_sk", "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"
     )
@@ -3382,8 +3554,8 @@ def tpcds_q37_catalog_stocked_items(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale: inventory and the item dim reduce to a small key set before
     the fact probe; the probe carries only item keys."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    cs = _cs(spark, sf_dir)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     items = it.where(
@@ -3441,8 +3613,8 @@ def tpcds_q40_warehouse_returns_pivot(spark: SparkSession, sf_dir: str) -> DataF
     left-joins catalog_returns on the natural (order, item) key, nets
     the refund, and one hash-agg computes both date halves as
     conditional sums."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     wh = gen_warehouse(spark)
@@ -3518,9 +3690,9 @@ def tpcds_q58_equal_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: each channel reduces independently; the 3-way join runs on
     per-item rollups."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     # Spec restricts to one week; the generators' per-(item, week,
     # channel) density is <0.1, which empties a 3-way inner join — a
     # month keeps the same balanced-revenue semantics testable.
@@ -3593,9 +3765,9 @@ def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the union carries projected fact columns only; time_dim
     (86,400 rows) and item broadcast from size estimates."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     td = gen_time_dim(spark)
     items = it.where(F.col("i_manufact_id") == 52).select(
         "i_item_sk", "i_brand_id", "i_brand"
@@ -3647,9 +3819,9 @@ def tpcds_q83_returned_items_3way(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: returns facts reduce per item before the join; shares are
     column algebra on the joined rollups."""
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     dates = dd.where((F.col("d_year") == 1998) & F.col("d_moy").isin(9, 10)).select(
@@ -3706,10 +3878,10 @@ def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the anti-join carries (ticket, item) keys; all three
     rollups reduce to (year, customer, item) before joining on that
     shared key."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
 
     ss_clean = (
         ss.join(
@@ -3808,11 +3980,11 @@ def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cs_ui reduces catalog+returns to an item key set first; the
     ss→sr leg joins on (ticket, item); every dim join is keyed; the
     yoy self-join sees (item × store) rollups only."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
     cu = gen_customer_ds(spark)
     cd = gen_customer_demographics(spark)
     hd = gen_household_demographics(spark)
@@ -3965,9 +4137,9 @@ def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: my_customers reduces to distinct keys before touching
     store_sales; the county/state match is a semi-join against the
     8-row store dim; the histogram runs over per-customer rollups."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     st = gen_store(spark)
@@ -4057,9 +4229,9 @@ def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     scalar threshold leg reduces the union of facts to ONE row before
     the cross join; each channel's December rollup joins the small
     cross_items key set via leftsemi."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
 
     def sold_triples(fact, item_col):
         return (
@@ -4155,9 +4327,9 @@ def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each channel projects and filters to its null-key rows
     BEFORE the union; the rollup sees only the (tiny) null slices."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
 
     def leg(fact, date_col, item_col, key_col, price_col, channel, col_name):
         nulled = F.when(F.xxhash64(F.col(key_col)) % 50 == 0, None).otherwise(
@@ -4232,7 +4404,7 @@ def tpcds_stress_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_sql_comments,
     )
 
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     ss.createOrReplaceTempView("v_store_sales")
     dd.createOrReplaceTempView("v_date_dim")
     it.createOrReplaceTempView("v_item")
@@ -4318,7 +4490,7 @@ def tpcds_q99_catalog_ship_latency(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-DS q99: catalog ship-latency buckets per (warehouse, ship
     mode, call center) — the q62 shape with the catalog channel's
     dims."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     wh = gen_warehouse(spark)
     sm = gen_ship_mode(spark)
@@ -4371,9 +4543,9 @@ def tpcds_q50_store_return_latency(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-DS q50: days-to-return buckets per store — sales joined to
     their returns on the (ticket, item, customer) natural key, the
     sold→returned day gap bucketed like q62's ship latency."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
     r = sr.select(
         F.col("sr_ticket_number").alias("ss_ticket_number"),
         F.col("sr_item_sk").alias("ss_item_sk"),
@@ -4432,9 +4604,9 @@ def tpcds_q33_manufacturer_cross_channel(spark: SparkSession, sf_dir: str) -> Da
     """TPC-DS q33: one category's September revenue per MANUFACTURER
     summed across the three channels — the q60 cross-channel union
     shape keyed by i_manufact_id."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     items = it.where(F.col("i_category") == "Books").select("i_item_sk", "i_manufact_id")
     dates = dd.where((F.col("d_year") == 1998) & (F.col("d_moy") == 9)).select("d_date_sk")
 
@@ -4481,9 +4653,9 @@ def tpcds_q56_color_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame
     """TPC-DS q56: revenue of color-picked items per item id across
     the three channels — the q60 union shape with an i_color IN-list
     item filter."""
-    ss, dd, it = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     items = it.where(F.col("i_color").isin("coral", "indigo", "cyan")).select(
         "i_item_sk", "i_item_id"
     )
@@ -4536,7 +4708,7 @@ def tpcds_q56_color_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpcds_q12_web_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q12: 30-day web item revenue with share-of-class — the
     q98 window-over-rollup shape on the web channel."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     rolled = (
@@ -4591,7 +4763,7 @@ def tpcds_q12_web_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q20_catalog_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q20: the q98/q12 share-of-class shape on the catalog
     channel."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     rolled = (
@@ -4648,7 +4820,7 @@ def tpcds_q30_web_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     state's average — the q1 decorrelated-average shape keyed by the
     returning customer's STATE (address join) instead of store, with
     customer detail output."""
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     cu = gen_customer_ds(spark)
@@ -4710,7 +4882,7 @@ def tpcds_q30_web_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpcds_q81_catalog_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q81: the q1/q30 decorrelated-average outlier shape on
     CATALOG returns, state-keyed, with customer + address output."""
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
+    cr = _cr(spark, sf_dir)
     dd = gen_date_dim(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     cu = gen_customer_ds(spark)
@@ -4761,7 +4933,7 @@ def tpcds_q81_catalog_return_outliers(spark: SparkSession, sf_dir: str) -> DataF
 def tpcds_q26_catalog_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q26: the q7 demographics star on the CATALOG channel
     (bill-side demographics)."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     cd = gen_customer_demographics(spark)
@@ -4817,7 +4989,7 @@ def tpcds_q27_store_demographics_rollup(spark: SparkSession, sf_dir: str) -> Dat
     """TPC-DS q27: the q7 star with ROLLUP(i_item_id, s_state) and
     grouping level exported — q7's averages at every hierarchy level
     in one agg pipeline (q36's Expand contract)."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     cd = gen_customer_demographics(spark)
     st = gen_store(spark)
     base = (
@@ -4856,7 +5028,7 @@ def tpcds_q27_store_demographics_rollup(spark: SparkSession, sf_dir: str) -> Dat
 def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q32: the q92 correlated-average excess-discount shape on
     the CATALOG channel (avg window partitioned by item)."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     base = (
@@ -4902,8 +5074,8 @@ def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataF
 def tpcds_q82_store_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q82: the q37 stocked-and-demanded item shape with STORE
     sales as the demand probe."""
-    ss, _, it = _star(spark)
-    inv = gen_inventory(spark, n_items=2_000, n_warehouses=5, n_weeks=104, seed=100)
+    ss, _, it = _star(spark, sf_dir)
+    inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     items = it.where(
         F.col("i_current_price").between(30, 60) & F.col("i_manufact_id").isin(15, 25, 35, 45)
@@ -4954,7 +5126,7 @@ def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFra
     customers per LINE, so the spec's ticket↔customer functional
     dependency is restored by attributing each ticket to its minimum
     customer key before the lookup (documented adaptation)."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
     cu = gen_customer_ds(spark)
@@ -5007,7 +5179,7 @@ def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFra
 def tpcds_q46_city_mismatch_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q46: the q68 double-role address shape with the weekend
     day filter and coupon/profit ticket sums."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
     cu = gen_customer_ds(spark)
@@ -5055,8 +5227,8 @@ def tpcds_q94_web_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q94: the q16 EXISTS/NOT-EXISTS order-spread shape on the
     WEB channel — >1-warehouse semi probe, never-returned anti probe,
     both carrying bare order numbers."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
     base = ws.join(dd, ws.ws_ship_date_sk == dd.d_date_sk).where(
         F.col("d_date").between("1999-02-01", "1999-04-02")
@@ -5107,9 +5279,9 @@ def tpcds_q10_active_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame
     AND (catalog OR web) in a quarter — q69's semi/anti pattern with
     the OR expressed as a union of the two channel key sets before one
     semi probe."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     cd = gen_customer_demographics(spark)
     dates = dd.where((F.col("d_year") == 1999) & F.col("d_moy").between(1, 4)).select(
@@ -5157,9 +5329,9 @@ def tpcds_q35_active_customer_stats(spark: SparkSession, sf_dir: str) -> DataFra
     aggregate statistics per demographic slice (the spec's
     min/max/avg over cd_dep_count) — exact-integer partials keep the
     pin partition-invariant."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
     cd = gen_customer_demographics(spark)
     dates = dd.where((F.col("d_year") == 1999) & F.col("d_qoy").isin(1, 2)).select(
@@ -5222,12 +5394,12 @@ def tpcds_q5_channel_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     — sales and returns union per channel keyed by store / catalog
     page / web site, rolled up with the channel label (spec's ROLLUP
     (channel, id) kept as a two-level rollup)."""
-    ss, dd, _ = _star(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     dates = dd.where(F.col("d_date").between("1998-08-04", "1998-08-18")).select("d_date_sk")
 
     def leg(fact, date_col, channel, id_col, sales_col, ret_col, profit_col, sign):
@@ -5299,12 +5471,12 @@ def tpcds_q80_channel_item_profit(spark: SparkSession, sf_dir: str) -> DataFrame
     item — each channel left-joins its returns on the natural key
     (q93's netting), filters promoted non-TV items, and the three
     per-item rollups union under a channel rollup."""
-    ss, dd, it = _star(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    cr = gen_catalog_returns(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
-    wr = gen_web_returns(spark, WS_ROWS, seed=100)
+    ss, dd, it = _star(spark, sf_dir)
+    sr = _sr(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    cr = _cr(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
+    wr = _wr(spark, sf_dir)
     pm = gen_promotion(spark).where(F.col("p_channel_tv") == "N").select("p_promo_sk")
     dates = dd.where(F.col("d_date").between("1998-08-04", "1998-09-03")).select("d_date_sk")
     items = it.where(F.col("i_current_price") > 50).select("i_item_sk", "i_item_id")
@@ -5383,7 +5555,7 @@ def tpcds_q80_channel_item_profit(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpcds_q86_web_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q86: the q36 ROLLUP + rank-within-parent shape on the
     WEB channel (net paid over category/class hierarchy)."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     rolled = (
@@ -5445,7 +5617,7 @@ def tpcds_q86_web_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q53_manufacturer_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q53: the q89 deviation shape keyed by MANUFACTURER with
     quarterly averages."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -5505,7 +5677,7 @@ def tpcds_q53_manufacturer_quarterly(spark: SparkSession, sf_dir: str) -> DataFr
 def tpcds_q63_manager_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q63: the q53/q89 deviation shape keyed by item MANAGER
     with monthly averages."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
@@ -5565,7 +5737,7 @@ def tpcds_q63_manager_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q57_catalog_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q57: the q47 lag/lead deviation shape on the CATALOG
     channel with call centers in place of stores."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     cc = gen_call_center(spark)
@@ -5651,8 +5823,8 @@ def tpcds_q2_week_dow_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each 1998 week ratioed against the same week one year later
     (week_seq + 53) — the q59 self-join shape over the combined
     channel union."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     union = ws.select(
         F.col("ws_sold_date_sk").alias("sold_date_sk"),
@@ -5732,9 +5904,9 @@ def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame
     extended to all three channels (six per-customer rollups joined on
     customer id). Totals use the spec's full price formula
     (((list - wholesale - discount) + sales) / 2)."""
-    ss, dd, _ = _star(spark)
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    cs = _cs(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
 
     def year_total(fact, date_col, cust_col, lp, wc, disc, sp, label):
@@ -5806,8 +5978,8 @@ def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpcds_q11_two_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q11: the q4 growth shape on store vs web only, with the
     simpler (list - discount) total formula."""
-    ss, dd, _ = _star(spark)
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ss, dd, _ = _star(spark, sf_dir)
+    ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
 
     def year_total(fact, date_col, cust_col, lp, disc, label):
@@ -5868,7 +6040,7 @@ def tpcds_q6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     category average in one month — the correlated category-average
     subquery decorrelated into an avg window over the item dim, the
     spec's HAVING count ≥ 10."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     w = Window.partitionBy("i_category")
@@ -5904,7 +6076,7 @@ def tpcds_q8_preferred_zip_stores(spark: SparkSession, sf_dir: str) -> DataFrame
     2-prefix matches a preferred-customer zip — the qualifying zip set
     (preferred customers' 5-digit zips, >5 holders) reduces first,
     then probes the 8-row store dim by prefix."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -5961,7 +6133,7 @@ def tpcds_q15_catalog_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     """TPC-DS q15: catalog revenue by customer zip where the zip
     prefix, state, or a large sale qualifies the row — the spec's
     disjunctive qualification over the bill-customer's address."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -5992,7 +6164,7 @@ def tpcds_q13_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     price bands AND address profit bands — q85's OR-of-ANDs predicate
     architecture on the store channel with a single demographics
     role."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cd = gen_customer_demographics(spark)
     hd = gen_household_demographics(spark)
@@ -6066,10 +6238,10 @@ def tpcds_q17_chain_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFram
     statistics (count / mean / coefficient of variation) per stage —
     variance from exact integer partials like q39, so the pin is
     partition-invariant."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    sr = _sr(spark, sf_dir)
+    cs = _cs_big(spark, sf_dir)
     d1 = dd.where(F.col("d_year") == 1998).select(F.col("d_date_sk").alias("d1_sk"))
     d23 = dd.where(F.col("d_year").isin(1998, 1999)).select(
         F.col("d_date_sk").alias("d23_sk")
@@ -6148,7 +6320,7 @@ def tpcds_q18_catalog_demo_averages(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-DS q18: catalog averages for a demographic slice with birth
     months, rolled up the customer GEOGRAPHY hierarchy
     (country/state/county ROLLUP over the address dim)."""
-    cs = gen_catalog_sales(spark, CS_ROWS, seed=100)
+    cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     cu = gen_customer_ds(spark)
@@ -6214,9 +6386,9 @@ def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataF
     average-threshold cross join. (Spec's birth-country≠address-
     country filter becomes a zip mismatch: the generator emits one
     country.)"""
-    ss, _, it = _star(spark)
+    ss, _, it = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
+    sr = _sr(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     base = (
@@ -6275,10 +6447,10 @@ def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataF
 def tpcds_q29_chain_quantity_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q29: the q25 chain reporting quantity SUMS per (item,
     store) for the three stages."""
-    ss, dd, it = _star(spark)
+    ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
-    sr = gen_store_returns(spark, SS_ROWS, seed=100)
-    cs = gen_catalog_sales(spark, CS_BIG, seed=100)
+    sr = _sr(spark, sf_dir)
+    cs = _cs_big(spark, sf_dir)
     d1 = dd.where(F.col("d_year") == 1998).select(F.col("d_date_sk").alias("d1_sk"))
     d2 = dd.where(F.col("d_year").isin(1998, 1999)).select(
         F.col("d_date_sk").alias("d2_sk")
@@ -6399,7 +6571,7 @@ def tpcds_q45_web_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is in a fixed list OR the item is in a picked item-id set — the
     spec's OR of an address predicate with an item-key semi
     condition."""
-    ws = gen_web_sales(spark, WS_ROWS, seed=100)
+    ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
     cu = gen_customer_ds(spark)
@@ -6434,7 +6606,7 @@ def tpcds_q45_web_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q48_band_quantity_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q48: total store quantity under the q13-style disjunctive
     demographic and address bands — single scalar output."""
-    ss, dd, _ = _star(spark)
+    ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cd = gen_customer_demographics(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
