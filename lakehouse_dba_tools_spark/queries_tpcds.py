@@ -801,111 +801,35 @@ def tpcds_q79_ticket_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q1_returning_customers", """
-    SELECT * FROM (VALUES
-      ('0000000000000C68'),
-      ('000000000000C526'),
-      ('000000000000C623'),
-      ('000000000000C675'),
-      ('000000000000C801'),
-      ('000000000000C808'),
-      ('00000000000C1008'),
-      ('00000000000C1023'),
-      ('00000000000C1075'),
-      ('00000000000C1298'),
-      ('00000000000C1410'),
-      ('00000000000C1532'),
-      ('00000000000C1770'),
-      ('00000000000C1960'),
-      ('00000000000C2019'),
-      ('00000000000C2221'),
-      ('00000000000C2272'),
-      ('00000000000C2283'),
-      ('00000000000C2471'),
-      ('00000000000C2571'),
-      ('00000000000C2813'),
-      ('00000000000C2985'),
-      ('00000000000C3002'),
-      ('00000000000C3079'),
-      ('00000000000C3115'),
-      ('00000000000C3134'),
-      ('00000000000C3196'),
-      ('00000000000C3211'),
-      ('00000000000C3236'),
-      ('00000000000C3267'),
-      ('00000000000C3316'),
-      ('00000000000C3432'),
-      ('00000000000C3474'),
-      ('00000000000C4157'),
-      ('00000000000C4246'),
-      ('00000000000C4290'),
-      ('00000000000C4581'),
-      ('00000000000C5118'),
-      ('00000000000C5475'),
-      ('00000000000C5492'),
-      ('00000000000C5509'),
-      ('00000000000C5561'),
-      ('00000000000C5569'),
-      ('00000000000C5878'),
-      ('00000000000C6067'),
-      ('00000000000C6180'),
-      ('00000000000C6504'),
-      ('00000000000C6541'),
-      ('00000000000C6733'),
-      ('00000000000C6759'),
-      ('00000000000C6770'),
-      ('00000000000C7203'),
-      ('00000000000C7349'),
-      ('00000000000C7484'),
-      ('00000000000C7485'),
-      ('00000000000C7567'),
-      ('00000000000C7604'),
-      ('00000000000C7631'),
-      ('00000000000C7774'),
-      ('00000000000C7932'),
-      ('00000000000C8014'),
-      ('00000000000C8017'),
-      ('00000000000C8095'),
-      ('00000000000C8223'),
-      ('00000000000C8742'),
-      ('00000000000C8833'),
-      ('00000000000C8940'),
-      ('00000000000C9378'),
-      ('00000000000C9704'),
-      ('0000000000C10172'),
-      ('0000000000C10333'),
-      ('0000000000C10354'),
-      ('0000000000C10376'),
-      ('0000000000C10535'),
-      ('0000000000C10610'),
-      ('0000000000C10750'),
-      ('0000000000C10844'),
-      ('0000000000C10921'),
-      ('0000000000C10985'),
-      ('0000000000C11030'),
-      ('0000000000C11144'),
-      ('0000000000C11735'),
-      ('0000000000C11871'),
-      ('0000000000C11903'),
-      ('0000000000C12379'),
-      ('0000000000C13022'),
-      ('0000000000C13163'),
-      ('0000000000C13265'),
-      ('0000000000C13357'),
-      ('0000000000C13634'),
-      ('0000000000C14007'),
-      ('0000000000C14269'),
-      ('0000000000C14438'),
-      ('0000000000C14671'),
-      ('0000000000C14902'),
-      ('0000000000C14910'),
-      ('0000000000C14948'),
-      ('0000000000C15221'),
-      ('0000000000C15269'),
-      ('0000000000C15508')
-    ) AS t(c_customer_id)
-    
-    """)
+@register(
+    "tpcds_q1_returning_customers",
+    _wh_sql(
+        """
+    WITH customer_total_return AS (
+      SELECT sr_customer_sk AS ctr_customer_sk,
+             sr_store_sk AS ctr_store_sk,
+             sum(CAST(sr_return_amt AS DECIMAL(38,12))) AS ctr_total_return
+      FROM store_returns, date_dim
+      WHERE sr_returned_date_sk = d_date_sk AND d_year = 1998
+      GROUP BY sr_customer_sk, sr_store_sk)
+    SELECT c_customer_id
+    FROM customer_total_return ctr1, store, customer
+    WHERE ctr1.ctr_total_return >
+        (SELECT avg(ctr_total_return) * 1.2
+         FROM customer_total_return ctr2
+         WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      AND s_store_sk = ctr1.ctr_store_sk
+      AND s_state = 'TN'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+        "store_returns",
+        "date_dim",
+        "store",
+        "customer",
+    ),
+)
 def tpcds_q1_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q1 shape: customers whose store-returns total beats 1.2×
     their store's average — the spec's correlated-average subquery,
@@ -913,6 +837,7 @@ def tpcds_q1_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate that result per store (tiny), join the two. Same
     decorrelation pattern as q65/q15; the second side broadcasts by
     size without a hint."""
+    _gate(spark)
     sr = _sr(spark, sf_dir)
     dd = gen_date_dim(spark)
     st = gen_store(spark)
@@ -1981,30 +1906,54 @@ def tpcds_q69_inactive_channel_demo(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q51_cumulative_crossover", """
-    SELECT * FROM (VALUES
-      (CAST(1 AS INT), '1998-04-04', CAST(19193.87 AS DOUBLE), CAST(320.34 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-04-08', CAST(19193.87 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-05-13', CAST(25962.0 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-05-31', CAST(26587.18 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-06-14', CAST(26776.51 AS DOUBLE), CAST(3665.39 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-06-15', CAST(26776.51 AS DOUBLE), CAST(4167.19 AS DOUBLE)),
-      (CAST(1 AS INT), '1998-06-17', CAST(26776.51 AS DOUBLE), CAST(4531.84 AS DOUBLE)),
-      (CAST(2 AS INT), '1998-03-02', CAST(5761.47 AS DOUBLE), CAST(421.25 AS DOUBLE)),
-      (CAST(2 AS INT), '1998-04-21', CAST(5820.06 AS DOUBLE), CAST(421.25 AS DOUBLE)),
-      (CAST(2 AS INT), '1998-06-02', CAST(5820.06 AS DOUBLE), CAST(527.62 AS DOUBLE)),
-      (CAST(3 AS INT), '1998-01-25', CAST(1582.77 AS DOUBLE), CAST(626.04 AS DOUBLE)),
-      (CAST(3 AS INT), '1998-02-09', CAST(2861.25 AS DOUBLE), CAST(626.04 AS DOUBLE)),
-      (CAST(3 AS INT), '1998-05-10', CAST(9085.81 AS DOUBLE), CAST(8685.97 AS DOUBLE)),
-      (CAST(7 AS INT), '1998-01-24', CAST(3899.22 AS DOUBLE), CAST(1829.51 AS DOUBLE)),
-      (CAST(12 AS INT), '1998-04-24', CAST(9513.0 AS DOUBLE), CAST(6942.35 AS DOUBLE)),
-      (CAST(12 AS INT), '1998-05-31', CAST(12739.33 AS DOUBLE), CAST(6942.35 AS DOUBLE)),
-      (CAST(13 AS INT), '1998-01-24', CAST(1369.82 AS DOUBLE), CAST(139.33 AS DOUBLE)),
-      (CAST(13 AS INT), '1998-04-05', CAST(10515.08 AS DOUBLE), CAST(8803.52 AS DOUBLE)),
-      (CAST(13 AS INT), '1998-05-16', CAST(10515.08 AS DOUBLE), CAST(10246.41 AS DOUBLE)),
-      (CAST(14 AS INT), '1998-03-19', CAST(15542.1 AS DOUBLE), CAST(4653.75 AS DOUBLE))
-    ) AS t(item_sk, d_date, web_cumulative, store_cumulative)
-    """)
+@register(
+    "tpcds_q51_cumulative_crossover",
+    _wh_sql(
+        """
+    WITH web_v1 AS (
+      SELECT ws_item_sk item_sk, d_date,
+             sum(sum(CAST(ws_ext_sales_price AS DECIMAL(38,12))))
+               OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1181
+      GROUP BY ws_item_sk, d_date),
+    store_v1 AS (
+      SELECT ss_item_sk item_sk, d_date,
+             sum(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))))
+               OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1181
+      GROUP BY ss_item_sk, d_date),
+    y AS (
+      SELECT item_sk, d_date,
+             max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) web_cumulative,
+             max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) store_cumulative
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END item_sk,
+                   CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                        ELSE store.d_date END d_date,
+                   web.cume_sales web_sales,
+                   store.cume_sales store_sales
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+              ON (web.item_sk = store.item_sk AND web.d_date = store.d_date)) x)
+    SELECT CAST(item_sk AS INT) AS item_sk,
+           CAST(d_date AS VARCHAR) AS d_date,
+           CAST(round(web_cumulative, 2) AS DOUBLE) AS web_cumulative,
+           CAST(round(store_cumulative, 2) AS DOUBLE) AS store_cumulative
+    FROM y
+    WHERE web_cumulative > store_cumulative
+    ORDER BY item_sk, d_date
+    LIMIT 20
+    """,
+        "web_sales",
+        "store_sales",
+        "date_dim",
+    ),
+)
 def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q51 shape: per-item daily cumulative web vs store revenue,
     full-outer joined on (item, day), keeping days where the web
@@ -2019,6 +1968,7 @@ def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFram
     channel on the reduced (item, day) rollup, never on fact rows; the
     full-outer join keys the same partitioning so AQE can pipeline it.
     """
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     ws = _ws(spark, sf_dir)
     dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select(
@@ -3141,39 +3091,42 @@ def tpcds_q47_monthly_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q67_rollup_topk_items", """    SELECT * FROM (VALUES
-      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(8569485.65 AS DOUBLE), CAST(1 AS INT)),
-      ('Books', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(829435.18 AS DOUBLE), CAST(1 AS INT)),
-      ('Books', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63475.6 AS DOUBLE), CAST(2 AS INT)),
-      ('Books', 'decor', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(58059.82 AS DOUBLE), CAST(3 AS INT)),
-      ('Children', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(882237.5 AS DOUBLE), CAST(1 AS INT)),
-      ('Children', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(64322.88 AS DOUBLE), CAST(2 AS INT)),
-      ('Children', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62478.25 AS DOUBLE), CAST(3 AS INT)),
-      ('Electronics', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(859002.59 AS DOUBLE), CAST(1 AS INT)),
-      ('Electronics', 'decor', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62331.25 AS DOUBLE), CAST(2 AS INT)),
-      ('Electronics', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(61364.38 AS DOUBLE), CAST(3 AS INT)),
-      ('Home', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(851925.99 AS DOUBLE), CAST(1 AS INT)),
-      ('Home', 'infants', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(61360.9 AS DOUBLE), CAST(2 AS INT)),
-      ('Home', 'bedding', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(58704.31 AS DOUBLE), CAST(3 AS INT)),
-      ('Jewelry', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(891900.27 AS DOUBLE), CAST(1 AS INT)),
-      ('Jewelry', 'fitness', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(69375.52 AS DOUBLE), CAST(2 AS INT)),
-      ('Jewelry', 'kids', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65921.17 AS DOUBLE), CAST(3 AS INT)),
-      ('Men', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(879987.84 AS DOUBLE), CAST(1 AS INT)),
-      ('Men', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63817.68 AS DOUBLE), CAST(2 AS INT)),
-      ('Men', 'fiction', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63409.61 AS DOUBLE), CAST(3 AS INT)),
-      ('Music', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(833591.51 AS DOUBLE), CAST(1 AS INT)),
-      ('Music', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(59798.7 AS DOUBLE), CAST(2 AS INT)),
-      ('Music', 'blinds/shades', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(59375.32 AS DOUBLE), CAST(3 AS INT)),
-      ('Shoes', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(845098.99 AS DOUBLE), CAST(1 AS INT)),
-      ('Shoes', 'computers', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65919.01 AS DOUBLE), CAST(2 AS INT)),
-      ('Shoes', 'glassware', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(60863.03 AS DOUBLE), CAST(3 AS INT)),
-      ('Sports', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(867038.11 AS DOUBLE), CAST(1 AS INT)),
-      ('Sports', 'glassware', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(63784.59 AS DOUBLE), CAST(2 AS INT)),
-      ('Sports', 'blinds/shades', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(62869.01 AS DOUBLE), CAST(3 AS INT)),
-      ('Women', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(829267.67 AS DOUBLE), CAST(1 AS INT)),
-      ('Women', 'dresses', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(65132.14 AS DOUBLE), CAST(2 AS INT))
-    ) AS t(i_category, i_class, i_brand, d_qoy, d_moy, s_store_id, sumsales, rk)
-    """)
+@register(
+    "tpcds_q67_rollup_topk_items",
+    _wh_sql(
+        """
+    WITH y AS (
+      SELECT i_category, i_class, i_brand, d_qoy, d_moy, s_store_id,
+             CAST(round(sum(CAST(ss_sales_price AS DECIMAL(38,12))), 2)
+                  AS DOUBLE) AS sumsales
+      FROM store_sales, date_dim, item, store
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1176 AND 1187
+      GROUP BY ROLLUP(i_category, i_class, i_brand, d_qoy, d_moy, s_store_id)),
+    ranked AS (
+      SELECT i_category, i_class, i_brand,
+             CAST(d_qoy AS INT) AS d_qoy, CAST(d_moy AS INT) AS d_moy,
+             s_store_id, sumsales,
+             CAST(rank() OVER (PARTITION BY i_category
+                    ORDER BY sumsales DESC,
+                             i_class NULLS FIRST, i_brand NULLS FIRST,
+                             d_qoy NULLS FIRST, d_moy NULLS FIRST,
+                             s_store_id NULLS FIRST) AS INT) AS rk
+      FROM y)
+    SELECT * FROM ranked
+    WHERE rk <= 3
+    ORDER BY i_category NULLS FIRST, rk,
+             i_class NULLS FIRST, i_brand NULLS FIRST
+    LIMIT 30
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+        "store",
+    ),
+)
 def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q67 shape: sales rolled up over the full product × time ×
     store hierarchy (ROLLUP), then the top 3 rows per category by a
@@ -3184,6 +3137,7 @@ def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by category over already-reduced rows. NULL
     category (the grand-total levels) forms its own rank partition,
     exactly as the spec's RANK() OVER (PARTITION BY i_category)."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
@@ -3939,29 +3893,85 @@ def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q64_cross_sales_yoy", """    SELECT * FROM (VALUES
-      ('Product 00000003', CAST(3 AS INT), 'able', CAST(1 AS BIGINT), CAST(47.23 AS DOUBLE), CAST(78.71 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(2.19 AS DOUBLE), CAST(3.65 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00000359', CAST(359 AS INT), 'cally', CAST(1 AS BIGINT), CAST(96.06 AS DOUBLE), CAST(160.1 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(88.46 AS DOUBLE), CAST(147.44 AS DOUBLE), CAST(238.85 AS DOUBLE)),
-      ('Product 00000594', CAST(594 AS INT), 'ese', CAST(1 AS BIGINT), CAST(106.45 AS DOUBLE), CAST(177.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(97.91 AS DOUBLE), CAST(163.18 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00000685', CAST(685 AS INT), 'cally', CAST(1 AS BIGINT), CAST(44.08 AS DOUBLE), CAST(73.47 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(82.76 AS DOUBLE), CAST(137.94 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00000871', CAST(871 AS INT), 'cally', CAST(1 AS BIGINT), CAST(85.2 AS DOUBLE), CAST(142.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(96.93 AS DOUBLE), CAST(161.55 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001004', CAST(1004 AS INT), 'ese', CAST(1 AS BIGINT), CAST(104.31 AS DOUBLE), CAST(173.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(101.39 AS DOUBLE), CAST(168.99 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001059', CAST(1059 AS INT), 'ese', CAST(1 AS BIGINT), CAST(71.42 AS DOUBLE), CAST(119.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(41.8 AS DOUBLE), CAST(69.67 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001134', CAST(1134 AS INT), 'eing', CAST(1 AS BIGINT), CAST(69.47 AS DOUBLE), CAST(115.78 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(92.43 AS DOUBLE), CAST(154.05 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001352', CAST(1352 AS INT), 'eing', CAST(1 AS BIGINT), CAST(6.68 AS DOUBLE), CAST(11.13 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(19.18 AS DOUBLE), CAST(31.97 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001413', CAST(1413 AS INT), 'cally', CAST(1 AS BIGINT), CAST(110.29 AS DOUBLE), CAST(183.82 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(15.99 AS DOUBLE), CAST(26.65 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001439', CAST(1439 AS INT), 'ese', CAST(1 AS BIGINT), CAST(35.93 AS DOUBLE), CAST(59.88 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(105.73 AS DOUBLE), CAST(176.21 AS DOUBLE), CAST(811.62 AS DOUBLE)),
-      ('Product 00001455', CAST(1455 AS INT), 'cally', CAST(1 AS BIGINT), CAST(29.92 AS DOUBLE), CAST(49.86 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(59.02 AS DOUBLE), CAST(98.37 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001623', CAST(1623 AS INT), 'anti', CAST(1 AS BIGINT), CAST(93.91 AS DOUBLE), CAST(156.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(50.14 AS DOUBLE), CAST(83.56 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00001966', CAST(1966 AS INT), 'cally', CAST(1 AS BIGINT), CAST(73.34 AS DOUBLE), CAST(122.23 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(99.2 AS DOUBLE), CAST(165.33 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00002059', CAST(2059 AS INT), 'cally', CAST(1 AS BIGINT), CAST(39.01 AS DOUBLE), CAST(65.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(39.57 AS DOUBLE), CAST(65.95 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00002180', CAST(2180 AS INT), 'cally', CAST(1 AS BIGINT), CAST(8.17 AS DOUBLE), CAST(13.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(43.42 AS DOUBLE), CAST(72.37 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00002378', CAST(2378 AS INT), 'cally', CAST(1 AS BIGINT), CAST(76.21 AS DOUBLE), CAST(127.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(90.17 AS DOUBLE), CAST(150.28 AS DOUBLE), CAST(259.83 AS DOUBLE)),
-      ('Product 00002379', CAST(2379 AS INT), 'cally', CAST(1 AS BIGINT), CAST(61.59 AS DOUBLE), CAST(102.65 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(57.23 AS DOUBLE), CAST(95.38 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('Product 00002417', CAST(2417 AS INT), 'eing', CAST(1 AS BIGINT), CAST(109.67 AS DOUBLE), CAST(182.78 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(17.09 AS DOUBLE), CAST(28.48 AS DOUBLE), CAST(183.7 AS DOUBLE)),
-      ('Product 00002529', CAST(2529 AS INT), 'ese', CAST(1 AS BIGINT), CAST(110.0 AS DOUBLE), CAST(183.33 AS DOUBLE), CAST(717.74 AS DOUBLE), CAST(1 AS BIGINT), CAST(106.58 AS DOUBLE), CAST(177.63 AS DOUBLE), CAST(0.0 AS DOUBLE))
-    ) AS t(i_product_name, ss_item_sk, s_store_name, cnt1, wh1, lp1, cp1, cnt2, wh2, lp2, cp2)
-    """)
+@register(
+    "tpcds_q64_cross_sales_yoy",
+    _wh_sql(
+        """
+    WITH cs_ui AS (
+      SELECT cs_item_sk AS item_sk
+      FROM catalog_sales
+      LEFT JOIN catalog_returns
+        ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+      GROUP BY cs_item_sk
+      HAVING sum(CAST(cs_ext_list_price AS DECIMAL(38,12))) >
+             2 * sum(coalesce(CAST(cr_refunded_cash + cr_reversed_charge
+                                   + cr_store_credit AS DECIMAL(38,12)), 0))),
+    cross_sales AS (
+      SELECT i_product_name AS product_name, ss_item_sk AS item_sk,
+             s_store_name AS store_name, s_zip AS store_zip,
+             d1.d_year AS syear, count(*) AS cnt,
+             sum(CAST(ss_wholesale_cost AS DECIMAL(38,12))) AS s1,
+             sum(CAST(ss_list_price AS DECIMAL(38,12))) AS s2,
+             sum(CAST(ss_coupon_amt AS DECIMAL(38,12))) AS s3
+      FROM store_sales, store_returns, item, store, customer,
+           date_dim d1, date_dim d2, date_dim d3,
+           customer_demographics cd1, customer_demographics cd2,
+           household_demographics hd1, household_demographics hd2,
+           income_band ib1, income_band ib2,
+           customer_address ad1, customer_address ad2
+      WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+        AND ss_item_sk IN (SELECT item_sk FROM cs_ui)
+        AND ss_item_sk = i_item_sk
+        AND i_color IN ('azure', 'gold', 'cream', 'khaki')
+        AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ss_sold_date_sk = d1.d_date_sk
+        AND c_first_sales_date_sk = d2.d_date_sk
+        AND c_first_shipto_date_sk = d3.d_date_sk
+        AND ss_cdemo_sk = cd1.cd_demo_sk
+        AND c_current_cdemo_sk = cd2.cd_demo_sk
+        AND cd1.cd_marital_status <> cd2.cd_marital_status
+        AND ss_hdemo_sk = hd1.hd_demo_sk
+        AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+        AND c_current_hdemo_sk = hd2.hd_demo_sk
+        AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+        AND ss_addr_sk = ad1.ca_address_sk
+        AND c_current_addr_sk = ad2.ca_address_sk
+      GROUP BY i_product_name, ss_item_sk, s_store_name, s_zip, d1.d_year)
+    SELECT cs1.product_name AS i_product_name,
+           CAST(cs1.item_sk AS INT) AS ss_item_sk,
+           cs1.store_name AS s_store_name,
+           CAST(cs1.cnt AS BIGINT) AS cnt1,
+           CAST(round(cs1.s1, 2) AS DOUBLE) AS wh1,
+           CAST(round(cs1.s2, 2) AS DOUBLE) AS lp1,
+           CAST(round(cs1.s3, 2) AS DOUBLE) AS cp1,
+           CAST(cs2.cnt AS BIGINT) AS cnt2,
+           CAST(round(cs2.s1, 2) AS DOUBLE) AS wh2,
+           CAST(round(cs2.s2, 2) AS DOUBLE) AS lp2,
+           CAST(round(cs2.s3, 2) AS DOUBLE) AS cp2
+    FROM cross_sales cs1, cross_sales cs2
+    WHERE cs1.item_sk = cs2.item_sk
+      AND cs1.store_name = cs2.store_name
+      AND cs1.store_zip = cs2.store_zip
+      AND cs1.syear = 1998 AND cs2.syear = 1999
+      AND cs2.cnt <= cs1.cnt
+    ORDER BY i_product_name, ss_item_sk, s_store_name
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "catalog_returns",
+        "store_sales",
+        "store_returns",
+        "item",
+        "store",
+        "customer",
+        "date_dim",
+        "customer_demographics",
+        "household_demographics",
+        "income_band",
+        "customer_address",
+    ),
+)
 def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q64 shape — the suite's largest composite: store sales of
     catalog-cross-sold items (catalog gross sale > 2× its refunds),
@@ -3980,6 +3990,7 @@ def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cs_ui reduces catalog+returns to an item key set first; the
     ss→sr leg joins on (ticket, item); every dim join is keyed; the
     yoy self-join sees (item × store) rollups only."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
@@ -5875,35 +5886,78 @@ def tpcds_q2_week_dow_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q4_three_channel_growth", """    SELECT * FROM (VALUES
-      ('00000000000000C6', 'Jennifer', 'Lopez'),
-      ('00000000000000C7', 'Susan', 'Martinez'),
-      ('0000000000000C10', 'Michael', 'Miller'),
-      ('0000000000000C16', 'Charles', 'Martinez'),
-      ('0000000000000C31', 'Charles', 'Brown'),
-      ('0000000000000C44', 'Jennifer', 'Martinez'),
-      ('0000000000000C52', 'Maria', 'Lopez'),
-      ('0000000000000C53', 'Susan', 'Jones'),
-      ('0000000000000C76', 'Jennifer', 'Hernandez'),
-      ('0000000000000C84', 'Michael', 'Jones'),
-      ('0000000000000C91', 'Michael', 'Martinez'),
-      ('000000000000C104', 'Linda', 'Martinez'),
-      ('000000000000C134', 'Susan', 'Rodriguez'),
-      ('000000000000C143', 'Linda', 'Brown'),
-      ('000000000000C144', 'Barbara', 'Brown'),
-      ('000000000000C155', 'Mary', 'Davis'),
-      ('000000000000C174', 'Linda', 'Rodriguez'),
-      ('000000000000C188', 'William', 'Brown'),
-      ('000000000000C214', 'James', 'Davis'),
-      ('000000000000C232', 'Richard', 'Miller')
-    ) AS t(c_customer_id, c_first_name, c_last_name)
-    """)
+@register(
+    "tpcds_q4_three_channel_growth",
+    _wh_sql(
+        """
+    WITH year_total AS (
+      SELECT ss_customer_sk AS customer_sk, d_year,
+             CAST(sum(CAST(ss_ext_list_price - ss_ext_wholesale_cost
+                           - ss_ext_discount_amt + ss_ext_sales_price
+                           AS DECIMAL(38,12))) / 2 AS DOUBLE) AS year_total,
+             's' AS sale_type
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+      GROUP BY ss_customer_sk, d_year
+      UNION ALL
+      SELECT cs_bill_customer_sk, d_year,
+             CAST(sum(CAST(cs_ext_list_price - cs_ext_wholesale_cost
+                           - cs_ext_discount_amt + cs_ext_sales_price
+                           AS DECIMAL(38,12))) / 2 AS DOUBLE),
+             'c'
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+      GROUP BY cs_bill_customer_sk, d_year
+      UNION ALL
+      SELECT ws_bill_customer_sk, d_year,
+             CAST(sum(CAST(ws_ext_list_price - ws_ext_wholesale_cost
+                           - ws_ext_discount_amt + ws_ext_sales_price
+                           AS DECIMAL(38,12))) / 2 AS DOUBLE),
+             'w'
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+      GROUP BY ws_bill_customer_sk, d_year)
+    SELECT c_customer_id, c_first_name, c_last_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_c_firstyear, year_total t_c_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear,
+         customer
+    WHERE t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_c_secyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_c_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_secyear.customer_sk
+      AND t_s_firstyear.customer_sk = c_customer_sk
+      AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+      AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+      AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.d_year = 1998 AND t_s_secyear.d_year = 1999
+      AND t_c_firstyear.d_year = 1998 AND t_c_secyear.d_year = 1999
+      AND t_w_firstyear.d_year = 1998 AND t_w_secyear.d_year = 1999
+      AND t_s_firstyear.year_total > 0
+      AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND t_c_secyear.year_total / t_c_firstyear.year_total
+          > t_s_secyear.year_total / t_s_firstyear.year_total
+      AND t_w_secyear.year_total / t_w_firstyear.year_total
+          > t_s_secyear.year_total / t_s_firstyear.year_total
+    ORDER BY c_customer_id
+    LIMIT 20
+    """,
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "date_dim",
+        "customer",
+    ),
+)
 def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q4: customers whose catalog AND web spending grew faster
     1998→1999 than their store spending — the q74 year_total self-join
     extended to all three channels (six per-customer rollups joined on
     customer id). Totals use the spec's full price formula
     (((list - wholesale - discount) + sales) / 2)."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -5939,10 +5993,14 @@ def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return first.join(second, "cust_sk")
     joined = split(s, "s").join(split(c, "c"), "cust_sk").join(split(w, "w"), "cust_sk")
+    # ratios compared in IEEE double on BOTH engines (the oracle casts
+    # its exact-decimal year totals to DOUBLE the same way) so the
+    # growth comparison is bit-identical, not decimal-scale-dependent
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
     grown = joined.where(
         (F.col("s98") > 0) & (F.col("c98") > 0) & (F.col("w98") > 0)
-        & (F.col("c99") / F.col("c98") > F.col("s99") / F.col("s98"))
-        & (F.col("w99") / F.col("w98") > F.col("s99") / F.col("s98"))
+        & (d("c99") / d("c98") > d("s99") / d("s98"))
+        & (d("w99") / d("w98") > d("s99") / d("s98"))
     )
     return (
         grown.join(cu, grown.cust_sk == cu.c_customer_sk)
