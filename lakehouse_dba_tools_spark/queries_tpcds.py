@@ -496,18 +496,33 @@ from lakehouse_dba_tools_spark.datagen.tpcds import (  # noqa: E402
 )
 
 
-@register("tpcds_q96_time_slot_count", """
-    SELECT * FROM (VALUES
-      (CAST(417 AS BIGINT))
-    ) AS t(cnt)
-    
-    """)
+@register(
+    "tpcds_q96_time_slot_count",
+    _wh_sql(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS cnt
+    FROM store_sales, household_demographics, time_dim, store
+    WHERE ss_sold_time_sk = time_dim.t_time_sk
+      AND ss_hdemo_sk = household_demographics.hd_demo_sk
+      AND ss_store_sk = s_store_sk
+      AND time_dim.t_hour = 20
+      AND time_dim.t_minute >= 30
+      AND household_demographics.hd_dep_count = 7
+      AND store.s_number_employees BETWEEN 200 AND 295
+    """,
+        "store_sales",
+        "household_demographics",
+        "time_dim",
+        "store",
+    ),
+)
 def tpcds_q96_time_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q96 shape: sales volume in one half-hour slot for one
     demographic at high-traffic stores. Three fixed/spec-fixed-size dims
     (time_dim 86.4k, household_demographics 7.2k, store 8) — all below
     any sane autoBroadcastJoinThreshold, so Catalyst broadcasts them
     from size estimates; the SF-scaling fact never moves."""
+    _gate(spark)
     ss, _, _ = _star(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
@@ -526,12 +541,90 @@ def tpcds_q96_time_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q88_time_slot_matrix", """
-    SELECT * FROM (VALUES
-      (CAST(1160 AS BIGINT), CAST(1101 AS BIGINT), CAST(1124 AS BIGINT), CAST(1135 AS BIGINT), CAST(1089 AS BIGINT), CAST(1081 AS BIGINT), CAST(1099 AS BIGINT), CAST(1112 AS BIGINT))
-    ) AS t(h8_30_to_9, h9_to_9_30, h9_30_to_10, h10_to_10_30, h10_30_to_11, h11_to_11_30, h11_30_to_12, h12_to_12_30)
-    
-    """)
+@register(
+    "tpcds_q88_time_slot_matrix",
+    _wh_sql(
+        """
+    SELECT CAST(s1.h AS BIGINT) AS h8_30_to_9,
+           CAST(s2.h AS BIGINT) AS h9_to_9_30,
+           CAST(s3.h AS BIGINT) AS h9_30_to_10,
+           CAST(s4.h AS BIGINT) AS h10_to_10_30,
+           CAST(s5.h AS BIGINT) AS h10_30_to_11,
+           CAST(s6.h AS BIGINT) AS h11_to_11_30,
+           CAST(s7.h AS BIGINT) AS h11_30_to_12,
+           CAST(s8.h AS BIGINT) AS h12_to_12_30
+    FROM
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 8 AND t_minute >= 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s1,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 9 AND t_minute < 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s2,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 9 AND t_minute >= 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s3,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 10 AND t_minute < 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s4,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 10 AND t_minute >= 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s5,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 11 AND t_minute < 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s6,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 11 AND t_minute >= 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s7,
+     (SELECT count(*) h
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND t_hour = 12 AND t_minute < 30
+        AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+              OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+              OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))) s8
+    """,
+        "store_sales",
+        "household_demographics",
+        "time_dim",
+        "store",
+    ),
+)
 def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q88 shape: eight half-hour traffic counters cross-joined
     into one row. Each block is an independent scalar aggregate over the
@@ -539,6 +632,7 @@ def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same BNLJ-stamp pattern as the BM25 stats join). At cluster scale
     the eight scans share the cached fact; here each block's dim filters
     prune before the fact join."""
+    _gate(spark)
     ss, _, _ = _star(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
@@ -1401,18 +1495,37 @@ def tpcds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q38_three_channel_intersect", """
-    SELECT * FROM (VALUES
-      (CAST(1284 AS BIGINT))
-    ) AS t(hot_customers)
-    
-    """)
+@register(
+    "tpcds_q38_three_channel_intersect",
+    _wh_sql(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS hot_customers FROM (
+      SELECT DISTINCT ss_customer_sk AS customer_sk
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1178
+      INTERSECT
+      SELECT DISTINCT cs_bill_customer_sk
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1178
+      INTERSECT
+      SELECT DISTINCT ws_bill_customer_sk
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1178
+    ) hot
+    """,
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "date_dim",
+    ),
+)
 def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q38 shape: customers active in ALL THREE channels inside
     one quarter — the spec's INTERSECT chain. Each channel reduces to a
     distinct customer-key set BEFORE intersecting (Spark plans
     intersect as a distinct + semi-join ladder), so the set operation
     never carries fact rows."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -1601,31 +1714,55 @@ def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q59_wow_revenue", """
-    SELECT * FROM (VALUES
-      ('able', CAST(8 AS INT), CAST(5113 AS INT), CAST(0.797992 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(0.987628 AS DOUBLE), CAST(1.332194 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5114 AS INT), CAST(1.081567 AS DOUBLE), CAST(1.442626 AS DOUBLE), CAST(2.001206 AS DOUBLE), CAST(0.767688 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5115 AS INT), CAST(1.16521 AS DOUBLE), CAST(0.898532 AS DOUBLE), CAST(0.89158 AS DOUBLE), CAST(0.891103 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5116 AS INT), CAST(0.997955 AS DOUBLE), CAST(0.991247 AS DOUBLE), CAST(0.909816 AS DOUBLE), CAST(0.885496 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5117 AS INT), CAST(1.222842 AS DOUBLE), CAST(1.262018 AS DOUBLE), CAST(1.248716 AS DOUBLE), CAST(0.778731 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5118 AS INT), CAST(0.76891 AS DOUBLE), CAST(0.886585 AS DOUBLE), CAST(0.763409 AS DOUBLE), CAST(1.201299 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5119 AS INT), CAST(1.195489 AS DOUBLE), CAST(1.045443 AS DOUBLE), CAST(0.812699 AS DOUBLE), CAST(1.038899 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5120 AS INT), CAST(0.964815 AS DOUBLE), CAST(0.939455 AS DOUBLE), CAST(0.760683 AS DOUBLE), CAST(1.144456 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5121 AS INT), CAST(0.769587 AS DOUBLE), CAST(0.850186 AS DOUBLE), CAST(0.780711 AS DOUBLE), CAST(1.307477 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5122 AS INT), CAST(1.003042 AS DOUBLE), CAST(1.016868 AS DOUBLE), CAST(0.7476 AS DOUBLE), CAST(0.665281 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5123 AS INT), CAST(0.593125 AS DOUBLE), CAST(0.916653 AS DOUBLE), CAST(1.210254 AS DOUBLE), CAST(0.916525 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5124 AS INT), CAST(1.024999 AS DOUBLE), CAST(1.036856 AS DOUBLE), CAST(0.916852 AS DOUBLE), CAST(0.641694 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5125 AS INT), CAST(1.249362 AS DOUBLE), CAST(1.293729 AS DOUBLE), CAST(1.036509 AS DOUBLE), CAST(1.208403 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5126 AS INT), CAST(1.315847 AS DOUBLE), CAST(1.020643 AS DOUBLE), CAST(1.335903 AS DOUBLE), CAST(0.857686 AS DOUBLE)),
-      ('able', CAST(8 AS INT), CAST(5127 AS INT), CAST(0.902249 AS DOUBLE), CAST(1.351043 AS DOUBLE), CAST(0.75929 AS DOUBLE), CAST(0.611549 AS DOUBLE))
-    ) AS t(s_store_name, store_sk, week_seq, sun_ratio, mon_ratio, fri_ratio, sat_ratio)
-    """)
+@register(
+    "tpcds_q59_wow_revenue",
+    _wh_sql(
+        """
+    WITH wss AS (
+      SELECT d_week_seq, ss_store_sk,
+             sum(CAST(CASE WHEN d_day_name = 'Sunday'
+                           THEN ss_sales_price END AS DECIMAL(38,12))) sun_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Monday'
+                           THEN ss_sales_price END AS DECIMAL(38,12))) mon_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Friday'
+                           THEN ss_sales_price END AS DECIMAL(38,12))) fri_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Saturday'
+                           THEN ss_sales_price END AS DECIMAL(38,12))) sat_sales
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk
+      GROUP BY d_week_seq, ss_store_sk)
+    SELECT s_store_name,
+           CAST(y.ss_store_sk AS INT) AS store_sk,
+           CAST(y.d_week_seq AS INT) AS week_seq,
+           CAST(round(CAST(x.sun_sales AS DOUBLE)
+                      / CAST(y.sun_sales AS DOUBLE), 6) AS DOUBLE) AS sun_ratio,
+           CAST(round(CAST(x.mon_sales AS DOUBLE)
+                      / CAST(y.mon_sales AS DOUBLE), 6) AS DOUBLE) AS mon_ratio,
+           CAST(round(CAST(x.fri_sales AS DOUBLE)
+                      / CAST(y.fri_sales AS DOUBLE), 6) AS DOUBLE) AS fri_ratio,
+           CAST(round(CAST(x.sat_sales AS DOUBLE)
+                      / CAST(y.sat_sales AS DOUBLE), 6) AS DOUBLE) AS sat_ratio
+    FROM wss y, wss x, store
+    WHERE y.d_week_seq BETWEEN 5113 AND 5164
+      AND x.d_week_seq BETWEEN 5165 AND 5216
+      AND y.ss_store_sk = x.ss_store_sk
+      AND y.d_week_seq = x.d_week_seq - 52
+      AND y.ss_store_sk = s_store_sk
+    ORDER BY s_store_name, store_sk, week_seq
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+    ),
+)
 def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q59 shape: per-store weekly revenue by day-of-week,
     self-joined one year apart (week_seq vs week_seq - 52) to report
     week-over-week ratios — the time-shifted self-join on a rolled-up
     key. Both join inputs are (store, week) grained aggregates; the
     52-week shift happens in the join condition, never by re-scanning."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     wk = (
@@ -1657,7 +1794,14 @@ def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(st, y1.store_sk == st.s_store_sk)
 
     def ratio(a, b, name):
-        return F.round(F.col(a) / F.col(b), 6).cast("double").alias(name)
+        # IEEE-double division on BOTH engines (oracle casts its exact
+        # decimal week sums to DOUBLE the same way) — engine decimal
+        # quotient scales differ, doubles don't
+        return (
+            F.round(F.col(a).cast("double") / F.col(b).cast("double"), 6)
+            .cast("double")
+            .alias(name)
+        )
 
     return (
         joined.select(
@@ -1674,17 +1818,41 @@ def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q97_channel_overlap", """
-    SELECT * FROM (VALUES
-      (CAST(49719 AS BIGINT), CAST(29726 AS BIGINT), CAST(2 AS BIGINT))
-    ) AS t(store_only, catalog_only, store_and_catalog)
-    
-    """)
+@register(
+    "tpcds_q97_channel_overlap",
+    _wh_sql(
+        """
+    WITH ssci AS (
+      SELECT DISTINCT ss_customer_sk customer_sk, ss_item_sk item_sk
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1181),
+    csci AS (
+      SELECT DISTINCT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1181)
+    SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+    FROM ssci FULL OUTER JOIN csci
+      ON (ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk)
+    """,
+        "store_sales",
+        "catalog_sales",
+        "date_dim",
+    ),
+)
 def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q97 shape: classify (customer, item) purchase pairs as
     store-only / catalog-only / both via a FULL OUTER join of the two
     channels' DISTINCT key sets — set reconciliation as one outer join
     over aggregated keys, counted with null-pattern conditionals."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     dates = dd.where(F.col("d_month_seq").between(1176, 1181)).select("d_date_sk")
@@ -1735,11 +1903,46 @@ def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q23_frequent_best_basket", """
-    SELECT * FROM (VALUES
-      (CAST(711414.37 AS DOUBLE))
-    ) AS t(total_sales)
-    """)
+@register(
+    "tpcds_q23_frequent_best_basket",
+    _wh_sql(
+        """
+    WITH frequent_ss_items AS (
+      SELECT DISTINCT item_sk FROM (
+        SELECT ss_item_sk item_sk
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk
+        GROUP BY ss_item_sk, d_year
+        HAVING count(*) > 6)),
+    customer_spend AS (
+      SELECT ss_customer_sk,
+             sum(CAST(ss_quantity * ss_sales_price AS DECIMAL(38,12))) csales
+      FROM store_sales
+      GROUP BY ss_customer_sk),
+    best_ss_customer AS (
+      SELECT ss_customer_sk FROM customer_spend
+      WHERE csales > 0.5 * (SELECT max(csales) FROM customer_spend))
+    SELECT CAST(round(sum(CAST(sales AS DECIMAL(38,12))), 2) AS DOUBLE)
+           AS total_sales
+    FROM (
+      SELECT cs_quantity * cs_sales_price sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 1999 AND d_moy = 3 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT ss_customer_sk FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_sales_price sales
+      FROM web_sales, date_dim
+      WHERE d_year = 1999 AND d_moy = 3 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT ss_customer_sk FROM best_ss_customer))
+    """,
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "date_dim",
+    ),
+)
 def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q23 shape: one month's catalog+web revenue restricted to
     FREQUENT items (bought >6× in a year) and BEST customers (store
@@ -1747,6 +1950,7 @@ def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFram
     reused across both channels, the max threshold a 1-row scalar
     broadcast. Both sets are aggregates (item- and customer-grained),
     so the channel facts take two semi-joins, never a fact-fact join."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -1787,26 +1991,30 @@ def tpcds_q23_frequent_best_basket(spark: SparkSession, sf_dir: str) -> DataFram
     return unioned.agg(_money("sales").alias("total_sales"))
 
 
-@register("tpcds_q93_net_of_returns", """
-    SELECT * FROM (VALUES
-      (CAST(12501 AS INT), CAST(84211.13 AS DOUBLE)),
-      (CAST(16417 AS INT), CAST(82647.49 AS DOUBLE)),
-      (CAST(9926 AS INT), CAST(81678.96 AS DOUBLE)),
-      (CAST(43225 AS INT), CAST(77996.07 AS DOUBLE)),
-      (CAST(40485 AS INT), CAST(76350.82 AS DOUBLE)),
-      (CAST(46274 AS INT), CAST(74787.76 AS DOUBLE)),
-      (CAST(22649 AS INT), CAST(74245.85 AS DOUBLE)),
-      (CAST(30359 AS INT), CAST(74068.17 AS DOUBLE)),
-      (CAST(46334 AS INT), CAST(73797.72 AS DOUBLE)),
-      (CAST(19062 AS INT), CAST(73268.73 AS DOUBLE)),
-      (CAST(33229 AS INT), CAST(72925.51 AS DOUBLE)),
-      (CAST(39401 AS INT), CAST(72491.22 AS DOUBLE)),
-      (CAST(449 AS INT), CAST(72209.94 AS DOUBLE)),
-      (CAST(2151 AS INT), CAST(71686.6 AS DOUBLE)),
-      (CAST(32295 AS INT), CAST(70935.57 AS DOUBLE))
-    ) AS t(ss_customer_sk, sumsales)
-    
-    """)
+@register(
+    "tpcds_q93_net_of_returns",
+    _wh_sql(
+        """
+    SELECT ss_customer_sk,
+           CAST(round(sum(CAST(act_sales AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sumsales
+    FROM (SELECT ss_customer_sk, ss_quantity, ss_sales_price,
+                 CASE WHEN sr_return_quantity IS NOT NULL
+                      THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                      ELSE ss_quantity * ss_sales_price END act_sales
+          FROM store_sales
+          LEFT OUTER JOIN (SELECT * FROM store_returns
+                           WHERE sr_reason_sk = 7) sr
+            ON (sr_item_sk = ss_item_sk
+                AND sr_ticket_number = ss_ticket_number)) t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales DESC, ss_customer_sk
+    LIMIT 15
+    """,
+        "store_sales",
+        "store_returns",
+    ),
+)
 def tpcds_q93_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q93 shape: per-customer actual revenue NET of returns —
     the sales fact LEFT-joins its returns fact on the line key
@@ -1815,6 +2023,7 @@ def tpcds_q93_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-fact join in the tier, co-keyed on the returns' natural join
     key; both sides hash the same (ticket, item) so at scale this is
     the bucketed-join candidate (SCALE.md MERGE notes apply)."""
+    _gate(spark)
     ss, _, _ = _star(spark, sf_dir)
     sr = _sr(spark, sf_dir)
     r = sr.where(F.col("sr_reason_sk") == 7).select(
@@ -2105,11 +2314,37 @@ def tpcds_q70_state_profit_ranking(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q87_store_only_customers", """
-    SELECT * FROM (VALUES
-      (CAST(2406 AS BIGINT))
-    ) AS t(num_store_only)
-    """)
+@register(
+    "tpcds_q87_store_only_customers",
+    _wh_sql(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS num_store_only FROM (
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1176 AND 1178)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1176 AND 1178)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1176 AND 1178)
+    ) cool_cust
+    """,
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "date_dim",
+        "customer",
+    ),
+)
 def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q87 shape: how many distinct (last, first, purchase-date)
     customer-day triples bought in-store but never by catalog or web
@@ -2120,6 +2355,7 @@ def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: each leg is (names × day) — already deduplicated before the
     set difference, so the EXCEPTs shuffle only distinct triples; the
     fact tables never meet each other directly."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
