@@ -20,7 +20,10 @@ Scale notes: the anti-join shuffles both sides on the key (or
 broadcasts a small source — Catalyst/AQE decides). That matches what
 Delta MERGE does physically (join target files against source). At
 100 TB the win is the same as Delta's: partition/cluster the target on
-the key's natural prefix so file pruning bounds the rewrite set.
+the key's natural prefix so file pruning bounds the rewrite set —
+``create_or_upsert_partitioned`` implements exactly that: only the
+partition directories receiving source rows are rewritten, everything
+else is carried by reference (round-6; was a whole-table rewrite).
 """
 
 from __future__ import annotations
@@ -118,3 +121,92 @@ def create_or_upsert_parquet(
         path, "MERGE", num_output_rows=footer_row_count(path),
         parameters={"keys": list(keys)},
     )
+
+
+def create_or_upsert_partitioned(
+    spark,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+    source_order: Sequence[Column | str] | None = None,
+) -> list[str]:
+    """Partition-pruned MERGE (round-6 fix for the whole-table-rewrite
+    scale killer): only target partitions that actually receive source
+    rows are rewritten; every other partition directory is carried by
+    reference, untouched on disk — the same file-pruning win real
+    Delta MERGE gets from its transaction-log file stats
+    (`tasks/Query History API to Delta_withmetrics.py:244-250`). At
+    100 TB with a 1-hour look-back source this is the difference
+    between rewriting ~0.1% of files and rewriting everything.
+
+    CONTRACT: ``partition_col`` must be STABLE per key (a creation
+    date, a key-prefix bucket) — a key whose partition value changed
+    between target and source would leave its old row in an unpruned
+    partition and violate MERGE's one-row-per-key postcondition.
+    Delta's pruned MERGE carries the identical caveat (pruning is only
+    sound when the merge condition constrains the partition column).
+
+    Returns the list of rewritten/created partition directory names.
+
+    Scale: the distinct-partition collect is bounded by the SOURCE's
+    partition cardinality (a look-back window: tens of values, never
+    fact-row cardinality); the merge join shuffles only the affected
+    partitions' rows.
+    """
+    import os
+    import shutil
+
+    from lakehouse_dba_tools_spark.maintenance.history import (
+        footer_row_count,
+        record_commit,
+    )
+
+    if source_order is not None:
+        source = dedup_by_key(source, keys, source_order, keep="last")
+    if not os.path.exists(path):
+        source.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        record_commit(
+            path, "CREATE", num_output_rows=footer_row_count(path),
+            parameters={"keys": list(keys), "partition_col": partition_col},
+        )
+        return sorted(
+            d for d in os.listdir(path) if d.startswith(f"{partition_col}=")
+        )
+
+    affected = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]
+    # partition pruning keeps the target read to the affected dirs only
+    target = spark.read.option("basePath", path).parquet(path).where(
+        F.col(partition_col).isin(affected)
+    )
+    # source already deduped above when source_order was given; without
+    # it, keep merge_upsert's uniqueness guard
+    merged = merge_upsert(
+        target, source, keys,
+        source_order=None,
+        validate_unique=source_order is None,
+    )
+    staging = path.rstrip("/") + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    rewritten = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        dst = os.path.join(path, d)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(staging, d), dst)
+        rewritten.append(d)
+    shutil.rmtree(staging, ignore_errors=True)
+    record_commit(
+        path, "MERGE", num_output_rows=footer_row_count(path),
+        parameters={
+            "keys": list(keys),
+            "partition_col": partition_col,
+            "rewritten_partitions": rewritten,
+        },
+    )
+    return rewritten

@@ -513,6 +513,99 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, source, ["o_orderkey"])
 
 
+@register(
+    "partition_pruned_merge_report",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,12)) AS price,
+             CAST(year(o_orderdate) AS INT) AS p
+      FROM orders
+    ),
+    mn AS (SELECT min(p) AS m FROM base),
+    news AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, price, p
+      FROM base WHERE p = (SELECT m FROM mn)
+      ORDER BY o_orderkey LIMIT 5
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN p = (SELECT m FROM mn) THEN price + 10 ELSE price END
+               AS price,
+             p
+      FROM base
+      UNION ALL SELECT * FROM news
+    )
+    SELECT p, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price,
+           p = (SELECT m FROM mn) AS rewritten
+    FROM merged GROUP BY p ORDER BY p
+    """,
+)
+def partition_pruned_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE end-to-end (operators/upsert.py
+    ``create_or_upsert_partitioned`` — round-6 fix for the
+    whole-table-rewrite scale killer; reference QH:244-250 Delta
+    MERGE's file-pruned semantics): orders lands partitioned by order
+    year, then a source touching ONLY the earliest year (price bump
+    +10 on every key, plus 5 new keys) merges in. The report rolls up
+    the final table per partition and tags each with whether the merge
+    rewrote it — the oracle recomputes the merged state relationally
+    AND pins that exactly the earliest-year partition is tagged, so a
+    regression to whole-table rewriting hash-fails, not just slows."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.functions.stable import DEC
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.year("o_orderdate").cast("int").alias("p"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ppm_")
+    path = f"{tmp}/orders_by_year"
+    try:
+        create_or_upsert_partitioned(spark, base, path, ["o_orderkey"], "p")
+        m = base.agg(F.min("p")).first()[0]
+        upd = base.where(F.col("p") == m).select(
+            "o_orderkey", (F.col("price") + 10).cast(DEC).alias("price"), "p"
+        )
+        news = (
+            base.where(F.col("p") == m)
+            .orderBy("o_orderkey")
+            .limit(5)
+            .select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "price",
+                "p",
+            )
+        )
+        rewritten = create_or_upsert_partitioned(
+            spark, upd.unionByName(news), path, ["o_orderkey"], "p"
+        )
+        vals = sorted(int(d.split("=", 1)[1]) for d in rewritten)
+        final = spark.read.option("basePath", path).parquet(path)
+        rows = (
+            final.groupBy("p")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+            )
+            .withColumn("rewritten", F.col("p").isin(vals))
+            .orderBy("p")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "p int, n_rows bigint, total_price double, rewritten boolean"
+    )
+
+
 # --------------------------------------------------------------------------
 # Sessionization (north-star M6): gap>30min → session; per-user stats.
 # --------------------------------------------------------------------------

@@ -75,6 +75,53 @@ def test_merge_upsert_dedups_source(spark):
     assert len(got) == 1 and got[0].v == "latest"
 
 
+def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    """Round-6 scale fix: a selective merge must leave untouched
+    partition directories BYTE-IDENTICAL (same files, same bytes) and
+    rewrite only partitions that received source rows — the
+    file-pruning contract real Delta MERGE gets from its log."""
+    import hashlib
+    import os
+
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 5) for i in range(50)], "k int, v string, p int"
+    )
+    created = create_or_upsert_partitioned(spark, base, path, ["k"], "p")
+    assert created == [f"p={i}" for i in range(5)]
+
+    def digest(pdir):
+        h = hashlib.sha256()
+        d = os.path.join(path, pdir)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                h.update(fn.encode())
+                with open(os.path.join(d, fn), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = {f"p={i}": digest(f"p={i}") for i in range(5)}
+    # source touches p=2 (update k=2) and a NEW partition p=7
+    src = spark.createDataFrame(
+        [(2, "updated", 2), (99, "inserted", 7)], "k int, v string, p int"
+    )
+    rewritten = create_or_upsert_partitioned(spark, src, path, ["k"], "p")
+    assert rewritten == ["p=2", "p=7"]
+    after = {f"p={i}": digest(f"p={i}") for i in range(5)}
+    for p in ("p=0", "p=1", "p=3", "p=4"):
+        assert after[p] == before[p], f"untouched partition {p} was rewritten"
+    assert after["p=2"] != before["p=2"]
+    # row semantics equal a full merge
+    got = {r.k: (r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 51
+    assert got[2] == ("updated", 2) and got[99] == ("inserted", 7)
+    assert got[7] == ("v7", 2)  # k=7 lives in p=2, untouched by the update of k=2
+
+
 def test_union_fold_and_template(spark):
     a = spark.createDataFrame([(1,)], "x int")
     frames = [a, a, a, a, a]
