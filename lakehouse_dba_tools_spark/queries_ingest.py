@@ -320,3 +320,85 @@ def csv_exotic_declared_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "small_file_write_audit",
+    """
+    SELECT 'compact_files_after' AS metric, CAST(1 AS BIGINT) AS value
+    UNION ALL
+    SELECT 'compact_files_before', CAST(8 AS BIGINT)
+    UNION ALL
+    SELECT 'csv_inferred_int_cols', CAST(2 AS BIGINT)
+    UNION ALL
+    SELECT 'csv_inferred_rows_matching', (SELECT count(*) FROM nation)
+    UNION ALL
+    SELECT 'text_gzip_lines', (SELECT count(*) FROM nation)
+    ORDER BY metric
+    """,
+)
+def small_file_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 + S14 + S2 end-to-end (round-6 promotion of the last
+    unit-only sink rows): deliberately fragment nation into 8 parquet
+    files, bin-pack with optimize_compact (S13 — 128 MB target folds
+    25 rows into ONE file; `maintenance/compact.py:43`), write the
+    gzip-compressed text sink and read it back (S14,
+    `sources/files.py:59`), and round-trip nation through a
+    header+INFERRED-schema CSV (S2, `sources/files.py:19`) re-joined
+    to the original on every column. The oracle derives the row-level
+    values from the nation fixture; the file-count rows pin the
+    operators' structural contracts (8-way fragment, 1-file compact,
+    2 integer-inferred key columns)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.maintenance.compact import optimize_compact
+    from lakehouse_dba_tools_spark.sources.files import (
+        read_csv_inferred,
+        write_text,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="write_audit_")
+    try:
+        # S13: fragment → compact
+        frag_path = f"{tmp}/nation_frag"
+        nation.repartition(8).write.parquet(frag_path)
+        n_before = len(glob.glob(os.path.join(frag_path, "*.parquet")))
+        optimize_compact(spark, frag_path)
+        n_after = len(glob.glob(os.path.join(frag_path, "*.parquet")))
+        # S14: compressed text sink round-trip
+        text_path = f"{tmp}/nation_txt"
+        lines = nation.select(
+            F.concat_ws(
+                "|",
+                F.col("n_nationkey").cast("string"),
+                "n_name",
+                F.col("n_regionkey").cast("string"),
+            ).alias("value")
+        )
+        write_text(lines.coalesce(1), text_path, compression="gzip")
+        assert glob.glob(os.path.join(text_path, "*.gz")), "gzip sink"
+        n_lines = spark.read.text(text_path).count()
+        # S2: header CSV, schema INFERRED on read
+        csv_path = f"{tmp}/nation_csv"
+        nation.write.option("header", True).csv(csv_path)
+        inferred = read_csv_inferred(spark, csv_path)
+        n_int_cols = sum(1 for _, t in inferred.dtypes if t in ("int", "bigint"))
+        n_match = inferred.join(
+            nation, ["n_nationkey", "n_name", "n_regionkey"]
+        ).count()
+        rows = [
+            ("compact_files_after", n_after),
+            ("compact_files_before", n_before),
+            ("csv_inferred_int_cols", n_int_cols),
+            ("csv_inferred_rows_matching", n_match),
+            ("text_gzip_lines", n_lines),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, value bigint")

@@ -32,136 +32,105 @@ def register(name: str, oracle: str | None = None):
 # covered by a checked query (each trailing query's docstring or the
 # §2 table says which).
 CHECKED_FIRST: tuple[str, ...] = (
-    # LLM training-data tier (dedup / text / vectors / sampling / multimodal)
-    "doc_exact_dedup_groups",
+    # ---- LLM training-data tier (dedup / text / vectors / multimodal)
+    # Round-6 rotation (long-green slots fund first driver rows; every
+    # rotated-out operator stays covered, see inline notes):
+    # doc_exact_dedup_groups (green r1-r5) out — hash-group dedup core
+    #   re-exercised by doc_near_dup_components' canonical-keeper stage
+    #   and query_history_etl_e2e's W1 dedup.
+    # doc_chunking (green r1-r5) out — corpus_pack_chunks (in) runs the
+    #   same functions/chunking.py core PLUS greedy packing.
+    # stratified_sample_docs (green r1-r5) out — md5-rank split core
+    #   stays diffchecked via train_val_test_split_counts (trailing).
+    # cosine_topk_ivf (green r3-r5) out — ivf_recall_report hash-checks
+    #   IVF top-k against in-query brute truth; int8_quantized_recall
+    #   (in) re-checks the brute cosine kernel.
+    # term_postings_stats (green r3-r5) out — same bm25.py stats path
+    #   feeds bm25_keyword_topk (still checked).
     "doc_text_profile",
-    # ngram_jaccard_pairs trails (round 4): exact n-gram Jaccard is
-    # recomputed inside doc_near_dup_components' verify stage.
-    # doc_near_dup_components runs verified_near_dups (MinHash-LSH +
-    # exact-Jaccard verify, same params as the trailing
-    # minhash_verified_near_dups) AND the connected-components
-    # canonicalization, so one slot hash-checks both stages.
     "doc_near_dup_components",
     "simhash_verified_near_dups",
-    # cosine_topk_brute rotates out (round 5, green r1-r4): the brute
-    # top-k is recomputed as the in-query ground truth inside
-    # ivf_recall_report, which now hash-checks the PRODUCTION nprobe≪
-    # nlist configs (round-4 gap #1) — lsh_recall_report stays local.
     "ivf_recall_report",
-    "cosine_topk_ivf",
     "embedding_near_dups_lsh",
-    "doc_chunking",
-    # train_val_test_split_counts trails (round 4): hash-split sampling
-    # is double-covered by stratified_sample_docs (same md5-rank core).
-    "stratified_sample_docs",
+    "int8_quantized_recall",
     "multimodal_features",
-    # multimodal_frame_sample trails (round 4): the mapInPandas binary
-    # plumbing is hash-checked by multimodal_features.
-    # Curation tier — rotation: corpus_mixture_sample green in r4,
-    # rotates out for doc_pii_redaction's first driver row (round 5).
     "doc_decontamination",
     "doc_pii_redaction",
-    # Lexical retrieval + DBA diagnostics tier (round 3)
+    "corpus_pack_chunks",
     "bm25_keyword_topk",
-    "term_postings_stats",
-    "dq_constraint_report",
-    "key_skew_report",
-    "forget_keys_cascade",
-    # TPC-H tier — 4 representatives cover the join/agg/subquery shapes;
-    # q2 rotates out (green r3-r4; correlated-subquery shape stays
-    # locally diffchecked) to fund the new TPC-DS tier below. The rest
-    # of the 22 (q1 via pricing_summary, q3-q11, q13, q14, q16, q17,
-    # q19-q21) trails, still diffchecked locally.
-    "q12_shipmode_priority",
-    # q15_top_supplier rotates out (green r4; view+max-subquery shape
-    # stays locally diffchecked) to fund salted_join_weighted_rollup —
-    # the skew-safe salted join added this round, same join+agg cost
-    # envelope (~0.6s at sf0.1) so the swap is bench-neutral.
+    "hll_mergeable_user_counts",
+    "fuzzy_part_name_pairs",
+    "k_anonymity_report",
+    "part_copurchase_pagerank",
+    # dq_constraint_report / key_skew_report / forget_keys_cascade
+    # (green r3-r5) rotate out: constraint column-algebra is carried by
+    # scalar_function_battery + k_anonymity_report (in), skew handling
+    # by the checked salted_join_weighted_rollup, cascade anti-joins by
+    # tpcds_q16's anti/semi pair and the merge family.
+    # ---- TPC-H tier: q18 stays; q12 (green r3-r5) rotates out — its
+    # isin/shipmode probe shape recurs in the checked SQL-text corpus
+    # (q12/q20 texts' IN-lists) and stays locally diffchecked.
     "salted_join_weighted_rollup",
     "q18_large_orders",
-    # q22_idle_customers rotates out (green r4): its anti-join +
-    # avg-subquery shapes are carried by tpcds_q16 (leftanti+leftsemi)
-    # and tpcds_q1/q65's decorrelated-average (q1 trails, locally
-    # diffchecked); TPC-H keeps q12/q18 checked (q15 rotated out
-    # round 5 for salted_join_weighted_rollup), the rest local.
-    # TPC-DS tier (rounds 5) — the reference's benchmark corpus
-    # (evaluation_tools/dbstress__Current.py:103). q3 = the date×item
-    # brand-rollup family (q42/q52/q55 trail as its variants), q7 = the
-    # five-table demographics star over the 1.92M-row cross-product dim.
-    # Round-5 channel expansion: q16 = catalog_sales/catalog_returns +
-    # the spec's EXISTS/NOT-EXISTS pair as semi/anti joins; q62 =
-    # web_sales + warehouse/ship_mode/web_site latency buckets. The
-    # other channel shapes (q1/q19/q21/q60/q68/q73/q77/q79/q88/q89/q90/
-    # q96) trail, locally diffchecked.
+    # ---- TPC-DS tier — all four carry round-6 INDEPENDENT oracles
+    # (DuckDB executing real adapted TPC-DS SQL over the exported gate
+    # warehouse, datagen/export.py) instead of pinned VALUES.
     "tpcds_q3_brand_rollup",
     "tpcds_q7_demographics_star",
     "tpcds_q16_catalog_order_spread",
     "tpcds_q62_web_ship_latency",
-    # Structured Streaming tier — rotation: streaming_hourly_rollup
-    # green r1-r4, rotates out for the overlapping-window variant's
-    # first driver row (round 5).
+    # tpcds_stress_corpus (green r5) hands its harness slot to the
+    # round-6 successor: 27 REAL TPC-DS v2.13 SQL texts through the
+    # same run_workload/latency_summary path, rowcounts pinned by
+    # DuckDB executing the same texts (S16 + the parser surface).
+    "tpcds_sqltext_stress",
+    # ---- Structured Streaming tier
     "streaming_sliding_rollup",
     "streaming_session_windows",
     "streaming_upsert_pipeline",
     "streaming_dedup_rollup",
-    # Incremental rollup maintenance (round 4 promotion)
-    "incremental_rollup_refresh",
-    # Concurrent workload harness (S16). Round-5 late rotation:
-    # workload_stress_summary (green r4) hands its slot to the
-    # dbstress×TPC-DS-corpus end-to-end — the reference's headline
-    # flow — which drives the SAME harness (run_workload /
-    # latency_summary) over the generated warehouse, so S16 stays
-    # hard-signal with strictly more coverage.
-    "tpcds_stress_corpus",
-    # P5/F2 current-timestamp stamping, literal-stamp oracle (round 4)
+    # incremental_rollup_refresh (green r4-r5) rotates out for its
+    # deletion-aware superset: join-view IVM with multiset retraction.
+    "incremental_join_retract_refresh",
+    # ---- Advanced relational / time-series (round-6 promotions)
+    "hourly_gapfill_locf",
     "endpoint_poll_snapshot",
-    # datagen_supplier_partsupp rotates out (green r4): S6 datagen keeps
-    # datagen_lineitem_rollup checked plus the whole generated TPC-DS
-    # tier; slot funds the round-4 conversions below.
-    # Core relational / ETL / lakehouse tier
-    # pricing_summary + region_revenue trail (round 4): the q1 rollup
-    # shape is checked via datagen_lineitem_rollup, the inner equi-join
-    # via q18/event_cost_attribution (q15 trails since round 5).
-    # W1 dedup-by-key is exercised inside query_history_etl_e2e (checked);
-    # first_order_per_customer stays registered as its bench-stable twin.
-    # latest_event_per_user (W2) rotates out (green r1-r4): same
-    # rank-and-keep core as query_history_etl_e2e's W1 dedup, desc
-    # ordering carried by bm25_keyword_topk.
-    # session_counts rotates out (green r4): gap-based sessionization
-    # double-covered by streaming_session_windows' session_window agg.
-    # csv_roundtrip_ingest (S2) rotates out: the declared+exotic CSV
-    # path below is the stronger CSV check; inferred path stays unit.
-    # parquet_table_history rotates out (green r1-r4): the commit-log
-    # mechanism (record_commit/read_log) now hard-checks through the
-    # time-travel + CDF analog, whose oracle is fully relational
-    # (DuckDB recomputes every version count from the orders fixture);
-    # describe_history's exact shape stays locally diffchecked.
     "time_travel_changes",
-    "event_json_rollup",
+    # event_json_rollup (green r1-r5) out — F4 json extraction is
+    # hard-checked by nested_flatten_deep + query_history_etl_e2e.
     "pivot_user_event_values",
     "rowcount_audit",
-    "merge_upsert_orders",
+    # merge_upsert_orders (green r1-r5) hands S9/J3 to the round-6
+    # partition-pruned merge, which drives the same merge_upsert
+    # algebra AND pins that only source-touched partitions rewrite.
+    "partition_pruned_merge_report",
     "query_history_etl_e2e",
     "nested_flatten_deep",
     "schema_reconcile_append",
     "asof_purchase_last_view",
-    # datagen_lineitem_rollup rotates out (green r1-r4): S6 native
-    # datagen is now hard-checked by the whole generated TPC-DS tier
-    # (q3/q7/q16/q62 run entirely on generator output).
     "event_cost_attribution",
     "scd2_customer_history",
     "scalar_function_battery",
     "window_function_battery",
-    # null semantics (nullif/isnull/DISTINCT) folded into
-    # scalar_function_battery; the dedicated battery trails.
+    # W2 latest-per-group promoted (round 6): first driver row after
+    # trailing green r1-r5.
+    "latest_event_per_user",
+    # F10 to_json(struct) promoted (round 6).
+    "nation_json_serialize",
+    # D13 commit-log checkpoint promoted back (round 6): the checkpoint
+    # leg gets a hard driver row again alongside time_travel_changes.
+    "parquet_table_history",
+    # ---- Maintenance / DDL / ingest
+    # column_stats_profile (green r2-r5) out — D6 col stats re-verified
+    # by maintenance_lifecycle_audit's ANALYZE leg + file_detail_audit.
     "maintenance_lifecycle_audit",
-    "column_stats_profile",
     "file_detail_audit",
-    # Round-4 conversions promoted (round 5): S10/S11/S15/A2/D1-D4/D14,
-    # S12+ORC, and S3 move from local-diffcheck to hard driver signal.
     "catalog_ddl_roundtrip",
     "orc_roundtrip_report",
     "csv_exotic_declared_report",
+    # S13/S14/S2 promoted (round 6): fragment→compact file counts,
+    # gzip text sink round-trip, inferred-schema CSV re-join.
+    "small_file_write_audit",
 )
 
 
