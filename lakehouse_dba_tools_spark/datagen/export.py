@@ -172,18 +172,24 @@ def warehouse_tables(
     return t
 
 
+def warehouse_dir(scale: int = 1) -> str:
+    return f"/tmp/lakehouse_tpcds_wh_v{EXPORT_VERSION}_seed{SEED}_sc{scale}"
+
+
 def gate_dir() -> str:
-    return f"/tmp/lakehouse_tpcds_wh_v{EXPORT_VERSION}_seed{SEED}_sc1"
+    return warehouse_dir(1)
 
 
-def _export(spark: SparkSession, names: tuple[str, ...], marker: str) -> None:
-    root = gate_dir()
+def _export(
+    spark: SparkSession, names: tuple[str, ...], marker: str, scale: int = 1
+) -> None:
+    root = warehouse_dir(scale)
     os.makedirs(root, exist_ok=True)
     mpath = os.path.join(root, marker)
     if os.path.exists(mpath):
         return
     tables = warehouse_tables(
-        spark, scale=1, big=any(n in BIG_TABLES for n in names)
+        spark, scale=scale, big=any(n in BIG_TABLES for n in names)
     )
     for name in names:
         final = os.path.join(root, name)
@@ -198,14 +204,22 @@ def _export(spark: SparkSession, names: tuple[str, ...], marker: str) -> None:
         fh.write("ok\n")
 
 
-def ensure_gate_export(spark: SparkSession, big: bool = False) -> str:
-    """Write the gate-scale warehouse to parquet if not already on
-    disk; returns the export root. Called by every query whose oracle
-    reads the export — cheap after the first call (one marker stat)."""
-    _export(spark, CORE_TABLES, "_EXPORT_OK")
+def ensure_export(spark: SparkSession, scale: int = 1, big: bool = False) -> str:
+    """Write the warehouse at ``scale`` to parquet if not already on
+    disk; returns the export root. Cheap after the first call (one
+    marker stat). Scale 1 is the oracle's gate twin; larger scales
+    back the SQL-text stress at bench SFs — a parquet-backed warehouse
+    gives the corpus real scan pushdown instead of re-running
+    generator projections per query."""
+    _export(spark, CORE_TABLES, "_EXPORT_OK", scale=scale)
     if big:
-        _export(spark, BIG_TABLES, "_EXPORT_OK_BIG")
-    return gate_dir()
+        _export(spark, BIG_TABLES, "_EXPORT_OK_BIG", scale=scale)
+    return warehouse_dir(scale)
+
+
+def ensure_gate_export(spark: SparkSession, big: bool = False) -> str:
+    """Gate-scale (sc1) export — the oracle's view of the warehouse."""
+    return ensure_export(spark, scale=1, big=big)
 
 
 def rp(table: str) -> str:

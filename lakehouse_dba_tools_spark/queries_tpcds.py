@@ -6994,7 +6994,10 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     units concurrently — and per-query planning/codegen, the dominant
     cost at this volume, overlaps too). The oracle is DuckDB executing
     the SAME texts over the exported gate warehouse."""
-    from lakehouse_dba_tools_spark.datagen.export import warehouse_tables
+    from lakehouse_dba_tools_spark.datagen.export import (
+        CORE_TABLES,
+        ensure_export,
+    )
     from lakehouse_dba_tools_spark.workload.harness import (
         SqlUnit,
         latency_summary,
@@ -7003,12 +7006,16 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_dba_tools_spark.workload.tpcds_corpus import CORPUS
 
     _gate(spark)
-    tables = warehouse_tables(spark, scale=_sf_scale(sf_dir))
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
-    # (measured: caching the views does NOT pay at this unit count —
-    # generators are pure range projections, and materializing the
-    # 1.92M-row demographics cache costs more than 31 regenerations)
+    # PARQUET-backed views, not generator views: a 31-query corpus over
+    # the same warehouse should scan storage with column pruning and
+    # predicate pushdown (what a real warehouse does), not re-run
+    # generator projections per query. The export is once-per-machine
+    # (marker-cached); at the gate it is byte-identical to the oracle's
+    # twin. (Measured at 10× facts: generator views 27s, in-memory
+    # cache 15s materialize + 17s run, parquet views win.)
+    wh = ensure_export(spark, scale=_sf_scale(sf_dir))
+    for name in CORE_TABLES:
+        spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
     # workload-scoped shuffle sizing: the corpus is many SMALL queries,
     # where 200 (vanilla default) or even 32 shuffle partitions is pure
     # task-scheduling overhead per stage. 8 partitions + AQE coalesce

@@ -1,8 +1,13 @@
 """Regenerate the pinned VALUES oracles for queries_tpcds.py.
 
-Run after any intentional generator change, paste the printed blocks
-over the __PIN_*__ placeholders (or existing pins), then re-run
-tools/diffcheck.py on the tpcds_* queries to confirm.
+RETIRED for the 17 queries converted to independent DuckDB-executed
+oracles in round 6 (q1 q3 q4 q7 q16 q23 q38 q51 q59 q62 q64 q67 q87
+q88 q93 q96 q97 — their oracles are real TPC-DS SQL over the
+datagen/export.py gate warehouse and MUST NOT be re-pinned from engine
+output). Still applies to the remaining pinned-VALUES queries: run
+after any intentional generator change, paste the printed blocks over
+the existing pins, then re-run tools/diffcheck.py to confirm. Skips
+converted queries automatically (their oracle is not a VALUES block).
 """
 
 from __future__ import annotations
@@ -35,10 +40,16 @@ def duck_type(spark_type: str) -> str:
 def main() -> None:
     from lakehouse_dba_tools_spark import get_session
     from lakehouse_dba_tools_spark import queries_tpcds  # noqa: F401
-    from lakehouse_dba_tools_spark.registry import QUERIES
+    from lakehouse_dba_tools_spark.registry import ORACLE, QUERIES
 
     spark = get_session()
     names = sys.argv[1:] or [n for n in QUERIES if n.startswith("tpcds_")]
+    converted = [
+        n for n in names if "VALUES" not in ORACLE.get(n, "VALUES")
+    ]
+    if converted:
+        print(f"skipping {len(converted)} independent-oracle queries: {converted}")
+        names = [n for n in names if n not in converted]
     blocks = []
     for name in names:
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
