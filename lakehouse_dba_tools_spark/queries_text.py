@@ -374,7 +374,16 @@ def simhash_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball candidates (6 chunks, ≤12 bits) verified
     with exact Jaccard — recall 1.0 on this corpus (7.5k candidates vs
     125k brute pairs, a 6% prune that widens with corpus scale), so the
-    exact oracle applies."""
+    exact oracle applies.
+
+    Cost attribution (round-6 directive #7, measured at sf0.1, warm):
+    fingerprint bit-fold 0.85s (runs ONCE — single consumer, verified),
+    shingle hashing 0.43s (persisted, three consumers), and the
+    remaining ~2.5s is candidate machinery: the 6-piece bucket explode
+    + distinct over 222k Hamming-ball pairs and the three verify joins.
+    That is shuffle/stage latency proportional to the candidate count,
+    not a recomputed stage — further cuts would change the
+    (chunks, max_hamming) contract the oracle equality depends on."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_verified_near_dups(docs, k=3, max_hamming=12, chunks=6, threshold=0.5)
 
