@@ -270,25 +270,34 @@ def tpcds_q7_demographics_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpcds_q42_category_rollup",
-    """
-    SELECT * FROM (VALUES
-      (CAST(1998 AS INT), CAST(6 AS INT), 'Men', CAST(3881248.24 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(2 AS INT), 'Children', CAST(3687374.53 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(9 AS INT), 'Sports', CAST(3593318.92 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(7 AS INT), 'Music', CAST(3536998.78 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(4 AS INT), 'Home', CAST(3528890.05 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(8 AS INT), 'Shoes', CAST(3523107.93 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(5 AS INT), 'Jewelry', CAST(3445515.57 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(1 AS INT), 'Books', CAST(3400838.22 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(10 AS INT), 'Women', CAST(3340825.83 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(3 AS INT), 'Electronics', CAST(3331471.92 AS DOUBLE))
-    ) AS t(d_year, i_category_id, i_category, sum_agg)
+    _wh_sql(
+        """
+    SELECT dt.d_year,
+           item.i_category_id AS i_category_id,
+           item.i_category AS i_category,
+           CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS sum_agg
+    FROM date_dim dt,
+         store_sales,
+         item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND dt.d_moy = 11
+      AND dt.d_year = 1998
+    GROUP BY dt.d_year, item.i_category_id, item.i_category
+    ORDER BY sum_agg DESC, i_category_id
+    LIMIT 10
     """,
+        "date_dim",
+        "store_sales",
+        "item",
+    ),
 )
 def tpcds_q42_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q42 shape: one month's revenue by item category. The
     10-category domain makes this the low-cardinality end of the rollup
     family (map-side partials collapse almost everything)."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -303,24 +312,33 @@ def tpcds_q42_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpcds_q52_brand_monthly",
-    """
-    SELECT * FROM (VALUES
-      (CAST(1998 AS INT), CAST(9907 AS INT), 'Brand#99-7', CAST(112025.32 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(2202 AS INT), 'Brand#22-2', CAST(109542.21 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(7607 AS INT), 'Brand#76-7', CAST(106346.48 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(5110 AS INT), 'Brand#51-10', CAST(102686.26 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(9303 AS INT), 'Brand#93-3', CAST(99449.55 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(802 AS INT), 'Brand#8-2', CAST(97426.54 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(7608 AS INT), 'Brand#76-8', CAST(94590.36 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(3002 AS INT), 'Brand#30-2', CAST(93518.75 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(10006 AS INT), 'Brand#100-6', CAST(91626.29 AS DOUBLE)),
-      (CAST(1998 AS INT), CAST(3804 AS INT), 'Brand#38-4', CAST(88719.15 AS DOUBLE))
-    ) AS t(d_year, i_brand_id, i_brand, ext_price)
+    _wh_sql(
+        """
+    SELECT dt.d_year,
+           item.i_brand_id AS i_brand_id,
+           item.i_brand AS i_brand,
+           CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS ext_price
+    FROM date_dim dt,
+         store_sales,
+         item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND dt.d_moy = 12
+      AND dt.d_year = 1998
+    GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+    ORDER BY ext_price DESC, i_brand_id
+    LIMIT 10
     """,
+        "date_dim",
+        "store_sales",
+        "item",
+    ),
 )
 def tpcds_q52_brand_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q52 shape: December brand revenue leaderboard (q3 without
     the manufacturer filter — higher fact survival rate, bigger agg)."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -335,23 +353,29 @@ def tpcds_q52_brand_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpcds_q55_manager_brands",
-    """
-    SELECT * FROM (VALUES
-      (CAST(6209 AS INT), 'Brand#62-9', CAST(26688.69 AS DOUBLE)),
-      (CAST(8809 AS INT), 'Brand#88-9', CAST(21607.57 AS DOUBLE)),
-      (CAST(9107 AS INT), 'Brand#91-7', CAST(17026.25 AS DOUBLE)),
-      (CAST(5007 AS INT), 'Brand#50-7', CAST(16167.4 AS DOUBLE)),
-      (CAST(7804 AS INT), 'Brand#78-4', CAST(16053.29 AS DOUBLE)),
-      (CAST(7703 AS INT), 'Brand#77-3', CAST(15813.39 AS DOUBLE)),
-      (CAST(7008 AS INT), 'Brand#70-8', CAST(14292.93 AS DOUBLE)),
-      (CAST(6107 AS INT), 'Brand#61-7', CAST(14093.89 AS DOUBLE)),
-      (CAST(6002 AS INT), 'Brand#60-2', CAST(12585.65 AS DOUBLE)),
-      (CAST(9604 AS INT), 'Brand#96-4', CAST(12516.19 AS DOUBLE))
-    ) AS t(i_brand_id, i_brand, ext_price)
+    _wh_sql(
+        """
+    SELECT i_brand_id, i_brand,
+           CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS ext_price
+    FROM date_dim, store_sales, item
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 28
+      AND d_moy = 11
+      AND d_year = 1999
+    GROUP BY i_brand_id, i_brand
+    ORDER BY ext_price DESC, i_brand_id
+    LIMIT 10
     """,
+        "date_dim",
+        "store_sales",
+        "item",
+    ),
 )
 def tpcds_q55_manager_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q55 shape: one manager's brand revenue for one month."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -670,27 +694,42 @@ def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("tpcds_q19_brand_zip_mismatch", """
-    SELECT * FROM (VALUES
-      (CAST(2308 AS INT), 'Brand#23-8', CAST(23 AS INT), 'Manufacturer#23', CAST(17250.5 AS DOUBLE)),
-      (CAST(3407 AS INT), 'Brand#34-7', CAST(34 AS INT), 'Manufacturer#34', CAST(16867.32 AS DOUBLE)),
-      (CAST(104 AS INT), 'Brand#1-4', CAST(1 AS INT), 'Manufacturer#1', CAST(16094.52 AS DOUBLE)),
-      (CAST(9603 AS INT), 'Brand#96-3', CAST(96 AS INT), 'Manufacturer#96', CAST(14986.54 AS DOUBLE)),
-      (CAST(7810 AS INT), 'Brand#78-10', CAST(78 AS INT), 'Manufacturer#78', CAST(13784.14 AS DOUBLE)),
-      (CAST(6806 AS INT), 'Brand#68-6', CAST(68 AS INT), 'Manufacturer#68', CAST(13612.35 AS DOUBLE)),
-      (CAST(2407 AS INT), 'Brand#24-7', CAST(24 AS INT), 'Manufacturer#24', CAST(13477.93 AS DOUBLE)),
-      (CAST(4406 AS INT), 'Brand#44-6', CAST(44 AS INT), 'Manufacturer#44', CAST(13463.37 AS DOUBLE)),
-      (CAST(10004 AS INT), 'Brand#100-4', CAST(100 AS INT), 'Manufacturer#100', CAST(13293.01 AS DOUBLE)),
-      (CAST(2501 AS INT), 'Brand#25-1', CAST(25 AS INT), 'Manufacturer#25', CAST(13081.48 AS DOUBLE))
-    ) AS t(i_brand_id, i_brand, i_manufact_id, i_manufact, ext_price)
-    
-    """)
+@register(
+    "tpcds_q19_brand_zip_mismatch",
+    _wh_sql(
+        """
+    SELECT i_brand_id, i_brand, i_manufact_id, i_manufact,
+           CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS ext_price
+    FROM date_dim, store_sales, item, customer, customer_address, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 8
+      AND d_moy = 11
+      AND d_year = 1998
+      AND ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND substring(ca_zip, 1, 5) <> substring(s_zip, 1, 5)
+      AND ss_store_sk = s_store_sk
+    GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact
+    ORDER BY ext_price DESC, i_brand_id, i_manufact_id
+    LIMIT 10
+    """,
+        "date_dim",
+        "store_sales",
+        "item",
+        "customer",
+        "customer_address",
+        "store",
+    ),
+)
 def tpcds_q19_brand_zip_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q19 shape: brand revenue from customers who shop OUTSIDE
     their home zip prefix — the fact chains through customer →
     customer_address and compares against the store's zip. customer and
     customer_address are SF-scaling, so neither is force-broadcast; the
     zip inequality is evaluated post-join (it is not an equi-key)."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark)
@@ -714,31 +753,42 @@ def tpcds_q19_brand_zip_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q73_ticket_item_counts", """
-    SELECT * FROM (VALUES
-      ('Brown', 'Linda', 'Sir', 'N', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Jennifer', 'Sir', 'N', CAST(471 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Charles', 'Dr.', 'Y', CAST(1318 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Linda', 'Dr.', 'Y', CAST(1554 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'William', 'Mr.', 'N', CAST(2284 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Mary', 'Mr.', 'Y', CAST(2478 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Mary', 'Ms.', 'N', CAST(2851 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Robert', 'Miss', 'Y', CAST(3008 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Maria', 'Mrs.', 'Y', CAST(3041 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Maria', 'Mrs.', 'N', CAST(3134 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Richard', 'Sir', 'N', CAST(3222 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Maria', 'Miss', 'N', CAST(3505 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'Robert', 'Ms.', 'N', CAST(4063 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'John', 'Ms.', 'N', CAST(4091 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Brown', 'James', 'Dr.', 'N', CAST(4114 AS BIGINT), CAST(1 AS BIGINT))
-    ) AS t(c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, ss_ticket_number, cnt)
-    
-    """)
+@register(
+    "tpcds_q73_ticket_item_counts",
+    _wh_sql(
+        """
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, CAST(cnt AS BIGINT) AS cnt
+    FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) cnt
+          FROM store_sales, date_dim, store, household_demographics
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND date_dim.d_dom BETWEEN 1 AND 2
+            AND (household_demographics.hd_buy_potential = '>10000'
+                 OR household_demographics.hd_buy_potential = 'Unknown')
+            AND household_demographics.hd_vehicle_count > 0
+            AND date_dim.d_year IN (1998, 1999)
+          GROUP BY ss_ticket_number, ss_customer_sk) dj,
+         customer
+    WHERE ss_customer_sk = c_customer_sk
+      AND cnt BETWEEN 1 AND 5
+    ORDER BY cnt DESC, c_last_name, ss_ticket_number
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "household_demographics",
+        "customer",
+    ),
+)
 def tpcds_q73_ticket_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q73 shape: per-ticket line counts for one household
     slice, then the customer lookup AFTER the aggregate — the join
     input is the rolled-up ticket list, not the fact. cnt is computed
     before customer attributes attach, the spec's two-phase shape."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
@@ -771,31 +821,52 @@ def tpcds_q73_ticket_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q68_two_city_tickets", """
-    SELECT * FROM (VALUES
-      ('Brown', 'Linda', CAST(20 AS BIGINT), 'Fairview', CAST(373.25 AS DOUBLE), CAST(18.66 AS DOUBLE), CAST(491.12 AS DOUBLE)),
-      ('Brown', 'John', CAST(324 AS BIGINT), 'Centerville', CAST(4437.05 AS DOUBLE), CAST(221.85 AS DOUBLE), CAST(4527.6 AS DOUBLE)),
-      ('Brown', 'Jennifer', CAST(471 AS BIGINT), 'Oak Grove', CAST(2007.43 AS DOUBLE), CAST(100.37 AS DOUBLE), CAST(2361.68 AS DOUBLE)),
-      ('Brown', 'Michael', CAST(542 AS BIGINT), 'Shiloh', CAST(5293.0 AS DOUBLE), CAST(264.65 AS DOUBLE), CAST(5881.11 AS DOUBLE)),
-      ('Brown', 'David', CAST(612 AS BIGINT), 'Liberty', CAST(711.9 AS DOUBLE), CAST(35.6 AS DOUBLE), CAST(924.55 AS DOUBLE)),
-      ('Brown', 'Michael', CAST(1567 AS BIGINT), 'Shiloh', CAST(4077.29 AS DOUBLE), CAST(203.86 AS DOUBLE), CAST(5824.7 AS DOUBLE)),
-      ('Brown', 'Jennifer', CAST(2058 AS BIGINT), 'Five Points', CAST(2544.08 AS DOUBLE), CAST(127.2 AS DOUBLE), CAST(2544.08 AS DOUBLE)),
-      ('Brown', 'David', CAST(2301 AS BIGINT), 'Riverside', CAST(3970.9 AS DOUBLE), CAST(198.55 AS DOUBLE), CAST(5592.81 AS DOUBLE)),
-      ('Brown', 'Maria', CAST(2473 AS BIGINT), 'Fairview', CAST(999.72 AS DOUBLE), CAST(49.99 AS DOUBLE), CAST(1408.05 AS DOUBLE)),
-      ('Brown', 'Mary', CAST(2851 AS BIGINT), 'Shiloh', CAST(5614.96 AS DOUBLE), CAST(280.75 AS DOUBLE), CAST(5848.92 AS DOUBLE)),
-      ('Brown', 'Robert', CAST(3008 AS BIGINT), 'Midway', CAST(2003.77 AS DOUBLE), CAST(100.19 AS DOUBLE), CAST(2024.01 AS DOUBLE)),
-      ('Brown', 'David', CAST(3612 AS BIGINT), 'Pleasant Hill', CAST(7547.12 AS DOUBLE), CAST(377.36 AS DOUBLE), CAST(9203.81 AS DOUBLE)),
-      ('Brown', 'Richard', CAST(3997 AS BIGINT), 'Centerville', CAST(7620.35 AS DOUBLE), CAST(381.02 AS DOUBLE), CAST(9769.68 AS DOUBLE)),
-      ('Brown', 'James', CAST(4114 AS BIGINT), 'Midway', CAST(2326.61 AS DOUBLE), CAST(116.33 AS DOUBLE), CAST(3231.4 AS DOUBLE)),
-      ('Brown', 'Charles', CAST(4132 AS BIGINT), 'Riverside', CAST(681.03 AS DOUBLE), CAST(34.05 AS DOUBLE), CAST(748.38 AS DOUBLE))
-    ) AS t(c_last_name, c_first_name, ss_ticket_number, bought_city, extended_price, extended_tax, list_price)
-    
-    """)
+@register(
+    "tpcds_q68_two_city_tickets",
+    _wh_sql(
+        """
+    SELECT c_last_name, c_first_name, ss_ticket_number, bought_city,
+           extended_price, extended_tax, list_price
+    FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+                 CAST(round(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) extended_price,
+                 CAST(round(sum(CAST(ss_ext_list_price AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) list_price,
+                 CAST(round(sum(CAST(ss_ext_tax AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) extended_tax
+          FROM store_sales, date_dim, store, household_demographics,
+               customer_address
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+            AND date_dim.d_dom BETWEEN 1 AND 2
+            AND (household_demographics.hd_dep_count = 4
+                 OR household_demographics.hd_vehicle_count = 3)
+            AND date_dim.d_year IN (1998, 1999)
+          GROUP BY ss_ticket_number, ss_customer_sk, ca_city) dn,
+         customer,
+         customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND customer.c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name, ss_ticket_number
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "household_demographics",
+        "customer_address",
+        "customer",
+    ),
+)
 def tpcds_q68_two_city_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q68 shape: ticket-level spend where the purchase address
     city differs from the customer's CURRENT address city — the same
     SF-scaling address dim joins twice under different keys (bought vs
     current), the spec's double-role-dim pattern."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
@@ -837,29 +908,44 @@ def tpcds_q68_two_city_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q79_ticket_profit", """
-    SELECT * FROM (VALUES
-      ('Brown', 'Barbara', 'Centerville', CAST(60384 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1864.28 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Centerville', CAST(54776 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(169.23 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Centerville', CAST(44265 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(42.45 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(14720 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(5215.46 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(8290 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(4960.86 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(18009 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(3739.74 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(48511 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2900.46 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(65261 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2765.07 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(33930 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(2346.95 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(59625 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1813.34 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(43005 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1574.21 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(59445 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1458.67 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(25178 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1425.2 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(30102 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1324.78 AS DOUBLE)),
-      ('Brown', 'Barbara', 'Fairview', CAST(52912 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1072.7 AS DOUBLE))
-    ) AS t(c_last_name, c_first_name, city, ss_ticket_number, amt, profit)
-    
-    """)
+@register(
+    "tpcds_q79_ticket_profit",
+    _wh_sql(
+        """
+    SELECT c_last_name, c_first_name,
+           substring(s_city, 1, 30) AS city,
+           ss_ticket_number, amt, profit
+    FROM (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+                 CAST(round(sum(CAST(ss_coupon_amt AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) amt,
+                 CAST(round(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) profit
+          FROM store_sales, date_dim, store, household_demographics
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND (household_demographics.hd_dep_count = 6
+                 OR household_demographics.hd_vehicle_count > 2)
+            AND date_dim.d_dow = 1
+            AND date_dim.d_year IN (1998, 1999)
+            AND store.s_number_employees BETWEEN 200 AND 295
+          GROUP BY ss_ticket_number, ss_customer_sk, store.s_city) ms,
+         customer
+    WHERE ss_customer_sk = c_customer_sk
+    ORDER BY c_last_name, c_first_name, city, profit DESC, ss_ticket_number
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "household_demographics",
+        "customer",
+    ),
+)
 def tpcds_q79_ticket_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q79 shape: Monday-shopper ticket coupon/profit rollup at
     big stores, customer attributes attached after the aggregate."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
@@ -967,31 +1053,50 @@ def tpcds_q1_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q89_monthly_class_deviation", """
-    SELECT * FROM (VALUES
-      ('Sports', 'fitness', 'Brand#18-2', 'cally', CAST(3 AS INT), CAST(81.44 AS DOUBLE), CAST(248.1033 AS DOUBLE)),
-      ('Men', 'dresses', 'Brand#78-10', 'cally', CAST(9 AS INT), CAST(21.51 AS DOUBLE), CAST(186.705 AS DOUBLE)),
-      ('Sports', 'fitness', 'Brand#27-6', 'cally', CAST(4 AS INT), CAST(22.49 AS DOUBLE), CAST(187.3933 AS DOUBLE)),
-      ('Women', 'dresses', 'Brand#56-5', 'able', CAST(7 AS INT), CAST(12.71 AS DOUBLE), CAST(167.575 AS DOUBLE)),
-      ('Sports', 'fiction', 'Brand#76-1', 'able', CAST(4 AS INT), CAST(95.15 AS DOUBLE), CAST(243.075 AS DOUBLE)),
-      ('Sports', 'computers', 'Brand#38-2', 'ese', CAST(4 AS INT), CAST(10.71 AS DOUBLE), CAST(152.89 AS DOUBLE)),
-      ('Jewelry', 'dresses', 'Brand#51-9', 'ese', CAST(11 AS INT), CAST(67.35 AS DOUBLE), CAST(208.28 AS DOUBLE)),
-      ('Books', 'fitness', 'Brand#86-1', 'cally', CAST(2 AS INT), CAST(21.83 AS DOUBLE), CAST(161.205 AS DOUBLE)),
-      ('Sports', 'fitness', 'Brand#32-10', 'cally', CAST(7 AS INT), CAST(12.88 AS DOUBLE), CAST(150.135 AS DOUBLE)),
-      ('Men', 'bracelets', 'Brand#42-2', 'ese', CAST(11 AS INT), CAST(77.24 AS DOUBLE), CAST(212.65 AS DOUBLE)),
-      ('Electronics', 'fiction', 'Brand#8-3', 'cally', CAST(4 AS INT), CAST(68.38 AS DOUBLE), CAST(200.735 AS DOUBLE)),
-      ('Women', 'bracelets', 'Brand#47-4', 'ese', CAST(12 AS INT), CAST(65.85 AS DOUBLE), CAST(197.995 AS DOUBLE)),
-      ('Sports', 'fitness', 'Brand#5-4', 'cally', CAST(4 AS INT), CAST(11.84 AS DOUBLE), CAST(139.9743 AS DOUBLE)),
-      ('Women', 'dresses', 'Brand#73-2', 'ese', CAST(9 AS INT), CAST(3.49 AS DOUBLE), CAST(129.98 AS DOUBLE)),
-      ('Sports', 'fiction', 'Brand#31-8', 'able', CAST(5 AS INT), CAST(2.64 AS DOUBLE), CAST(129.0167 AS DOUBLE))
-    ) AS t(i_category, i_class, i_brand, s_store_name, d_moy, sum_sales, avg_monthly_sales)
-    
-    """)
+@register(
+    "tpcds_q89_monthly_class_deviation",
+    _wh_sql(
+        """
+    WITH rolled AS (
+      SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+             d_moy, sum(CAST(ss_sales_price AS DECIMAL(38,12))) sum_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_year = 1998
+        AND ((i_category IN ('Books', 'Electronics', 'Sports')
+              AND i_class IN ('fiction', 'computers', 'fitness'))
+          OR (i_category IN ('Men', 'Jewelry', 'Women')
+              AND i_class IN ('pants', 'bracelets', 'dresses')))
+      GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+               d_moy),
+    y AS (
+      SELECT i_category, i_class, i_brand, s_store_name, d_moy,
+             CAST(round(sum_sales, 2) AS DOUBLE) sum_sales,
+             CAST(round(avg(sum_sales) OVER (PARTITION BY i_category,
+                    i_brand, s_store_name, s_company_name), 4) AS DOUBLE)
+               avg_monthly_sales
+      FROM rolled)
+    SELECT * FROM y
+    WHERE avg_monthly_sales <> 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+    ORDER BY (sum_sales - avg_monthly_sales), s_store_name, i_brand,
+             i_class, d_moy
+    LIMIT 15
+    """,
+        "item",
+        "store_sales",
+        "date_dim",
+        "store",
+    ),
+)
 def tpcds_q89_monthly_class_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q89 shape: monthly (brand, store) revenue vs that
     combination's year-average — a window AVG over a hash aggregate,
     filtering rows that deviate >10%. The window partitions over
     rolled-up rows only (brand × store × month), never the fact."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
@@ -1334,16 +1439,38 @@ def tpcds_q21_inventory_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q90_web_ampm_ratio", """
-    SELECT * FROM (VALUES
-      (CAST(19 AS BIGINT), CAST(22 AS BIGINT), CAST(0.8636 AS DOUBLE))
-    ) AS t(amc, pmc, am_pm_ratio)
-    
-    """)
+@register(
+    "tpcds_q90_web_ampm_ratio",
+    _wh_sql(
+        """
+    WITH base AS (
+      SELECT t_hour
+      FROM web_sales, time_dim, household_demographics, web_page
+      WHERE ws_sold_time_sk = t_time_sk
+        AND ws_ship_hdemo_sk = hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND hd_dep_count = 6
+        AND wp_char_count BETWEEN 5000 AND 5200),
+    at_shift AS (SELECT CAST(count(*) AS BIGINT) amc FROM base
+                 WHERE t_hour BETWEEN 8 AND 9),
+    pt_shift AS (SELECT CAST(count(*) AS BIGINT) pmc FROM base
+                 WHERE t_hour BETWEEN 19 AND 20)
+    SELECT amc, pmc,
+           CAST(round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 4)
+                AS DOUBLE) AS am_pm_ratio
+    FROM at_shift, pt_shift
+    """,
+        "web_sales",
+        "time_dim",
+        "household_demographics",
+        "web_page",
+    ),
+)
 def tpcds_q90_web_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q90 shape: morning vs evening web traffic ratio for one
     demographic and page-size band — two independently filtered scalar
     aggregates joined by a 1-row cross (the BNLJ stats-stamp pattern)."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     td = gen_time_dim(spark)
     hd = gen_household_demographics(spark)
@@ -2667,11 +2794,39 @@ def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q61_promo_sales_ratio", """
-    SELECT * FROM (VALUES
-      (CAST(3005500.01 AS DOUBLE), CAST(3445515.57 AS DOUBLE), CAST(87.2293 AS DOUBLE))
-    ) AS t(promotions, total, promo_pct)
-    """)
+@register(
+    "tpcds_q61_promo_sales_ratio",
+    _wh_sql(
+        """
+    WITH base AS (
+      SELECT ss_ext_sales_price, ss_promo_sk
+      FROM store_sales, date_dim, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND d_year = 1998 AND d_moy = 11
+        AND i_category = 'Jewelry'),
+    promotional_sales AS (
+      SELECT sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) promotions
+      FROM base, promotion
+      WHERE ss_promo_sk = p_promo_sk
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+             OR p_channel_tv = 'Y')),
+    all_sales AS (
+      SELECT sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) total
+      FROM base)
+    SELECT CAST(round(promotions, 2) AS DOUBLE) AS promotions,
+           CAST(round(total, 2) AS DOUBLE) AS total,
+           CAST(round(CAST(promotions AS DOUBLE)
+                      / CAST(total AS DOUBLE) * 100, 4) AS DOUBLE)
+             AS promo_pct
+    FROM promotional_sales, all_sales
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+        "promotion",
+    ),
+)
 def tpcds_q61_promo_sales_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q61 shape: what share of one category's November store
     revenue went through actively-promoted items (any of dmail / email
@@ -2682,6 +2837,7 @@ def tpcds_q61_promo_sales_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both legs reduce the fact to ONE row before the cross join —
     the only crossJoin in the query multiplies 1×1; promotion is a
     300-row dim the optimizer broadcasts."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     pm = gen_promotion(spark)
     base = (
@@ -2902,22 +3058,36 @@ def tpcds_q25_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q43_store_dow_pivot", """
-    SELECT * FROM (VALUES
-      ('anti', '00000000000000S1', CAST(154694.67 AS DOUBLE), CAST(149851.92 AS DOUBLE), CAST(155350.69 AS DOUBLE), CAST(146135.51 AS DOUBLE), CAST(156321.67 AS DOUBLE), CAST(143651.13 AS DOUBLE), CAST(151721.5 AS DOUBLE)),
-      ('cally', '00000000000000S2', CAST(154206.22 AS DOUBLE), CAST(160425.05 AS DOUBLE), CAST(154422.22 AS DOUBLE), CAST(149383.8 AS DOUBLE), CAST(149555.81 AS DOUBLE), CAST(156823.75 AS DOUBLE), CAST(149649.84 AS DOUBLE)),
-      ('eing', '00000000000000S3', CAST(150415.62 AS DOUBLE), CAST(155880.87 AS DOUBLE), CAST(158804.79 AS DOUBLE), CAST(147815.07 AS DOUBLE), CAST(153656.26 AS DOUBLE), CAST(153030.45 AS DOUBLE), CAST(156500.46 AS DOUBLE)),
-      ('ese', '00000000000000S4', CAST(150928.63 AS DOUBLE), CAST(152205.18 AS DOUBLE), CAST(145633.06 AS DOUBLE), CAST(150111.57 AS DOUBLE), CAST(161212.18 AS DOUBLE), CAST(150251.02 AS DOUBLE), CAST(147290.06 AS DOUBLE)),
-      ('cally', '00000000000000S5', CAST(157093.94 AS DOUBLE), CAST(159134.7 AS DOUBLE), CAST(151699.73 AS DOUBLE), CAST(146522.21 AS DOUBLE), CAST(154410.85 AS DOUBLE), CAST(154117.66 AS DOUBLE), CAST(144774.82 AS DOUBLE)),
-      ('ese', '00000000000000S6', CAST(153473.0 AS DOUBLE), CAST(154056.44 AS DOUBLE), CAST(159378.56 AS DOUBLE), CAST(150007.14 AS DOUBLE), CAST(152290.91 AS DOUBLE), CAST(150180.76 AS DOUBLE), CAST(150171.19 AS DOUBLE)),
-      ('cally', '00000000000000S7', CAST(158354.15 AS DOUBLE), CAST(153539.25 AS DOUBLE), CAST(160386.58 AS DOUBLE), CAST(153852.62 AS DOUBLE), CAST(156481.09 AS DOUBLE), CAST(147080.6 AS DOUBLE), CAST(150589.79 AS DOUBLE)),
-      ('able', '00000000000000S8', CAST(156018.24 AS DOUBLE), CAST(154555.34 AS DOUBLE), CAST(157019.43 AS DOUBLE), CAST(160456.57 AS DOUBLE), CAST(152933.02 AS DOUBLE), CAST(157485.38 AS DOUBLE), CAST(147492.68 AS DOUBLE))
-    ) AS t(s_store_name, s_store_id, sun_sales, mon_sales, tue_sales, wed_sales, thu_sales, fri_sales, sat_sales)
-    """)
+@register(
+    "tpcds_q43_store_dow_pivot",
+    _wh_sql(
+        """
+    SELECT s_store_name, s_store_id,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS sun_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS mon_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS tue_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS wed_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS thu_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS fri_sales,
+           CAST(round(sum(CAST(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE) AS sat_sales
+    FROM date_dim, store_sales, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_store_sk = s_store_sk
+      AND d_year = 1998
+    GROUP BY s_store_name, s_store_id
+    ORDER BY s_store_id
+    LIMIT 10
+    """,
+        "date_dim",
+        "store_sales",
+        "store",
+    ),
+)
 def tpcds_q43_store_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q43 shape: each store's 1998 revenue pivoted into
     day-of-week columns — one dim-filtered hash-agg with seven
     conditional sums on d_day_name."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
@@ -3713,29 +3883,31 @@ def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q37_catalog_stocked_items", """    SELECT * FROM (VALUES
-      ('0000000000000I56', 'Classic seasonal goods', CAST(22.23 AS DOUBLE)),
-      ('000000000000I165', 'Compact certified wares', CAST(32.91 AS DOUBLE)),
-      ('000000000000I233', 'Compact certified wares', CAST(39.69 AS DOUBLE)),
-      ('000000000000I458', 'Compact certified supplies', CAST(48.82 AS DOUBLE)),
-      ('000000000000I528', 'Classic everyday items', CAST(35.59 AS DOUBLE)),
-      ('000000000000I530', 'Classic imported supplies', CAST(42.25 AS DOUBLE)),
-      ('000000000000I555', 'Compact everyday supplies', CAST(21.17 AS DOUBLE)),
-      ('000000000000I627', 'Compact handmade essentials', CAST(24.84 AS DOUBLE)),
-      ('000000000000I864', 'Popular everyday goods', CAST(43.42 AS DOUBLE)),
-      ('000000000000I903', 'Classic seasonal supplies', CAST(32.86 AS DOUBLE)),
-      ('000000000000I910', 'Classic everyday wares', CAST(35.44 AS DOUBLE)),
-      ('00000000000I1108', 'Popular seasonal supplies', CAST(35.13 AS DOUBLE)),
-      ('00000000000I1126', 'Durable everyday supplies', CAST(48.69 AS DOUBLE)),
-      ('00000000000I1324', 'Classic seasonal items', CAST(39.39 AS DOUBLE)),
-      ('00000000000I1430', 'Popular imported wares', CAST(48.78 AS DOUBLE)),
-      ('00000000000I1431', 'Classic imported supplies', CAST(44.08 AS DOUBLE)),
-      ('00000000000I1455', 'Premium handmade wares', CAST(29.43 AS DOUBLE)),
-      ('00000000000I1665', 'Durable everyday items', CAST(49.79 AS DOUBLE)),
-      ('00000000000I1743', 'Durable imported supplies', CAST(22.52 AS DOUBLE)),
-      ('00000000000I1824', 'Premium seasonal items', CAST(37.74 AS DOUBLE))
-    ) AS t(i_item_id, i_item_desc, i_current_price)
-    """)
+@register(
+    "tpcds_q37_catalog_stocked_items",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_item_desc,
+           CAST(i_current_price AS DOUBLE) AS i_current_price
+    FROM item, inventory, date_dim, catalog_sales
+    WHERE i_current_price BETWEEN 20 AND 50
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN CAST('1999-03-01' AS DATE)
+                     AND CAST('1999-04-30' AS DATE)
+      AND i_manufact_id IN (10, 20, 30, 40)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND cs_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 20
+    """,
+        "item",
+        "inventory",
+        "date_dim",
+        "catalog_sales",
+    ),
+)
 def tpcds_q37_catalog_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q37 shape: items in a price/manufacturer slice that were
     well-stocked (on-hand 100-500 in a 60-day window) AND sold by
@@ -3744,6 +3916,7 @@ def tpcds_q37_catalog_stocked_items(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale: inventory and the item dim reduce to a small key set before
     the fact probe; the probe carries only item keys."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -4710,33 +4883,47 @@ def tpcds_stress_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("tpcds_q99_catalog_ship_latency", """    SELECT * FROM (VALUES
-      ('Bad cards must make', 'EXPRESS', 'Hawaii/Alaska', CAST(93 AS BIGINT), CAST(101 AS BIGINT), CAST(83 AS BIGINT), CAST(62 AS BIGINT), CAST(4 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'NY Metro', CAST(95 AS BIGINT), CAST(79 AS BIGINT), CAST(95 AS BIGINT), CAST(71 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'North Midwest', CAST(212 AS BIGINT), CAST(173 AS BIGINT), CAST(184 AS BIGINT), CAST(137 AS BIGINT), CAST(6 AS BIGINT)),
-      ('Bad cards must make', 'EXPRESS', 'Pacific NW', CAST(190 AS BIGINT), CAST(191 AS BIGINT), CAST(150 AS BIGINT), CAST(145 AS BIGINT), CAST(4 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'Hawaii/Alaska', CAST(97 AS BIGINT), CAST(93 AS BIGINT), CAST(74 AS BIGINT), CAST(66 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'NY Metro', CAST(103 AS BIGINT), CAST(74 AS BIGINT), CAST(76 AS BIGINT), CAST(81 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'North Midwest', CAST(179 AS BIGINT), CAST(168 AS BIGINT), CAST(164 AS BIGINT), CAST(153 AS BIGINT), CAST(6 AS BIGINT)),
-      ('Bad cards must make', 'NEXT DAY', 'Pacific NW', CAST(180 AS BIGINT), CAST(202 AS BIGINT), CAST(153 AS BIGINT), CAST(150 AS BIGINT), CAST(4 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'Hawaii/Alaska', CAST(79 AS BIGINT), CAST(83 AS BIGINT), CAST(77 AS BIGINT), CAST(63 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'NY Metro', CAST(83 AS BIGINT), CAST(99 AS BIGINT), CAST(83 AS BIGINT), CAST(79 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'North Midwest', CAST(158 AS BIGINT), CAST(182 AS BIGINT), CAST(169 AS BIGINT), CAST(144 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Bad cards must make', 'OVERNIGHT', 'Pacific NW', CAST(165 AS BIGINT), CAST(158 AS BIGINT), CAST(142 AS BIGINT), CAST(128 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'Hawaii/Alaska', CAST(104 AS BIGINT), CAST(66 AS BIGINT), CAST(66 AS BIGINT), CAST(60 AS BIGINT), CAST(5 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'NY Metro', CAST(93 AS BIGINT), CAST(87 AS BIGINT), CAST(93 AS BIGINT), CAST(60 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'North Midwest', CAST(200 AS BIGINT), CAST(169 AS BIGINT), CAST(165 AS BIGINT), CAST(144 AS BIGINT), CAST(5 AS BIGINT)),
-      ('Bad cards must make', 'REGULAR', 'Pacific NW', CAST(168 AS BIGINT), CAST(153 AS BIGINT), CAST(154 AS BIGINT), CAST(148 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'TWO DAY', 'Hawaii/Alaska', CAST(96 AS BIGINT), CAST(76 AS BIGINT), CAST(82 AS BIGINT), CAST(69 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'TWO DAY', 'NY Metro', CAST(84 AS BIGINT), CAST(88 AS BIGINT), CAST(77 AS BIGINT), CAST(69 AS BIGINT), CAST(1 AS BIGINT)),
-      ('Bad cards must make', 'TWO DAY', 'North Midwest', CAST(210 AS BIGINT), CAST(154 AS BIGINT), CAST(153 AS BIGINT), CAST(131 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Bad cards must make', 'TWO DAY', 'Pacific NW', CAST(184 AS BIGINT), CAST(143 AS BIGINT), CAST(148 AS BIGINT), CAST(142 AS BIGINT), CAST(7 AS BIGINT))
-    ) AS t(warehouse, sm_type, cc_name, d30, d60, d90, d120, dmore)
-    """)
+@register(
+    "tpcds_q99_catalog_ship_latency",
+    _wh_sql(
+        """
+    SELECT substring(w_warehouse_name, 1, 20) AS warehouse,
+           sm_type, cc_name,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 60)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 90)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                          AND (cs_ship_date_sk - cs_sold_date_sk <= 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+    FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+    WHERE d_month_seq BETWEEN 1176 AND 1187
+      AND cs_ship_date_sk = d_date_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_ship_mode_sk = sm_ship_mode_sk
+      AND cs_call_center_sk = cc_call_center_sk
+    GROUP BY substring(w_warehouse_name, 1, 20), sm_type, cc_name
+    ORDER BY warehouse, sm_type, cc_name
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "warehouse",
+        "ship_mode",
+        "call_center",
+        "date_dim",
+    ),
+)
 def tpcds_q99_catalog_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q99: catalog ship-latency buckets per (warehouse, ship
     mode, call center) — the q62 shape with the catalog channel's
     dims."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     wh = gen_warehouse(spark)
@@ -4929,32 +5116,36 @@ def tpcds_q56_color_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q12_web_class_ratio", """    SELECT * FROM (VALUES
-      ('000000000000I346', 'Books', 'accent', CAST(1644.81 AS DOUBLE), CAST(0.3535 AS DOUBLE)),
-      ('000000000000I464', 'Books', 'accent', CAST(610.89 AS DOUBLE), CAST(0.1313 AS DOUBLE)),
-      ('00000000000I1030', 'Books', 'accent', CAST(1919.54 AS DOUBLE), CAST(0.4125 AS DOUBLE)),
-      ('00000000000I1947', 'Books', 'accent', CAST(9979.16 AS DOUBLE), CAST(2.1447 AS DOUBLE)),
-      ('00000000000I2011', 'Books', 'accent', CAST(181.09 AS DOUBLE), CAST(0.0389 AS DOUBLE)),
-      ('00000000000I2180', 'Books', 'accent', CAST(4054.85 AS DOUBLE), CAST(0.8714 AS DOUBLE)),
-      ('00000000000I2650', 'Books', 'accent', CAST(5604.7 AS DOUBLE), CAST(1.2045 AS DOUBLE)),
-      ('00000000000I3810', 'Books', 'accent', CAST(13572.03 AS DOUBLE), CAST(2.9168 AS DOUBLE)),
-      ('00000000000I3957', 'Books', 'accent', CAST(3361.33 AS DOUBLE), CAST(0.7224 AS DOUBLE)),
-      ('00000000000I5412', 'Books', 'accent', CAST(4793.34 AS DOUBLE), CAST(1.0302 AS DOUBLE)),
-      ('00000000000I7530', 'Books', 'accent', CAST(11733.02 AS DOUBLE), CAST(2.5216 AS DOUBLE)),
-      ('00000000000I7818', 'Books', 'accent', CAST(1727.6 AS DOUBLE), CAST(0.3713 AS DOUBLE)),
-      ('00000000000I9571', 'Books', 'accent', CAST(2423.15 AS DOUBLE), CAST(0.5208 AS DOUBLE)),
-      ('00000000000I9617', 'Books', 'accent', CAST(2027.93 AS DOUBLE), CAST(0.4358 AS DOUBLE)),
-      ('0000000000I11489', 'Books', 'accent', CAST(6169.35 AS DOUBLE), CAST(1.3259 AS DOUBLE)),
-      ('0000000000I12463', 'Books', 'accent', CAST(705.3 AS DOUBLE), CAST(0.1516 AS DOUBLE)),
-      ('0000000000I13294', 'Books', 'accent', CAST(574.76 AS DOUBLE), CAST(0.1235 AS DOUBLE)),
-      ('0000000000I14535', 'Books', 'accent', CAST(11254.4 AS DOUBLE), CAST(2.4187 AS DOUBLE)),
-      ('0000000000I14801', 'Books', 'accent', CAST(1253.75 AS DOUBLE), CAST(0.2694 AS DOUBLE)),
-      ('0000000000I15177', 'Books', 'accent', CAST(7642.96 AS DOUBLE), CAST(1.6426 AS DOUBLE))
-    ) AS t(i_item_id, i_category, i_class, itemrevenue, revenueratio)
-    """)
+@register(
+    "tpcds_q12_web_class_ratio",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_category, i_class,
+           CAST(round(itemrevenue, 2) AS DOUBLE) AS itemrevenue,
+           CAST(round(CAST(itemrevenue AS DOUBLE) * 100
+                      / CAST(sum(itemrevenue) OVER (PARTITION BY i_class)
+                             AS DOUBLE), 4) AS DOUBLE) AS revenueratio
+    FROM (SELECT i_item_id, i_category, i_class,
+                 sum(CAST(ws_ext_sales_price AS DECIMAL(38,12))) itemrevenue
+          FROM web_sales, item, date_dim
+          WHERE ws_item_sk = i_item_sk
+            AND i_category IN ('Sports', 'Books', 'Home')
+            AND ws_sold_date_sk = d_date_sk
+            AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                           AND CAST('1999-03-24' AS DATE)
+          GROUP BY i_item_id, i_category, i_class) r
+    ORDER BY i_category, i_class, i_item_id
+    LIMIT 20
+    """,
+        "web_sales",
+        "item",
+        "date_dim",
+    ),
+)
 def tpcds_q12_web_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q12: 30-day web item revenue with share-of-class — the
     q98 window-over-rollup shape on the web channel."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -4984,32 +5175,36 @@ def tpcds_q12_web_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q20_catalog_class_ratio", """    SELECT * FROM (VALUES
-      ('000000000000I346', 'Books', 'accent', CAST(2150.32 AS DOUBLE), CAST(0.4686 AS DOUBLE)),
-      ('000000000000I804', 'Books', 'accent', CAST(4617.11 AS DOUBLE), CAST(1.0062 AS DOUBLE)),
-      ('000000000000I958', 'Books', 'accent', CAST(1147.19 AS DOUBLE), CAST(0.25 AS DOUBLE)),
-      ('00000000000I1488', 'Books', 'accent', CAST(2286.75 AS DOUBLE), CAST(0.4983 AS DOUBLE)),
-      ('00000000000I1947', 'Books', 'accent', CAST(4754.56 AS DOUBLE), CAST(1.0361 AS DOUBLE)),
-      ('00000000000I2101', 'Books', 'accent', CAST(3014.43 AS DOUBLE), CAST(0.6569 AS DOUBLE)),
-      ('00000000000I2595', 'Books', 'accent', CAST(981.59 AS DOUBLE), CAST(0.2139 AS DOUBLE)),
-      ('00000000000I3561', 'Books', 'accent', CAST(6498.7 AS DOUBLE), CAST(1.4162 AS DOUBLE)),
-      ('00000000000I3763', 'Books', 'accent', CAST(6515.19 AS DOUBLE), CAST(1.4198 AS DOUBLE)),
-      ('00000000000I3880', 'Books', 'accent', CAST(852.18 AS DOUBLE), CAST(0.1857 AS DOUBLE)),
-      ('00000000000I6443', 'Books', 'accent', CAST(2826.86 AS DOUBLE), CAST(0.616 AS DOUBLE)),
-      ('00000000000I6929', 'Books', 'accent', CAST(2055.39 AS DOUBLE), CAST(0.4479 AS DOUBLE)),
-      ('00000000000I7530', 'Books', 'accent', CAST(11904.89 AS DOUBLE), CAST(2.5943 AS DOUBLE)),
-      ('00000000000I8361', 'Books', 'accent', CAST(11972.4 AS DOUBLE), CAST(2.609 AS DOUBLE)),
-      ('00000000000I9215', 'Books', 'accent', CAST(206.23 AS DOUBLE), CAST(0.0449 AS DOUBLE)),
-      ('00000000000I9508', 'Books', 'accent', CAST(12578.8 AS DOUBLE), CAST(2.7412 AS DOUBLE)),
-      ('00000000000I9571', 'Books', 'accent', CAST(11677.68 AS DOUBLE), CAST(2.5448 AS DOUBLE)),
-      ('00000000000I9801', 'Books', 'accent', CAST(6664.76 AS DOUBLE), CAST(1.4524 AS DOUBLE)),
-      ('0000000000I10154', 'Books', 'accent', CAST(3599.87 AS DOUBLE), CAST(0.7845 AS DOUBLE)),
-      ('0000000000I10887', 'Books', 'accent', CAST(4168.48 AS DOUBLE), CAST(0.9084 AS DOUBLE))
-    ) AS t(i_item_id, i_category, i_class, itemrevenue, revenueratio)
-    """)
+@register(
+    "tpcds_q20_catalog_class_ratio",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_category, i_class,
+           CAST(round(itemrevenue, 2) AS DOUBLE) AS itemrevenue,
+           CAST(round(CAST(itemrevenue AS DOUBLE) * 100
+                      / CAST(sum(itemrevenue) OVER (PARTITION BY i_class)
+                             AS DOUBLE), 4) AS DOUBLE) AS revenueratio
+    FROM (SELECT i_item_id, i_category, i_class,
+                 sum(CAST(cs_ext_sales_price AS DECIMAL(38,12))) itemrevenue
+          FROM catalog_sales, item, date_dim
+          WHERE cs_item_sk = i_item_sk
+            AND i_category IN ('Sports', 'Books', 'Home')
+            AND cs_sold_date_sk = d_date_sk
+            AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                           AND CAST('1999-03-24' AS DATE)
+          GROUP BY i_item_id, i_category, i_class) r
+    ORDER BY i_category, i_class, i_item_id
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "item",
+        "date_dim",
+    ),
+)
 def tpcds_q20_catalog_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q20: the q98/q12 share-of-class shape on the catalog
     channel."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -5164,22 +5359,40 @@ def tpcds_q81_catalog_return_outliers(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q26_catalog_demographics", """    SELECT * FROM (VALUES
-      ('00000000000000I8', CAST(73.0 AS DOUBLE), CAST(36.39 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(29.84 AS DOUBLE)),
-      ('0000000000000I18', CAST(60.0 AS DOUBLE), CAST(29.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(28.2 AS DOUBLE)),
-      ('0000000000000I21', CAST(5.0 AS DOUBLE), CAST(147.81 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(119.73 AS DOUBLE)),
-      ('0000000000000I45', CAST(90.0 AS DOUBLE), CAST(57.49 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(46.57 AS DOUBLE)),
-      ('0000000000000I49', CAST(98.0 AS DOUBLE), CAST(22.61 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(20.58 AS DOUBLE)),
-      ('0000000000000I53', CAST(29.0 AS DOUBLE), CAST(162.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(160.38 AS DOUBLE)),
-      ('0000000000000I72', CAST(100.0 AS DOUBLE), CAST(62.19 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(55.35 AS DOUBLE)),
-      ('0000000000000I93', CAST(73.0 AS DOUBLE), CAST(13.94 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(9.9 AS DOUBLE)),
-      ('000000000000I102', CAST(26.0 AS DOUBLE), CAST(38.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(35.78 AS DOUBLE)),
-      ('000000000000I114', CAST(90.0 AS DOUBLE), CAST(142.58 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(118.34 AS DOUBLE))
-    ) AS t(i_item_id, agg1, agg2, agg3, agg4)
-    """)
+@register(
+    "tpcds_q26_catalog_demographics",
+    _wh_sql(
+        """
+    SELECT i_item_id,
+           CAST(round(avg(cs_quantity), 4) AS DOUBLE) AS agg1,
+           CAST(round(avg(cs_list_price), 4) AS DOUBLE) AS agg2,
+           CAST(round(avg(cs_coupon_amt), 4) AS DOUBLE) AS agg3,
+           CAST(round(avg(cs_sales_price), 4) AS DOUBLE) AS agg4
+    FROM catalog_sales, customer_demographics, date_dim, item, promotion
+    WHERE cs_sold_date_sk = d_date_sk
+      AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd_demo_sk
+      AND cs_promo_sk = p_promo_sk
+      AND cd_gender = 'F'
+      AND cd_marital_status = 'W'
+      AND cd_education_status = 'Primary'
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      AND d_year = 1998
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 10
+    """,
+        "catalog_sales",
+        "customer_demographics",
+        "date_dim",
+        "item",
+        "promotion",
+    ),
+)
 def tpcds_q26_catalog_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q26: the q7 demographics star on the CATALOG channel
     (bill-side demographics)."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -5295,32 +5508,35 @@ def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q82_store_stocked_items", """    SELECT * FROM (VALUES
-      ('0000000000000I44', 'Popular imported items', CAST(50.21 AS DOUBLE)),
-      ('000000000000I108', 'Classic imported wares', CAST(55.53 AS DOUBLE)),
-      ('000000000000I315', 'Compact seasonal wares', CAST(50.48 AS DOUBLE)),
-      ('000000000000I359', 'Popular certified supplies', CAST(46.42 AS DOUBLE)),
-      ('000000000000I372', 'Durable handmade goods', CAST(51.71 AS DOUBLE)),
-      ('000000000000I391', 'Premium seasonal wares', CAST(49.93 AS DOUBLE)),
-      ('000000000000I406', 'Durable imported essentials', CAST(56.59 AS DOUBLE)),
-      ('000000000000I411', 'Compact everyday items', CAST(56.37 AS DOUBLE)),
-      ('000000000000I462', 'Compact handmade supplies', CAST(32.28 AS DOUBLE)),
-      ('000000000000I513', 'Classic imported supplies', CAST(47.41 AS DOUBLE)),
-      ('000000000000I596', 'Compact handmade goods', CAST(30.45 AS DOUBLE)),
-      ('000000000000I634', 'Popular seasonal wares', CAST(52.54 AS DOUBLE)),
-      ('000000000000I665', 'Classic everyday supplies', CAST(33.62 AS DOUBLE)),
-      ('000000000000I666', 'Classic certified wares', CAST(52.4 AS DOUBLE)),
-      ('000000000000I676', 'Classic imported essentials', CAST(42.89 AS DOUBLE)),
-      ('000000000000I835', 'Compact handmade goods', CAST(43.67 AS DOUBLE)),
-      ('000000000000I922', 'Durable everyday items', CAST(36.58 AS DOUBLE)),
-      ('00000000000I1180', 'Classic handmade wares', CAST(37.6 AS DOUBLE)),
-      ('00000000000I1200', 'Premium certified wares', CAST(57.75 AS DOUBLE)),
-      ('00000000000I1378', 'Compact handmade items', CAST(42.24 AS DOUBLE))
-    ) AS t(i_item_id, i_item_desc, i_current_price)
-    """)
+@register(
+    "tpcds_q82_store_stocked_items",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_item_desc,
+           CAST(i_current_price AS DOUBLE) AS i_current_price
+    FROM item, inventory, date_dim, store_sales
+    WHERE i_current_price BETWEEN 30 AND 60
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN CAST('1998-06-01' AS DATE)
+                     AND CAST('1998-07-31' AS DATE)
+      AND i_manufact_id IN (15, 25, 35, 45)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND ss_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 20
+    """,
+        "item",
+        "inventory",
+        "date_dim",
+        "store_sales",
+    ),
+)
 def tpcds_q82_store_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q82: the q37 stocked-and-demanded item shape with STORE
     sales as the demand probe."""
+    _gate(spark)
     ss, _, it = _star(spark, sf_dir)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -6400,33 +6616,36 @@ def tpcds_q8_preferred_zip_stores(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q15_catalog_zip_revenue", """    SELECT * FROM (VALUES
-      ('22264', CAST(746.85 AS DOUBLE)),
-      ('90981', CAST(630.47 AS DOUBLE)),
-      ('78038', CAST(601.7 AS DOUBLE)),
-      ('42334', CAST(589.52 AS DOUBLE)),
-      ('88514', CAST(563.65 AS DOUBLE)),
-      ('17844', CAST(531.88 AS DOUBLE)),
-      ('63881', CAST(518.35 AS DOUBLE)),
-      ('27029', CAST(512.8 AS DOUBLE)),
-      ('85752', CAST(502.47 AS DOUBLE)),
-      ('60605', CAST(491.75 AS DOUBLE)),
-      ('41332', CAST(455.07 AS DOUBLE)),
-      ('38452', CAST(437.93 AS DOUBLE)),
-      ('71120', CAST(436.51 AS DOUBLE)),
-      ('76565', CAST(435.11 AS DOUBLE)),
-      ('39390', CAST(428.41 AS DOUBLE)),
-      ('94783', CAST(422.19 AS DOUBLE)),
-      ('89462', CAST(421.09 AS DOUBLE)),
-      ('17956', CAST(420.18 AS DOUBLE)),
-      ('88330', CAST(414.64 AS DOUBLE)),
-      ('85684', CAST(413.72 AS DOUBLE))
-    ) AS t(ca_zip, sum_sales)
-    """)
+@register(
+    "tpcds_q15_catalog_zip_revenue",
+    _wh_sql(
+        """
+    SELECT ca_zip,
+           CAST(round(sum(CAST(cs_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS sum_sales
+    FROM catalog_sales, customer, customer_address, date_dim
+    WHERE cs_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND (substring(ca_zip, 1, 2) IN ('85', '86', '88')
+           OR ca_state IN ('CA', 'WA', 'GA')
+           OR cs_sales_price > 180)
+      AND cs_sold_date_sk = d_date_sk
+      AND d_qoy = 1 AND d_year = 1998
+    GROUP BY ca_zip
+    ORDER BY sum_sales DESC, ca_zip
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "customer",
+        "customer_address",
+        "date_dim",
+    ),
+)
 def tpcds_q15_catalog_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q15: catalog revenue by customer zip where the zip
     prefix, state, or a large sale qualifies the row — the spec's
     disjunctive qualification over the bill-customer's address."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     cu = gen_customer_ds(spark)
