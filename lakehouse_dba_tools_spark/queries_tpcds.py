@@ -392,20 +392,37 @@ def tpcds_q55_manager_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpcds_q65_underperforming_items",
-    """
-    SELECT * FROM (VALUES
-      ('able', 'Premium handmade supplies', CAST(1.26 AS DOUBLE), CAST(30.84 AS DOUBLE), CAST(18.5 AS DOUBLE), 'Brand#67-3', CAST(55 AS INT)),
-      ('able', 'Classic certified goods', CAST(7.96 AS DOUBLE), CAST(18.72 AS DOUBLE), CAST(11.23 AS DOUBLE), 'Brand#73-8', CAST(83 AS INT)),
-      ('able', 'Durable imported items', CAST(8.62 AS DOUBLE), CAST(23.22 AS DOUBLE), CAST(13.93 AS DOUBLE), 'Brand#28-9', CAST(136 AS INT)),
-      ('able', 'Durable everyday items', CAST(7.47 AS DOUBLE), CAST(63.1 AS DOUBLE), CAST(37.86 AS DOUBLE), 'Brand#90-2', CAST(159 AS INT)),
-      ('able', 'Compact handmade essentials', CAST(1.52 AS DOUBLE), CAST(46.58 AS DOUBLE), CAST(27.95 AS DOUBLE), 'Brand#100-1', CAST(181 AS INT)),
-      ('able', 'Durable imported essentials', CAST(7.6 AS DOUBLE), CAST(26.44 AS DOUBLE), CAST(15.86 AS DOUBLE), 'Brand#46-6', CAST(207 AS INT)),
-      ('able', 'Compact seasonal essentials', CAST(7.92 AS DOUBLE), CAST(23.88 AS DOUBLE), CAST(14.33 AS DOUBLE), 'Brand#77-8', CAST(221 AS INT)),
-      ('able', 'Popular everyday essentials', CAST(11.49 AS DOUBLE), CAST(26.87 AS DOUBLE), CAST(16.12 AS DOUBLE), 'Brand#68-7', CAST(225 AS INT)),
-      ('able', 'Durable handmade items', CAST(4.88 AS DOUBLE), CAST(27.42 AS DOUBLE), CAST(16.45 AS DOUBLE), 'Brand#13-1', CAST(247 AS INT)),
-      ('able', 'Classic imported supplies', CAST(2.17 AS DOUBLE), CAST(82.27 AS DOUBLE), CAST(49.36 AS DOUBLE), 'Brand#73-8', CAST(390 AS INT))
-    ) AS t(s_store_name, i_item_desc, revenue, i_current_price, i_wholesale_cost, i_brand, item_sk)
+    _wh_sql(
+        """
+    WITH sa AS (
+      SELECT ss_store_sk, ss_item_sk,
+             sum(CAST(ss_sales_price AS DECIMAL(38,12))) revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1176 AND 1187
+      GROUP BY ss_store_sk, ss_item_sk),
+    sb AS (
+      SELECT ss_store_sk, avg(revenue) ave
+      FROM sa GROUP BY ss_store_sk)
+    SELECT s_store_name, i_item_desc,
+           CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+           CAST(i_current_price AS DOUBLE) AS i_current_price,
+           CAST(i_wholesale_cost AS DOUBLE) AS i_wholesale_cost,
+           i_brand,
+           i_item_sk AS item_sk
+    FROM sa, sb, store, item
+    WHERE sa.ss_store_sk = sb.ss_store_sk
+      AND sa.revenue <= 0.1 * sb.ave
+      AND sa.ss_store_sk = s_store_sk
+      AND sa.ss_item_sk = i_item_sk
+    ORDER BY s_store_name, item_sk
+    LIMIT 10
     """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "item",
+    ),
 )
 def tpcds_q65_underperforming_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q65 shape: items whose revenue in a store runs under 10%
@@ -413,6 +430,7 @@ def tpcds_q65_underperforming_items(spark: SparkSession, sf_dir: str) -> DataFra
     aggregate, join the two back. The per-(store,item) rollup shuffles
     once; the per-store average is a rollup OF that result (tiny), so
     the second join broadcasts it by size without a hint."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -444,36 +462,38 @@ def tpcds_q65_underperforming_items(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "tpcds_q98_class_revenue_ratio",
-    """
-    SELECT * FROM (VALUES
-      ('000000000000I157', 'Books', 'accent', CAST(2850.12 AS DOUBLE), CAST(0.3619 AS DOUBLE)),
-      ('000000000000I346', 'Books', 'accent', CAST(408.17 AS DOUBLE), CAST(0.0518 AS DOUBLE)),
-      ('000000000000I464', 'Books', 'accent', CAST(720.07 AS DOUBLE), CAST(0.0914 AS DOUBLE)),
-      ('000000000000I804', 'Books', 'accent', CAST(4076.06 AS DOUBLE), CAST(0.5175 AS DOUBLE)),
-      ('00000000000I1488', 'Books', 'accent', CAST(5548.73 AS DOUBLE), CAST(0.7045 AS DOUBLE)),
-      ('00000000000I1947', 'Books', 'accent', CAST(11347.52 AS DOUBLE), CAST(1.4407 AS DOUBLE)),
-      ('00000000000I2180', 'Books', 'accent', CAST(15198.74 AS DOUBLE), CAST(1.9296 AS DOUBLE)),
-      ('00000000000I2381', 'Books', 'accent', CAST(11001.33 AS DOUBLE), CAST(1.3967 AS DOUBLE)),
-      ('00000000000I2507', 'Books', 'accent', CAST(10456.79 AS DOUBLE), CAST(1.3276 AS DOUBLE)),
-      ('00000000000I2650', 'Books', 'accent', CAST(1125.09 AS DOUBLE), CAST(0.1428 AS DOUBLE)),
-      ('00000000000I3810', 'Books', 'accent', CAST(15366.0 AS DOUBLE), CAST(1.9509 AS DOUBLE)),
-      ('00000000000I3957', 'Books', 'accent', CAST(51.68 AS DOUBLE), CAST(0.0066 AS DOUBLE)),
-      ('00000000000I4706', 'Books', 'accent', CAST(1291.57 AS DOUBLE), CAST(0.164 AS DOUBLE)),
-      ('00000000000I5117', 'Books', 'accent', CAST(7704.38 AS DOUBLE), CAST(0.9781 AS DOUBLE)),
-      ('00000000000I5167', 'Books', 'accent', CAST(10773.15 AS DOUBLE), CAST(1.3678 AS DOUBLE)),
-      ('00000000000I5267', 'Books', 'accent', CAST(9048.04 AS DOUBLE), CAST(1.1487 AS DOUBLE)),
-      ('00000000000I5412', 'Books', 'accent', CAST(3327.02 AS DOUBLE), CAST(0.4224 AS DOUBLE)),
-      ('00000000000I5919', 'Books', 'accent', CAST(10793.66 AS DOUBLE), CAST(1.3704 AS DOUBLE)),
-      ('00000000000I6443', 'Books', 'accent', CAST(5090.28 AS DOUBLE), CAST(0.6463 AS DOUBLE)),
-      ('00000000000I6896', 'Books', 'accent', CAST(12278.79 AS DOUBLE), CAST(1.5589 AS DOUBLE))
-    ) AS t(i_item_id, i_category, i_class, itemrevenue, revenueratio)
+    _wh_sql(
+        """
+    SELECT i_item_id, i_category, i_class,
+           CAST(round(itemrevenue, 2) AS DOUBLE) AS itemrevenue,
+           CAST(round(CAST(itemrevenue AS DOUBLE) * 100
+                      / CAST(sum(itemrevenue) OVER (PARTITION BY i_class)
+                             AS DOUBLE), 4) AS DOUBLE) AS revenueratio
+    FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
+                 i_current_price,
+                 sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) itemrevenue
+          FROM store_sales, item, date_dim
+          WHERE ss_item_sk = i_item_sk
+            AND i_category IN ('Sports', 'Books', 'Home')
+            AND ss_sold_date_sk = d_date_sk
+            AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                           AND CAST('1999-03-24' AS DATE)
+          GROUP BY i_item_id, i_item_desc, i_category, i_class,
+                   i_current_price) r
+    ORDER BY i_category, i_class, i_item_id
+    LIMIT 20
     """,
+        "store_sales",
+        "item",
+        "date_dim",
+    ),
 )
 def tpcds_q98_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q98 shape: 30-day item revenue with each item's share of
     its class revenue — a window aggregate OVER a hash aggregate. The
     window partitions by i_class (16-value domain), so its shuffle
     moves only the rolled-up rows, never the fact."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -1551,31 +1571,42 @@ def tpcds_q77_channel_profit_report(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q36_margin_rollup", """
-    SELECT * FROM (VALUES
-      ('ALL', 'ALL', CAST(3 AS INT), CAST(0.284112 AS DOUBLE), CAST(1 AS INT)),
-      ('Books', 'ALL', CAST(1 AS INT), CAST(0.283675 AS DOUBLE), CAST(1 AS INT)),
-      ('Children', 'ALL', CAST(1 AS INT), CAST(0.28392 AS DOUBLE), CAST(1 AS INT)),
-      ('Electronics', 'ALL', CAST(1 AS INT), CAST(0.281377 AS DOUBLE), CAST(1 AS INT)),
-      ('Home', 'ALL', CAST(1 AS INT), CAST(0.28211 AS DOUBLE), CAST(1 AS INT)),
-      ('Jewelry', 'ALL', CAST(1 AS INT), CAST(0.285393 AS DOUBLE), CAST(1 AS INT)),
-      ('Men', 'ALL', CAST(1 AS INT), CAST(0.283371 AS DOUBLE), CAST(1 AS INT)),
-      ('Music', 'ALL', CAST(1 AS INT), CAST(0.284183 AS DOUBLE), CAST(1 AS INT)),
-      ('Shoes', 'ALL', CAST(1 AS INT), CAST(0.283384 AS DOUBLE), CAST(1 AS INT)),
-      ('Sports', 'ALL', CAST(1 AS INT), CAST(0.287659 AS DOUBLE), CAST(1 AS INT)),
-      ('Women', 'ALL', CAST(1 AS INT), CAST(0.28601 AS DOUBLE), CAST(1 AS INT)),
-      ('Books', 'bracelets', CAST(0 AS INT), CAST(0.273952 AS DOUBLE), CAST(13 AS INT)),
-      ('Books', 'fitness', CAST(0 AS INT), CAST(0.275227 AS DOUBLE), CAST(19 AS INT)),
-      ('Books', 'computers', CAST(0 AS INT), CAST(0.280213 AS DOUBLE), CAST(47 AS INT)),
-      ('Books', 'fiction', CAST(0 AS INT), CAST(0.281679 AS DOUBLE), CAST(60 AS INT)),
-      ('Books', 'classical', CAST(0 AS INT), CAST(0.282234 AS DOUBLE), CAST(69 AS INT)),
-      ('Books', 'dresses', CAST(0 AS INT), CAST(0.284489 AS DOUBLE), CAST(82 AS INT)),
-      ('Books', 'flatware', CAST(0 AS INT), CAST(0.284898 AS DOUBLE), CAST(84 AS INT)),
-      ('Books', 'accent', CAST(0 AS INT), CAST(0.285167 AS DOUBLE), CAST(87 AS INT)),
-      ('Books', 'glassware', CAST(0 AS INT), CAST(0.285421 AS DOUBLE), CAST(93 AS INT))
-    ) AS t(i_category, i_class, lochierarchy, gross_margin, rank_within_parent)
-    
-    """)
+@register(
+    "tpcds_q36_margin_rollup",
+    _wh_sql(
+        """
+    WITH rolled AS (
+      SELECT i_category, i_class,
+             CAST(grouping(i_category, i_class) AS INT) AS lochierarchy,
+             round(sum(CAST(ss_net_profit AS DECIMAL(38,12)))
+                   / sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 6)
+               AS gross_margin
+      FROM store_sales, date_dim, item, store
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND d_year = 1998
+        AND s_state IN ('TN', 'TX', 'OH')
+      GROUP BY ROLLUP (i_category, i_class)),
+    ranked AS (
+      SELECT coalesce(i_category, 'ALL') AS i_category,
+             coalesce(i_class, 'ALL') AS i_class,
+             lochierarchy,
+             CAST(gross_margin AS DOUBLE) AS gross_margin,
+             CAST(rank() OVER (PARTITION BY lochierarchy,
+                    CASE WHEN lochierarchy = 1 THEN i_category END
+                    ORDER BY gross_margin ASC) AS INT) AS rank_within_parent
+      FROM rolled)
+    SELECT * FROM ranked
+    ORDER BY lochierarchy DESC, i_category, rank_within_parent, i_class
+    LIMIT 20
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+        "store",
+    ),
+)
 def tpcds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q36 shape: gross-margin ROLLUP over (category, class)
     with the rank-within-parent window — the spec's grouping-sets
@@ -1584,6 +1615,7 @@ def tpcds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `grouping_id` labels the level (lochierarchy) and the rank window
     partitions over rolled-up rows only. Margin stays exact decimal
     until the final round."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     rolled = (
@@ -2928,11 +2960,33 @@ def tpcds_q66_warehouse_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q95_web_multi_warehouse", """
-    SELECT * FROM (VALUES
-      (CAST(2984 AS BIGINT), CAST(253814.04 AS DOUBLE), CAST(4206353.53 AS DOUBLE))
-    ) AS t(order_count, total_shipping_cost, total_net_profit)
-    """)
+@register(
+    "tpcds_q95_web_multi_warehouse",
+    _wh_sql(
+        """
+    SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+           CAST(round(sum(CAST(ws_ext_ship_cost AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_shipping_cost,
+           CAST(round(sum(CAST(ws_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_net_profit
+    FROM web_sales ws1, date_dim
+    WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND EXISTS
+        (SELECT *
+         FROM web_sales ws2
+         WHERE ws1.ws_order_number = ws2.ws_order_number
+           AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      AND EXISTS
+        (SELECT *
+         FROM web_returns wr1
+         WHERE ws1.ws_order_number = wr1.wr_order_number)
+    """,
+        "web_sales",
+        "date_dim",
+        "web_returns",
+    ),
+)
 def tpcds_q95_web_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q95 shape: 60-day web orders that shipped from more than
     one warehouse AND had a return — the spec expresses both via
@@ -2945,6 +2999,7 @@ def tpcds_q95_web_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame
     projection — orders of magnitude smaller than the fact — and both
     semi-join probe sides reduce to order-number sets before any
     shuffle."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -3116,19 +3171,34 @@ def tpcds_q43_store_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q84_income_band_customers", """
-    SELECT * FROM (VALUES
-      ('00000000000C4616', 'Hernandez, Susan'),
-      ('0000000000C19324', 'Williams, Elizabeth'),
-      ('0000000000C20141', 'Brown, Mary'),
-      ('0000000000C23997', 'Brown, Linda'),
-      ('0000000000C28050', 'Brown, Patricia'),
-      ('0000000000C31075', 'Rodriguez, Susan'),
-      ('0000000000C34119', 'Hernandez, Michael'),
-      ('0000000000C37105', 'Lopez, Patricia'),
-      ('0000000000C48536', 'Jones, Elizabeth')
-    ) AS t(customer_id, customername)
-    """)
+@register(
+    "tpcds_q84_income_band_customers",
+    _wh_sql(
+        """
+    SELECT c_customer_id AS customer_id,
+           concat_ws(', ', c_last_name, c_first_name) AS customername
+    FROM customer, customer_address, household_demographics, income_band,
+         customer_demographics
+    WHERE ca_city = 'Fairview'
+      AND c_current_addr_sk = ca_address_sk
+      AND ib_lower_bound >= 38128
+      AND ib_upper_bound <= 38128 + 50000
+      AND ib_income_band_sk = hd_income_band_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND EXISTS (SELECT * FROM store_returns
+                  WHERE sr_cdemo_sk = cd_demo_sk)
+    ORDER BY customer_id
+    LIMIT 20
+    """,
+        "customer",
+        "customer_address",
+        "household_demographics",
+        "income_band",
+        "customer_demographics",
+        "store_returns",
+    ),
+)
 def tpcds_q84_income_band_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q84 shape: customers in one city whose household income
     band overlaps a $50k window and whose demographics appear in
@@ -3138,6 +3208,7 @@ def tpcds_q84_income_band_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale: every dim join is key-chained and broadcastable; the only
     fact touch is a left-semi probe carrying bare demographic keys."""
+    _gate(spark)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
     hd = gen_household_demographics(spark)
@@ -5422,33 +5493,42 @@ def tpcds_q26_catalog_demographics(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q27_store_demographics_rollup", """    SELECT * FROM (VALUES
-      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(49.5156 AS DOUBLE), CAST(95.7001 AS DOUBLE), CAST(26.5623 AS DOUBLE), CAST(80.9227 AS DOUBLE)),
-      ('0000000000000I42', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(8.0 AS DOUBLE), CAST(149.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.57 AS DOUBLE)),
-      ('0000000000000I42', 'GA', CAST(0 AS INT), CAST(8.0 AS DOUBLE), CAST(149.42 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.57 AS DOUBLE)),
-      ('0000000000000I96', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(71.0 AS DOUBLE), CAST(188.72 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(152.86 AS DOUBLE)),
-      ('0000000000000I96', 'TX', CAST(0 AS INT), CAST(71.0 AS DOUBLE), CAST(188.72 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(152.86 AS DOUBLE)),
-      ('000000000000I136', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(24.0 AS DOUBLE), CAST(107.37 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(98.78 AS DOUBLE)),
-      ('000000000000I136', 'GA', CAST(0 AS INT), CAST(24.0 AS DOUBLE), CAST(107.37 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(98.78 AS DOUBLE)),
-      ('000000000000I140', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(15.0 AS DOUBLE), CAST(199.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(177.56 AS DOUBLE)),
-      ('000000000000I140', 'GA', CAST(0 AS INT), CAST(15.0 AS DOUBLE), CAST(199.51 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(177.56 AS DOUBLE)),
-      ('000000000000I162', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(69.0 AS DOUBLE), CAST(21.68 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(18.43 AS DOUBLE)),
-      ('000000000000I162', 'TX', CAST(0 AS INT), CAST(69.0 AS DOUBLE), CAST(21.68 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(18.43 AS DOUBLE)),
-      ('000000000000I186', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(59.0 AS DOUBLE), CAST(172.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(122.31 AS DOUBLE)),
-      ('000000000000I186', 'TN', CAST(0 AS INT), CAST(59.0 AS DOUBLE), CAST(172.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(122.31 AS DOUBLE)),
-      ('000000000000I193', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(52.0 AS DOUBLE), CAST(139.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.48 AS DOUBLE)),
-      ('000000000000I193', 'TX', CAST(0 AS INT), CAST(52.0 AS DOUBLE), CAST(139.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(110.48 AS DOUBLE)),
-      ('000000000000I234', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(92.0 AS DOUBLE), CAST(46.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(41.64 AS DOUBLE)),
-      ('000000000000I234', 'TX', CAST(0 AS INT), CAST(92.0 AS DOUBLE), CAST(46.27 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(41.64 AS DOUBLE)),
-      ('000000000000I309', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(42.0 AS DOUBLE), CAST(159.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(138.93 AS DOUBLE)),
-      ('000000000000I309', 'TN', CAST(0 AS INT), CAST(42.0 AS DOUBLE), CAST(159.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(138.93 AS DOUBLE)),
-      ('000000000000I327', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(63.0 AS DOUBLE), CAST(120.35 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(99.89 AS DOUBLE))
-    ) AS t(i_item_id, s_state, g_state, agg1, agg2, agg3, agg4)
-    """)
+@register(
+    "tpcds_q27_store_demographics_rollup",
+    _wh_sql(
+        """
+    SELECT i_item_id, s_state,
+           CAST(grouping(s_state) AS INT) AS g_state,
+           CAST(round(avg(ss_quantity), 4) AS DOUBLE) AS agg1,
+           CAST(round(avg(ss_list_price), 4) AS DOUBLE) AS agg2,
+           CAST(round(avg(ss_coupon_amt), 4) AS DOUBLE) AS agg3,
+           CAST(round(avg(ss_sales_price), 4) AS DOUBLE) AS agg4
+    FROM store_sales, customer_demographics, date_dim, item, store
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND ss_cdemo_sk = cd_demo_sk
+      AND cd_gender = 'M'
+      AND cd_marital_status = 'S'
+      AND cd_education_status = 'College'
+      AND d_year = 1998
+      AND s_state IN ('TN', 'TX', 'GA')
+    GROUP BY ROLLUP (i_item_id, s_state)
+    ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+    LIMIT 20
+    """,
+        "store_sales",
+        "customer_demographics",
+        "date_dim",
+        "item",
+        "store",
+    ),
+)
 def tpcds_q27_store_demographics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q27: the q7 star with ROLLUP(i_item_id, s_state) and
     grouping level exported — q7's averages at every hierarchy level
     in one agg pipeline (q36's Expand contract)."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cd = gen_customer_demographics(spark)
     st = gen_store(spark)
@@ -5564,24 +5644,38 @@ def tpcds_q82_store_stocked_items(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q34_bulk_ticket_customers", """    SELECT * FROM (VALUES
-      ('Davis', 'Elizabeth', 'Sir', 'Y', CAST(59328 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Johnson', 'William', 'Ms.', 'N', CAST(51928 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Jones', 'Linda', 'Miss', 'N', CAST(45310 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Rodriguez', 'John', 'Sir', 'N', CAST(60743 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Smith', 'Charles', 'Mr.', 'Y', CAST(33192 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Smith', 'William', 'Dr.', 'Y', CAST(44776 AS BIGINT), CAST(3 AS BIGINT)),
-      ('Brown', 'Linda', 'Mrs.', 'Y', CAST(771 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Elizabeth', 'Mrs.', 'N', CAST(1589 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Charles', 'Miss', 'N', CAST(2361 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Linda', 'Sir', 'N', CAST(3877 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Elizabeth', 'Sir', 'N', CAST(5618 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Maria', 'Mrs.', 'Y', CAST(6067 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Mary', 'Miss', 'N', CAST(8678 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Mary', 'Sir', 'N', CAST(8897 AS BIGINT), CAST(2 AS BIGINT)),
-      ('Brown', 'Jennifer', 'Miss', 'Y', CAST(11417 AS BIGINT), CAST(2 AS BIGINT))
-    ) AS t(c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, ss_ticket_number, cnt)
-    """)
+@register(
+    "tpcds_q34_bulk_ticket_customers",
+    _wh_sql(
+        """
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, CAST(cnt AS BIGINT) AS cnt
+    FROM (SELECT ss_ticket_number, min(ss_customer_sk) ss_customer_sk,
+                 count(*) cnt
+          FROM store_sales, date_dim, store, household_demographics
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND (date_dim.d_dom BETWEEN 1 AND 3
+                 OR date_dim.d_dom BETWEEN 25 AND 28)
+            AND (household_demographics.hd_buy_potential = '>10000'
+                 OR household_demographics.hd_buy_potential = '5001-10000')
+            AND household_demographics.hd_vehicle_count > 0
+            AND date_dim.d_year IN (1998, 1999)
+          GROUP BY ss_ticket_number) dn,
+         customer
+    WHERE ss_customer_sk = c_customer_sk
+      AND cnt BETWEEN 2 AND 10
+    ORDER BY cnt DESC, c_last_name, ss_ticket_number
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "household_demographics",
+        "customer",
+    ),
+)
 def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q34: the q73 two-phase ticket-count shape with a bulk
     band (cnt ≥ 2 here; the spec's 15-20 needs dsdgen's denser
@@ -5589,6 +5683,7 @@ def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFra
     customers per LINE, so the spec's ticket↔customer functional
     dependency is restored by attributing each ticket to its minimum
     customer key before the lookup (documented adaptation)."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
@@ -5621,27 +5716,48 @@ def tpcds_q34_bulk_ticket_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q46_city_mismatch_tickets", """    SELECT * FROM (VALUES
-      ('Brown', 'Barbara', CAST(1637 AS BIGINT), 'Pleasant Hill', CAST(0.0 AS DOUBLE), CAST(1305.74 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(4106 AS BIGINT), 'Five Points', CAST(0.0 AS DOUBLE), CAST(451.15 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(4372 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(63.88 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(5406 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(895.8 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(5941 AS BIGINT), 'Shiloh', CAST(1371.62 AS DOUBLE), CAST(2662.16 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(7267 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(2167.06 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(7559 AS BIGINT), 'Midway', CAST(0.0 AS DOUBLE), CAST(2656.27 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(10238 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(500.48 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(11580 AS BIGINT), 'Liberty', CAST(0.0 AS DOUBLE), CAST(755.62 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(11830 AS BIGINT), 'Centerville', CAST(0.0 AS DOUBLE), CAST(2154.21 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(12036 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(471.68 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(12207 AS BIGINT), 'Riverside', CAST(0.0 AS DOUBLE), CAST(1535.44 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(12303 AS BIGINT), 'Shiloh', CAST(49.34 AS DOUBLE), CAST(59.6 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(17897 AS BIGINT), 'Oak Grove', CAST(0.0 AS DOUBLE), CAST(4399.36 AS DOUBLE)),
-      ('Brown', 'Barbara', CAST(18405 AS BIGINT), 'Union', CAST(0.0 AS DOUBLE), CAST(1288.98 AS DOUBLE))
-    ) AS t(c_last_name, c_first_name, ss_ticket_number, bought_city, amt, profit)
-    """)
+@register(
+    "tpcds_q46_city_mismatch_tickets",
+    _wh_sql(
+        """
+    SELECT c_last_name, c_first_name, ss_ticket_number, bought_city,
+           amt, profit
+    FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+                 CAST(round(sum(CAST(ss_coupon_amt AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) amt,
+                 CAST(round(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 2)
+                      AS DOUBLE) profit
+          FROM store_sales, date_dim, store, household_demographics,
+               customer_address
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+            AND date_dim.d_dow IN (6, 0)
+            AND (household_demographics.hd_dep_count = 5
+                 OR household_demographics.hd_vehicle_count = 2)
+            AND date_dim.d_year IN (1998, 1999)
+          GROUP BY ss_ticket_number, ss_customer_sk, ca_city) dn,
+         customer,
+         customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND customer.c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name, c_first_name, ss_ticket_number
+    LIMIT 15
+    """,
+        "store_sales",
+        "date_dim",
+        "store",
+        "household_demographics",
+        "customer_address",
+        "customer",
+    ),
+)
 def tpcds_q46_city_mismatch_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q46: the q68 double-role address shape with the weekend
     day filter and coupon/profit ticket sums."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     hd = gen_household_demographics(spark)
@@ -5992,32 +6108,41 @@ def tpcds_q80_channel_item_profit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q86_web_margin_rollup", """    SELECT * FROM (VALUES
-      (CAST(254706514.08 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(2 AS INT), CAST(1 AS INT)),
-      (CAST(25108960.22 AS DOUBLE), 'Books', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(6 AS INT)),
-      (CAST(26226057.21 AS DOUBLE), 'Children', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(1 AS INT)),
-      (CAST(24994570.87 AS DOUBLE), 'Electronics', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(9 AS INT)),
-      (CAST(25701779.12 AS DOUBLE), 'Home', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(4 AS INT)),
-      (CAST(26141195.36 AS DOUBLE), 'Jewelry', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(2 AS INT)),
-      (CAST(26002167.58 AS DOUBLE), 'Men', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(3 AS INT)),
-      (CAST(24953419.81 AS DOUBLE), 'Music', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(10 AS INT)),
-      (CAST(25415863.93 AS DOUBLE), 'Shoes', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(5 AS INT)),
-      (CAST(25103944.61 AS DOUBLE), 'Sports', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(7 AS INT)),
-      (CAST(25058555.37 AS DOUBLE), 'Women', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(8 AS INT)),
-      (CAST(1975681.5 AS DOUBLE), 'Books', 'fitness', CAST(0 AS INT), CAST(1 AS INT)),
-      (CAST(1952072.57 AS DOUBLE), 'Books', 'decor', CAST(0 AS INT), CAST(2 AS INT)),
-      (CAST(1880673.9 AS DOUBLE), 'Books', 'glassware', CAST(0 AS INT), CAST(3 AS INT)),
-      (CAST(1692550.16 AS DOUBLE), 'Books', 'flatware', CAST(0 AS INT), CAST(4 AS INT)),
-      (CAST(1674893.91 AS DOUBLE), 'Books', 'classical', CAST(0 AS INT), CAST(5 AS INT)),
-      (CAST(1663501.16 AS DOUBLE), 'Books', 'fiction', CAST(0 AS INT), CAST(6 AS INT)),
-      (CAST(1631036.38 AS DOUBLE), 'Books', 'computers', CAST(0 AS INT), CAST(7 AS INT)),
-      (CAST(1534815.65 AS DOUBLE), 'Books', 'kids', CAST(0 AS INT), CAST(8 AS INT)),
-      (CAST(1526255.29 AS DOUBLE), 'Books', 'accent', CAST(0 AS INT), CAST(9 AS INT))
-    ) AS t(total_sum, i_category, i_class, lochierarchy, rank_within_parent)
-    """)
+@register(
+    "tpcds_q86_web_margin_rollup",
+    _wh_sql(
+        """
+    WITH rolled AS (
+      SELECT CAST(round(sum(CAST(ws_net_paid AS DECIMAL(38,12))), 2)
+                  AS DOUBLE) AS total_sum,
+             i_category, i_class,
+             CAST(grouping(i_category) + grouping(i_class) AS INT)
+               AS lochierarchy
+      FROM web_sales, date_dim, item
+      WHERE ws_sold_date_sk = d_date_sk
+        AND ws_item_sk = i_item_sk
+        AND d_month_seq BETWEEN 1176 AND 1187
+      GROUP BY ROLLUP (i_category, i_class))
+    SELECT total_sum, i_category, i_class, lochierarchy,
+           CAST(rank() OVER (PARTITION BY lochierarchy,
+                  CASE WHEN lochierarchy = 0 THEN i_category END
+                  ORDER BY total_sum DESC, i_category NULLS FIRST,
+                           i_class NULLS FIRST) AS INT)
+             AS rank_within_parent
+    FROM rolled
+    ORDER BY lochierarchy DESC, i_category NULLS FIRST,
+             rank_within_parent, i_class NULLS FIRST
+    LIMIT 20
+    """,
+        "web_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q86_web_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q86: the q36 ROLLUP + rank-within-parent shape on the
     WEB channel (net paid over category/class hierarchy)."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -6054,32 +6179,42 @@ def tpcds_q86_web_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q53_manufacturer_quarterly", """    SELECT * FROM (VALUES
-      (CAST(1 AS INT), CAST(4 AS INT), CAST(6837.04 AS DOUBLE), CAST(6197.9875 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1 AS INT), CAST(9662.91 AS DOUBLE), CAST(8051.165 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(4 AS INT), CAST(7157.25 AS DOUBLE), CAST(8051.165 AS DOUBLE)),
-      (CAST(6 AS INT), CAST(2 AS INT), CAST(6304.83 AS DOUBLE), CAST(5670.7625 AS DOUBLE)),
-      (CAST(6 AS INT), CAST(4 AS INT), CAST(4677.23 AS DOUBLE), CAST(5670.7625 AS DOUBLE)),
-      (CAST(9 AS INT), CAST(1 AS INT), CAST(8646.39 AS DOUBLE), CAST(7532.8725 AS DOUBLE)),
-      (CAST(9 AS INT), CAST(2 AS INT), CAST(6588.04 AS DOUBLE), CAST(7532.8725 AS DOUBLE)),
-      (CAST(10 AS INT), CAST(1 AS INT), CAST(5673.53 AS DOUBLE), CAST(6733.6675 AS DOUBLE)),
-      (CAST(10 AS INT), CAST(2 AS INT), CAST(7931.75 AS DOUBLE), CAST(6733.6675 AS DOUBLE)),
-      (CAST(11 AS INT), CAST(1 AS INT), CAST(6722.67 AS DOUBLE), CAST(7809.71 AS DOUBLE)),
-      (CAST(11 AS INT), CAST(4 AS INT), CAST(9273.93 AS DOUBLE), CAST(7809.71 AS DOUBLE)),
-      (CAST(12 AS INT), CAST(3 AS INT), CAST(7226.61 AS DOUBLE), CAST(6400.8225 AS DOUBLE)),
-      (CAST(12 AS INT), CAST(4 AS INT), CAST(5535.67 AS DOUBLE), CAST(6400.8225 AS DOUBLE)),
-      (CAST(13 AS INT), CAST(3 AS INT), CAST(6668.9 AS DOUBLE), CAST(6030.005 AS DOUBLE)),
-      (CAST(15 AS INT), CAST(2 AS INT), CAST(8457.92 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
-      (CAST(15 AS INT), CAST(3 AS INT), CAST(5680.46 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
-      (CAST(15 AS INT), CAST(4 AS INT), CAST(5679.19 AS DOUBLE), CAST(6530.3475 AS DOUBLE)),
-      (CAST(16 AS INT), CAST(1 AS INT), CAST(4821.34 AS DOUBLE), CAST(5511.7625 AS DOUBLE)),
-      (CAST(16 AS INT), CAST(3 AS INT), CAST(6200.36 AS DOUBLE), CAST(5511.7625 AS DOUBLE)),
-      (CAST(18 AS INT), CAST(1 AS INT), CAST(4408.13 AS DOUBLE), CAST(5523.7875 AS DOUBLE))
-    ) AS t(i_manufact_id, d_qoy, sum_sales, avg_quarterly_sales)
-    """)
+@register(
+    "tpcds_q53_manufacturer_quarterly",
+    _wh_sql(
+        """
+    WITH rolled AS (
+      SELECT i_manufact_id, d_qoy,
+             sum(CAST(ss_sales_price AS DECIMAL(38,12))) sum_sales
+      FROM store_sales, date_dim, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND d_year = 1998
+        AND i_category IN ('Books', 'Home', 'Sports')
+        AND i_manufact_id <= 20
+      GROUP BY i_manufact_id, d_qoy),
+    y AS (
+      SELECT i_manufact_id, d_qoy,
+             CAST(round(sum_sales, 2) AS DOUBLE) sum_sales,
+             CAST(round(avg(sum_sales)
+                    OVER (PARTITION BY i_manufact_id), 4) AS DOUBLE)
+               avg_quarterly_sales
+      FROM rolled)
+    SELECT * FROM y
+    WHERE avg_quarterly_sales > 0
+      AND abs(sum_sales - avg_quarterly_sales) / avg_quarterly_sales > 0.1
+    ORDER BY i_manufact_id, d_qoy
+    LIMIT 20
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q53_manufacturer_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q53: the q89 deviation shape keyed by MANUFACTURER with
     quarterly averages."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -6114,32 +6249,42 @@ def tpcds_q53_manufacturer_quarterly(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register("tpcds_q63_manager_monthly", """    SELECT * FROM (VALUES
-      (CAST(1 AS INT), CAST(1 AS INT), CAST(1633.43 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(3 AS INT), CAST(3289.09 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(6 AS INT), CAST(1289.89 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(7 AS INT), CAST(2285.12 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(8 AS INT), CAST(2391.58 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(9 AS INT), CAST(1162.07 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(10 AS INT), CAST(2413.39 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(11 AS INT), CAST(1748.4 AS DOUBLE), CAST(2035.2975 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(2 AS INT), CAST(2552.86 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(3 AS INT), CAST(4038.15 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(4 AS INT), CAST(1773.08 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(7 AS INT), CAST(2500.41 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(10 AS INT), CAST(2219.17 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(11 AS INT), CAST(4275.66 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(12 AS INT), CAST(3461.51 AS DOUBLE), CAST(2938.2383 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1 AS INT), CAST(2270.35 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(2 AS INT), CAST(1356.71 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(4 AS INT), CAST(1167.36 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(5 AS INT), CAST(1371.31 AS DOUBLE), CAST(1623.3217 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(6 AS INT), CAST(2059.88 AS DOUBLE), CAST(1623.3217 AS DOUBLE))
-    ) AS t(i_manager_id, d_moy, sum_sales, avg_monthly_sales)
-    """)
+@register(
+    "tpcds_q63_manager_monthly",
+    _wh_sql(
+        """
+    WITH rolled AS (
+      SELECT i_manager_id, d_moy,
+             sum(CAST(ss_sales_price AS DECIMAL(38,12))) sum_sales
+      FROM store_sales, date_dim, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND d_year = 1998
+        AND i_category IN ('Men', 'Women', 'Music')
+        AND i_manager_id <= 10
+      GROUP BY i_manager_id, d_moy),
+    y AS (
+      SELECT i_manager_id, d_moy,
+             CAST(round(sum_sales, 2) AS DOUBLE) sum_sales,
+             CAST(round(avg(sum_sales)
+                    OVER (PARTITION BY i_manager_id), 4) AS DOUBLE)
+               avg_monthly_sales
+      FROM rolled)
+    SELECT * FROM y
+    WHERE avg_monthly_sales > 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+    ORDER BY i_manager_id, d_moy
+    LIMIT 20
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q63_manager_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q63: the q53/q89 deviation shape keyed by item MANAGER
     with monthly averages."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     rolled = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
