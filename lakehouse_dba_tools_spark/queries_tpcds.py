@@ -3385,10 +3385,63 @@ def tpcds_q91_call_center_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q28_price_band_stats", """    SELECT * FROM (VALUES
-      (CAST(101.2599 AS DOUBLE), CAST(10017 AS BIGINT), CAST(7879 AS BIGINT), CAST(83.2564 AS DOUBLE), CAST(1655 AS BIGINT), CAST(1305 AS BIGINT), CAST(116.6691 AS DOUBLE), CAST(1640 AS BIGINT), CAST(1303 AS BIGINT), CAST(150.3367 AS DOUBLE), CAST(1665 AS BIGINT), CAST(1323 AS BIGINT), CAST(176.9193 AS DOUBLE), CAST(2118 AS BIGINT), CAST(1671 AS BIGINT), CAST(104.9249 AS DOUBLE), CAST(533 AS BIGINT), CAST(421 AS BIGINT))
-    ) AS t(b1_lp, b1_cnt, b1_cntd, b2_lp, b2_cnt, b2_cntd, b3_lp, b3_cnt, b3_cntd, b4_lp, b4_cnt, b4_cntd, b5_lp, b5_cnt, b5_cntd, b6_lp, b6_cnt, b6_cntd)
-    """)
+@register(
+    "tpcds_q28_price_band_stats",
+    _wh_sql(
+        """
+    SELECT *
+    FROM
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b1_lp,
+             CAST(count(ss_list_price) AS BIGINT) b1_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b1_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 90 AND 90+10
+             OR ss_coupon_amt BETWEEN 0 AND 0+1000
+             OR ss_wholesale_cost BETWEEN 30 AND 30+20)) b1,
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b2_lp,
+             CAST(count(ss_list_price) AS BIGINT) b2_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b2_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 70 AND 70+10
+             OR ss_coupon_amt BETWEEN 500 AND 500+1000
+             OR ss_wholesale_cost BETWEEN 40 AND 40+20)) b2,
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b3_lp,
+             CAST(count(ss_list_price) AS BIGINT) b3_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b3_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 120 AND 120+10
+             OR ss_coupon_amt BETWEEN 1000 AND 1000+1000
+             OR ss_wholesale_cost BETWEEN 60 AND 60+20)) b3,
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b4_lp,
+             CAST(count(ss_list_price) AS BIGINT) b4_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b4_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 135 AND 135+10
+             OR ss_coupon_amt BETWEEN 1500 AND 1500+1000
+             OR ss_wholesale_cost BETWEEN 80 AND 80+20)) b4,
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b5_lp,
+             CAST(count(ss_list_price) AS BIGINT) b5_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b5_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 150 AND 150+10
+             OR ss_coupon_amt BETWEEN 2000 AND 2000+1000
+             OR ss_wholesale_cost BETWEEN 100 AND 100+20)) b5,
+     (SELECT CAST(round(avg(ss_list_price), 4) AS DOUBLE) b6_lp,
+             CAST(count(ss_list_price) AS BIGINT) b6_cnt,
+             CAST(count(DISTINCT ss_list_price) AS BIGINT) b6_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 100 AND 100+10
+             OR ss_coupon_amt BETWEEN 2500 AND 2500+1000
+             OR ss_wholesale_cost BETWEEN 120 AND 120+20)) b6    """,
+        "store_sales",
+    ),
+)
 def tpcds_q28_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q28 shape: six independent quantity-band profiles of
     store_sales (avg / count / distinct-count of list price under
@@ -3398,6 +3451,7 @@ def tpcds_q28_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: six parallel one-row rollups over the same scan (Spark
     reuses the exchange under AQE); every cross join multiplies 1×1.
     """
+    _gate(spark)
     ss, _, _ = _star(spark, sf_dir)
 
     def band(lo_q, hi_q, lp, cp, ws, tag):
@@ -3425,19 +3479,38 @@ def tpcds_q28_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("tpcds_q44_best_worst_items", """    SELECT * FROM (VALUES
-      (CAST(1 AS INT), 'Product 00017774', 'Product 00015812'),
-      (CAST(2 AS INT), 'Product 00000556', 'Product 00003849'),
-      (CAST(3 AS INT), 'Product 00006420', 'Product 00016215'),
-      (CAST(4 AS INT), 'Product 00012864', 'Product 00007909'),
-      (CAST(5 AS INT), 'Product 00007786', 'Product 00002523'),
-      (CAST(6 AS INT), 'Product 00001067', 'Product 00000988'),
-      (CAST(7 AS INT), 'Product 00014025', 'Product 00010898'),
-      (CAST(8 AS INT), 'Product 00002743', 'Product 00006383'),
-      (CAST(9 AS INT), 'Product 00016659', 'Product 00011000'),
-      (CAST(10 AS INT), 'Product 00004975', 'Product 00017693')
-    ) AS t(rnk, best_performing, worst_performing)
-    """)
+@register(
+    "tpcds_q44_best_worst_items",
+    _wh_sql(
+        """
+
+    WITH perf AS (
+      SELECT ss_item_sk, avg(ss_net_profit) avg_profit
+      FROM store_sales
+      WHERE ss_store_sk = 4
+      GROUP BY ss_item_sk),
+    asceding AS (
+      SELECT ss_item_sk worst_sk,
+             rank() OVER (ORDER BY avg_profit ASC, ss_item_sk) rnk
+      FROM perf),
+    descending AS (
+      SELECT ss_item_sk best_sk,
+             rank() OVER (ORDER BY avg_profit DESC, ss_item_sk) rnk
+      FROM perf)
+    SELECT CAST(asceding.rnk AS INT) AS rnk,
+           i1.i_product_name best_performing,
+           i2.i_product_name worst_performing
+    FROM asceding, descending, item i1, item i2
+    WHERE asceding.rnk = descending.rnk
+      AND asceding.rnk <= 10 AND descending.rnk <= 10
+      AND i1.i_item_sk = best_sk
+      AND i2.i_item_sk = worst_sk
+    ORDER BY rnk
+    """,
+        "store_sales",
+        "item",
+    ),
+)
 def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q44 shape: one store's ten best and ten worst items by
     average net profit, joined POSITIONALLY on rank — two windowed
@@ -3446,6 +3519,7 @@ def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-item rollup reduces the fact once; both rankings
     and the rank join operate on item-sized rows."""
+    _gate(spark)
     ss, _, it = _star(spark, sf_dir)
     perf = (
         ss.where(ss.ss_store_sk == 4)
@@ -3761,10 +3835,53 @@ def tpcds_q22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q9_bucket_case_stats", """    SELECT * FROM (VALUES
-      (CAST(157.2121 AS DOUBLE), CAST(461.1303 AS DOUBLE), CAST(764.2287 AS DOUBLE), CAST(1069.439 AS DOUBLE), CAST(1363.7235 AS DOUBLE))
-    ) AS t(bucket1, bucket2, bucket3, bucket4, bucket5)
-    """)
+@register(
+    "tpcds_q9_bucket_case_stats",
+    _wh_sql(
+        """
+    SELECT
+           CAST(round(CASE WHEN (SELECT count(*) FROM store_sales
+                                 WHERE ss_quantity BETWEEN 1 AND 20) > 5000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+                            WHERE ss_quantity BETWEEN 1 AND 20)
+                      ELSE (SELECT avg(ss_net_paid) FROM store_sales
+                            WHERE ss_quantity BETWEEN 1 AND 20) END, 4)
+                AS DOUBLE) AS bucket1,
+           CAST(round(CASE WHEN (SELECT count(*) FROM store_sales
+                                 WHERE ss_quantity BETWEEN 21 AND 40) > 5000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+                            WHERE ss_quantity BETWEEN 21 AND 40)
+                      ELSE (SELECT avg(ss_net_paid) FROM store_sales
+                            WHERE ss_quantity BETWEEN 21 AND 40) END, 4)
+                AS DOUBLE) AS bucket2,
+           CAST(round(CASE WHEN (SELECT count(*) FROM store_sales
+                                 WHERE ss_quantity BETWEEN 41 AND 60) > 5000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+                            WHERE ss_quantity BETWEEN 41 AND 60)
+                      ELSE (SELECT avg(ss_net_paid) FROM store_sales
+                            WHERE ss_quantity BETWEEN 41 AND 60) END, 4)
+                AS DOUBLE) AS bucket3,
+           CAST(round(CASE WHEN (SELECT count(*) FROM store_sales
+                                 WHERE ss_quantity BETWEEN 61 AND 80) > 5000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+                            WHERE ss_quantity BETWEEN 61 AND 80)
+                      ELSE (SELECT avg(ss_net_paid) FROM store_sales
+                            WHERE ss_quantity BETWEEN 61 AND 80) END, 4)
+                AS DOUBLE) AS bucket4,
+           CAST(round(CASE WHEN (SELECT count(*) FROM store_sales
+                                 WHERE ss_quantity BETWEEN 81 AND 100) > 5000
+                      THEN (SELECT avg(ss_ext_discount_amt) FROM store_sales
+                            WHERE ss_quantity BETWEEN 81 AND 100)
+                      ELSE (SELECT avg(ss_net_paid) FROM store_sales
+                            WHERE ss_quantity BETWEEN 81 AND 100) END, 4)
+                AS DOUBLE) AS bucket5
+    FROM reason
+    WHERE r_reason_sk = 1
+    """,
+        "store_sales",
+        "reason",
+    ),
+)
 def tpcds_q9_bucket_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q9 shape: five quantity-band CASE expressions, each
     choosing between two averages depending on the band's row count —
@@ -3776,6 +3893,7 @@ def tpcds_q9_bucket_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a single hash-agg with no keys (all-partial reduction to
     one row); the reason 1-row probe is the spec's driving-table
     artifact, kept as a 1×1 cross join."""
+    _gate(spark)
     ss, _, _ = _star(spark, sf_dir)
     r = gen_reason(spark).where(F.col("r_reason_sk") == 1).select("r_reason_sk")
     bands = [(1, 20, 5000), (21, 40, 5000), (41, 60, 5000), (61, 80, 5000), (81, 100, 5000)]
@@ -5034,20 +5152,48 @@ def tpcds_q99_catalog_ship_latency(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q50_store_return_latency", """    SELECT * FROM (VALUES
-      ('able', CAST(1 AS INT), 'First', CAST(43 AS BIGINT), CAST(35 AS BIGINT), CAST(39 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('anti', CAST(1 AS INT), 'Main', CAST(40 AS BIGINT), CAST(28 AS BIGINT), CAST(44 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('cally', CAST(1 AS INT), 'Oak', CAST(33 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('cally', CAST(1 AS INT), 'Park', CAST(68 AS BIGINT), CAST(60 AS BIGINT), CAST(73 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('eing', CAST(1 AS INT), 'Elm', CAST(20 AS BIGINT), CAST(39 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('ese', CAST(1 AS INT), 'Elm', CAST(36 AS BIGINT), CAST(45 AS BIGINT), CAST(43 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      ('ese', CAST(1 AS INT), 'First', CAST(31 AS BIGINT), CAST(45 AS BIGINT), CAST(39 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
-    ) AS t(s_store_name, s_company_id, s_street_name, d30, d60, d90, d120, dmore)
-    """)
+@register(
+    "tpcds_q50_store_return_latency",
+    _wh_sql(
+        """
+
+    SELECT s_store_name, s_company_id, s_street_name,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                          AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+    FROM store_sales, store_returns, store, date_dim d2
+    WHERE ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = sr_item_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND ss_store_sk = s_store_sk
+      AND d2.d_year = 1998
+      AND d2.d_moy = 9
+    GROUP BY s_store_name, s_company_id, s_street_name
+    ORDER BY s_store_name, s_company_id, s_street_name
+    LIMIT 10
+    """,
+        "store_sales",
+        "store_returns",
+        "store",
+        "date_dim",
+    ),
+)
 def tpcds_q50_store_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q50: days-to-return buckets per store — sales joined to
     their returns on the (ticket, item, customer) natural key, the
     sold→returned day gap bucketed like q62's ship latency."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
@@ -5087,28 +5233,48 @@ def tpcds_q50_store_return_latency(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q33_manufacturer_cross_channel", """    SELECT * FROM (VALUES
-      (CAST(17 AS INT), CAST(152772.77 AS DOUBLE)),
-      (CAST(70 AS INT), CAST(152741.07 AS DOUBLE)),
-      (CAST(64 AS INT), CAST(149734.26 AS DOUBLE)),
-      (CAST(13 AS INT), CAST(130316.93 AS DOUBLE)),
-      (CAST(71 AS INT), CAST(123887.51 AS DOUBLE)),
-      (CAST(100 AS INT), CAST(121228.18 AS DOUBLE)),
-      (CAST(68 AS INT), CAST(117766.92 AS DOUBLE)),
-      (CAST(89 AS INT), CAST(111244.72 AS DOUBLE)),
-      (CAST(92 AS INT), CAST(110666.34 AS DOUBLE)),
-      (CAST(30 AS INT), CAST(103897.89 AS DOUBLE)),
-      (CAST(97 AS INT), CAST(102049.37 AS DOUBLE)),
-      (CAST(10 AS INT), CAST(101837.09 AS DOUBLE)),
-      (CAST(84 AS INT), CAST(101236.29 AS DOUBLE)),
-      (CAST(9 AS INT), CAST(100721.76 AS DOUBLE)),
-      (CAST(25 AS INT), CAST(97712.83 AS DOUBLE))
-    ) AS t(i_manufact_id, total_sales)
-    """)
+@register(
+    "tpcds_q33_manufacturer_cross_channel",
+    _wh_sql(
+        """
+
+    WITH items AS (SELECT i_item_sk, i_manufact_id FROM item WHERE i_category = 'Books'),
+    dates AS (SELECT d_date_sk FROM date_dim
+              WHERE d_year = 1998 AND d_moy = 9),
+    unioned AS (
+      SELECT i_manufact_id, sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) sales
+      FROM store_sales, dates, items
+      WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      GROUP BY i_manufact_id
+      UNION ALL
+      SELECT i_manufact_id, sum(CAST(cs_ext_sales_price AS DECIMAL(38,12)))
+      FROM catalog_sales, dates, items
+      WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      GROUP BY i_manufact_id
+      UNION ALL
+      SELECT i_manufact_id, sum(CAST(ws_ext_sales_price AS DECIMAL(38,12)))
+      FROM web_sales, dates, items
+      WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      GROUP BY i_manufact_id)
+    SELECT i_manufact_id,
+           CAST(round(sum(sales), 2) AS DOUBLE) AS total_sales
+    FROM unioned
+    GROUP BY i_manufact_id
+    ORDER BY total_sales DESC, i_manufact_id
+    LIMIT 15
+    """,
+        "item",
+        "date_dim",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q33_manufacturer_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q33: one category's September revenue per MANUFACTURER
     summed across the three channels — the q60 cross-channel union
     shape keyed by i_manufact_id."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -5136,28 +5302,48 @@ def tpcds_q33_manufacturer_cross_channel(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
-@register("tpcds_q56_color_cross_channel", """    SELECT * FROM (VALUES
-      ('0000000000I13540', CAST(36820.88 AS DOUBLE)),
-      ('00000000000I8350', CAST(36465.91 AS DOUBLE)),
-      ('0000000000I13881', CAST(32629.05 AS DOUBLE)),
-      ('0000000000I11402', CAST(32312.18 AS DOUBLE)),
-      ('0000000000I16644', CAST(31399.21 AS DOUBLE)),
-      ('00000000000I6773', CAST(30806.1 AS DOUBLE)),
-      ('00000000000I3750', CAST(30417.79 AS DOUBLE)),
-      ('00000000000I1550', CAST(30353.7 AS DOUBLE)),
-      ('00000000000I1704', CAST(29945.49 AS DOUBLE)),
-      ('0000000000I14571', CAST(29488.01 AS DOUBLE)),
-      ('00000000000I6068', CAST(29343.75 AS DOUBLE)),
-      ('00000000000I9542', CAST(29172.96 AS DOUBLE)),
-      ('0000000000I14938', CAST(29047.13 AS DOUBLE)),
-      ('00000000000I1549', CAST(28648.17 AS DOUBLE)),
-      ('0000000000I12539', CAST(28372.41 AS DOUBLE))
-    ) AS t(i_item_id, total_sales)
-    """)
+@register(
+    "tpcds_q56_color_cross_channel",
+    _wh_sql(
+        """
+
+    WITH items AS (SELECT i_item_sk, i_item_id FROM item WHERE i_color IN ('coral', 'indigo', 'cyan')),
+    dates AS (SELECT d_date_sk FROM date_dim
+              WHERE d_year = 1999 AND d_moy = 2),
+    unioned AS (
+      SELECT i_item_id, sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) sales
+      FROM store_sales, dates, items
+      WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      GROUP BY i_item_id
+      UNION ALL
+      SELECT i_item_id, sum(CAST(cs_ext_sales_price AS DECIMAL(38,12)))
+      FROM catalog_sales, dates, items
+      WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      GROUP BY i_item_id
+      UNION ALL
+      SELECT i_item_id, sum(CAST(ws_ext_sales_price AS DECIMAL(38,12)))
+      FROM web_sales, dates, items
+      WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      GROUP BY i_item_id)
+    SELECT i_item_id,
+           CAST(round(sum(sales), 2) AS DOUBLE) AS total_sales
+    FROM unioned
+    GROUP BY i_item_id
+    ORDER BY total_sales DESC, i_item_id
+    LIMIT 15
+    """,
+        "item",
+        "date_dim",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q56_color_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q56: revenue of color-picked items per item id across
     the three channels — the q60 union shape with an i_color IN-list
     item filter."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
