@@ -1184,26 +1184,43 @@ CS_ROWS = 120_000
 WS_ROWS = 120_000
 
 
-@register("tpcds_q60_cross_channel_items", """
-    SELECT * FROM (VALUES
-      ('0000000000I17855', CAST(40494.61 AS DOUBLE)),
-      ('00000000000I7120', CAST(35032.63 AS DOUBLE)),
-      ('00000000000I7384', CAST(31176.64 AS DOUBLE)),
-      ('0000000000I11716', CAST(31066.83 AS DOUBLE)),
-      ('0000000000I17913', CAST(27745.75 AS DOUBLE)),
-      ('00000000000I4375', CAST(27612.87 AS DOUBLE)),
-      ('00000000000I1265', CAST(27341.46 AS DOUBLE)),
-      ('0000000000I17345', CAST(26447.25 AS DOUBLE)),
-      ('0000000000I16306', CAST(26383.19 AS DOUBLE)),
-      ('000000000000I892', CAST(26134.93 AS DOUBLE)),
-      ('00000000000I1487', CAST(25845.43 AS DOUBLE)),
-      ('00000000000I9014', CAST(25220.27 AS DOUBLE)),
-      ('0000000000I10132', CAST(25045.99 AS DOUBLE)),
-      ('000000000000I784', CAST(24509.42 AS DOUBLE)),
-      ('0000000000I16647', CAST(24495.53 AS DOUBLE))
-    ) AS t(i_item_id, total_sales)
-    
-    """)
+@register(
+    "tpcds_q60_cross_channel_items",
+    _wh_sql(
+        """
+    WITH items AS (SELECT i_item_sk, i_item_id FROM item
+                   WHERE i_category = 'Music'),
+    dates AS (SELECT d_date_sk FROM date_dim
+              WHERE d_year = 1998 AND d_moy = 9),
+    unioned AS (
+      SELECT i_item_id, sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) sales
+      FROM store_sales, dates, items
+      WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      GROUP BY i_item_id
+      UNION ALL
+      SELECT i_item_id, sum(CAST(cs_ext_sales_price AS DECIMAL(38,12)))
+      FROM catalog_sales, dates, items
+      WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      GROUP BY i_item_id
+      UNION ALL
+      SELECT i_item_id, sum(CAST(ws_ext_sales_price AS DECIMAL(38,12)))
+      FROM web_sales, dates, items
+      WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      GROUP BY i_item_id)
+    SELECT i_item_id,
+           CAST(round(sum(sales), 2) AS DOUBLE) AS total_sales
+    FROM unioned
+    GROUP BY i_item_id
+    ORDER BY total_sales DESC, i_item_id
+    LIMIT 15
+    """,
+        "item",
+        "date_dim",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q60_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q60 shape: one category's September revenue per item,
     summed ACROSS the three sales channels — each channel is rolled up
@@ -1211,6 +1228,7 @@ def tpcds_q60_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
     small per-item results union and re-aggregate. The union never
     carries fact rows, only rolled-up (item, revenue) pairs, so the
     cross-channel step is dim-sized at any SF."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -3921,10 +3939,34 @@ def tpcds_q9_bucket_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(*out_cols)
 
 
-@register("tpcds_q92_excess_discount", """    SELECT * FROM (VALUES
-      (CAST(561313.06 AS DOUBLE), CAST(330 AS BIGINT))
-    ) AS t(excess_discount_amount, excess_line_count)
-    """)
+@register(
+    "tpcds_q92_excess_discount",
+    _wh_sql(
+        """
+    WITH base AS (
+      SELECT ws_item_sk, ws_ext_discount_amt
+      FROM web_sales, date_dim, item
+      WHERE ws_sold_date_sk = d_date_sk
+        AND ws_item_sk = i_item_sk
+        AND d_date BETWEEN CAST('1998-01-01' AS DATE)
+                       AND CAST('1999-12-31' AS DATE)
+        AND i_manufact_id = 35),
+    flagged AS (
+      SELECT ws_ext_discount_amt,
+             avg(ws_ext_discount_amt) OVER (PARTITION BY ws_item_sk) * 1.3
+               AS threshold
+      FROM base)
+    SELECT CAST(round(sum(CAST(ws_ext_discount_amt AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS excess_discount_amount,
+           CAST(count(*) AS BIGINT) AS excess_line_count
+    FROM flagged
+    WHERE ws_ext_discount_amt > threshold
+    """,
+        "web_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q92 shape: total web discount on line items whose
     discount exceeds 1.3× their item's 90-day average — the spec's
@@ -3934,6 +3976,7 @@ def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window exchange on item_sk over the date-filtered fact,
     then an all-partial global sum; the item dim filter (one
     manufacturer) shrinks the fact before the window."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -4211,29 +4254,55 @@ def tpcds_q40_warehouse_returns_pivot(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q58_equal_channel_items", """    SELECT * FROM (VALUES
-      ('000000000000I256', CAST(2816.49 AS DOUBLE), CAST(3561.6 AS DOUBLE), CAST(2560.04 AS DOUBLE), CAST(2979.3767 AS DOUBLE)),
-      ('00000000000I1006', CAST(6851.53 AS DOUBLE), CAST(7263.36 AS DOUBLE), CAST(9925.74 AS DOUBLE), CAST(8013.5433 AS DOUBLE)),
-      ('00000000000I1570', CAST(3018.56 AS DOUBLE), CAST(4610.11 AS DOUBLE), CAST(4634.91 AS DOUBLE), CAST(4087.86 AS DOUBLE)),
-      ('00000000000I1731', CAST(4378.25 AS DOUBLE), CAST(3939.44 AS DOUBLE), CAST(4068.16 AS DOUBLE), CAST(4128.6167 AS DOUBLE)),
-      ('00000000000I2363', CAST(5094.28 AS DOUBLE), CAST(7613.49 AS DOUBLE), CAST(7527.23 AS DOUBLE), CAST(6745.0 AS DOUBLE)),
-      ('00000000000I3326', CAST(5250.04 AS DOUBLE), CAST(5277.12 AS DOUBLE), CAST(5093.66 AS DOUBLE), CAST(5206.94 AS DOUBLE)),
-      ('00000000000I3493', CAST(2841.93 AS DOUBLE), CAST(3366.29 AS DOUBLE), CAST(2220.02 AS DOUBLE), CAST(2809.4133 AS DOUBLE)),
-      ('00000000000I3688', CAST(2447.86 AS DOUBLE), CAST(2902.59 AS DOUBLE), CAST(2172.61 AS DOUBLE), CAST(2507.6867 AS DOUBLE)),
-      ('00000000000I3919', CAST(4910.7 AS DOUBLE), CAST(8061.28 AS DOUBLE), CAST(7588.16 AS DOUBLE), CAST(6853.38 AS DOUBLE)),
-      ('00000000000I4388', CAST(4903.6 AS DOUBLE), CAST(5279.89 AS DOUBLE), CAST(4213.94 AS DOUBLE), CAST(4799.1433 AS DOUBLE)),
-      ('00000000000I4474', CAST(8147.88 AS DOUBLE), CAST(6807.01 AS DOUBLE), CAST(8728.0 AS DOUBLE), CAST(7894.2967 AS DOUBLE)),
-      ('00000000000I5262', CAST(1331.58 AS DOUBLE), CAST(1939.24 AS DOUBLE), CAST(2130.2 AS DOUBLE), CAST(1800.34 AS DOUBLE)),
-      ('00000000000I5425', CAST(1506.49 AS DOUBLE), CAST(1454.07 AS DOUBLE), CAST(1556.44 AS DOUBLE), CAST(1505.6667 AS DOUBLE)),
-      ('00000000000I6476', CAST(5741.62 AS DOUBLE), CAST(7231.91 AS DOUBLE), CAST(6169.92 AS DOUBLE), CAST(6381.15 AS DOUBLE)),
-      ('00000000000I6718', CAST(9700.32 AS DOUBLE), CAST(7891.25 AS DOUBLE), CAST(7748.4 AS DOUBLE), CAST(8446.6567 AS DOUBLE)),
-      ('00000000000I6762', CAST(17590.14 AS DOUBLE), CAST(13117.91 AS DOUBLE), CAST(10072.8 AS DOUBLE), CAST(13593.6167 AS DOUBLE)),
-      ('00000000000I7989', CAST(2149.53 AS DOUBLE), CAST(2584.98 AS DOUBLE), CAST(3584.5 AS DOUBLE), CAST(2773.0033 AS DOUBLE)),
-      ('00000000000I8465', CAST(2738.67 AS DOUBLE), CAST(3164.26 AS DOUBLE), CAST(4389.43 AS DOUBLE), CAST(3430.7867 AS DOUBLE)),
-      ('00000000000I8915', CAST(2812.12 AS DOUBLE), CAST(2385.77 AS DOUBLE), CAST(3656.51 AS DOUBLE), CAST(2951.4667 AS DOUBLE)),
-      ('00000000000I9166', CAST(1546.82 AS DOUBLE), CAST(1695.49 AS DOUBLE), CAST(1899.66 AS DOUBLE), CAST(1713.99 AS DOUBLE))
-    ) AS t(i_item_id, ss_rev, cs_rev, ws_rev, average)
-    """)
+@register(
+    "tpcds_q58_equal_channel_items",
+    _wh_sql(
+        """
+    WITH week_dates AS (
+      SELECT d_date_sk FROM date_dim WHERE d_year = 1998 AND d_moy = 12),
+    ss_items AS (
+      SELECT i_item_id,
+             sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) ss_rev
+      FROM store_sales, week_dates, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      GROUP BY i_item_id),
+    cs_items AS (
+      SELECT i_item_id,
+             sum(CAST(cs_ext_sales_price AS DECIMAL(38,12))) cs_rev
+      FROM catalog_sales, week_dates, item
+      WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      GROUP BY i_item_id),
+    ws_items AS (
+      SELECT i_item_id,
+             sum(CAST(ws_ext_sales_price AS DECIMAL(38,12))) ws_rev
+      FROM web_sales, week_dates, item
+      WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      GROUP BY i_item_id)
+    SELECT ss_items.i_item_id AS i_item_id,
+           CAST(round(ss_rev, 2) AS DOUBLE) AS ss_rev,
+           CAST(round(cs_rev, 2) AS DOUBLE) AS cs_rev,
+           CAST(round(ws_rev, 2) AS DOUBLE) AS ws_rev,
+           CAST(round((ss_rev + cs_rev + ws_rev) / 3, 4) AS DOUBLE)
+             AS average
+    FROM ss_items, cs_items, ws_items
+    WHERE ss_items.i_item_id = cs_items.i_item_id
+      AND ss_items.i_item_id = ws_items.i_item_id
+      AND ss_rev BETWEEN 0.7 * (ss_rev + cs_rev + ws_rev) / 3
+                     AND 1.3 * (ss_rev + cs_rev + ws_rev) / 3
+      AND cs_rev BETWEEN 0.7 * (ss_rev + cs_rev + ws_rev) / 3
+                     AND 1.3 * (ss_rev + cs_rev + ws_rev) / 3
+      AND ws_rev BETWEEN 0.7 * (ss_rev + cs_rev + ws_rev) / 3
+                     AND 1.3 * (ss_rev + cs_rev + ws_rev) / 3
+    ORDER BY i_item_id
+    LIMIT 20
+    """,
+        "date_dim",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "item",
+    ),
+)
 def tpcds_q58_equal_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q58 shape: items whose revenue is BALANCED across all
     three channels (each channel within ±20% of the others' average)
@@ -4242,6 +4311,7 @@ def tpcds_q58_equal_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: each channel reduces independently; the 3-way join runs on
     per-item rollups."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -4285,29 +4355,43 @@ def tpcds_q58_equal_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q71_brand_time_buckets", """    SELECT * FROM (VALUES
-      (CAST(5207 AS INT), 'Brand#52-7', CAST(19 AS INT), 'dinner', CAST(19465.07 AS DOUBLE)),
-      (CAST(5207 AS INT), 'Brand#52-7', CAST(18 AS INT), 'dinner', CAST(18710.4 AS DOUBLE)),
-      (CAST(5208 AS INT), 'Brand#52-8', CAST(8 AS INT), 'breakfast', CAST(16019.5 AS DOUBLE)),
-      (CAST(5202 AS INT), 'Brand#52-2', CAST(18 AS INT), 'dinner', CAST(15495.82 AS DOUBLE)),
-      (CAST(5210 AS INT), 'Brand#52-10', CAST(17 AS INT), 'dinner', CAST(11925.63 AS DOUBLE)),
-      (CAST(5210 AS INT), 'Brand#52-10', CAST(8 AS INT), 'breakfast', CAST(11150.8 AS DOUBLE)),
-      (CAST(5209 AS INT), 'Brand#52-9', CAST(19 AS INT), 'dinner', CAST(10545.1 AS DOUBLE)),
-      (CAST(5208 AS INT), 'Brand#52-8', CAST(19 AS INT), 'dinner', CAST(10432.88 AS DOUBLE)),
-      (CAST(5207 AS INT), 'Brand#52-7', CAST(7 AS INT), 'breakfast', CAST(10318.31 AS DOUBLE)),
-      (CAST(5205 AS INT), 'Brand#52-5', CAST(7 AS INT), 'breakfast', CAST(8894.47 AS DOUBLE)),
-      (CAST(5204 AS INT), 'Brand#52-4', CAST(7 AS INT), 'breakfast', CAST(8162.64 AS DOUBLE)),
-      (CAST(5205 AS INT), 'Brand#52-5', CAST(18 AS INT), 'dinner', CAST(7421.15 AS DOUBLE)),
-      (CAST(5208 AS INT), 'Brand#52-8', CAST(17 AS INT), 'dinner', CAST(6000.13 AS DOUBLE)),
-      (CAST(5206 AS INT), 'Brand#52-6', CAST(19 AS INT), 'dinner', CAST(5440.69 AS DOUBLE)),
-      (CAST(5208 AS INT), 'Brand#52-8', CAST(18 AS INT), 'dinner', CAST(5266.91 AS DOUBLE)),
-      (CAST(5204 AS INT), 'Brand#52-4', CAST(19 AS INT), 'dinner', CAST(4622.78 AS DOUBLE)),
-      (CAST(5209 AS INT), 'Brand#52-9', CAST(18 AS INT), 'dinner', CAST(4460.16 AS DOUBLE)),
-      (CAST(5210 AS INT), 'Brand#52-10', CAST(18 AS INT), 'dinner', CAST(3321.16 AS DOUBLE)),
-      (CAST(5205 AS INT), 'Brand#52-5', CAST(19 AS INT), 'dinner', CAST(3319.85 AS DOUBLE)),
-      (CAST(5205 AS INT), 'Brand#52-5', CAST(6 AS INT), 'breakfast', CAST(2709.56 AS DOUBLE))
-    ) AS t(i_brand_id, i_brand, t_hour, t_meal_time, ext_price)
-    """)
+@register(
+    "tpcds_q71_brand_time_buckets",
+    _wh_sql(
+        """
+    WITH items AS (SELECT i_item_sk, i_brand_id, i_brand FROM item
+                   WHERE i_manufact_id = 52),
+    dates AS (SELECT d_date_sk FROM date_dim
+              WHERE d_moy = 12 AND d_year = 1998),
+    unioned AS (
+      SELECT ws_item_sk item_sk, ws_sold_time_sk time_sk,
+             ws_ext_sales_price ext_price
+      FROM web_sales, dates WHERE ws_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT cs_item_sk, cs_sold_time_sk, cs_ext_sales_price
+      FROM catalog_sales, dates WHERE cs_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT ss_item_sk, ss_sold_time_sk, ss_ext_sales_price
+      FROM store_sales, dates WHERE ss_sold_date_sk = d_date_sk)
+    SELECT i_brand_id, i_brand, t_hour, t_meal_time,
+           CAST(round(sum(CAST(ext_price AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS ext_price
+    FROM unioned, items, time_dim
+    WHERE item_sk = i_item_sk
+      AND time_sk = t_time_sk
+      AND t_meal_time IN ('breakfast', 'dinner')
+    GROUP BY i_brand_id, i_brand, t_hour, t_meal_time
+    ORDER BY ext_price DESC, i_brand_id, t_hour
+    LIMIT 20
+    """,
+        "item",
+        "date_dim",
+        "web_sales",
+        "catalog_sales",
+        "store_sales",
+        "time_dim",
+    ),
+)
 def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q71 shape: one manufacturer's December revenue per brand
     split by meal-time shift (breakfast/dinner via time_dim) across
@@ -4317,6 +4401,7 @@ def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the union carries projected fact columns only; time_dim
     (86,400 rows) and item broadcast from size estimates."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -4351,18 +4436,54 @@ def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q83_returned_items_3way", """    SELECT * FROM (VALUES
-      ('00000000000I2168', CAST(1 AS BIGINT), CAST(1.4925 AS DOUBLE), CAST(27 AS BIGINT), CAST(40.2985 AS DOUBLE), CAST(39 AS BIGINT), CAST(58.209 AS DOUBLE), CAST(22.333333333333332 AS DOUBLE)),
-      ('00000000000I2228', CAST(43 AS BIGINT), CAST(61.4286 AS DOUBLE), CAST(16 AS BIGINT), CAST(22.8571 AS DOUBLE), CAST(11 AS BIGINT), CAST(15.7143 AS DOUBLE), CAST(23.333333333333332 AS DOUBLE)),
-      ('00000000000I3187', CAST(36 AS BIGINT), CAST(58.0645 AS DOUBLE), CAST(18 AS BIGINT), CAST(29.0323 AS DOUBLE), CAST(8 AS BIGINT), CAST(12.9032 AS DOUBLE), CAST(20.666666666666668 AS DOUBLE)),
-      ('00000000000I3438', CAST(30 AS BIGINT), CAST(54.5455 AS DOUBLE), CAST(4 AS BIGINT), CAST(7.2727 AS DOUBLE), CAST(21 AS BIGINT), CAST(38.1818 AS DOUBLE), CAST(18.333333333333332 AS DOUBLE)),
-      ('00000000000I5944', CAST(32 AS BIGINT), CAST(21.1921 AS DOUBLE), CAST(79 AS BIGINT), CAST(52.3179 AS DOUBLE), CAST(40 AS BIGINT), CAST(26.4901 AS DOUBLE), CAST(50.333333333333336 AS DOUBLE)),
-      ('00000000000I9010', CAST(14 AS BIGINT), CAST(51.8519 AS DOUBLE), CAST(7 AS BIGINT), CAST(25.9259 AS DOUBLE), CAST(6 AS BIGINT), CAST(22.2222 AS DOUBLE), CAST(9.0 AS DOUBLE)),
-      ('0000000000I12681', CAST(16 AS BIGINT), CAST(19.5122 AS DOUBLE), CAST(15 AS BIGINT), CAST(18.2927 AS DOUBLE), CAST(51 AS BIGINT), CAST(62.1951 AS DOUBLE), CAST(27.333333333333332 AS DOUBLE)),
-      ('0000000000I17025', CAST(9 AS BIGINT), CAST(26.4706 AS DOUBLE), CAST(13 AS BIGINT), CAST(38.2353 AS DOUBLE), CAST(12 AS BIGINT), CAST(35.2941 AS DOUBLE), CAST(11.333333333333334 AS DOUBLE)),
-      ('0000000000I17608', CAST(22 AS BIGINT), CAST(23.913 AS DOUBLE), CAST(2 AS BIGINT), CAST(2.1739 AS DOUBLE), CAST(68 AS BIGINT), CAST(73.913 AS DOUBLE), CAST(30.666666666666668 AS DOUBLE))
-    ) AS t(i_item_id, sr_qty, sr_share_pct, cr_qty, cr_share_pct, wr_qty, wr_share_pct, average)
-    """)
+@register(
+    "tpcds_q83_returned_items_3way",
+    _wh_sql(
+        """
+    WITH dates AS (SELECT d_date_sk FROM date_dim
+                   WHERE d_year = 1998 AND d_moy IN (9, 10)),
+    sr_items AS (
+      SELECT i_item_id, CAST(sum(sr_return_quantity) AS BIGINT) sr_qty
+      FROM store_returns, dates, item
+      WHERE sr_returned_date_sk = d_date_sk AND sr_item_sk = i_item_sk
+      GROUP BY i_item_id),
+    cr_items AS (
+      SELECT i_item_id, CAST(sum(cr_return_quantity) AS BIGINT) cr_qty
+      FROM catalog_returns, dates, item
+      WHERE cr_returned_date_sk = d_date_sk AND cr_item_sk = i_item_sk
+      GROUP BY i_item_id),
+    wr_items AS (
+      SELECT i_item_id, CAST(sum(wr_return_quantity) AS BIGINT) wr_qty
+      FROM web_returns, dates, item
+      WHERE wr_returned_date_sk = d_date_sk AND wr_item_sk = i_item_sk
+      GROUP BY i_item_id)
+    SELECT sr_items.i_item_id AS i_item_id, sr_qty,
+           CAST(round(CAST(sr_qty AS DOUBLE)
+                      / (sr_qty + cr_qty + wr_qty) * 100, 4) AS DOUBLE)
+             AS sr_share_pct,
+           cr_qty,
+           CAST(round(CAST(cr_qty AS DOUBLE)
+                      / (sr_qty + cr_qty + wr_qty) * 100, 4) AS DOUBLE)
+             AS cr_share_pct,
+           wr_qty,
+           CAST(round(CAST(wr_qty AS DOUBLE)
+                      / (sr_qty + cr_qty + wr_qty) * 100, 4) AS DOUBLE)
+             AS wr_share_pct,
+           CAST(CAST(sr_qty + cr_qty + wr_qty AS DOUBLE) / 3 AS DOUBLE)
+             AS average
+    FROM sr_items, cr_items, wr_items
+    WHERE sr_items.i_item_id = cr_items.i_item_id
+      AND sr_items.i_item_id = wr_items.i_item_id
+    ORDER BY i_item_id
+    LIMIT 20
+    """,
+        "date_dim",
+        "store_returns",
+        "catalog_returns",
+        "web_returns",
+        "item",
+    ),
+)
 def tpcds_q83_returned_items_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q83 shape: items returned through ALL THREE channels in
     one month, with each channel's return quantity and its share of
@@ -4371,6 +4492,7 @@ def tpcds_q83_returned_items_3way(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: returns facts reduce per item before the join; shares are
     column algebra on the joined rollups."""
+    _gate(spark)
     sr = _sr(spark, sf_dir)
     cr = _cr(spark, sf_dir)
     wr = _wr(spark, sf_dir)
