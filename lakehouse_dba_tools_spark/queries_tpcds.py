@@ -1532,18 +1532,77 @@ def tpcds_q90_web_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q77_channel_profit_report", """
-    SELECT * FROM (VALUES
-      ('catalog channel', CAST(21811730.62 AS DOUBLE), CAST(1051540.65 AS DOUBLE), CAST(6078547.17 AS DOUBLE)),
-      ('store channel', CAST(37426020.25 AS DOUBLE), CAST(1848791.1 AS DOUBLE), CAST(10479060.96 AS DOUBLE)),
-      ('web channel', CAST(21236899.32 AS DOUBLE), CAST(1124989.7 AS DOUBLE), CAST(6009469.88 AS DOUBLE))
-    ) AS t(channel, sales, returns, profit)
-    
-    """)
+@register(
+    "tpcds_q77_channel_profit_report",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-09-03' AS DATE)),
+    sales AS (
+      SELECT 'store channel' channel,
+             CAST(coalesce(sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)) amt,
+             CAST(coalesce(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)) prof
+      FROM store_sales, dates WHERE ss_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'catalog channel',
+             CAST(coalesce(sum(CAST(cs_ext_sales_price AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)),
+             CAST(coalesce(sum(CAST(cs_net_profit AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2))
+      FROM catalog_sales, dates WHERE cs_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'web channel',
+             CAST(coalesce(sum(CAST(ws_ext_sales_price AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)),
+             CAST(coalesce(sum(CAST(ws_net_profit AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2))
+      FROM web_sales, dates WHERE ws_sold_date_sk = d_date_sk),
+    returns AS (
+      SELECT 'store channel' channel,
+             CAST(coalesce(sum(CAST(sr_return_amt AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)) returns_amt,
+             CAST(coalesce(sum(CAST(sr_net_loss AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)) net_loss
+      FROM store_returns, dates WHERE sr_returned_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'catalog channel',
+             CAST(coalesce(sum(CAST(cr_return_amount AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)),
+             CAST(coalesce(sum(CAST(cr_net_loss AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2))
+      FROM catalog_returns, dates WHERE cr_returned_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'web channel',
+             CAST(coalesce(sum(CAST(wr_return_amt AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2)),
+             CAST(coalesce(sum(CAST(wr_net_loss AS DECIMAL(38,12))), 0)
+                  AS DECIMAL(17,2))
+      FROM web_returns, dates WHERE wr_returned_date_sk = d_date_sk)
+    SELECT sales.channel AS channel,
+           CAST(round(amt, 2) AS DOUBLE) AS sales,
+           CAST(round(returns_amt, 2) AS DOUBLE) AS returns,
+           CAST(round(prof - net_loss, 2) AS DOUBLE) AS profit
+    FROM sales JOIN returns ON sales.channel = returns.channel
+    ORDER BY channel
+    """,
+        "date_dim",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "store_returns",
+        "catalog_returns",
+        "web_returns",
+    ),
+)
 def tpcds_q77_channel_profit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q77 shape: the per-channel P&L — each channel's sales and
     returns roll up to ONE row (sales, returns, profit), stitched with
     a by-name union. Six bounded aggregates; no fact ever joins a fact."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     sr = _sr(spark, sf_dir)
     cs = _cs(spark, sf_dir)
@@ -5613,34 +5672,43 @@ def tpcds_q20_catalog_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q30_web_return_outliers", """    SELECT * FROM (VALUES
-      ('000000000000C770', 'Linda', 'Hernandez', CAST(2889.6 AS DOUBLE)),
-      ('00000000000C2212', 'Robert', 'Martinez', CAST(4192.44 AS DOUBLE)),
-      ('00000000000C2388', 'Linda', 'Garcia', CAST(3243.65 AS DOUBLE)),
-      ('00000000000C2527', 'Michael', 'Brown', CAST(2986.55 AS DOUBLE)),
-      ('00000000000C2640', 'Mary', 'Davis', CAST(8804.25 AS DOUBLE)),
-      ('00000000000C2662', 'Robert', 'Hernandez', CAST(3117.8 AS DOUBLE)),
-      ('00000000000C3797', 'Patricia', 'Lopez', CAST(8149.68 AS DOUBLE)),
-      ('00000000000C4254', 'Elizabeth', 'Rodriguez', CAST(11446.68 AS DOUBLE)),
-      ('00000000000C4613', 'James', 'Williams', CAST(5514.94 AS DOUBLE)),
-      ('00000000000C5917', 'Patricia', 'Brown', CAST(5676.88 AS DOUBLE)),
-      ('00000000000C5951', 'Elizabeth', 'Garcia', CAST(3030.72 AS DOUBLE)),
-      ('00000000000C6159', 'Patricia', 'Johnson', CAST(5205.75 AS DOUBLE)),
-      ('00000000000C6434', 'Elizabeth', 'Williams', CAST(7138.56 AS DOUBLE)),
-      ('00000000000C6797', 'Maria', 'Smith', CAST(12529.74 AS DOUBLE)),
-      ('00000000000C6870', 'Linda', 'Garcia', CAST(2998.2 AS DOUBLE)),
-      ('00000000000C6881', 'Elizabeth', 'Davis', CAST(3701.24 AS DOUBLE)),
-      ('00000000000C7316', 'James', 'Johnson', CAST(4292.02 AS DOUBLE)),
-      ('00000000000C8088', 'Jennifer', 'Rodriguez', CAST(6314.42 AS DOUBLE)),
-      ('00000000000C9119', 'Barbara', 'Smith', CAST(3293.46 AS DOUBLE)),
-      ('0000000000C10387', 'James', 'Martinez', CAST(3513.0 AS DOUBLE))
-    ) AS t(c_customer_id, c_first_name, c_last_name, ctr_total_return)
-    """)
+@register(
+    "tpcds_q30_web_return_outliers",
+    _wh_sql(
+        """
+    WITH ctr AS (
+      SELECT wr_returning_customer_sk ctr_customer_sk,
+             ca_state ctr_state,
+             sum(CAST(wr_return_amt AS DECIMAL(38,12))) ctr_total_return
+      FROM web_returns, date_dim, customer_address
+      WHERE wr_returned_date_sk = d_date_sk
+        AND d_year = 1998
+        AND wr_returning_addr_sk = ca_address_sk
+      GROUP BY wr_returning_customer_sk, ca_state)
+    SELECT c_customer_id, c_first_name, c_last_name,
+           CAST(round(ctr_total_return, 2) AS DOUBLE) AS ctr_total_return
+    FROM ctr ctr1, customer
+    WHERE ctr1.ctr_total_return >
+        (SELECT avg(ctr_total_return) * 1.2
+         FROM ctr ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ctr1.ctr_state = 'GA'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 20
+    """,
+        "web_returns",
+        "date_dim",
+        "customer_address",
+        "customer",
+    ),
+)
 def tpcds_q30_web_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q30: customers whose web-returns total beats 1.2× their
     state's average — the q1 decorrelated-average shape keyed by the
     returning customer's STATE (address join) instead of store, with
     customer detail output."""
+    _gate(spark)
     wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -5677,32 +5745,42 @@ def tpcds_q30_web_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q81_catalog_return_outliers", """    SELECT * FROM (VALUES
-      ('000000000000C206', 'Miss', 'Jones', CAST(5841.05 AS DOUBLE)),
-      ('000000000000C855', 'Mrs.', 'Brown', CAST(4389.84 AS DOUBLE)),
-      ('00000000000C2467', 'Miss', 'Lopez', CAST(3825.97 AS DOUBLE)),
-      ('00000000000C2726', 'Ms.', 'Rodriguez', CAST(3992.69 AS DOUBLE)),
-      ('00000000000C3041', 'Mrs.', 'Williams', CAST(5047.72 AS DOUBLE)),
-      ('00000000000C3062', 'Sir', 'Williams', CAST(2986.03 AS DOUBLE)),
-      ('00000000000C3155', 'Mrs.', 'Martinez', CAST(3261.15 AS DOUBLE)),
-      ('00000000000C3575', 'Sir', 'Jones', CAST(5119.54 AS DOUBLE)),
-      ('00000000000C3604', 'Ms.', 'Rodriguez', CAST(2941.47 AS DOUBLE)),
-      ('00000000000C3617', 'Mrs.', 'Miller', CAST(2829.52 AS DOUBLE)),
-      ('00000000000C3751', 'Miss', 'Hernandez', CAST(3798.82 AS DOUBLE)),
-      ('00000000000C4037', 'Mrs.', 'Johnson', CAST(4265.1 AS DOUBLE)),
-      ('00000000000C4971', 'Miss', 'Brown', CAST(6304.91 AS DOUBLE)),
-      ('00000000000C5961', 'Sir', 'Rodriguez', CAST(6638.56 AS DOUBLE)),
-      ('00000000000C6371', 'Dr.', 'Davis', CAST(5429.45 AS DOUBLE)),
-      ('00000000000C6624', 'Miss', 'Smith', CAST(3883.69 AS DOUBLE)),
-      ('00000000000C7742', 'Ms.', 'Miller', CAST(14039.84 AS DOUBLE)),
-      ('00000000000C8147', 'Ms.', 'Johnson', CAST(3293.35 AS DOUBLE)),
-      ('00000000000C8489', 'Mrs.', 'Hernandez', CAST(3400.09 AS DOUBLE)),
-      ('00000000000C9355', 'Ms.', 'Brown', CAST(3991.3 AS DOUBLE))
-    ) AS t(c_customer_id, c_salutation, c_last_name, ctr_total_return)
-    """)
+@register(
+    "tpcds_q81_catalog_return_outliers",
+    _wh_sql(
+        """
+    WITH ctr AS (
+      SELECT cr_returning_customer_sk ctr_customer_sk,
+             ca_state ctr_state,
+             sum(CAST(cr_return_amt_inc_tax AS DECIMAL(38,12)))
+               ctr_total_return
+      FROM catalog_returns, date_dim, customer_address
+      WHERE cr_returned_date_sk = d_date_sk
+        AND d_year = 1998
+        AND cr_returning_addr_sk = ca_address_sk
+      GROUP BY cr_returning_customer_sk, ca_state)
+    SELECT c_customer_id, c_salutation, c_last_name,
+           CAST(round(ctr_total_return, 2) AS DOUBLE) AS ctr_total_return
+    FROM ctr ctr1, customer
+    WHERE ctr1.ctr_total_return >
+        (SELECT avg(ctr_total_return) * 1.2
+         FROM ctr ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ctr1.ctr_state = 'TX'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 20
+    """,
+        "catalog_returns",
+        "date_dim",
+        "customer_address",
+        "customer",
+    ),
+)
 def tpcds_q81_catalog_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q81: the q1/q30 decorrelated-average outlier shape on
     CATALOG returns, state-keyed, with customer + address output."""
+    _gate(spark)
     cr = _cr(spark, sf_dir)
     dd = gen_date_dim(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -6253,34 +6331,74 @@ def tpcds_q35_active_customer_stats(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q5_channel_profit_rollup", """    SELECT * FROM (VALUES
-      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(38269594.5 AS DOUBLE), CAST(1944455.87 AS DOUBLE), CAST(10775745.53 AS DOUBLE)),
-      ('catalog channel', CAST(NULL AS VARCHAR), CAST(10336251.67 AS DOUBLE), CAST(504511.6 AS DOUBLE), CAST(2895572.85 AS DOUBLE)),
-      ('catalog channel', '10', CAST(13047.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(4056.82 AS DOUBLE)),
-      ('catalog channel', '100', CAST(9311.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1997.21 AS DOUBLE)),
-      ('catalog channel', '10002', CAST(1157.45 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(368.2 AS DOUBLE)),
-      ('catalog channel', '10004', CAST(3277.73 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(583.91 AS DOUBLE)),
-      ('catalog channel', '1002', CAST(915.89 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(305.28 AS DOUBLE)),
-      ('catalog channel', '10024', CAST(6177.92 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1235.45 AS DOUBLE)),
-      ('catalog channel', '10028', CAST(15264.23 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(5724.28 AS DOUBLE)),
-      ('catalog channel', '1003', CAST(2709.91 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1016.27 AS DOUBLE)),
-      ('catalog channel', '10034', CAST(1379.34 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(275.71 AS DOUBLE)),
-      ('catalog channel', '1004', CAST(1182.09 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(435.74 AS DOUBLE)),
-      ('catalog channel', '10042', CAST(1361.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(344.23 AS DOUBLE)),
-      ('catalog channel', '10043', CAST(3368.7 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1147.75 AS DOUBLE)),
-      ('catalog channel', '10044', CAST(4735.62 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1680.04 AS DOUBLE)),
-      ('catalog channel', '1005', CAST(2076.44 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(538.34 AS DOUBLE)),
-      ('catalog channel', '10052', CAST(0.0 AS DOUBLE), CAST(369.39 AS DOUBLE), CAST(-124.15 AS DOUBLE)),
-      ('catalog channel', '10057', CAST(10292.67 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3431.07 AS DOUBLE)),
-      ('catalog channel', '10060', CAST(5659.21 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2158.56 AS DOUBLE)),
-      ('catalog channel', '10061', CAST(4098.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(862.56 AS DOUBLE))
-    ) AS t(channel, entity_id, sales, returns, profit)
-    """)
+@register(
+    "tpcds_q5_channel_profit_rollup",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-18' AS DATE)),
+    unioned AS (
+      SELECT 'store channel' channel, CAST(ss_store_sk AS VARCHAR) entity_id,
+             CAST(ss_ext_sales_price AS DECIMAL(38,12)) sales_price,
+             CAST(0 AS DECIMAL(38,12)) return_amt,
+             CAST(ss_net_profit AS DECIMAL(38,12)) profit
+      FROM store_sales, dates WHERE ss_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'store channel', CAST(sr_store_sk AS VARCHAR),
+             CAST(0 AS DECIMAL(38,12)),
+             CAST(sr_return_amt AS DECIMAL(38,12)),
+             -CAST(sr_net_loss AS DECIMAL(38,12))
+      FROM store_returns, dates WHERE sr_returned_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'catalog channel', CAST(cs_catalog_page_sk AS VARCHAR),
+             CAST(cs_ext_sales_price AS DECIMAL(38,12)),
+             CAST(0 AS DECIMAL(38,12)),
+             CAST(cs_net_profit AS DECIMAL(38,12))
+      FROM catalog_sales, dates WHERE cs_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'catalog channel', CAST(cr_catalog_page_sk AS VARCHAR),
+             CAST(0 AS DECIMAL(38,12)),
+             CAST(cr_return_amount AS DECIMAL(38,12)),
+             -CAST(cr_net_loss AS DECIMAL(38,12))
+      FROM catalog_returns, dates WHERE cr_returned_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'web channel', CAST(ws_web_site_sk AS VARCHAR),
+             CAST(ws_ext_sales_price AS DECIMAL(38,12)),
+             CAST(0 AS DECIMAL(38,12)),
+             CAST(ws_net_profit AS DECIMAL(38,12))
+      FROM web_sales, dates WHERE ws_sold_date_sk = d_date_sk
+      UNION ALL
+      SELECT 'web channel', CAST(wr_web_page_sk AS VARCHAR),
+             CAST(0 AS DECIMAL(38,12)),
+             CAST(wr_return_amt AS DECIMAL(38,12)),
+             -CAST(wr_net_loss AS DECIMAL(38,12))
+      FROM web_returns, dates WHERE wr_returned_date_sk = d_date_sk)
+    SELECT channel, entity_id,
+           CAST(round(sum(sales_price), 2) AS DOUBLE) AS sales,
+           CAST(round(sum(return_amt), 2) AS DOUBLE) AS returns,
+           CAST(round(sum(profit), 2) AS DOUBLE) AS profit
+    FROM unioned
+    GROUP BY ROLLUP (channel, entity_id)
+    ORDER BY channel NULLS FIRST, entity_id NULLS FIRST
+    LIMIT 20
+    """,
+        "date_dim",
+        "store_sales",
+        "store_returns",
+        "catalog_sales",
+        "catalog_returns",
+        "web_sales",
+        "web_returns",
+    ),
+)
 def tpcds_q5_channel_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q5: the q77 per-channel P&L with per-ENTITY granularity
     — sales and returns union per channel keyed by store / catalog
     page / web site, rolled up with the channel label (spec's ROLLUP
     (channel, id) kept as a two-level rollup)."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     sr = _sr(spark, sf_dir)
     cs = _cs(spark, sf_dir)
@@ -6330,34 +6448,85 @@ def tpcds_q5_channel_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q80_channel_item_profit", """    SELECT * FROM (VALUES
-      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(21675410.09 AS DOUBLE), CAST(1094511.3 AS DOUBLE), CAST(6094489.39 AS DOUBLE)),
-      ('catalog channel', CAST(NULL AS VARCHAR), CAST(5754289.45 AS DOUBLE), CAST(318409.83 AS DOUBLE), CAST(1603599.01 AS DOUBLE)),
-      ('catalog channel', '0000000000000I39', CAST(3488.85 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1330.85 AS DOUBLE)),
-      ('catalog channel', '0000000000000I53', CAST(1303.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(424.57 AS DOUBLE)),
-      ('catalog channel', '0000000000000I72', CAST(1976.69 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(329.45 AS DOUBLE)),
-      ('catalog channel', '0000000000000I73', CAST(3033.18 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(638.48 AS DOUBLE)),
-      ('catalog channel', '0000000000000I96', CAST(4024.07 AS DOUBLE), CAST(529.72 AS DOUBLE), CAST(1239.61 AS DOUBLE)),
-      ('catalog channel', '0000000000000I97', CAST(6740.41 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2527.73 AS DOUBLE)),
-      ('catalog channel', '000000000000I148', CAST(9905.31 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3478.43 AS DOUBLE)),
-      ('catalog channel', '000000000000I156', CAST(1607.73 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(431.43 AS DOUBLE)),
-      ('catalog channel', '000000000000I170', CAST(3399.43 AS DOUBLE), CAST(1504.8 AS DOUBLE), CAST(1131.03 AS DOUBLE)),
-      ('catalog channel', '000000000000I177', CAST(3203.56 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1059.69 AS DOUBLE)),
-      ('catalog channel', '000000000000I199', CAST(2470.54 AS DOUBLE), CAST(2470.58 AS DOUBLE), CAST(706.35 AS DOUBLE)),
-      ('catalog channel', '000000000000I210', CAST(2046.66 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(446.54 AS DOUBLE)),
-      ('catalog channel', '000000000000I211', CAST(12444.54 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(3660.46 AS DOUBLE)),
-      ('catalog channel', '000000000000I214', CAST(3700.59 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(483.92 AS DOUBLE)),
-      ('catalog channel', '000000000000I220', CAST(7165.15 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2733.1 AS DOUBLE)),
-      ('catalog channel', '000000000000I255', CAST(6446.44 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(2499.64 AS DOUBLE)),
-      ('catalog channel', '000000000000I272', CAST(6581.49 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1582.74 AS DOUBLE)),
-      ('catalog channel', '000000000000I280', CAST(10170.75 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(906.94 AS DOUBLE))
-    ) AS t(channel, i_item_id, sales, returns, profit)
-    """)
+@register(
+    "tpcds_q80_channel_item_profit",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-09-03' AS DATE)),
+    items AS (SELECT i_item_sk, i_item_id FROM item
+              WHERE i_current_price > 50),
+    promos AS (SELECT p_promo_sk FROM promotion WHERE p_channel_tv = 'N'),
+    ssr AS (
+      SELECT 'store channel' channel, i_item_id,
+             sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) sales,
+             sum(coalesce(CAST(sr_return_amt AS DECIMAL(38,12)), 0)) returns_,
+             sum(CAST(ss_net_profit AS DECIMAL(38,12))
+                 - coalesce(CAST(sr_net_loss AS DECIMAL(38,12)), 0)) profit
+      FROM store_sales
+      JOIN dates ON ss_sold_date_sk = d_date_sk
+      JOIN items ON ss_item_sk = items.i_item_sk
+      LEFT JOIN store_returns
+        ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+      WHERE ss_promo_sk IN (SELECT p_promo_sk FROM promos)
+      GROUP BY i_item_id),
+    csr AS (
+      SELECT 'catalog channel' channel, i_item_id,
+             sum(CAST(cs_ext_sales_price AS DECIMAL(38,12))) sales,
+             sum(coalesce(CAST(cr_return_amount AS DECIMAL(38,12)), 0)) returns_,
+             sum(CAST(cs_net_profit AS DECIMAL(38,12))
+                 - coalesce(CAST(cr_net_loss AS DECIMAL(38,12)), 0)) profit
+      FROM catalog_sales
+      JOIN dates ON cs_sold_date_sk = d_date_sk
+      JOIN items ON cs_item_sk = items.i_item_sk
+      LEFT JOIN catalog_returns
+        ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+      WHERE cs_promo_sk IN (SELECT p_promo_sk FROM promos)
+      GROUP BY i_item_id),
+    wsr AS (
+      SELECT 'web channel' channel, i_item_id,
+             sum(CAST(ws_ext_sales_price AS DECIMAL(38,12))) sales,
+             sum(coalesce(CAST(wr_return_amt AS DECIMAL(38,12)), 0)) returns_,
+             sum(CAST(ws_net_profit AS DECIMAL(38,12))
+                 - coalesce(CAST(wr_net_loss AS DECIMAL(38,12)), 0)) profit
+      FROM web_sales
+      JOIN dates ON ws_sold_date_sk = d_date_sk
+      JOIN items ON ws_item_sk = items.i_item_sk
+      LEFT JOIN web_returns
+        ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+      WHERE ws_promo_sk IN (SELECT p_promo_sk FROM promos)
+      GROUP BY i_item_id),
+    unioned AS (
+      SELECT * FROM ssr UNION ALL SELECT * FROM csr UNION ALL
+      SELECT * FROM wsr)
+    SELECT channel, i_item_id,
+           CAST(round(sum(sales), 2) AS DOUBLE) AS sales,
+           CAST(round(sum(returns_), 2) AS DOUBLE) AS returns,
+           CAST(round(sum(profit), 2) AS DOUBLE) AS profit
+    FROM unioned
+    GROUP BY ROLLUP (channel, i_item_id)
+    ORDER BY channel NULLS FIRST, i_item_id NULLS FIRST
+    LIMIT 20
+    """,
+        "date_dim",
+        "item",
+        "promotion",
+        "store_sales",
+        "store_returns",
+        "catalog_sales",
+        "catalog_returns",
+        "web_sales",
+        "web_returns",
+    ),
+)
 def tpcds_q80_channel_item_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q80: returns-netted sales/returns/profit per channel ×
     item — each channel left-joins its returns on the natural key
     (q93's netting), filters promoted non-TV items, and the three
     per-item rollups union under a channel rollup."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     sr = _sr(spark, sf_dir)
     cs = _cs(spark, sf_dir)
@@ -7509,34 +7678,36 @@ def tpcds_q41_manufact_attribute_probe(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-@register("tpcds_q45_web_zip_revenue", """    SELECT * FROM (VALUES
-      ('86000', 'Fairview', CAST(521.29 AS DOUBLE)),
-      ('85499', 'Centerville', CAST(495.07 AS DOUBLE)),
-      ('85359', 'Riverside', CAST(486.11 AS DOUBLE)),
-      ('93873', 'Five Points', CAST(420.57 AS DOUBLE)),
-      ('85368', 'Pleasant Hill', CAST(396.33 AS DOUBLE)),
-      ('93143', 'Oak Grove', CAST(395.01 AS DOUBLE)),
-      ('93646', 'Fairview', CAST(383.92 AS DOUBLE)),
-      ('85490', 'Midway', CAST(363.62 AS DOUBLE)),
-      ('93619', 'Pleasant Hill', CAST(363.26 AS DOUBLE)),
-      ('88481', 'Five Points', CAST(359.83 AS DOUBLE)),
-      ('85528', 'Liberty', CAST(352.14 AS DOUBLE)),
-      ('91387', 'Fairview', CAST(350.91 AS DOUBLE)),
-      ('93378', 'Centerville', CAST(349.88 AS DOUBLE)),
-      ('91786', 'Pleasant Hill', CAST(349.84 AS DOUBLE)),
-      ('88657', 'Oak Grove', CAST(342.85 AS DOUBLE)),
-      ('88721', 'Union', CAST(342.53 AS DOUBLE)),
-      ('88609', 'Pleasant Hill', CAST(336.22 AS DOUBLE)),
-      ('88905', 'Five Points', CAST(335.87 AS DOUBLE)),
-      ('91768', 'Centerville', CAST(335.35 AS DOUBLE)),
-      ('86895', 'Midway', CAST(332.32 AS DOUBLE))
-    ) AS t(ca_zip, ca_city, sum_sales)
-    """)
+@register(
+    "tpcds_q45_web_zip_revenue",
+    _wh_sql(
+        """
+    SELECT ca_zip, ca_city,
+           CAST(round(sum(CAST(ws_sales_price AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS sum_sales
+    FROM web_sales, customer, customer_address, date_dim
+    WHERE ws_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND ws_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 1998
+      AND (substring(ca_zip, 1, 2) IN ('85', '86', '88', '91', '93')
+           OR ws_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+    GROUP BY ca_zip, ca_city
+    ORDER BY sum_sales DESC, ca_zip, ca_city
+    LIMIT 20
+    """,
+        "web_sales",
+        "customer",
+        "customer_address",
+        "date_dim",
+    ),
+)
 def tpcds_q45_web_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q45: web revenue by customer (zip, city) where the zip
     is in a fixed list OR the item is in a picked item-id set — the
     spec's OR of an address predicate with an item-key semi
     condition."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
