@@ -6216,34 +6216,46 @@ def tpcds_q94_web_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q10_active_channel_demo", """    SELECT * FROM (VALUES
-      ('F', 'D', '2 yr Degree', 'Good', CAST(43 AS BIGINT)),
-      ('F', 'D', '2 yr Degree', 'High Risk', CAST(53 AS BIGINT)),
-      ('F', 'D', '2 yr Degree', 'Low Risk', CAST(48 AS BIGINT)),
-      ('F', 'D', '2 yr Degree', 'Unknown', CAST(38 AS BIGINT)),
-      ('F', 'D', '4 yr Degree', 'Good', CAST(48 AS BIGINT)),
-      ('F', 'D', '4 yr Degree', 'High Risk', CAST(42 AS BIGINT)),
-      ('F', 'D', '4 yr Degree', 'Low Risk', CAST(41 AS BIGINT)),
-      ('F', 'D', '4 yr Degree', 'Unknown', CAST(43 AS BIGINT)),
-      ('F', 'D', 'Advanced Degree', 'Good', CAST(58 AS BIGINT)),
-      ('F', 'D', 'Advanced Degree', 'High Risk', CAST(42 AS BIGINT)),
-      ('F', 'D', 'Advanced Degree', 'Low Risk', CAST(58 AS BIGINT)),
-      ('F', 'D', 'Advanced Degree', 'Unknown', CAST(29 AS BIGINT)),
-      ('F', 'D', 'College', 'Good', CAST(53 AS BIGINT)),
-      ('F', 'D', 'College', 'High Risk', CAST(46 AS BIGINT)),
-      ('F', 'D', 'College', 'Low Risk', CAST(56 AS BIGINT)),
-      ('F', 'D', 'College', 'Unknown', CAST(37 AS BIGINT)),
-      ('F', 'D', 'Primary', 'Good', CAST(42 AS BIGINT)),
-      ('F', 'D', 'Primary', 'High Risk', CAST(47 AS BIGINT)),
-      ('F', 'D', 'Primary', 'Low Risk', CAST(51 AS BIGINT)),
-      ('F', 'D', 'Primary', 'Unknown', CAST(43 AS BIGINT))
-    ) AS t(cd_gender, cd_marital_status, cd_education_status, cd_credit_rating, cnt)
-    """)
+@register(
+    "tpcds_q10_active_channel_demo",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_year = 1999 AND d_moy BETWEEN 1 AND 4)
+    SELECT cd_gender, cd_marital_status, cd_education_status,
+           cd_credit_rating, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c, customer_demographics
+    WHERE c.c_current_cdemo_sk = cd_demo_sk
+      AND EXISTS (SELECT * FROM store_sales, dates
+                  WHERE c.c_customer_sk = ss_customer_sk
+                    AND ss_sold_date_sk = d_date_sk)
+      AND (EXISTS (SELECT * FROM catalog_sales, dates
+                   WHERE c.c_customer_sk = cs_bill_customer_sk
+                     AND cs_sold_date_sk = d_date_sk)
+           OR EXISTS (SELECT * FROM web_sales, dates
+                      WHERE c.c_customer_sk = ws_bill_customer_sk
+                        AND ws_sold_date_sk = d_date_sk))
+    GROUP BY cd_gender, cd_marital_status, cd_education_status,
+             cd_credit_rating
+    ORDER BY cd_gender, cd_marital_status, cd_education_status,
+             cd_credit_rating
+    LIMIT 20
+    """,
+        "date_dim",
+        "customer",
+        "customer_demographics",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q10_active_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q10: demographics counts of customers active in store
     AND (catalog OR web) in a quarter — q69's semi/anti pattern with
     the OR expressed as a union of the two channel key sets before one
     semi probe."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -6880,34 +6892,51 @@ def tpcds_q57_catalog_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q2_week_dow_ratios", """    SELECT * FROM (VALUES
-      (CAST(5113 AS INT), CAST(0.9403 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.9268 AS DOUBLE), CAST(1.0051 AS DOUBLE), CAST(1.2101 AS DOUBLE)),
-      (CAST(5114 AS INT), CAST(0.8869 AS DOUBLE), CAST(1.0213 AS DOUBLE), CAST(0.8636 AS DOUBLE), CAST(0.9958 AS DOUBLE), CAST(0.9776 AS DOUBLE), CAST(1.0117 AS DOUBLE), CAST(0.9853 AS DOUBLE)),
-      (CAST(5115 AS INT), CAST(1.0446 AS DOUBLE), CAST(1.0102 AS DOUBLE), CAST(1.0029 AS DOUBLE), CAST(0.8863 AS DOUBLE), CAST(1.0139 AS DOUBLE), CAST(1.1378 AS DOUBLE), CAST(1.0181 AS DOUBLE)),
-      (CAST(5116 AS INT), CAST(1.0554 AS DOUBLE), CAST(1.1019 AS DOUBLE), CAST(0.8421 AS DOUBLE), CAST(1.0466 AS DOUBLE), CAST(1.042 AS DOUBLE), CAST(0.9665 AS DOUBLE), CAST(0.8027 AS DOUBLE)),
-      (CAST(5117 AS INT), CAST(1.1779 AS DOUBLE), CAST(1.0415 AS DOUBLE), CAST(1.1946 AS DOUBLE), CAST(0.9725 AS DOUBLE), CAST(1.097 AS DOUBLE), CAST(1.0364 AS DOUBLE), CAST(1.071 AS DOUBLE)),
-      (CAST(5118 AS INT), CAST(0.9731 AS DOUBLE), CAST(1.0367 AS DOUBLE), CAST(1.0171 AS DOUBLE), CAST(0.9199 AS DOUBLE), CAST(1.0794 AS DOUBLE), CAST(0.9244 AS DOUBLE), CAST(0.8978 AS DOUBLE)),
-      (CAST(5119 AS INT), CAST(0.8446 AS DOUBLE), CAST(0.8982 AS DOUBLE), CAST(0.9409 AS DOUBLE), CAST(1.0488 AS DOUBLE), CAST(1.0494 AS DOUBLE), CAST(1.0566 AS DOUBLE), CAST(1.0075 AS DOUBLE)),
-      (CAST(5120 AS INT), CAST(0.7456 AS DOUBLE), CAST(1.2186 AS DOUBLE), CAST(0.9166 AS DOUBLE), CAST(0.9756 AS DOUBLE), CAST(1.1418 AS DOUBLE), CAST(1.0052 AS DOUBLE), CAST(0.9735 AS DOUBLE)),
-      (CAST(5121 AS INT), CAST(1.0122 AS DOUBLE), CAST(0.9145 AS DOUBLE), CAST(0.9407 AS DOUBLE), CAST(1.0506 AS DOUBLE), CAST(0.9873 AS DOUBLE), CAST(0.9265 AS DOUBLE), CAST(1.0715 AS DOUBLE)),
-      (CAST(5122 AS INT), CAST(0.9716 AS DOUBLE), CAST(1.1475 AS DOUBLE), CAST(0.9879 AS DOUBLE), CAST(1.044 AS DOUBLE), CAST(0.9879 AS DOUBLE), CAST(1.0184 AS DOUBLE), CAST(0.9375 AS DOUBLE)),
-      (CAST(5123 AS INT), CAST(1.0187 AS DOUBLE), CAST(0.8638 AS DOUBLE), CAST(0.9941 AS DOUBLE), CAST(1.0314 AS DOUBLE), CAST(1.055 AS DOUBLE), CAST(1.0066 AS DOUBLE), CAST(1.0462 AS DOUBLE)),
-      (CAST(5124 AS INT), CAST(1.0086 AS DOUBLE), CAST(1.2024 AS DOUBLE), CAST(0.9676 AS DOUBLE), CAST(1.3774 AS DOUBLE), CAST(1.06 AS DOUBLE), CAST(0.9293 AS DOUBLE), CAST(1.0622 AS DOUBLE)),
-      (CAST(5125 AS INT), CAST(0.853 AS DOUBLE), CAST(0.874 AS DOUBLE), CAST(0.8947 AS DOUBLE), CAST(1.0815 AS DOUBLE), CAST(0.9531 AS DOUBLE), CAST(1.0423 AS DOUBLE), CAST(0.8572 AS DOUBLE)),
-      (CAST(5126 AS INT), CAST(1.0834 AS DOUBLE), CAST(1.0548 AS DOUBLE), CAST(1.2022 AS DOUBLE), CAST(1.2839 AS DOUBLE), CAST(0.9287 AS DOUBLE), CAST(0.813 AS DOUBLE), CAST(0.9169 AS DOUBLE)),
-      (CAST(5127 AS INT), CAST(1.0937 AS DOUBLE), CAST(1.1182 AS DOUBLE), CAST(0.9865 AS DOUBLE), CAST(0.8427 AS DOUBLE), CAST(1.0593 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.9386 AS DOUBLE)),
-      (CAST(5128 AS INT), CAST(1.0965 AS DOUBLE), CAST(1.1129 AS DOUBLE), CAST(0.972 AS DOUBLE), CAST(0.948 AS DOUBLE), CAST(1.0239 AS DOUBLE), CAST(1.0748 AS DOUBLE), CAST(0.9569 AS DOUBLE)),
-      (CAST(5129 AS INT), CAST(0.98 AS DOUBLE), CAST(1.016 AS DOUBLE), CAST(1.1214 AS DOUBLE), CAST(0.966 AS DOUBLE), CAST(0.8349 AS DOUBLE), CAST(1.0201 AS DOUBLE), CAST(1.0543 AS DOUBLE)),
-      (CAST(5130 AS INT), CAST(0.9513 AS DOUBLE), CAST(1.1282 AS DOUBLE), CAST(1.1251 AS DOUBLE), CAST(1.0734 AS DOUBLE), CAST(1.1253 AS DOUBLE), CAST(0.9858 AS DOUBLE), CAST(0.9157 AS DOUBLE)),
-      (CAST(5131 AS INT), CAST(1.0483 AS DOUBLE), CAST(1.0603 AS DOUBLE), CAST(0.9427 AS DOUBLE), CAST(1.116 AS DOUBLE), CAST(1.0175 AS DOUBLE), CAST(0.9684 AS DOUBLE), CAST(1.1303 AS DOUBLE)),
-      (CAST(5132 AS INT), CAST(1.0702 AS DOUBLE), CAST(1.0843 AS DOUBLE), CAST(1.2699 AS DOUBLE), CAST(0.8273 AS DOUBLE), CAST(1.0061 AS DOUBLE), CAST(1.0093 AS DOUBLE), CAST(0.9255 AS DOUBLE))
-    ) AS t(week_seq1, r_sun_sales, r_mon_sales, r_tue_sales, r_wed_sales, r_thu_sales, r_fri_sales, r_sat_sales)
-    """)
+@register(
+    "tpcds_q2_week_dow_ratios",
+    _wh_sql(
+        """
+    WITH wscs AS (
+      SELECT ws_sold_date_sk sold_date_sk, ws_ext_sales_price sales_price
+      FROM web_sales
+      UNION ALL
+      SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales),
+    wswscs AS (
+      SELECT d_week_seq,
+             sum(CAST(CASE WHEN d_day_name = 'Sunday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) sun_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Monday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) mon_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Tuesday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) tue_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Wednesday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) wed_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Thursday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) thu_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Friday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) fri_sales,
+             sum(CAST(CASE WHEN d_day_name = 'Saturday' THEN sales_price ELSE 0 END AS DECIMAL(38,12))) sat_sales
+      FROM wscs, date_dim
+      WHERE d_date_sk = sold_date_sk
+      GROUP BY d_week_seq)
+    SELECT CAST(y.d_week_seq AS INT) AS week_seq1,
+           CASE WHEN z.sun_sales <> 0 THEN CAST(round(CAST(y.sun_sales AS DOUBLE) / CAST(z.sun_sales AS DOUBLE), 4) AS DOUBLE) END AS r_sun_sales,
+           CASE WHEN z.mon_sales <> 0 THEN CAST(round(CAST(y.mon_sales AS DOUBLE) / CAST(z.mon_sales AS DOUBLE), 4) AS DOUBLE) END AS r_mon_sales,
+           CASE WHEN z.tue_sales <> 0 THEN CAST(round(CAST(y.tue_sales AS DOUBLE) / CAST(z.tue_sales AS DOUBLE), 4) AS DOUBLE) END AS r_tue_sales,
+           CASE WHEN z.wed_sales <> 0 THEN CAST(round(CAST(y.wed_sales AS DOUBLE) / CAST(z.wed_sales AS DOUBLE), 4) AS DOUBLE) END AS r_wed_sales,
+           CASE WHEN z.thu_sales <> 0 THEN CAST(round(CAST(y.thu_sales AS DOUBLE) / CAST(z.thu_sales AS DOUBLE), 4) AS DOUBLE) END AS r_thu_sales,
+           CASE WHEN z.fri_sales <> 0 THEN CAST(round(CAST(y.fri_sales AS DOUBLE) / CAST(z.fri_sales AS DOUBLE), 4) AS DOUBLE) END AS r_fri_sales,
+           CASE WHEN z.sat_sales <> 0 THEN CAST(round(CAST(y.sat_sales AS DOUBLE) / CAST(z.sat_sales AS DOUBLE), 4) AS DOUBLE) END AS r_sat_sales
+    FROM wswscs y, wswscs z
+    WHERE y.d_week_seq = z.d_week_seq - 53
+    ORDER BY week_seq1
+    LIMIT 20
+    """,
+        "web_sales",
+        "catalog_sales",
+        "date_dim",
+    ),
+)
 def tpcds_q2_week_dow_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q2: web+catalog weekly revenue pivoted by day-of-week,
     then each 1998 week ratioed against the same week one year later
     (week_seq + 53) — the q59 self-join shape over the combined
     channel union."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -7084,32 +7113,55 @@ def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q11_two_channel_growth", """    SELECT * FROM (VALUES
-      ('00000000000000C6', 'Jennifer', 'Lopez'),
-      ('00000000000000C7', 'Susan', 'Martinez'),
-      ('0000000000000C10', 'Michael', 'Miller'),
-      ('0000000000000C16', 'Charles', 'Martinez'),
-      ('0000000000000C30', 'John', 'Lopez'),
-      ('0000000000000C31', 'Charles', 'Brown'),
-      ('0000000000000C44', 'Jennifer', 'Martinez'),
-      ('0000000000000C49', 'Susan', 'Miller'),
-      ('0000000000000C50', 'Barbara', 'Lopez'),
-      ('0000000000000C53', 'Susan', 'Jones'),
-      ('0000000000000C60', 'Richard', 'Martinez'),
-      ('0000000000000C63', 'David', 'Martinez'),
-      ('0000000000000C71', 'Richard', 'Davis'),
-      ('0000000000000C76', 'Jennifer', 'Hernandez'),
-      ('0000000000000C77', 'Charles', 'Lopez'),
-      ('0000000000000C78', 'Barbara', 'Johnson'),
-      ('0000000000000C79', 'William', 'Johnson'),
-      ('0000000000000C83', 'William', 'Martinez'),
-      ('0000000000000C84', 'Michael', 'Jones'),
-      ('0000000000000C86', 'Susan', 'Hernandez')
-    ) AS t(c_customer_id, c_first_name, c_last_name)
-    """)
+@register(
+    "tpcds_q11_two_channel_growth",
+    _wh_sql(
+        """
+    WITH year_total AS (
+      SELECT ss_customer_sk AS customer_sk, d_year,
+             CAST(sum(CAST(ss_ext_list_price - ss_ext_discount_amt
+                           AS DECIMAL(38,12))) AS DOUBLE) AS year_total,
+             's' AS sale_type
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+      GROUP BY ss_customer_sk, d_year
+      UNION ALL
+      SELECT ws_bill_customer_sk, d_year,
+             CAST(sum(CAST(ws_ext_list_price - ws_ext_discount_amt
+                           AS DECIMAL(38,12))) AS DOUBLE),
+             'w'
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+      GROUP BY ws_bill_customer_sk, d_year)
+    SELECT c_customer_id, c_first_name, c_last_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear,
+         customer
+    WHERE t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_secyear.customer_sk
+      AND t_s_firstyear.customer_sk = c_customer_sk
+      AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.d_year = 1998 AND t_s_secyear.d_year = 1999
+      AND t_w_firstyear.d_year = 1998 AND t_w_secyear.d_year = 1999
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND t_w_secyear.year_total / t_w_firstyear.year_total
+          > t_s_secyear.year_total / t_s_firstyear.year_total
+    ORDER BY c_customer_id
+    LIMIT 20
+    """,
+        "store_sales",
+        "web_sales",
+        "date_dim",
+        "customer",
+    ),
+)
 def tpcds_q11_two_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q11: the q4 growth shape on store vs web only, with the
     simpler (list - discount) total formula."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
@@ -7150,28 +7202,41 @@ def tpcds_q11_two_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q6_pricey_item_states", """    SELECT * FROM (VALUES
-      ('CA', CAST(259 AS BIGINT)),
-      ('FL', CAST(253 AS BIGINT)),
-      ('VA', CAST(250 AS BIGINT)),
-      ('IL', CAST(248 AS BIGINT)),
-      ('NY', CAST(248 AS BIGINT)),
-      ('TN', CAST(248 AS BIGINT)),
-      ('WA', CAST(247 AS BIGINT)),
-      ('NC', CAST(241 AS BIGINT)),
-      ('OH', CAST(237 AS BIGINT)),
-      ('KY', CAST(235 AS BIGINT)),
-      ('MI', CAST(232 AS BIGINT)),
-      ('TX', CAST(231 AS BIGINT)),
-      ('GA', CAST(226 AS BIGINT)),
-      ('MO', CAST(212 AS BIGINT))
-    ) AS t(ca_state, cnt)
-    """)
+@register(
+    "tpcds_q6_pricey_item_states",
+    _wh_sql(
+        """
+    SELECT ca_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM store_sales, date_dim, customer, customer_address
+    WHERE ss_sold_date_sk = d_date_sk
+      AND d_year = 1998 AND d_moy = 7
+      AND ss_item_sk IN
+        (SELECT i_item_sk
+         FROM (SELECT i_item_sk, i_current_price,
+                      avg(i_current_price)
+                        OVER (PARTITION BY i_category) cat_avg
+               FROM item) p
+         WHERE i_current_price > 1.2 * cat_avg)
+      AND ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+    GROUP BY ca_state
+    HAVING count(*) >= 10
+    ORDER BY cnt DESC, ca_state
+    LIMIT 20
+    """,
+        "store_sales",
+        "date_dim",
+        "customer",
+        "customer_address",
+        "item",
+    ),
+)
 def tpcds_q6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q6: customer states buying items priced >1.2× their
     category average in one month — the correlated category-average
     subquery decorrelated into an avg window over the item dim, the
     spec's HAVING count ≥ 10."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cu = gen_customer_ds(spark)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -7195,19 +7260,43 @@ def tpcds_q6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q8_preferred_zip_stores", """    SELECT * FROM (VALUES
-      ('able', CAST(3788732.73 AS DOUBLE)),
-      ('anti', CAST(3779115.06 AS DOUBLE)),
-      ('cally', CAST(11621757.25 AS DOUBLE)),
-      ('eing', CAST(4011533.32 AS DOUBLE)),
-      ('ese', CAST(7376619.14 AS DOUBLE))
-    ) AS t(s_store_name, net_profit)
-    """)
+@register(
+    "tpcds_q8_preferred_zip_stores",
+    _wh_sql(
+        """
+    WITH qual_zip2 AS (
+      SELECT DISTINCT substring(zip3, 1, 2) AS zip2
+      FROM (SELECT substring(ca_zip, 1, 3) AS zip3, count(*) n
+            FROM customer, customer_address
+            WHERE c_preferred_cust_flag = 'Y'
+              AND c_current_addr_sk = ca_address_sk
+            GROUP BY substring(ca_zip, 1, 3)) z
+      WHERE n > 30)
+    SELECT s_store_name,
+           CAST(round(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS net_profit
+    FROM store_sales, date_dim, store
+    WHERE ss_sold_date_sk = d_date_sk
+      AND d_year = 1998 AND d_qoy = 2
+      AND ss_store_sk = s_store_sk
+      AND substring(s_zip, 1, 2) IN (SELECT zip2 FROM qual_zip2)
+    GROUP BY s_store_name
+    ORDER BY s_store_name
+    LIMIT 10
+    """,
+        "customer",
+        "customer_address",
+        "store_sales",
+        "date_dim",
+        "store",
+    ),
+)
 def tpcds_q8_preferred_zip_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q8: store net profit restricted to stores whose zip
     2-prefix matches a preferred-customer zip — the qualifying zip set
     (preferred customers' 5-digit zips, >5 holders) reduces first,
     then probes the 8-row store dim by prefix."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cu = gen_customer_ds(spark)
@@ -7289,16 +7378,66 @@ def tpcds_q15_catalog_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q13_band_averages", """
-    SELECT * FROM (VALUES
-      (CAST(5.3571 AS DOUBLE), CAST(465.7786 AS DOUBLE), CAST(344.7036 AS DOUBLE), CAST(4825.85 AS DOUBLE))
-    ) AS t(avg_quantity, avg_ext_sales, avg_wholesale, sum_wholesale)
-    """)
+@register(
+    "tpcds_q13_band_averages",
+    _wh_sql(
+        """
+    SELECT CAST(round(avg(ss_quantity), 4) AS DOUBLE) AS avg_quantity,
+           CAST(round(avg(ss_ext_sales_price), 4) AS DOUBLE)
+             AS avg_ext_sales,
+           CAST(round(avg(ss_ext_wholesale_cost), 4) AS DOUBLE)
+             AS avg_wholesale,
+           CAST(round(sum(CAST(ss_ext_wholesale_cost AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS sum_wholesale
+    FROM store_sales, store, customer_demographics,
+         household_demographics, customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+      AND ((cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = 'Advanced Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00
+            AND hd_demo_sk = ss_hdemo_sk
+            AND hd_dep_count = 3)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'S'
+            AND cd_education_status = 'College'
+            AND ss_sales_price BETWEEN 50.00 AND 100.00
+            AND hd_demo_sk = ss_hdemo_sk
+            AND hd_dep_count = 1)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'W'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 150.00 AND 200.00
+            AND hd_demo_sk = ss_hdemo_sk
+            AND hd_dep_count = 1))
+      AND ((ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('TX', 'OH', 'TN')
+            AND ss_net_profit BETWEEN 0 AND 240)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('GA', 'MI', 'IL')
+            AND ss_net_profit BETWEEN 50 AND 250)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('NC', 'FL', 'CA')
+            AND ss_net_profit BETWEEN 0 AND 250))
+    """,
+        "store_sales",
+        "store",
+        "customer_demographics",
+        "household_demographics",
+        "customer_address",
+        "date_dim",
+    ),
+)
 def tpcds_q13_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q13: store-sales averages under disjunctive demographic
     price bands AND address profit bands — q85's OR-of-ANDs predicate
     architecture on the store channel with a single demographics
     role."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cd = gen_customer_demographics(spark)
