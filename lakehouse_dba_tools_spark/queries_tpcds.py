@@ -3801,10 +3801,58 @@ def tpcds_q67_rollup_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q31_county_qoq_growth", """    SELECT * FROM (VALUES
-      ('Daviess County', CAST(1.0077 AS DOUBLE), CAST(0.9839 AS DOUBLE), CAST(1.0289 AS DOUBLE), CAST(1.0207 AS DOUBLE))
-    ) AS t(ca_county, web_q1_q2_increase, store_q1_q2_increase, web_q2_q3_increase, store_q2_q3_increase)
-    """)
+@register(
+    "tpcds_q31_county_qoq_growth",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk, d_qoy FROM date_dim
+      WHERE d_year = 1998 AND d_qoy IN (1, 2, 3)),
+    store_q AS (
+      SELECT ca_county,
+             sum(CAST(CASE WHEN d_qoy = 1 THEN ss_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ss1,
+             sum(CAST(CASE WHEN d_qoy = 2 THEN ss_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ss2,
+             sum(CAST(CASE WHEN d_qoy = 3 THEN ss_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ss3
+      FROM store_sales, dates, customer_address
+      WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+      GROUP BY ca_county),
+    web_q AS (
+      SELECT ca_county,
+             sum(CAST(CASE WHEN d_qoy = 1 THEN ws_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ws1,
+             sum(CAST(CASE WHEN d_qoy = 2 THEN ws_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ws2,
+             sum(CAST(CASE WHEN d_qoy = 3 THEN ws_ext_sales_price
+                           ELSE 0 END AS DECIMAL(38,12))) ws3
+      FROM web_sales, dates, customer_address
+      WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+      GROUP BY ca_county)
+    SELECT store_q.ca_county AS ca_county,
+           CAST(round(CAST(ws2 AS DOUBLE) / CAST(ws1 AS DOUBLE), 4)
+                AS DOUBLE) AS web_q1_q2_increase,
+           CAST(round(CAST(ss2 AS DOUBLE) / CAST(ss1 AS DOUBLE), 4)
+                AS DOUBLE) AS store_q1_q2_increase,
+           CAST(round(CAST(ws3 AS DOUBLE) / CAST(ws2 AS DOUBLE), 4)
+                AS DOUBLE) AS web_q2_q3_increase,
+           CAST(round(CAST(ss3 AS DOUBLE) / CAST(ss2 AS DOUBLE), 4)
+                AS DOUBLE) AS store_q2_q3_increase
+    FROM store_q, web_q
+    WHERE store_q.ca_county = web_q.ca_county
+      AND ss1 > 0 AND ss2 > 0 AND ws1 > 0 AND ws2 > 0
+      AND ws2 / ws1 > ss2 / ss1
+      AND ws3 / ws2 > ss3 / ss2
+    ORDER BY ca_county
+    LIMIT 20
+    """,
+        "date_dim",
+        "store_sales",
+        "web_sales",
+        "customer_address",
+    ),
+)
 def tpcds_q31_county_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q31 shape: counties where web revenue grew faster than
     store revenue in BOTH 1998 Q1→Q2 and Q2→Q3 — the spec writes six
@@ -3815,6 +3863,7 @@ def tpcds_q31_county_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each channel reduces to ≤ |county| rows before the only
     join; the address dim joins by key ahead of the rollup."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     ws = _ws(spark, sf_dir)
     ca = gen_customer_address(spark, 50_000, seed=100)
@@ -3859,29 +3908,26 @@ def tpcds_q31_county_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q22_inventory_hierarchy_avg", """    SELECT * FROM (VALUES
-      ('Product 00001626', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
-      ('Product 00001626', 'Brand#86-1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
-      ('Product 00001626', 'Brand#86-1', 'mens watch', CAST(NULL AS VARCHAR), CAST(422.8038 AS DOUBLE)),
-      ('Product 00001626', 'Brand#86-1', 'mens watch', 'Music', CAST(422.8038 AS DOUBLE)),
-      ('Product 00001870', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
-      ('Product 00001870', 'Brand#26-8', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
-      ('Product 00001870', 'Brand#26-8', 'classical', CAST(NULL AS VARCHAR), CAST(434.6453 AS DOUBLE)),
-      ('Product 00001870', 'Brand#26-8', 'classical', 'Jewelry', CAST(434.6453 AS DOUBLE)),
-      ('Product 00000982', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
-      ('Product 00000982', 'Brand#60-9', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
-      ('Product 00000982', 'Brand#60-9', 'mens watch', CAST(NULL AS VARCHAR), CAST(440.3057 AS DOUBLE)),
-      ('Product 00000982', 'Brand#60-9', 'mens watch', 'Electronics', CAST(440.3057 AS DOUBLE)),
-      ('Product 00000157', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
-      ('Product 00000157', 'Brand#24-7', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
-      ('Product 00000157', 'Brand#24-7', 'accent', CAST(NULL AS VARCHAR), CAST(440.3132 AS DOUBLE)),
-      ('Product 00000157', 'Brand#24-7', 'accent', 'Books', CAST(440.3132 AS DOUBLE)),
-      ('Product 00001504', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
-      ('Product 00001504', 'Brand#5-5', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
-      ('Product 00001504', 'Brand#5-5', 'classical', CAST(NULL AS VARCHAR), CAST(444.6679 AS DOUBLE)),
-      ('Product 00001504', 'Brand#5-5', 'classical', 'Electronics', CAST(444.6679 AS DOUBLE))
-    ) AS t(i_product_name, i_brand, i_class, i_category, qoh)
-    """)
+@register(
+    "tpcds_q22_inventory_hierarchy_avg",
+    _wh_sql(
+        """
+    SELECT i_product_name, i_brand, i_class, i_category,
+           CAST(round(avg(inv_quantity_on_hand), 4) AS DOUBLE) AS qoh
+    FROM inventory, date_dim, item
+    WHERE inv_date_sk = d_date_sk
+      AND inv_item_sk = i_item_sk
+      AND d_month_seq BETWEEN 1176 AND 1187
+    GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+    ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+             i_class NULLS FIRST, i_category NULLS FIRST
+    LIMIT 20
+    """,
+        "inventory",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q22 shape: average on-hand inventory rolled up the full
     product hierarchy (product → brand → class → category → grand
@@ -3890,6 +3936,7 @@ def tpcds_q22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataF
 
     Determinism: avg = exact integer sum / count (Spark computes avg
     of an int column as exact partials), rounded once."""
+    _gate(spark)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -7489,29 +7536,68 @@ def tpcds_q13_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q17_chain_quantity_stats", """    SELECT * FROM (VALUES
-      ('000000000000I208', CAST(1 AS BIGINT), CAST(94.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(77.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(61.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('000000000000I310', CAST(1 AS BIGINT), CAST(12.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(11.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(35.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I1847', CAST(1 AS BIGINT), CAST(98.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(18.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(40.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I2811', CAST(1 AS BIGINT), CAST(88.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(64.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(94.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I4820', CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(24.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(40.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I6317', CAST(1 AS BIGINT), CAST(55.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(7.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(63.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I6320', CAST(1 AS BIGINT), CAST(34.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(16.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(65.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I7496', CAST(1 AS BIGINT), CAST(91.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(32.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I8041', CAST(1 AS BIGINT), CAST(63.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(39.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I8551', CAST(1 AS BIGINT), CAST(46.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(39.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(82.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I8624', CAST(1 AS BIGINT), CAST(73.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(28.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('00000000000I9179', CAST(1 AS BIGINT), CAST(76.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(6.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('0000000000I10826', CAST(1 AS BIGINT), CAST(75.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(34.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(47.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('0000000000I11658', CAST(1 AS BIGINT), CAST(15.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(15.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(18.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
-      ('0000000000I14098', CAST(1 AS BIGINT), CAST(27.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT), CAST(11.0 AS DOUBLE), CAST(NULL AS DOUBLE))
-    ) AS t(i_item_id, store_cnt, store_mean, store_cov, ret_cnt, ret_mean, ret_cov, catalog_cnt, catalog_mean, catalog_cov)
-    """)
+@register(
+    "tpcds_q17_chain_quantity_stats",
+    _wh_sql(
+        """
+    SELECT i_item_id,
+           CAST(count(ss_quantity) AS BIGINT) AS store_cnt,
+           CAST(round(sum(ss_quantity) / count(ss_quantity), 4) AS DOUBLE) AS store_mean,
+           CAST(CASE WHEN count(ss_quantity) > 1 THEN
+                round(sqrt((sum(ss_quantity * ss_quantity)
+                            - sum(ss_quantity) * sum(ss_quantity) / count(ss_quantity))
+                           / (count(ss_quantity) - 1))
+                      / (sum(ss_quantity) / count(ss_quantity)), 4)
+           END AS DOUBLE) AS store_cov,
+           CAST(count(sr_return_quantity) AS BIGINT) AS ret_cnt,
+           CAST(round(sum(sr_return_quantity) / count(sr_return_quantity), 4) AS DOUBLE) AS ret_mean,
+           CAST(CASE WHEN count(sr_return_quantity) > 1 THEN
+                round(sqrt((sum(sr_return_quantity * sr_return_quantity)
+                            - sum(sr_return_quantity) * sum(sr_return_quantity) / count(sr_return_quantity))
+                           / (count(sr_return_quantity) - 1))
+                      / (sum(sr_return_quantity) / count(sr_return_quantity)), 4)
+           END AS DOUBLE) AS ret_cov,
+           CAST(count(cs_quantity) AS BIGINT) AS catalog_cnt,
+           CAST(round(sum(cs_quantity) / count(cs_quantity), 4) AS DOUBLE) AS catalog_mean,
+           CAST(CASE WHEN count(cs_quantity) > 1 THEN
+                round(sqrt((sum(cs_quantity * cs_quantity)
+                            - sum(cs_quantity) * sum(cs_quantity) / count(cs_quantity))
+                           / (count(cs_quantity) - 1))
+                      / (sum(cs_quantity) / count(cs_quantity)), 4)
+           END AS DOUBLE) AS catalog_cov
+    FROM store_sales, store_returns, catalog_sales_big, date_dim d1,
+         date_dim d2, date_dim d3, store, item
+    WHERE d1.d_year = 1998
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_year IN (1998, 1999)
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_year IN (1998, 1999)
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 15
+    """,
+        "store_sales",
+        "store_returns",
+        "catalog_sales_big",
+        "date_dim",
+        "store",
+        "item",
+    ),
+)
 def tpcds_q17_chain_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q17: the q25 buy→return→rebuy chain reporting quantity
     statistics (count / mean / coefficient of variation) per stage —
     variance from exact integer partials like q39, so the pin is
     partition-invariant."""
+    _gate(spark, big=True)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
@@ -7567,33 +7653,43 @@ def tpcds_q17_chain_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q18_catalog_demo_averages", """    SELECT * FROM (VALUES
-      (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(49.6921 AS DOUBLE), CAST(102.1688 AS DOUBLE), CAST(40.5617 AS DOUBLE), CAST(1168.1483 AS DOUBLE)),
-      ('United States', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(49.6921 AS DOUBLE), CAST(102.1688 AS DOUBLE), CAST(40.5617 AS DOUBLE), CAST(1168.1483 AS DOUBLE)),
-      ('United States', 'CA', CAST(NULL AS VARCHAR), CAST(47.1875 AS DOUBLE), CAST(103.7716 AS DOUBLE), CAST(21.7123 AS DOUBLE), CAST(1076.0846 AS DOUBLE)),
-      ('United States', 'CA', 'Daviess County', CAST(48.8148 AS DOUBLE), CAST(115.3711 AS DOUBLE), CAST(40.1641 AS DOUBLE), CAST(1163.7419 AS DOUBLE)),
-      ('United States', 'CA', 'Walker County', CAST(51.3125 AS DOUBLE), CAST(85.96 AS DOUBLE), CAST(24.7838 AS DOUBLE), CAST(1030.8363 AS DOUBLE)),
-      ('United States', 'CA', 'Williamson County', CAST(56.0588 AS DOUBLE), CAST(112.9447 AS DOUBLE), CAST(12.7224 AS DOUBLE), CAST(1351.6118 AS DOUBLE)),
-      ('United States', 'CA', 'Ziebach County', CAST(34.15 AS DOUBLE), CAST(94.5645 AS DOUBLE), CAST(1.9865 AS DOUBLE), CAST(759.748 AS DOUBLE)),
-      ('United States', 'GA', CAST(NULL AS VARCHAR), CAST(45.8783 AS DOUBLE), CAST(108.5207 AS DOUBLE), CAST(25.0972 AS DOUBLE), CAST(1128.5601 AS DOUBLE)),
-      ('United States', 'GA', 'Daviess County', CAST(43.7143 AS DOUBLE), CAST(104.5707 AS DOUBLE), CAST(50.4268 AS DOUBLE), CAST(1131.1907 AS DOUBLE)),
-      ('United States', 'GA', 'Walker County', CAST(44.7273 AS DOUBLE), CAST(108.4164 AS DOUBLE), CAST(3.5127 AS DOUBLE), CAST(1087.5288 AS DOUBLE)),
-      ('United States', 'GA', 'Williamson County', CAST(47.9667 AS DOUBLE), CAST(110.1633 AS DOUBLE), CAST(34.6117 AS DOUBLE), CAST(1278.755 AS DOUBLE)),
-      ('United States', 'GA', 'Ziebach County', CAST(47.375 AS DOUBLE), CAST(111.2192 AS DOUBLE), CAST(13.3317 AS DOUBLE), CAST(994.1654 AS DOUBLE)),
-      ('United States', 'TX', CAST(NULL AS VARCHAR), CAST(53.1146 AS DOUBLE), CAST(98.6324 AS DOUBLE), CAST(59.2852 AS DOUBLE), CAST(1172.3916 AS DOUBLE)),
-      ('United States', 'TX', 'Daviess County', CAST(48.0 AS DOUBLE), CAST(94.2669 AS DOUBLE), CAST(47.3492 AS DOUBLE), CAST(1047.0231 AS DOUBLE)),
-      ('United States', 'TX', 'Walker County', CAST(50.9643 AS DOUBLE), CAST(100.4143 AS DOUBLE), CAST(139.6664 AS DOUBLE), CAST(1084.3729 AS DOUBLE)),
-      ('United States', 'TX', 'Williamson County', CAST(55.1304 AS DOUBLE), CAST(115.6474 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1521.6987 AS DOUBLE)),
-      ('United States', 'TX', 'Ziebach County', CAST(60.8421 AS DOUBLE), CAST(81.3832 AS DOUBLE), CAST(28.9284 AS DOUBLE), CAST(1050.8147 AS DOUBLE)),
-      ('United States', 'VA', CAST(NULL AS VARCHAR), CAST(53.1798 AS DOUBLE), CAST(96.3349 AS DOUBLE), CAST(57.291 AS DOUBLE), CAST(1297.4784 AS DOUBLE)),
-      ('United States', 'VA', 'Daviess County', CAST(55.5263 AS DOUBLE), CAST(86.57 AS DOUBLE), CAST(111.2942 AS DOUBLE), CAST(1098.0795 AS DOUBLE)),
-      ('United States', 'VA', 'Walker County', CAST(54.0 AS DOUBLE), CAST(82.6396 AS DOUBLE), CAST(33.6962 AS DOUBLE), CAST(1255.2277 AS DOUBLE))
-    ) AS t(ca_country, ca_state, ca_county, agg1, agg2, agg3, agg4)
-    """)
+@register(
+    "tpcds_q18_catalog_demo_averages",
+    _wh_sql(
+        """
+    SELECT ca_country, ca_state, ca_county,
+           CAST(round(avg(cs_quantity), 4) AS DOUBLE) AS agg1,
+           CAST(round(avg(cs_list_price), 4) AS DOUBLE) AS agg2,
+           CAST(round(avg(cs_coupon_amt), 4) AS DOUBLE) AS agg3,
+           CAST(round(avg(cs_net_profit), 4) AS DOUBLE) AS agg4
+    FROM catalog_sales, customer_demographics, customer,
+         customer_address, date_dim, item
+    WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+      AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd_demo_sk
+      AND cd_gender = 'F' AND cd_education_status = 'Unknown'
+      AND cs_bill_customer_sk = c_customer_sk
+      AND c_birth_month IN (1, 6, 8, 9)
+      AND c_current_addr_sk = ca_address_sk
+      AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'CA', 'TX', 'GA')
+    GROUP BY ROLLUP (ca_country, ca_state, ca_county)
+    ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+             ca_county NULLS FIRST
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "customer_demographics",
+        "customer",
+        "customer_address",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q18_catalog_demo_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q18: catalog averages for a demographic slice with birth
     months, rolled up the customer GEOGRAPHY hierarchy
     (country/state/county ROLLUP over the address dim)."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -7630,29 +7726,39 @@ def tpcds_q18_catalog_demo_averages(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q24_returned_color_spenders", """    SELECT * FROM (VALUES
-      ('Brown', 'Barbara', 'able', CAST(687.72 AS DOUBLE)),
-      ('Brown', 'Barbara', 'anti', CAST(3049.07 AS DOUBLE)),
-      ('Brown', 'Barbara', 'cally', CAST(5614.97 AS DOUBLE)),
-      ('Brown', 'Barbara', 'eing', CAST(1254.26 AS DOUBLE)),
-      ('Brown', 'Charles', 'cally', CAST(9269.12 AS DOUBLE)),
-      ('Brown', 'Charles', 'eing', CAST(4443.67 AS DOUBLE)),
-      ('Brown', 'Charles', 'ese', CAST(3004.17 AS DOUBLE)),
-      ('Brown', 'David', 'cally', CAST(14838.05 AS DOUBLE)),
-      ('Brown', 'David', 'ese', CAST(3521.41 AS DOUBLE)),
-      ('Brown', 'Elizabeth', 'able', CAST(30821.09 AS DOUBLE)),
-      ('Brown', 'Elizabeth', 'cally', CAST(22854.22 AS DOUBLE)),
-      ('Brown', 'James', 'able', CAST(1410.91 AS DOUBLE)),
-      ('Brown', 'James', 'anti', CAST(17079.81 AS DOUBLE)),
-      ('Brown', 'James', 'cally', CAST(7784.79 AS DOUBLE)),
-      ('Brown', 'James', 'ese', CAST(5550.79 AS DOUBLE)),
-      ('Brown', 'Jennifer', 'able', CAST(4669.92 AS DOUBLE)),
-      ('Brown', 'Jennifer', 'anti', CAST(1928.38 AS DOUBLE)),
-      ('Brown', 'Jennifer', 'cally', CAST(10020.96 AS DOUBLE)),
-      ('Brown', 'Jennifer', 'eing', CAST(15278.89 AS DOUBLE)),
-      ('Brown', 'John', 'cally', CAST(4274.92 AS DOUBLE))
-    ) AS t(c_last_name, c_first_name, s_store_name, paid)
-    """)
+@register(
+    "tpcds_q24_returned_color_spenders",
+    _wh_sql(
+        """
+    WITH ssales AS (
+      SELECT c_last_name, c_first_name, s_store_name, i_color,
+             sum(CAST(ss_net_paid AS DECIMAL(38,12))) netpaid
+      FROM store_sales, store_returns, store, item, customer,
+           customer_address
+      WHERE ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_customer_sk = c_customer_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND s_zip <> ca_zip
+      GROUP BY c_last_name, c_first_name, s_store_name, i_color)
+    SELECT c_last_name, c_first_name, s_store_name,
+           CAST(round(netpaid, 2) AS DOUBLE) AS paid
+    FROM ssales
+    WHERE i_color = 'gold'
+      AND netpaid > (SELECT 0.05 * avg(netpaid) FROM ssales)
+    ORDER BY c_last_name, c_first_name, s_store_name, paid
+    LIMIT 20
+    """,
+        "store_sales",
+        "store_returns",
+        "store",
+        "item",
+        "customer",
+        "customer_address",
+    ),
+)
 def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q24: customers whose net paid on RETURNED store lines of
     one color beats 5% of the average — sales↔returns natural-key
@@ -7660,6 +7766,7 @@ def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataF
     average-threshold cross join. (Spec's birth-country≠address-
     country filter becomes a zip mismatch: the generator emits one
     country.)"""
+    _gate(spark)
     ss, _, it = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
@@ -7698,29 +7805,46 @@ def tpcds_q24_returned_color_spenders(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q29_chain_quantity_sums", """    SELECT * FROM (VALUES
-      ('000000000000I208', 'Premium imported supplies', '00000000000000S3', 'eing', CAST(94 AS BIGINT), CAST(77 AS BIGINT), CAST(61 AS BIGINT)),
-      ('000000000000I310', 'Classic certified supplies', '00000000000000S6', 'ese', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(35 AS BIGINT)),
-      ('00000000000I1847', 'Durable everyday essentials', '00000000000000S2', 'cally', CAST(98 AS BIGINT), CAST(18 AS BIGINT), CAST(40 AS BIGINT)),
-      ('00000000000I2811', 'Premium imported wares', '00000000000000S8', 'able', CAST(88 AS BIGINT), CAST(64 AS BIGINT), CAST(94 AS BIGINT)),
-      ('00000000000I4820', 'Classic seasonal supplies', '00000000000000S5', 'cally', CAST(75 AS BIGINT), CAST(24 AS BIGINT), CAST(40 AS BIGINT)),
-      ('00000000000I6317', 'Classic imported supplies', '00000000000000S5', 'cally', CAST(55 AS BIGINT), CAST(7 AS BIGINT), CAST(63 AS BIGINT)),
-      ('00000000000I6320', 'Premium seasonal goods', '00000000000000S4', 'ese', CAST(34 AS BIGINT), CAST(16 AS BIGINT), CAST(65 AS BIGINT)),
-      ('00000000000I7496', 'Popular certified items', '00000000000000S2', 'cally', CAST(91 AS BIGINT), CAST(32 AS BIGINT), CAST(48 AS BIGINT)),
-      ('00000000000I8041', 'Popular everyday wares', '00000000000000S6', 'ese', CAST(63 AS BIGINT), CAST(48 AS BIGINT), CAST(39 AS BIGINT)),
-      ('00000000000I8551', 'Durable certified items', '00000000000000S6', 'ese', CAST(46 AS BIGINT), CAST(39 AS BIGINT), CAST(82 AS BIGINT)),
-      ('00000000000I8624', 'Durable imported goods', '00000000000000S8', 'able', CAST(73 AS BIGINT), CAST(28 AS BIGINT), CAST(75 AS BIGINT)),
-      ('00000000000I9179', 'Durable handmade goods', '00000000000000S2', 'cally', CAST(76 AS BIGINT), CAST(48 AS BIGINT), CAST(6 AS BIGINT)),
-      ('0000000000I10826', 'Classic certified goods', '00000000000000S4', 'ese', CAST(75 AS BIGINT), CAST(34 AS BIGINT), CAST(47 AS BIGINT)),
-      ('0000000000I11658', 'Durable seasonal wares', '00000000000000S8', 'able', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(18 AS BIGINT)),
-      ('0000000000I14098', 'Durable imported goods', '00000000000000S7', 'cally', CAST(27 AS BIGINT), CAST(9 AS BIGINT), CAST(11 AS BIGINT)),
-      ('0000000000I15441', 'Popular everyday items', '00000000000000S4', 'ese', CAST(79 AS BIGINT), CAST(36 AS BIGINT), CAST(25 AS BIGINT)),
-      ('0000000000I17964', 'Premium imported wares', '00000000000000S2', 'cally', CAST(54 AS BIGINT), CAST(13 AS BIGINT), CAST(95 AS BIGINT))
-    ) AS t(i_item_id, i_item_desc, s_store_id, s_store_name, store_sales_quantity, store_returns_quantity, catalog_sales_quantity)
-    """)
+@register(
+    "tpcds_q29_chain_quantity_sums",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+           CAST(sum(sr_return_quantity) AS BIGINT)
+             AS store_returns_quantity,
+           CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+    FROM store_sales, store_returns, catalog_sales_big, date_dim d1,
+         date_dim d2, date_dim d3, store, item
+    WHERE d1.d_year = 1998
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_year IN (1998, 1999)
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_year IN (1998, 1999)
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, s_store_id
+    LIMIT 20
+    """,
+        "store_sales",
+        "store_returns",
+        "catalog_sales_big",
+        "date_dim",
+        "store",
+        "item",
+    ),
+)
 def tpcds_q29_chain_quantity_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q29: the q25 chain reporting quantity SUMS per (item,
     store) for the three stages."""
+    _gate(spark, big=True)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
