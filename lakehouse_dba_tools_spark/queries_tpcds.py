@@ -1416,36 +1416,44 @@ def tpcds_q16_catalog_order_spread(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q21_inventory_pivot", """
-    SELECT * FROM (VALUES
-      ('Bad cards must make', '000000000000I274', CAST(2274 AS BIGINT), CAST(2823 AS BIGINT)),
-      ('Bad cards must make', '000000000000I454', CAST(1475 AS BIGINT), CAST(2067 AS BIGINT)),
-      ('Bad cards must make', '000000000000I500', CAST(1894 AS BIGINT), CAST(2382 AS BIGINT)),
-      ('Bad cards must make', '000000000000I536', CAST(1585 AS BIGINT), CAST(1817 AS BIGINT)),
-      ('Bad cards must make', '000000000000I670', CAST(2304 AS BIGINT), CAST(3035 AS BIGINT)),
-      ('Bad cards must make', '00000000000I1163', CAST(2095 AS BIGINT), CAST(1857 AS BIGINT)),
-      ('Bad cards must make', '00000000000I1573', CAST(2072 AS BIGINT), CAST(1531 AS BIGINT)),
-      ('Bad cards must make', '00000000000I1583', CAST(2356 AS BIGINT), CAST(2245 AS BIGINT)),
-      ('Conventional childr', '000000000000I274', CAST(1538 AS BIGINT), CAST(2177 AS BIGINT)),
-      ('Conventional childr', '000000000000I454', CAST(1893 AS BIGINT), CAST(2484 AS BIGINT)),
-      ('Conventional childr', '000000000000I549', CAST(2391 AS BIGINT), CAST(2466 AS BIGINT)),
-      ('Conventional childr', '000000000000I575', CAST(1715 AS BIGINT), CAST(1864 AS BIGINT)),
-      ('Conventional childr', '000000000000I670', CAST(2573 AS BIGINT), CAST(2733 AS BIGINT)),
-      ('Conventional childr', '00000000000I1387', CAST(2193 AS BIGINT), CAST(2142 AS BIGINT)),
-      ('Conventional childr', '00000000000I1445', CAST(2342 AS BIGINT), CAST(2738 AS BIGINT)),
-      ('Conventional childr', '00000000000I1573', CAST(1962 AS BIGINT), CAST(2086 AS BIGINT)),
-      ('Conventional childr', '00000000000I1583', CAST(2608 AS BIGINT), CAST(1983 AS BIGINT)),
-      ('Doors canno', '000000000000I274', CAST(2328 AS BIGINT), CAST(3358 AS BIGINT)),
-      ('Doors canno', '000000000000I500', CAST(2159 AS BIGINT), CAST(2150 AS BIGINT)),
-      ('Doors canno', '000000000000I536', CAST(2763 AS BIGINT), CAST(1979 AS BIGINT))
-    ) AS t(w_warehouse_name, i_item_id, inv_before, inv_after)
-    
-    """)
+@register(
+    "tpcds_q21_inventory_pivot",
+    _wh_sql(
+        """
+    SELECT w_warehouse_name, i_item_id,
+           CAST(inv_before AS BIGINT) AS inv_before,
+           CAST(inv_after AS BIGINT) AS inv_after
+    FROM (SELECT w_warehouse_name, i_item_id,
+                 sum(CASE WHEN d_date < CAST('1999-06-01' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END) inv_before,
+                 sum(CASE WHEN d_date >= CAST('1999-06-01' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END) inv_after
+          FROM inventory, warehouse, item, date_dim
+          WHERE i_current_price BETWEEN 0.99 AND 1.49
+            AND i_item_sk = inv_item_sk
+            AND inv_warehouse_sk = w_warehouse_sk
+            AND inv_date_sk = d_date_sk
+            AND d_date BETWEEN CAST('1999-05-01' AS DATE)
+                           AND CAST('1999-07-01' AS DATE)
+          GROUP BY w_warehouse_name, i_item_id) x
+    WHERE inv_before > 0
+      AND CAST(inv_after AS DOUBLE) / inv_before >= 2.0 / 3.0
+      AND CAST(inv_after AS DOUBLE) / inv_before <= 3.0 / 2.0
+    ORDER BY w_warehouse_name, i_item_id
+    LIMIT 20
+    """,
+        "inventory",
+        "warehouse",
+        "item",
+        "date_dim",
+    ),
+)
 def tpcds_q21_inventory_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q21 shape: on-hand inventory before vs after a pivot
     date per (warehouse, item), keeping items whose balance stayed
     within ±50%. The inventory grid reduces with one hash-agg; the
     before/after split is a conditional sum, not two scans."""
+    _gate(spark)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -3115,27 +3123,44 @@ CS_BIG = 1_200_000
 WS_BIG = 1_200_000
 
 
-@register("tpcds_q25_buy_return_rebuy", """
-    SELECT * FROM (VALUES
-      ('000000000000I208', 'Premium imported supplies', '00000000000000S3', 'eing', CAST(2182.04 AS DOUBLE), CAST(414.14 AS DOUBLE), CAST(2013.05 AS DOUBLE)),
-      ('000000000000I310', 'Classic certified supplies', '00000000000000S6', 'ese', CAST(429.1 AS DOUBLE), CAST(78.52 AS DOUBLE), CAST(1803.62 AS DOUBLE)),
-      ('00000000000I1847', 'Durable everyday essentials', '00000000000000S2', 'cally', CAST(1647.3 AS DOUBLE), CAST(103.91 AS DOUBLE), CAST(746.36 AS DOUBLE)),
-      ('00000000000I2811', 'Premium imported wares', '00000000000000S8', 'able', CAST(1368.8 AS DOUBLE), CAST(214.09 AS DOUBLE), CAST(4089.53 AS DOUBLE)),
-      ('00000000000I4820', 'Classic seasonal supplies', '00000000000000S5', 'cally', CAST(1908.62 AS DOUBLE), CAST(152.28 AS DOUBLE), CAST(63.31 AS DOUBLE)),
-      ('00000000000I6317', 'Classic imported supplies', '00000000000000S5', 'cally', CAST(1432.06 AS DOUBLE), CAST(100.18 AS DOUBLE), CAST(2000.88 AS DOUBLE)),
-      ('00000000000I6320', 'Premium seasonal goods', '00000000000000S4', 'ese', CAST(1235.8 AS DOUBLE), CAST(149.92 AS DOUBLE), CAST(2111.91 AS DOUBLE)),
-      ('00000000000I7496', 'Popular certified items', '00000000000000S2', 'cally', CAST(2377.28 AS DOUBLE), CAST(187.25 AS DOUBLE), CAST(53.27 AS DOUBLE)),
-      ('00000000000I8041', 'Popular everyday wares', '00000000000000S6', 'ese', CAST(717.87 AS DOUBLE), CAST(141.53 AS DOUBLE), CAST(1674.49 AS DOUBLE)),
-      ('00000000000I8551', 'Durable certified items', '00000000000000S6', 'ese', CAST(1064.1 AS DOUBLE), CAST(184.53 AS DOUBLE), CAST(1640.41 AS DOUBLE)),
-      ('00000000000I8624', 'Durable imported goods', '00000000000000S8', 'able', CAST(915.93 AS DOUBLE), CAST(149.04 AS DOUBLE), CAST(2410.1 AS DOUBLE)),
-      ('00000000000I9179', 'Durable handmade goods', '00000000000000S2', 'cally', CAST(1454.18 AS DOUBLE), CAST(221.89 AS DOUBLE), CAST(176.0 AS DOUBLE)),
-      ('0000000000I10826', 'Classic certified goods', '00000000000000S4', 'ese', CAST(2182.82 AS DOUBLE), CAST(198.24 AS DOUBLE), CAST(936.28 AS DOUBLE)),
-      ('0000000000I11658', 'Durable seasonal wares', '00000000000000S8', 'able', CAST(12.07 AS DOUBLE), CAST(5.8 AS DOUBLE), CAST(494.56 AS DOUBLE)),
-      ('0000000000I14098', 'Durable imported goods', '00000000000000S7', 'cally', CAST(236.0 AS DOUBLE), CAST(29.42 AS DOUBLE), CAST(92.57 AS DOUBLE)),
-      ('0000000000I15441', 'Popular everyday items', '00000000000000S4', 'ese', CAST(1767.39 AS DOUBLE), CAST(164.02 AS DOUBLE), CAST(150.3 AS DOUBLE)),
-      ('0000000000I17964', 'Premium imported wares', '00000000000000S2', 'cally', CAST(107.71 AS DOUBLE), CAST(117.32 AS DOUBLE), CAST(2993.92 AS DOUBLE))
-    ) AS t(i_item_id, i_item_desc, s_store_id, s_store_name, store_sales_profit, store_returns_loss, catalog_sales_profit)
-    """)
+@register(
+    "tpcds_q25_buy_return_rebuy",
+    _wh_sql(
+        """
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           CAST(round(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS store_sales_profit,
+           CAST(round(sum(CAST(sr_net_loss AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS store_returns_loss,
+           CAST(round(sum(CAST(cs_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS catalog_sales_profit
+    FROM store_sales, store_returns, catalog_sales_big, date_dim d1,
+         date_dim d2, date_dim d3, store, item
+    WHERE d1.d_year = 1998
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_year IN (1998, 1999)
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_year IN (1998, 1999)
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, s_store_id
+    LIMIT 20
+    """,
+        "store_sales",
+        "store_returns",
+        "catalog_sales_big",
+        "date_dim",
+        "store",
+        "item",
+    ),
+)
 def tpcds_q25_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q25 shape: customers who bought in-store in April, returned
     the item later that year, and re-bought the SAME item by catalog —
@@ -3147,6 +3172,7 @@ def tpcds_q25_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returns leg, customer+item for the repurchase) — each step
     co-partitions on the join key and reduces before the next; no
     fact ever cross-joins."""
+    _gate(spark, big=True)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     sr = _sr(spark, sf_dir)
@@ -4285,35 +4311,47 @@ def tpcds_q37_catalog_stocked_items(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q40_warehouse_returns_pivot", """    SELECT * FROM (VALUES
-      ('GA', '000000000000I549', CAST(0.0 AS DOUBLE), CAST(-1448.49 AS DOUBLE)),
-      ('GA', '000000000000I575', CAST(0.0 AS DOUBLE), CAST(107.72 AS DOUBLE)),
-      ('GA', '00000000000I1163', CAST(0.0 AS DOUBLE), CAST(139.18 AS DOUBLE)),
-      ('GA', '00000000000I7433', CAST(0.0 AS DOUBLE), CAST(69.54 AS DOUBLE)),
-      ('GA', '00000000000I7565', CAST(72.48 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('GA', '0000000000I10449', CAST(272.7 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('GA', '0000000000I10777', CAST(0.0 AS DOUBLE), CAST(2.19 AS DOUBLE)),
-      ('GA', '0000000000I14852', CAST(126.08 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '00000000000I1317', CAST(121.17 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '00000000000I1452', CAST(0.0 AS DOUBLE), CAST(43.65 AS DOUBLE)),
-      ('MI', '00000000000I1573', CAST(0.0 AS DOUBLE), CAST(120.44 AS DOUBLE)),
-      ('MI', '00000000000I3623', CAST(0.0 AS DOUBLE), CAST(175.5 AS DOUBLE)),
-      ('MI', '00000000000I6123', CAST(138.96 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '00000000000I8399', CAST(109.18 AS DOUBLE), CAST(57.34 AS DOUBLE)),
-      ('MI', '0000000000I10424', CAST(31.68 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '0000000000I10839', CAST(57.56 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '0000000000I13060', CAST(0.0 AS DOUBLE), CAST(60.05 AS DOUBLE)),
-      ('MI', '0000000000I13447', CAST(0.0 AS DOUBLE), CAST(81.73 AS DOUBLE)),
-      ('MI', '0000000000I14689', CAST(9.07 AS DOUBLE), CAST(0.0 AS DOUBLE)),
-      ('MI', '0000000000I15985', CAST(140.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
-    ) AS t(w_state, i_item_id, sales_before, sales_after)
-    """)
+@register(
+    "tpcds_q40_warehouse_returns_pivot",
+    _wh_sql(
+        """
+    SELECT w_state, i_item_id,
+           CAST(round(sum(CAST(CASE WHEN d_date < CAST('1998-06-01' AS DATE)
+                    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                    ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sales_before,
+           CAST(round(sum(CAST(CASE WHEN d_date >= CAST('1998-06-01' AS DATE)
+                    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                    ELSE 0 END AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sales_after
+    FROM catalog_sales
+    LEFT OUTER JOIN catalog_returns
+      ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+         warehouse, item, date_dim
+    WHERE i_current_price BETWEEN 0.99 AND 1.49
+      AND i_item_sk = cs_item_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1998-05-01' AS DATE)
+                     AND CAST('1998-07-01' AS DATE)
+    GROUP BY w_state, i_item_id
+    ORDER BY w_state, i_item_id
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "catalog_returns",
+        "warehouse",
+        "item",
+        "date_dim",
+    ),
+)
 def tpcds_q40_warehouse_returns_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q40 shape: returns-netted catalog sales value per
     (warehouse, item) split before/after a pivot date — catalog_sales
     left-joins catalog_returns on the natural (order, item) key, nets
     the refund, and one hash-agg computes both date halves as
     conditional sums."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     cr = _cr(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -5994,13 +6032,38 @@ def tpcds_q27_store_demographics_rollup(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
-@register("tpcds_q32_catalog_excess_discount", """    SELECT * FROM (VALUES
-      (CAST(575935.68 AS DOUBLE), CAST(326 AS BIGINT))
-    ) AS t(excess_discount_amount, excess_line_count)
-    """)
+@register(
+    "tpcds_q32_catalog_excess_discount",
+    _wh_sql(
+        """
+    WITH base AS (
+      SELECT cs_item_sk, cs_ext_discount_amt
+      FROM catalog_sales, date_dim, item
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk
+        AND d_date BETWEEN CAST('1998-01-01' AS DATE)
+                       AND CAST('1999-12-31' AS DATE)
+        AND i_manufact_id = 61),
+    flagged AS (
+      SELECT cs_ext_discount_amt,
+             avg(cs_ext_discount_amt) OVER (PARTITION BY cs_item_sk) * 1.3
+               AS threshold
+      FROM base)
+    SELECT CAST(round(sum(CAST(cs_ext_discount_amt AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS excess_discount_amount,
+           CAST(count(*) AS BIGINT) AS excess_line_count
+    FROM flagged
+    WHERE cs_ext_discount_amt > threshold
+    """,
+        "catalog_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q32: the q92 correlated-average excess-discount shape on
     the CATALOG channel (avg window partitioned by item)."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -6335,24 +6398,47 @@ def tpcds_q10_active_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q35_active_customer_stats", """    SELECT * FROM (VALUES
-      ('F', 'D', CAST(2139 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.015 AS DOUBLE)),
-      ('F', 'M', CAST(2221 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9806 AS DOUBLE)),
-      ('F', 'S', CAST(2114 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.035 AS DOUBLE)),
-      ('F', 'U', CAST(2157 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9569 AS DOUBLE)),
-      ('F', 'W', CAST(2236 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0237 AS DOUBLE)),
-      ('M', 'D', CAST(2239 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0795 AS DOUBLE)),
-      ('M', 'M', CAST(2200 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9345 AS DOUBLE)),
-      ('M', 'S', CAST(2247 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(3.0147 AS DOUBLE)),
-      ('M', 'U', CAST(2132 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9742 AS DOUBLE)),
-      ('M', 'W', CAST(2142 AS BIGINT), CAST(0 AS INT), CAST(6 AS INT), CAST(2.9902 AS DOUBLE))
-    ) AS t(cd_gender, cd_marital_status, cnt, min_dep, max_dep, avg_dep)
-    """)
+@register(
+    "tpcds_q35_active_customer_stats",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_year = 1999 AND d_qoy IN (1, 2))
+    SELECT cd_gender, cd_marital_status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(cd_dep_count) AS INT) AS min_dep,
+           CAST(max(cd_dep_count) AS INT) AS max_dep,
+           CAST(round(avg(cd_dep_count), 4) AS DOUBLE) AS avg_dep
+    FROM customer c, customer_demographics
+    WHERE c.c_current_cdemo_sk = cd_demo_sk
+      AND EXISTS (SELECT * FROM store_sales, dates
+                  WHERE c.c_customer_sk = ss_customer_sk
+                    AND ss_sold_date_sk = d_date_sk)
+      AND (EXISTS (SELECT * FROM catalog_sales, dates
+                   WHERE c.c_customer_sk = cs_bill_customer_sk
+                     AND cs_sold_date_sk = d_date_sk)
+           OR EXISTS (SELECT * FROM web_sales, dates
+                      WHERE c.c_customer_sk = ws_bill_customer_sk
+                        AND ws_sold_date_sk = d_date_sk))
+    GROUP BY cd_gender, cd_marital_status
+    ORDER BY cd_gender, cd_marital_status
+    LIMIT 20
+    """,
+        "date_dim",
+        "customer",
+        "customer_demographics",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q35_active_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q35: q10's activity pattern with dependent-count
     aggregate statistics per demographic slice (the spec's
     min/max/avg over cd_dep_count) — exact-integer partials keep the
     pin partition-invariant."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -7884,35 +7970,38 @@ def tpcds_q29_chain_quantity_sums(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q41_manufact_attribute_probe", """    SELECT * FROM (VALUES
-      ('Product 00000006'),
-      ('Product 00000014'),
-      ('Product 00000027'),
-      ('Product 00000064'),
-      ('Product 00000083'),
-      ('Product 00000107'),
-      ('Product 00000113'),
-      ('Product 00000117'),
-      ('Product 00000118'),
-      ('Product 00000126'),
-      ('Product 00000128'),
-      ('Product 00000134'),
-      ('Product 00000135'),
-      ('Product 00000137'),
-      ('Product 00000152'),
-      ('Product 00000154'),
-      ('Product 00000155'),
-      ('Product 00000162'),
-      ('Product 00000164'),
-      ('Product 00000185')
-    ) AS t(i_product_name)
-    """)
+@register(
+    "tpcds_q41_manufact_attribute_probe",
+    _wh_sql(
+        """
+    SELECT DISTINCT i_product_name
+    FROM item i1
+    WHERE i_manufact_id BETWEEN 70 AND 80
+      AND (SELECT count(*) AS item_cnt
+           FROM item
+           WHERE (i_manufact_id = i1.i_manufact_id
+                  AND ((i_color IN ('azure', 'blue')
+                        AND i_units IN ('Each', 'Dozen')
+                        AND i_size = 'large')
+                    OR (i_color IN ('gold', 'cream')
+                        AND i_units IN ('Case', 'Pound')
+                        AND i_size = 'small')
+                    OR (i_color IN ('coral', 'cyan')
+                        AND i_units IN ('Oz', 'Gram')
+                        AND i_size = 'medium')))) > 0
+    ORDER BY i_product_name
+    LIMIT 20
+    """,
+        "item",
+    ),
+)
 def tpcds_q41_manufact_attribute_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q41: distinct product names of items whose MANUFACTURER
     also makes an item matching a disjunctive attribute battery — the
     spec's correlated EXISTS over the item dim itself, expressed as a
     manufacturer-key semi join against the battery-filtered probe
     set."""
+    _gate(spark)
     it = gen_item(spark, 18_000, seed=100)
     probe = it.where(
         (
