@@ -2623,30 +2623,92 @@ def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFram
     return remaining.agg(F.count("*").cast("bigint").alias("num_store_only"))
 
 
-@register("tpcds_q49_worst_return_ratios", """
-    SELECT * FROM (VALUES
-      ('catalog', CAST(883 AS INT), CAST(1.0 AS DOUBLE), CAST(1 AS INT), CAST(18 AS INT)),
-      ('catalog', CAST(1993 AS INT), CAST(1.0 AS DOUBLE), CAST(2 AS INT), CAST(1 AS INT)),
-      ('catalog', CAST(4140 AS INT), CAST(1.0 AS DOUBLE), CAST(3 AS INT), CAST(14 AS INT)),
-      ('catalog', CAST(4293 AS INT), CAST(1.0 AS DOUBLE), CAST(4 AS INT), CAST(8 AS INT)),
-      ('catalog', CAST(6302 AS INT), CAST(1.0 AS DOUBLE), CAST(5 AS INT), CAST(9 AS INT)),
-      ('catalog', CAST(6580 AS INT), CAST(1.0 AS DOUBLE), CAST(6 AS INT), CAST(10 AS INT)),
-      ('catalog', CAST(10242 AS INT), CAST(1.0 AS DOUBLE), CAST(7 AS INT), CAST(11 AS INT)),
-      ('catalog', CAST(10608 AS INT), CAST(1.0 AS DOUBLE), CAST(8 AS INT), CAST(17 AS INT)),
-      ('catalog', CAST(10680 AS INT), CAST(1.0 AS DOUBLE), CAST(9 AS INT), CAST(7 AS INT)),
-      ('catalog', CAST(12831 AS INT), CAST(1.0 AS DOUBLE), CAST(10 AS INT), CAST(12 AS INT)),
-      ('catalog', CAST(13449 AS INT), CAST(1.0 AS DOUBLE), CAST(11 AS INT), CAST(5 AS INT)),
-      ('catalog', CAST(14749 AS INT), CAST(1.0 AS DOUBLE), CAST(13 AS INT), CAST(2 AS INT)),
-      ('catalog', CAST(15299 AS INT), CAST(1.0 AS DOUBLE), CAST(14 AS INT), CAST(4 AS INT)),
-      ('catalog', CAST(16706 AS INT), CAST(1.0 AS DOUBLE), CAST(15 AS INT), CAST(6 AS INT)),
-      ('catalog', CAST(6399 AS INT), CAST(0.9636 AS DOUBLE), CAST(28 AS INT), CAST(3 AS INT)),
-      ('store', CAST(12 AS INT), CAST(1.0 AS DOUBLE), CAST(1 AS INT), CAST(12 AS INT)),
-      ('store', CAST(259 AS INT), CAST(1.0 AS DOUBLE), CAST(2 AS INT), CAST(13 AS INT)),
-      ('store', CAST(386 AS INT), CAST(1.0 AS DOUBLE), CAST(3 AS INT), CAST(11 AS INT)),
-      ('store', CAST(1304 AS INT), CAST(1.0 AS DOUBLE), CAST(4 AS INT), CAST(35 AS INT)),
-      ('store', CAST(1390 AS INT), CAST(1.0 AS DOUBLE), CAST(5 AS INT), CAST(14 AS INT))
-    ) AS t(channel, item, return_ratio, return_rank, currency_rank)
-    """)
+@register(
+    "tpcds_q49_worst_return_ratios",
+    _wh_sql(
+        """
+    WITH dates AS (SELECT d_date_sk FROM date_dim
+                   WHERE d_year = 1999 AND d_moy = 12),
+    web_tmp AS (
+      SELECT ws_item_sk item,
+             sum(coalesce(wr_return_quantity, 0)) ret_qty,
+             sum(ws_quantity) sold_qty,
+             sum(coalesce(CAST(wr_return_amt AS DECIMAL(38,12)), 0)) ret_amt,
+             sum(CAST(ws_net_paid AS DECIMAL(38,12))) paid_amt
+      FROM web_sales
+      JOIN dates ON ws_sold_date_sk = d_date_sk
+      LEFT JOIN web_returns ON ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+      WHERE ws_quantity > 0 AND ws_net_paid > 0
+      GROUP BY ws_item_sk),
+    web_rank AS (
+      SELECT 'web' channel, item,
+             CAST(round(CAST(ret_qty AS DOUBLE) / sold_qty, 4) AS DOUBLE)
+               return_ratio,
+             CAST(rank() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty
+                  DESC, item) AS INT) return_rank,
+             CAST(rank() OVER (ORDER BY CAST(ret_amt AS DOUBLE)
+                  / CAST(paid_amt AS DOUBLE) DESC, item) AS INT)
+               currency_rank
+      FROM web_tmp),
+    catalog_tmp AS (
+      SELECT cs_item_sk item,
+             sum(coalesce(cr_return_quantity, 0)) ret_qty,
+             sum(cs_quantity) sold_qty,
+             sum(coalesce(CAST(cr_return_amount AS DECIMAL(38,12)), 0)) ret_amt,
+             sum(CAST(cs_net_paid AS DECIMAL(38,12))) paid_amt
+      FROM catalog_sales
+      JOIN dates ON cs_sold_date_sk = d_date_sk
+      LEFT JOIN catalog_returns ON cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+      WHERE cs_quantity > 0 AND cs_net_paid > 0
+      GROUP BY cs_item_sk),
+    catalog_rank AS (
+      SELECT 'catalog' channel, item,
+             CAST(round(CAST(ret_qty AS DOUBLE) / sold_qty, 4) AS DOUBLE)
+               return_ratio,
+             CAST(rank() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty
+                  DESC, item) AS INT) return_rank,
+             CAST(rank() OVER (ORDER BY CAST(ret_amt AS DOUBLE)
+                  / CAST(paid_amt AS DOUBLE) DESC, item) AS INT)
+               currency_rank
+      FROM catalog_tmp),
+    store_tmp AS (
+      SELECT ss_item_sk item,
+             sum(coalesce(sr_return_quantity, 0)) ret_qty,
+             sum(ss_quantity) sold_qty,
+             sum(coalesce(CAST(sr_return_amt AS DECIMAL(38,12)), 0)) ret_amt,
+             sum(CAST(ss_net_paid AS DECIMAL(38,12))) paid_amt
+      FROM store_sales
+      JOIN dates ON ss_sold_date_sk = d_date_sk
+      LEFT JOIN store_returns ON ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
+      WHERE ss_quantity > 0 AND ss_net_paid > 0
+      GROUP BY ss_item_sk),
+    store_rank AS (
+      SELECT 'store' channel, item,
+             CAST(round(CAST(ret_qty AS DOUBLE) / sold_qty, 4) AS DOUBLE)
+               return_ratio,
+             CAST(rank() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty
+                  DESC, item) AS INT) return_rank,
+             CAST(rank() OVER (ORDER BY CAST(ret_amt AS DOUBLE)
+                  / CAST(paid_amt AS DOUBLE) DESC, item) AS INT)
+               currency_rank
+      FROM store_tmp)
+    SELECT channel, item, return_ratio, return_rank, currency_rank
+    FROM (SELECT * FROM web_rank UNION ALL
+          SELECT * FROM catalog_rank UNION ALL
+          SELECT * FROM store_rank) u
+    WHERE return_rank <= 10 OR currency_rank <= 10
+    ORDER BY channel, return_rank, currency_rank, item
+    LIMIT 20
+    """,
+        "date_dim",
+        "web_sales",
+        "web_returns",
+        "catalog_sales",
+        "catalog_returns",
+        "store_sales",
+        "store_returns",
+    ),
+)
 def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q49 shape: per-channel worst return ratios — each channel
     left-joins its returns fact to its sales fact on (item, order/
@@ -2659,6 +2721,7 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
     (order+item) — co-partitioned shuffle, no cross-channel fact join;
     ranking windows run over per-item rollups only.
     """
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -2985,15 +3048,125 @@ def tpcds_q61_promo_sales_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q66_warehouse_monthly_pivot", """
-    SELECT * FROM (VALUES
-      ('Bad cards must make', 'Union', 'GA', 'United States', CAST(1999 AS INT), CAST(59565447.47 AS DOUBLE), CAST(64388321.23 AS DOUBLE), CAST(62707457.04 AS DOUBLE), CAST(58183408.22 AS DOUBLE), CAST(52286150.98 AS DOUBLE), CAST(50115946.41 AS DOUBLE), CAST(58548325.73 AS DOUBLE), CAST(57144062.77 AS DOUBLE), CAST(54237327.24 AS DOUBLE), CAST(64711786.78 AS DOUBLE), CAST(39381668.38 AS DOUBLE), CAST(47903299.08 AS DOUBLE)),
-      ('Conventional childr', 'Midway', 'TN', 'United States', CAST(1999 AS INT), CAST(71122273.62 AS DOUBLE), CAST(48651805.96 AS DOUBLE), CAST(60039665.74 AS DOUBLE), CAST(65950376.3 AS DOUBLE), CAST(61574087.04 AS DOUBLE), CAST(52497613.36 AS DOUBLE), CAST(57933888.76 AS DOUBLE), CAST(53339414.69 AS DOUBLE), CAST(43888067.59 AS DOUBLE), CAST(61580520.2 AS DOUBLE), CAST(58813023.23 AS DOUBLE), CAST(66456455.87 AS DOUBLE)),
-      ('Doors canno', 'Midway', 'TX', 'United States', CAST(1999 AS INT), CAST(60484452.84 AS DOUBLE), CAST(62172952.23 AS DOUBLE), CAST(47192690.76 AS DOUBLE), CAST(61081583.58 AS DOUBLE), CAST(48129182.04 AS DOUBLE), CAST(60525024.48 AS DOUBLE), CAST(68793384.2 AS DOUBLE), CAST(56374097.9 AS DOUBLE), CAST(50237603.87 AS DOUBLE), CAST(63742895.81 AS DOUBLE), CAST(63710162.77 AS DOUBLE), CAST(61400930.98 AS DOUBLE)),
-      ('Important issues liv', 'Shiloh', 'OH', 'United States', CAST(1999 AS INT), CAST(50473395.4 AS DOUBLE), CAST(47042521.95 AS DOUBLE), CAST(54093369.63 AS DOUBLE), CAST(55132555.9 AS DOUBLE), CAST(61725838.53 AS DOUBLE), CAST(52098111.18 AS DOUBLE), CAST(59823196.42 AS DOUBLE), CAST(52448404.99 AS DOUBLE), CAST(53678405.23 AS DOUBLE), CAST(68461245.87 AS DOUBLE), CAST(56857765.76 AS DOUBLE), CAST(65830838.74 AS DOUBLE)),
-      ('Rooms cook', 'Shiloh', 'MI', 'United States', CAST(1999 AS INT), CAST(60828264.21 AS DOUBLE), CAST(64246254.24 AS DOUBLE), CAST(59242578.35 AS DOUBLE), CAST(49839403.21 AS DOUBLE), CAST(53181524.62 AS DOUBLE), CAST(49326763.4 AS DOUBLE), CAST(65933847.63 AS DOUBLE), CAST(63182516.69 AS DOUBLE), CAST(57138573.28 AS DOUBLE), CAST(59147170.11 AS DOUBLE), CAST(49843233.7 AS DOUBLE), CAST(56799806.87 AS DOUBLE))
-    ) AS t(w_warehouse_name, w_city, w_state, w_country, d_year, m01_sales, m02_sales, m03_sales, m04_sales, m05_sales, m06_sales, m07_sales, m08_sales, m09_sales, m10_sales, m11_sales, m12_sales)
-    """)
+@register(
+    "tpcds_q66_warehouse_monthly_pivot",
+    _wh_sql(
+        """
+    WITH sm AS (SELECT sm_ship_mode_sk FROM ship_mode
+                WHERE sm_carrier IN ('DHL', 'BARIAN')),
+    unioned AS (
+      SELECT w_warehouse_name, w_city, w_state, w_country, d_year,
+             sum(CAST(CASE WHEN d_moy = 1
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m01_sales,
+             sum(CAST(CASE WHEN d_moy = 2
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m02_sales,
+             sum(CAST(CASE WHEN d_moy = 3
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m03_sales,
+             sum(CAST(CASE WHEN d_moy = 4
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m04_sales,
+             sum(CAST(CASE WHEN d_moy = 5
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m05_sales,
+             sum(CAST(CASE WHEN d_moy = 6
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m06_sales,
+             sum(CAST(CASE WHEN d_moy = 7
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m07_sales,
+             sum(CAST(CASE WHEN d_moy = 8
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m08_sales,
+             sum(CAST(CASE WHEN d_moy = 9
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m09_sales,
+             sum(CAST(CASE WHEN d_moy = 10
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m10_sales,
+             sum(CAST(CASE WHEN d_moy = 11
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m11_sales,
+             sum(CAST(CASE WHEN d_moy = 12
+                  THEN ws_ext_sales_price * ws_quantity
+                  ELSE 0 END AS DECIMAL(38,12))) m12_sales
+      FROM web_sales, date_dim, warehouse
+      WHERE ws_ship_date_sk = d_date_sk
+        AND ws_ship_mode_sk IN (SELECT sm_ship_mode_sk FROM sm)
+        AND ws_warehouse_sk = w_warehouse_sk
+        AND d_year = 1999
+      GROUP BY w_warehouse_name, w_city, w_state, w_country, d_year
+      UNION ALL
+      SELECT w_warehouse_name, w_city, w_state, w_country, d_year,
+             sum(CAST(CASE WHEN d_moy = 1
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 2
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 3
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 4
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 5
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 6
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 7
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 8
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 9
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 10
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 11
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12))),
+             sum(CAST(CASE WHEN d_moy = 12
+                  THEN cs_ext_sales_price * cs_quantity
+                  ELSE 0 END AS DECIMAL(38,12)))
+      FROM catalog_sales, date_dim, warehouse
+      WHERE cs_ship_date_sk = d_date_sk
+        AND cs_ship_mode_sk IN (SELECT sm_ship_mode_sk FROM sm)
+        AND cs_warehouse_sk = w_warehouse_sk
+        AND d_year = 1999
+      GROUP BY w_warehouse_name, w_city, w_state, w_country, d_year)
+    SELECT w_warehouse_name, w_city, w_state, w_country, d_year,
+           CAST(round(sum(m01_sales), 2) AS DOUBLE) AS m01_sales,
+           CAST(round(sum(m02_sales), 2) AS DOUBLE) AS m02_sales,
+           CAST(round(sum(m03_sales), 2) AS DOUBLE) AS m03_sales,
+           CAST(round(sum(m04_sales), 2) AS DOUBLE) AS m04_sales,
+           CAST(round(sum(m05_sales), 2) AS DOUBLE) AS m05_sales,
+           CAST(round(sum(m06_sales), 2) AS DOUBLE) AS m06_sales,
+           CAST(round(sum(m07_sales), 2) AS DOUBLE) AS m07_sales,
+           CAST(round(sum(m08_sales), 2) AS DOUBLE) AS m08_sales,
+           CAST(round(sum(m09_sales), 2) AS DOUBLE) AS m09_sales,
+           CAST(round(sum(m10_sales), 2) AS DOUBLE) AS m10_sales,
+           CAST(round(sum(m11_sales), 2) AS DOUBLE) AS m11_sales,
+           CAST(round(sum(m12_sales), 2) AS DOUBLE) AS m12_sales
+    FROM unioned
+    GROUP BY w_warehouse_name, w_city, w_state, w_country, d_year
+    ORDER BY w_warehouse_name
+    LIMIT 10
+    """,
+        "ship_mode",
+        "web_sales",
+        "catalog_sales",
+        "date_dim",
+        "warehouse",
+    ),
+)
 def tpcds_q66_warehouse_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q66 shape: web + catalog shipping volume by warehouse ×
     year, pivoted into 12 monthly sales columns with a carrier
@@ -3003,6 +3176,7 @@ def tpcds_q66_warehouse_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataF
     Scale: the 12-way pivot is conditional aggregation inside ONE
     hash-agg per channel (no per-month scans); the union carries
     (warehouse, year) rows only."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -3656,29 +3830,49 @@ def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q47_monthly_deviation_lag", """    SELECT * FROM (VALUES
-      ('Men', 'Brand#28-9', 'cally', CAST(1999 AS INT), CAST(6 AS INT), CAST(8.19 AS DOUBLE), CAST(250.8586 AS DOUBLE), CAST(274.98 AS DOUBLE), CAST(668.62 AS DOUBLE)),
-      ('Home', 'Brand#25-4', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(13.76 AS DOUBLE), CAST(218.12 AS DOUBLE), CAST(83.91 AS DOUBLE), CAST(667.01 AS DOUBLE)),
-      ('Shoes', 'Brand#59-3', 'cally', CAST(1999 AS INT), CAST(8 AS INT), CAST(5.83 AS DOUBLE), CAST(198.7833 AS DOUBLE), CAST(261.18 AS DOUBLE), CAST(127.56 AS DOUBLE)),
-      ('Music', 'Brand#84-7', 'ese', CAST(1999 AS INT), CAST(4 AS INT), CAST(10.33 AS DOUBLE), CAST(201.015 AS DOUBLE), CAST(411.71 AS DOUBLE), CAST(5.74 AS DOUBLE)),
-      ('Electronics', 'Brand#89-3', 'ese', CAST(1999 AS INT), CAST(8 AS INT), CAST(71.98 AS DOUBLE), CAST(261.545 AS DOUBLE), CAST(72.53 AS DOUBLE), CAST(451.11 AS DOUBLE)),
-      ('Jewelry', 'Brand#28-5', 'cally', CAST(1999 AS INT), CAST(2 AS INT), CAST(5.54 AS DOUBLE), CAST(191.5338 AS DOUBLE), CAST(87.01 AS DOUBLE), CAST(137.42 AS DOUBLE)),
-      ('Electronics', 'Brand#90-9', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(4.75 AS DOUBLE), CAST(189.9936 AS DOUBLE), CAST(108.37 AS DOUBLE), CAST(395.14 AS DOUBLE)),
-      ('Shoes', 'Brand#74-4', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(33.6 AS DOUBLE), CAST(218.29 AS DOUBLE), CAST(575.65 AS DOUBLE), CAST(57.33 AS DOUBLE)),
-      ('Sports', 'Brand#34-3', 'cally', CAST(1999 AS INT), CAST(8 AS INT), CAST(29.58 AS DOUBLE), CAST(212.912 AS DOUBLE), CAST(278.07 AS DOUBLE), CAST(197.44 AS DOUBLE)),
-      ('Music', 'Brand#29-1', 'able', CAST(1999 AS INT), CAST(5 AS INT), CAST(77.03 AS DOUBLE), CAST(259.66 AS DOUBLE), CAST(543.33 AS DOUBLE), CAST(158.62 AS DOUBLE)),
-      ('Home', 'Brand#66-1', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(20.29 AS DOUBLE), CAST(202.45 AS DOUBLE), CAST(347.55 AS DOUBLE), CAST(420.88 AS DOUBLE)),
-      ('Jewelry', 'Brand#10-2', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(16.06 AS DOUBLE), CAST(197.644 AS DOUBLE), CAST(303.31 AS DOUBLE), CAST(334.06 AS DOUBLE)),
-      ('Music', 'Brand#25-9', 'able', CAST(1999 AS INT), CAST(3 AS INT), CAST(7.33 AS DOUBLE), CAST(185.98 AS DOUBLE), CAST(167.06 AS DOUBLE), CAST(292.52 AS DOUBLE)),
-      ('Shoes', 'Brand#92-3', 'cally', CAST(1999 AS INT), CAST(9 AS INT), CAST(19.56 AS DOUBLE), CAST(197.76 AS DOUBLE), CAST(421.93 AS DOUBLE), CAST(151.79 AS DOUBLE)),
-      ('Books', 'Brand#90-8', 'cally', CAST(1999 AS INT), CAST(7 AS INT), CAST(5.83 AS DOUBLE), CAST(183.4578 AS DOUBLE), CAST(316.24 AS DOUBLE), CAST(164.51 AS DOUBLE)),
-      ('Shoes', 'Brand#11-10', 'cally', CAST(1999 AS INT), CAST(3 AS INT), CAST(32.06 AS DOUBLE), CAST(208.94 AS DOUBLE), CAST(150.67 AS DOUBLE), CAST(125.8 AS DOUBLE)),
-      ('Music', 'Brand#5-7', 'cally', CAST(1999 AS INT), CAST(6 AS INT), CAST(79.2 AS DOUBLE), CAST(255.828 AS DOUBLE), CAST(452.32 AS DOUBLE), CAST(152.8 AS DOUBLE)),
-      ('Home', 'Brand#95-7', 'anti', CAST(1999 AS INT), CAST(1 AS INT), CAST(2.56 AS DOUBLE), CAST(178.325 AS DOUBLE), CAST(145.85 AS DOUBLE), CAST(146.89 AS DOUBLE)),
-      ('Music', 'Brand#75-2', 'cally', CAST(1999 AS INT), CAST(11 AS INT), CAST(46.45 AS DOUBLE), CAST(222.215 AS DOUBLE), CAST(197.71 AS DOUBLE), CAST(415.7 AS DOUBLE)),
-      ('Electronics', 'Brand#57-4', 'cally', CAST(1999 AS INT), CAST(4 AS INT), CAST(18.81 AS DOUBLE), CAST(194.5467 AS DOUBLE), CAST(227.85 AS DOUBLE), CAST(116.64 AS DOUBLE))
-    ) AS t(i_category, i_brand, s_store_name, d_year, d_moy, sum_sales, avg_monthly_sales, psum, nsum)
-    """)
+@register(
+    "tpcds_q47_monthly_deviation_lag",
+    _wh_sql(
+        """
+    WITH monthly AS (
+      SELECT i_category, i_brand, s_store_name ename, d_year, d_moy,
+             sum(CAST(ss_sales_price AS DECIMAL(38,12))) sum_sales
+      FROM store_sales, date_dim, item, store
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND d_year IN (1998, 1999)
+      GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
+    v AS (
+      SELECT i_category, i_brand, ename, d_year, d_moy, sum_sales,
+             avg(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename, d_year) avg_monthly_sales,
+             lag(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename ORDER BY d_year, d_moy) psum,
+             lead(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename ORDER BY d_year, d_moy) nsum
+      FROM monthly)
+    SELECT i_category, i_brand, ename AS s_store_name, d_year, d_moy,
+           CAST(round(sum_sales, 2) AS DOUBLE) AS sum_sales,
+           CAST(round(avg_monthly_sales, 4) AS DOUBLE)
+             AS avg_monthly_sales,
+           CAST(round(psum, 2) AS DOUBLE) AS psum,
+           CAST(round(nsum, 2) AS DOUBLE) AS nsum
+    FROM v
+    WHERE d_year = 1999
+      AND avg_monthly_sales > 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      AND psum IS NOT NULL AND nsum IS NOT NULL
+    ORDER BY (sum_sales - avg_monthly_sales), i_category, i_brand,
+             s_store_name, d_moy
+    LIMIT 20
+    """,
+        "store_sales",
+        "date_dim",
+        "item",
+        "store",
+    ),
+)
 def tpcds_q47_monthly_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q47 shape: brand-months whose sales deviate >10% from the
     brand's yearly average, reported with the neighboring months'
@@ -3689,6 +3883,7 @@ def tpcds_q47_monthly_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: one fact rollup to (brand, category, year, month); the avg
     and lag/lead windows share the (brand, category) partitioning —
     one window exchange total."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     st = gen_store(spark)
     monthly = (
@@ -4969,39 +5164,56 @@ def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q54_revenue_segments", """    SELECT * FROM (VALUES
-      (CAST(1 AS INT), CAST(2 AS BIGINT), CAST(50 AS INT)),
-      (CAST(2 AS INT), CAST(1 AS BIGINT), CAST(100 AS INT)),
-      (CAST(3 AS INT), CAST(2 AS BIGINT), CAST(150 AS INT)),
-      (CAST(4 AS INT), CAST(1 AS BIGINT), CAST(200 AS INT)),
-      (CAST(5 AS INT), CAST(2 AS BIGINT), CAST(250 AS INT)),
-      (CAST(12 AS INT), CAST(4 AS BIGINT), CAST(600 AS INT)),
-      (CAST(17 AS INT), CAST(1 AS BIGINT), CAST(850 AS INT)),
-      (CAST(19 AS INT), CAST(1 AS BIGINT), CAST(950 AS INT)),
-      (CAST(25 AS INT), CAST(1 AS BIGINT), CAST(1250 AS INT)),
-      (CAST(27 AS INT), CAST(2 AS BIGINT), CAST(1350 AS INT)),
-      (CAST(34 AS INT), CAST(1 AS BIGINT), CAST(1700 AS INT)),
-      (CAST(35 AS INT), CAST(1 AS BIGINT), CAST(1750 AS INT)),
-      (CAST(39 AS INT), CAST(2 AS BIGINT), CAST(1950 AS INT)),
-      (CAST(42 AS INT), CAST(1 AS BIGINT), CAST(2100 AS INT)),
-      (CAST(54 AS INT), CAST(2 AS BIGINT), CAST(2700 AS INT)),
-      (CAST(59 AS INT), CAST(1 AS BIGINT), CAST(2950 AS INT)),
-      (CAST(61 AS INT), CAST(1 AS BIGINT), CAST(3050 AS INT)),
-      (CAST(62 AS INT), CAST(1 AS BIGINT), CAST(3100 AS INT)),
-      (CAST(63 AS INT), CAST(1 AS BIGINT), CAST(3150 AS INT)),
-      (CAST(65 AS INT), CAST(1 AS BIGINT), CAST(3250 AS INT)),
-      (CAST(70 AS INT), CAST(1 AS BIGINT), CAST(3500 AS INT)),
-      (CAST(78 AS INT), CAST(1 AS BIGINT), CAST(3900 AS INT)),
-      (CAST(82 AS INT), CAST(1 AS BIGINT), CAST(4100 AS INT)),
-      (CAST(84 AS INT), CAST(1 AS BIGINT), CAST(4200 AS INT)),
-      (CAST(87 AS INT), CAST(1 AS BIGINT), CAST(4350 AS INT)),
-      (CAST(92 AS INT), CAST(1 AS BIGINT), CAST(4600 AS INT)),
-      (CAST(95 AS INT), CAST(1 AS BIGINT), CAST(4750 AS INT)),
-      (CAST(99 AS INT), CAST(1 AS BIGINT), CAST(4950 AS INT)),
-      (CAST(100 AS INT), CAST(3 AS BIGINT), CAST(5000 AS INT)),
-      (CAST(107 AS INT), CAST(1 AS BIGINT), CAST(5350 AS INT))
-    ) AS t(segment, num_customers, segment_base)
-    """)
+@register(
+    "tpcds_q54_revenue_segments",
+    _wh_sql(
+        """
+    WITH items AS (SELECT i_item_sk FROM item WHERE i_category = 'Women'),
+    dec98 AS (SELECT d_date_sk FROM date_dim
+              WHERE d_year = 1998 AND d_moy = 12),
+    my_customers AS (
+      SELECT DISTINCT c_customer_sk
+      FROM (SELECT cs_bill_customer_sk customer_sk
+            FROM catalog_sales, dec98
+            WHERE cs_sold_date_sk = d_date_sk
+              AND cs_item_sk IN (SELECT i_item_sk FROM items)
+            UNION ALL
+            SELECT ws_bill_customer_sk
+            FROM web_sales, dec98
+            WHERE ws_sold_date_sk = d_date_sk
+              AND ws_item_sk IN (SELECT i_item_sk FROM items)) b,
+           customer, customer_address
+      WHERE customer_sk = c_customer_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND EXISTS (SELECT 1 FROM store
+                    WHERE s_county = ca_county AND s_state = ca_state)),
+    q1_99 AS (SELECT d_date_sk FROM date_dim
+              WHERE d_month_seq BETWEEN 1188 AND 1193),
+    revenue AS (
+      SELECT ss_customer_sk,
+             sum(CAST(ss_ext_sales_price AS DECIMAL(38,12))) revenue
+      FROM store_sales, q1_99
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_customer_sk IN (SELECT c_customer_sk FROM my_customers)
+      GROUP BY ss_customer_sk)
+    SELECT CAST(segment AS INT) AS segment,
+           CAST(count(*) AS BIGINT) AS num_customers,
+           CAST(segment * 50 AS INT) AS segment_base
+    FROM (SELECT CAST(floor(revenue / 50) AS INT) segment FROM revenue) t
+    GROUP BY segment
+    ORDER BY segment
+    LIMIT 30
+    """,
+        "item",
+        "date_dim",
+        "catalog_sales",
+        "web_sales",
+        "customer",
+        "customer_address",
+        "store",
+        "store_sales",
+    ),
+)
 def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q54 shape: customers who bought one category by catalog
     or web in December 1998, live in a county with a store, and their
@@ -5012,6 +5224,7 @@ def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: my_customers reduces to distinct keys before touching
     store_sales; the county/state match is a semi-join against the
     8-row store dim; the histogram runs over per-customer rollups."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -6941,32 +7154,53 @@ def tpcds_q63_manager_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q57_catalog_deviation_lag", """    SELECT * FROM (VALUES
-      ('Women', 'Brand#85-8', 'North Midwest', CAST(1999 AS INT), CAST(3 AS INT), CAST(12.98 AS DOUBLE), CAST(264.65 AS DOUBLE), CAST(81.16 AS DOUBLE), CAST(516.32 AS DOUBLE)),
-      ('Home', 'Brand#27-4', 'Pacific NW', CAST(1999 AS INT), CAST(5 AS INT), CAST(11.37 AS DOUBLE), CAST(210.582 AS DOUBLE), CAST(334.71 AS DOUBLE), CAST(260.31 AS DOUBLE)),
-      ('Shoes', 'Brand#39-2', 'North Midwest', CAST(1999 AS INT), CAST(10 AS INT), CAST(41.33 AS DOUBLE), CAST(222.7033 AS DOUBLE), CAST(367.06 AS DOUBLE), CAST(259.72 AS DOUBLE)),
-      ('Shoes', 'Brand#20-4', 'Pacific NW', CAST(1999 AS INT), CAST(6 AS INT), CAST(30.21 AS DOUBLE), CAST(208.5667 AS DOUBLE), CAST(143.41 AS DOUBLE), CAST(452.08 AS DOUBLE)),
-      ('Shoes', 'Brand#19-10', 'North Midwest', CAST(1999 AS INT), CAST(8 AS INT), CAST(6.66 AS DOUBLE), CAST(184.28 AS DOUBLE), CAST(294.82 AS DOUBLE), CAST(300.88 AS DOUBLE)),
-      ('Jewelry', 'Brand#59-4', 'Pacific NW', CAST(1999 AS INT), CAST(10 AS INT), CAST(42.35 AS DOUBLE), CAST(216.395 AS DOUBLE), CAST(317.58 AS DOUBLE), CAST(317.04 AS DOUBLE)),
-      ('Shoes', 'Brand#13-3', 'North Midwest', CAST(1999 AS INT), CAST(7 AS INT), CAST(11.15 AS DOUBLE), CAST(183.0375 AS DOUBLE), CAST(249.23 AS DOUBLE), CAST(283.06 AS DOUBLE)),
-      ('Jewelry', 'Brand#26-6', 'Hawaii/Alaska', CAST(1999 AS INT), CAST(2 AS INT), CAST(7.91 AS DOUBLE), CAST(175.255 AS DOUBLE), CAST(100.7 AS DOUBLE), CAST(342.6 AS DOUBLE)),
-      ('Men', 'Brand#40-5', 'North Midwest', CAST(1999 AS INT), CAST(3 AS INT), CAST(70.12 AS DOUBLE), CAST(236.5875 AS DOUBLE), CAST(55.24 AS DOUBLE), CAST(192.83 AS DOUBLE)),
-      ('Sports', 'Brand#65-9', 'Pacific NW', CAST(1999 AS INT), CAST(3 AS INT), CAST(12.28 AS DOUBLE), CAST(178.2 AS DOUBLE), CAST(298.86 AS DOUBLE), CAST(201.71 AS DOUBLE)),
-      ('Shoes', 'Brand#25-5', 'Pacific NW', CAST(1999 AS INT), CAST(11 AS INT), CAST(5.25 AS DOUBLE), CAST(170.2017 AS DOUBLE), CAST(304.67 AS DOUBLE), CAST(210.71 AS DOUBLE)),
-      ('Women', 'Brand#71-3', 'North Midwest', CAST(1999 AS INT), CAST(4 AS INT), CAST(14.07 AS DOUBLE), CAST(176.7425 AS DOUBLE), CAST(128.54 AS DOUBLE), CAST(116.57 AS DOUBLE)),
-      ('Sports', 'Brand#39-5', 'North Midwest', CAST(1999 AS INT), CAST(8 AS INT), CAST(8.17 AS DOUBLE), CAST(167.89 AS DOUBLE), CAST(124.0 AS DOUBLE), CAST(355.19 AS DOUBLE)),
-      ('Women', 'Brand#25-7', 'Pacific NW', CAST(1999 AS INT), CAST(1 AS INT), CAST(32.19 AS DOUBLE), CAST(188.7767 AS DOUBLE), CAST(184.69 AS DOUBLE), CAST(246.74 AS DOUBLE)),
-      ('Sports', 'Brand#62-3', 'North Midwest', CAST(1999 AS INT), CAST(4 AS INT), CAST(12.98 AS DOUBLE), CAST(167.795 AS DOUBLE), CAST(26.72 AS DOUBLE), CAST(322.61 AS DOUBLE)),
-      ('Electronics', 'Brand#83-5', 'North Midwest', CAST(1999 AS INT), CAST(5 AS INT), CAST(9.6 AS DOUBLE), CAST(163.55 AS DOUBLE), CAST(56.84 AS DOUBLE), CAST(317.5 AS DOUBLE)),
-      ('Home', 'Brand#16-2', 'Hawaii/Alaska', CAST(1999 AS INT), CAST(2 AS INT), CAST(15.84 AS DOUBLE), CAST(169.135 AS DOUBLE), CAST(43.54 AS DOUBLE), CAST(322.43 AS DOUBLE)),
-      ('Music', 'Brand#18-2', 'Pacific NW', CAST(1999 AS INT), CAST(3 AS INT), CAST(2.62 AS DOUBLE), CAST(154.9133 AS DOUBLE), CAST(82.17 AS DOUBLE), CAST(404.23 AS DOUBLE)),
-      ('Children', 'Brand#48-10', 'North Midwest', CAST(1999 AS INT), CAST(6 AS INT), CAST(16.29 AS DOUBLE), CAST(168.325 AS DOUBLE), CAST(254.37 AS DOUBLE), CAST(236.01 AS DOUBLE)),
-      ('Jewelry', 'Brand#100-5', 'Pacific NW', CAST(1999 AS INT), CAST(5 AS INT), CAST(20.99 AS DOUBLE), CAST(172.735 AS DOUBLE), CAST(237.64 AS DOUBLE), CAST(324.48 AS DOUBLE))
-    ) AS t(i_category, i_brand, cc_name, d_year, d_moy, sum_sales, avg_monthly_sales, psum, nsum)
-    """)
+@register(
+    "tpcds_q57_catalog_deviation_lag",
+    _wh_sql(
+        """
+    WITH monthly AS (
+      SELECT i_category, i_brand, cc_name ename, d_year, d_moy,
+             sum(CAST(cs_sales_price AS DECIMAL(38,12))) sum_sales
+      FROM catalog_sales, date_dim, item, call_center
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk
+        AND cs_call_center_sk = cc_call_center_sk
+        AND d_year IN (1998, 1999)
+      GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+    v AS (
+      SELECT i_category, i_brand, ename, d_year, d_moy, sum_sales,
+             avg(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename, d_year) avg_monthly_sales,
+             lag(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename ORDER BY d_year, d_moy) psum,
+             lead(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                 ename ORDER BY d_year, d_moy) nsum
+      FROM monthly)
+    SELECT i_category, i_brand, ename AS cc_name, d_year, d_moy,
+           CAST(round(sum_sales, 2) AS DOUBLE) AS sum_sales,
+           CAST(round(avg_monthly_sales, 4) AS DOUBLE)
+             AS avg_monthly_sales,
+           CAST(round(psum, 2) AS DOUBLE) AS psum,
+           CAST(round(nsum, 2) AS DOUBLE) AS nsum
+    FROM v
+    WHERE d_year = 1999
+      AND avg_monthly_sales > 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      AND psum IS NOT NULL AND nsum IS NOT NULL
+    ORDER BY (sum_sales - avg_monthly_sales), i_category, i_brand,
+             cc_name, d_moy
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "date_dim",
+        "item",
+        "call_center",
+    ),
+)
 def tpcds_q57_catalog_deviation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q57: the q47 lag/lead deviation shape on the CATALOG
     channel with call centers in place of stores."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     dd = gen_date_dim(spark)
     it = gen_item(spark, 18_000, seed=100)
@@ -8087,14 +8321,51 @@ def tpcds_q45_web_zip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q48_band_quantity_sum", """
-    SELECT * FROM (VALUES
-      (CAST(29530 AS BIGINT))
-    ) AS t(total_quantity)
-    """)
+@register(
+    "tpcds_q48_band_quantity_sum",
+    _wh_sql(
+        """
+    SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_quantity
+    FROM store_sales, store, customer_demographics, customer_address,
+         date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+      AND ((cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = '4 yr Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'D'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 50.00 AND 100.00)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'S'
+            AND cd_education_status = 'College'
+            AND ss_sales_price BETWEEN 150.00 AND 200.00))
+      AND ((ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('CO', 'OH', 'TX')
+            AND ss_net_profit BETWEEN 0 AND 2000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('OR', 'MN', 'KY')
+            AND ss_net_profit BETWEEN 150 AND 3000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('VA', 'CA', 'MS')
+            AND ss_net_profit BETWEEN 50 AND 25000))
+    """,
+        "store_sales",
+        "store",
+        "customer_demographics",
+        "customer_address",
+        "date_dim",
+    ),
+)
 def tpcds_q48_band_quantity_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q48: total store quantity under the q13-style disjunctive
     demographic and address bands — single scalar output."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     cd = gen_customer_demographics(spark)
