@@ -1883,26 +1883,52 @@ def tpcds_warehouse_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("tpcds_q74_yoy_growth", """
-    SELECT * FROM (VALUES
-      ('00000000000000C6', 'Jennifer', 'Lopez', CAST(3.468713 AS DOUBLE)),
-      ('00000000000000C7', 'Susan', 'Martinez', CAST(0.26184 AS DOUBLE)),
-      ('0000000000000C10', 'Michael', 'Miller', CAST(30.561637 AS DOUBLE)),
-      ('0000000000000C16', 'Charles', 'Martinez', CAST(26.996035 AS DOUBLE)),
-      ('0000000000000C30', 'John', 'Lopez', CAST(20.585823 AS DOUBLE)),
-      ('0000000000000C31', 'Charles', 'Brown', CAST(3.309126 AS DOUBLE)),
-      ('0000000000000C44', 'Jennifer', 'Martinez', CAST(0.194165 AS DOUBLE)),
-      ('0000000000000C49', 'Susan', 'Miller', CAST(51.355489 AS DOUBLE)),
-      ('0000000000000C50', 'Barbara', 'Lopez', CAST(0.880436 AS DOUBLE)),
-      ('0000000000000C53', 'Susan', 'Jones', CAST(0.276939 AS DOUBLE)),
-      ('0000000000000C60', 'Richard', 'Martinez', CAST(6.365283 AS DOUBLE)),
-      ('0000000000000C63', 'David', 'Martinez', CAST(10.772465 AS DOUBLE)),
-      ('0000000000000C71', 'Richard', 'Davis', CAST(2.259631 AS DOUBLE)),
-      ('0000000000000C76', 'Jennifer', 'Hernandez', CAST(1.538301 AS DOUBLE)),
-      ('0000000000000C77', 'Charles', 'Lopez', CAST(3.328948 AS DOUBLE))
-    ) AS t(c_customer_id, c_first_name, c_last_name, web_ratio)
-    
-    """)
+@register(
+    "tpcds_q74_yoy_growth",
+    _wh_sql(
+        """
+    WITH year_total AS (
+      SELECT ss_customer_sk customer_sk, d_year,
+             sum(CAST(ss_net_paid AS DECIMAL(38,12))) year_total,
+             's' sale_type
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+      GROUP BY ss_customer_sk, d_year
+      UNION ALL
+      SELECT ws_bill_customer_sk, d_year,
+             sum(CAST(ws_net_paid AS DECIMAL(38,12))), 'w'
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk
+      GROUP BY ws_bill_customer_sk, d_year)
+    SELECT c_customer_id, c_first_name, c_last_name,
+           CAST(round(CAST(t_w_secyear.year_total AS DOUBLE)
+                      / CAST(t_w_firstyear.year_total AS DOUBLE), 6)
+                AS DOUBLE) AS web_ratio
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear, customer
+    WHERE t_s_secyear.customer_sk = t_s_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_firstyear.customer_sk
+      AND t_s_firstyear.customer_sk = t_w_secyear.customer_sk
+      AND t_s_firstyear.customer_sk = c_customer_sk
+      AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.d_year = 1998 AND t_s_secyear.d_year = 1999
+      AND t_w_firstyear.d_year = 1998 AND t_w_secyear.d_year = 1999
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CAST(t_w_secyear.year_total AS DOUBLE)
+          / CAST(t_w_firstyear.year_total AS DOUBLE)
+          > CAST(t_s_secyear.year_total AS DOUBLE)
+            / CAST(t_s_firstyear.year_total AS DOUBLE)
+    ORDER BY c_customer_id
+    LIMIT 15
+    """,
+        "store_sales",
+        "web_sales",
+        "date_dim",
+        "customer",
+    ),
+)
 def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q74 shape: customers whose web spending grew FASTER
     year-over-year than their store spending — one (customer, year,
@@ -1910,6 +1936,7 @@ def tpcds_q74_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and self-joined on customer. The rollup is computed once and the
     four legs filter it; every self-join input is customer-grained
     (already aggregated), so fact rows never join fact rows."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
@@ -2295,37 +2322,45 @@ def tpcds_q93_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q69_inactive_channel_demo", """
-    SELECT * FROM (VALUES
-      ('F', 'D', '2 yr Degree', CAST(136 AS BIGINT)),
-      ('F', 'D', '4 yr Degree', CAST(152 AS BIGINT)),
-      ('F', 'D', 'Advanced Degree', CAST(166 AS BIGINT)),
-      ('F', 'D', 'College', CAST(144 AS BIGINT)),
-      ('F', 'D', 'Primary', CAST(142 AS BIGINT)),
-      ('F', 'D', 'Secondary', CAST(142 AS BIGINT)),
-      ('F', 'D', 'Unknown', CAST(171 AS BIGINT)),
-      ('F', 'M', '2 yr Degree', CAST(145 AS BIGINT)),
-      ('F', 'M', '4 yr Degree', CAST(143 AS BIGINT)),
-      ('F', 'M', 'Advanced Degree', CAST(156 AS BIGINT)),
-      ('F', 'M', 'College', CAST(146 AS BIGINT)),
-      ('F', 'M', 'Primary', CAST(159 AS BIGINT)),
-      ('F', 'M', 'Secondary', CAST(140 AS BIGINT)),
-      ('F', 'M', 'Unknown', CAST(140 AS BIGINT)),
-      ('F', 'S', '2 yr Degree', CAST(141 AS BIGINT)),
-      ('F', 'S', '4 yr Degree', CAST(159 AS BIGINT)),
-      ('F', 'S', 'Advanced Degree', CAST(151 AS BIGINT)),
-      ('F', 'S', 'College', CAST(157 AS BIGINT)),
-      ('F', 'S', 'Primary', CAST(150 AS BIGINT)),
-      ('F', 'S', 'Secondary', CAST(162 AS BIGINT))
-    ) AS t(cd_gender, cd_marital_status, cd_education_status, cnt)
-    
-    """)
+@register(
+    "tpcds_q69_inactive_channel_demo",
+    _wh_sql(
+        """
+    WITH dates AS (
+      SELECT d_date_sk FROM date_dim
+      WHERE d_year = 1999 AND d_moy BETWEEN 1 AND 3)
+    SELECT cd_gender, cd_marital_status, cd_education_status,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c, customer_demographics
+    WHERE c.c_current_cdemo_sk = cd_demo_sk
+      AND EXISTS (SELECT * FROM store_sales, dates
+                  WHERE c.c_customer_sk = ss_customer_sk
+                    AND ss_sold_date_sk = d_date_sk)
+      AND NOT EXISTS (SELECT * FROM catalog_sales, dates
+                      WHERE c.c_customer_sk = cs_bill_customer_sk
+                        AND cs_sold_date_sk = d_date_sk)
+      AND NOT EXISTS (SELECT * FROM web_sales, dates
+                      WHERE c.c_customer_sk = ws_bill_customer_sk
+                        AND ws_sold_date_sk = d_date_sk)
+    GROUP BY cd_gender, cd_marital_status, cd_education_status
+    ORDER BY cd_gender, cd_marital_status, cd_education_status
+    LIMIT 20
+    """,
+        "date_dim",
+        "customer",
+        "customer_demographics",
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+    ),
+)
 def tpcds_q69_inactive_channel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q69 shape: demographic profile of customers who bought
     in-store during a quarter but NOT by catalog or web — one
     semi-join and two anti-joins against per-channel customer key
     sets, then the demographics rollup. The probe sides carry only
     customer keys."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -2481,21 +2516,48 @@ def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("tpcds_q70_state_profit_ranking", """
-    SELECT * FROM (VALUES
-      (CAST(77293050.96 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(2 AS INT), CAST(1 AS INT)),
-      (CAST(15441451.39 AS DOUBLE), 'FL', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(3 AS INT)),
-      (CAST(15352738.84 AS DOUBLE), 'IL', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(5 AS INT)),
-      (CAST(15365930.31 AS DOUBLE), 'MI', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(4 AS INT)),
-      (CAST(15589901.78 AS DOUBLE), 'NC', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(1 AS INT)),
-      (CAST(15543028.64 AS DOUBLE), 'TX', CAST(NULL AS VARCHAR), CAST(1 AS INT), CAST(2 AS INT)),
-      (CAST(15441451.39 AS DOUBLE), 'FL', 'Walker County', CAST(0 AS INT), CAST(1 AS INT)),
-      (CAST(15352738.84 AS DOUBLE), 'IL', 'Williamson County', CAST(0 AS INT), CAST(1 AS INT)),
-      (CAST(15365930.31 AS DOUBLE), 'MI', 'Walker County', CAST(0 AS INT), CAST(1 AS INT)),
-      (CAST(15589901.78 AS DOUBLE), 'NC', 'Ziebach County', CAST(0 AS INT), CAST(1 AS INT)),
-      (CAST(15543028.64 AS DOUBLE), 'TX', 'Williamson County', CAST(0 AS INT), CAST(1 AS INT))
-    ) AS t(total_sum, s_state, s_county, lochierarchy, rank_within_parent)
-    """)
+@register(
+    "tpcds_q70_state_profit_ranking",
+    _wh_sql(
+        """
+    WITH dates AS (SELECT d_date_sk FROM date_dim
+                   WHERE d_month_seq BETWEEN 1176 AND 1187),
+    base AS (
+      SELECT s_state, s_county, ss_net_profit
+      FROM store_sales, dates, store
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk),
+    top_states AS (
+      SELECT rank_state FROM (
+        SELECT s_state rank_state,
+               rank() OVER (ORDER BY sum(CAST(ss_net_profit
+                    AS DECIMAL(38,12))) DESC, s_state) state_r
+        FROM base GROUP BY s_state) r
+      WHERE state_r <= 5),
+    rolled AS (
+      SELECT CAST(round(sum(CAST(ss_net_profit AS DECIMAL(38,12))), 2)
+                  AS DOUBLE) AS total_sum,
+             s_state, s_county,
+             CAST(grouping(s_state) + grouping(s_county) AS INT)
+               AS lochierarchy
+      FROM base
+      WHERE s_state IN (SELECT rank_state FROM top_states)
+      GROUP BY ROLLUP (s_state, s_county))
+    SELECT total_sum, s_state, s_county, lochierarchy,
+           CAST(rank() OVER (PARTITION BY lochierarchy,
+                  CASE WHEN lochierarchy = 0 THEN s_state END
+                  ORDER BY total_sum DESC, s_state NULLS FIRST,
+                           s_county NULLS FIRST) AS INT)
+             AS rank_within_parent
+    FROM rolled
+    ORDER BY lochierarchy DESC, s_state NULLS FIRST,
+             rank_within_parent, s_county NULLS FIRST
+    LIMIT 20
+    """,
+        "date_dim",
+        "store_sales",
+        "store",
+    ),
+)
 def tpcds_q70_state_profit_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q70 shape: store net profit by ROLLUP(state, county),
     restricted to the top-5 profit states (the spec's nested ranking
@@ -2506,6 +2568,7 @@ def tpcds_q70_state_profit_ranking(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the fact reduces with one hash-agg before any window; the
     top-state probe side is a handful of rows (leftsemi broadcast);
     rollup rows are dim-sized so both windows are trivial."""
+    _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
     st = gen_store(spark)
     dates = dd.where(F.col("d_month_seq").between(1176, 1187)).select("d_date_sk")
@@ -4870,17 +4933,54 @@ def tpcds_q83_returned_items_3way(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("tpcds_q78_loyal_item_customers", """    SELECT * FROM (VALUES
-      (CAST(551 AS INT), CAST(10625 AS INT), CAST(75 AS BIGINT), CAST(3573.8 AS DOUBLE), CAST(0 AS BIGINT), CAST(92 AS BIGINT)),
-      (CAST(15402 AS INT), CAST(1257 AS INT), CAST(72 AS BIGINT), CAST(2663.47 AS DOUBLE), CAST(79 AS BIGINT), CAST(0 AS BIGINT)),
-      (CAST(48834 AS INT), CAST(5586 AS INT), CAST(62 AS BIGINT), CAST(6441.06 AS DOUBLE), CAST(67 AS BIGINT), CAST(0 AS BIGINT)),
-      (CAST(22490 AS INT), CAST(16690 AS INT), CAST(50 AS BIGINT), CAST(9183.18 AS DOUBLE), CAST(19 AS BIGINT), CAST(0 AS BIGINT)),
-      (CAST(2250 AS INT), CAST(11852 AS INT), CAST(46 AS BIGINT), CAST(5368.32 AS DOUBLE), CAST(0 AS BIGINT), CAST(46 AS BIGINT)),
-      (CAST(43324 AS INT), CAST(3696 AS INT), CAST(44 AS BIGINT), CAST(4855.95 AS DOUBLE), CAST(21 AS BIGINT), CAST(0 AS BIGINT)),
-      (CAST(45417 AS INT), CAST(16847 AS INT), CAST(37 AS BIGINT), CAST(5373.11 AS DOUBLE), CAST(49 AS BIGINT), CAST(0 AS BIGINT)),
-      (CAST(14507 AS INT), CAST(14291 AS INT), CAST(31 AS BIGINT), CAST(4334.24 AS DOUBLE), CAST(0 AS BIGINT), CAST(62 AS BIGINT))
-    ) AS t(cust_sk, item_sk, ss_qty, ss_amt, ws_qty, cs_qty)
-    """)
+@register(
+    "tpcds_q78_loyal_item_customers",
+    _wh_sql(
+        """
+    WITH ss_clean AS (
+      SELECT ss_customer_sk cust_sk, ss_item_sk item_sk,
+             CAST(sum(ss_quantity) AS BIGINT) ss_qty,
+             sum(CAST(ss_net_paid AS DECIMAL(38,12))) ss_amt
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      WHERE d_year = 1998
+        AND NOT EXISTS (SELECT * FROM store_returns
+                        WHERE sr_ticket_number = ss_ticket_number
+                          AND sr_item_sk = ss_item_sk)
+      GROUP BY ss_customer_sk, ss_item_sk),
+    ws_roll AS (
+      SELECT ws_bill_customer_sk cust_sk, ws_item_sk item_sk,
+             CAST(sum(ws_quantity) AS BIGINT) ws_qty
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
+      GROUP BY ws_bill_customer_sk, ws_item_sk),
+    cs_roll AS (
+      SELECT cs_bill_customer_sk cust_sk, cs_item_sk item_sk,
+             CAST(sum(cs_quantity) AS BIGINT) cs_qty
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+      GROUP BY cs_bill_customer_sk, cs_item_sk)
+    SELECT ss_clean.cust_sk AS cust_sk, ss_clean.item_sk AS item_sk,
+           ss_qty,
+           CAST(round(ss_amt, 2) AS DOUBLE) AS ss_amt,
+           CAST(coalesce(ws_qty, 0) AS BIGINT) AS ws_qty,
+           CAST(coalesce(cs_qty, 0) AS BIGINT) AS cs_qty
+    FROM ss_clean
+    LEFT JOIN ws_roll ON ss_clean.cust_sk = ws_roll.cust_sk
+                     AND ss_clean.item_sk = ws_roll.item_sk
+    LEFT JOIN cs_roll ON ss_clean.cust_sk = cs_roll.cust_sk
+                     AND ss_clean.item_sk = cs_roll.item_sk
+    WHERE coalesce(ws_qty, 0) + coalesce(cs_qty, 0) > 0
+    ORDER BY ss_qty DESC, cust_sk, item_sk
+    LIMIT 20
+    """,
+        "store_sales",
+        "store_returns",
+        "date_dim",
+        "web_sales",
+        "catalog_sales",
+    ),
+)
 def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q78 shape: (customer, item) pairs with UNRETURNED store
     sales, their store quantity/value vs the other channels' — store
@@ -4891,6 +4991,7 @@ def tpcds_q78_loyal_item_customers(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the anti-join carries (ticket, item) keys; all three
     rollups reduce to (year, customer, item) before joining on that
     shared key."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -6507,14 +6608,36 @@ def tpcds_q46_city_mismatch_tickets(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q94_web_order_spread", """    SELECT * FROM (VALUES
-      (CAST(5817 AS BIGINT), CAST(505019.74 AS DOUBLE), CAST(8190931.59 AS DOUBLE))
-    ) AS t(order_count, total_shipping_cost, total_net_profit)
-    """)
+@register(
+    "tpcds_q94_web_order_spread",
+    _wh_sql(
+        """
+    SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+           CAST(round(sum(CAST(ws_ext_ship_cost AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_shipping_cost,
+           CAST(round(sum(CAST(ws_net_profit AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS total_net_profit
+    FROM web_sales ws1, date_dim
+    WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND EXISTS
+        (SELECT * FROM web_sales ws2
+         WHERE ws1.ws_order_number = ws2.ws_order_number
+           AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      AND NOT EXISTS
+        (SELECT * FROM web_returns wr1
+         WHERE ws1.ws_order_number = wr1.wr_order_number)
+    """,
+        "web_sales",
+        "date_dim",
+        "web_returns",
+    ),
+)
 def tpcds_q94_web_order_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q94: the q16 EXISTS/NOT-EXISTS order-spread shape on the
     WEB channel — >1-warehouse semi probe, never-returned anti probe,
     both carrying bare order numbers."""
+    _gate(spark)
     ws = _ws(spark, sf_dir)
     wr = _wr(spark, sf_dir)
     dd = gen_date_dim(spark)
