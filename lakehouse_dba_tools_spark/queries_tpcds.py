@@ -2852,30 +2852,43 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy("channel", "return_rank", "currency_rank", "item").limit(20)
 
 
-@register("tpcds_q39_inventory_variance", """
-    SELECT * FROM (VALUES
-      (CAST(1 AS INT), CAST(149 AS INT), CAST(302.8 AS DOUBLE), CAST(1.0125 AS DOUBLE), CAST(235.0 AS DOUBLE), CAST(1.4227 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(612 AS INT), CAST(277.6 AS DOUBLE), CAST(1.1743 AS DOUBLE), CAST(427.75 AS DOUBLE), CAST(1.024 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(853 AS INT), CAST(230.8 AS DOUBLE), CAST(1.1841 AS DOUBLE), CAST(380.25 AS DOUBLE), CAST(1.1442 AS DOUBLE)),
-      (CAST(1 AS INT), CAST(1032 AS INT), CAST(382.0 AS DOUBLE), CAST(1.0295 AS DOUBLE), CAST(368.25 AS DOUBLE), CAST(1.0921 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(352 AS INT), CAST(282.4 AS DOUBLE), CAST(1.3505 AS DOUBLE), CAST(141.25 AS DOUBLE), CAST(1.0545 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(406 AS INT), CAST(328.4 AS DOUBLE), CAST(1.1176 AS DOUBLE), CAST(241.75 AS DOUBLE), CAST(1.5239 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(38 AS INT), CAST(321.8 AS DOUBLE), CAST(1.1727 AS DOUBLE), CAST(157.25 AS DOUBLE), CAST(1.2352 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(86 AS INT), CAST(366.2 AS DOUBLE), CAST(1.1016 AS DOUBLE), CAST(283.0 AS DOUBLE), CAST(1.1648 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1004 AS INT), CAST(345.6 AS DOUBLE), CAST(1.0325 AS DOUBLE), CAST(486.25 AS DOUBLE), CAST(1.1113 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1181 AS INT), CAST(284.4 AS DOUBLE), CAST(1.0194 AS DOUBLE), CAST(415.0 AS DOUBLE), CAST(1.1077 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1288 AS INT), CAST(244.4 AS DOUBLE), CAST(1.0707 AS DOUBLE), CAST(337.75 AS DOUBLE), CAST(1.0361 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1649 AS INT), CAST(328.6 AS DOUBLE), CAST(1.0353 AS DOUBLE), CAST(174.5 AS DOUBLE), CAST(1.0267 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1706 AS INT), CAST(310.6 AS DOUBLE), CAST(1.1973 AS DOUBLE), CAST(495.25 AS DOUBLE), CAST(1.0266 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(1876 AS INT), CAST(312.0 AS DOUBLE), CAST(1.0993 AS DOUBLE), CAST(375.75 AS DOUBLE), CAST(1.0904 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(875 AS INT), CAST(342.8 AS DOUBLE), CAST(1.165 AS DOUBLE), CAST(263.25 AS DOUBLE), CAST(1.0203 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(898 AS INT), CAST(316.4 AS DOUBLE), CAST(1.0681 AS DOUBLE), CAST(355.0 AS DOUBLE), CAST(1.1838 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(906 AS INT), CAST(298.8 AS DOUBLE), CAST(1.0084 AS DOUBLE), CAST(344.5 AS DOUBLE), CAST(1.0628 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(1140 AS INT), CAST(448.0 AS DOUBLE), CAST(1.0336 AS DOUBLE), CAST(421.25 AS DOUBLE), CAST(1.1099 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(1314 AS INT), CAST(261.6 AS DOUBLE), CAST(1.256 AS DOUBLE), CAST(296.75 AS DOUBLE), CAST(1.2531 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(1326 AS INT), CAST(290.4 AS DOUBLE), CAST(1.0889 AS DOUBLE), CAST(350.75 AS DOUBLE), CAST(1.0113 AS DOUBLE))
-    ) AS t(w_sk, i_sk, mean1, cov1, mean2, cov2)
-    """)
+@register(
+    "tpcds_q39_inventory_variance",
+    _wh_sql(
+        """
+    WITH monthly AS (
+      SELECT inv_warehouse_sk, inv_item_sk, d_moy,
+             count(*) n,
+             CAST(sum(inv_quantity_on_hand) AS BIGINT) s,
+             CAST(sum(inv_quantity_on_hand * inv_quantity_on_hand)
+                  AS BIGINT) ss
+      FROM inventory, date_dim
+      WHERE inv_date_sk = d_date_sk AND d_year = 1998
+      GROUP BY inv_warehouse_sk, inv_item_sk, d_moy
+      HAVING count(*) > 1),
+    flagged AS (
+      SELECT inv_warehouse_sk, inv_item_sk, d_moy,
+             CAST(round(CAST(s AS DOUBLE) / n, 2) AS DOUBLE) mean,
+             CAST(round(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                        / (CAST(s AS DOUBLE) / n), 4) AS DOUBLE) cov
+      FROM monthly
+      WHERE CAST(s AS DOUBLE) / n > 0
+        AND sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+            / (CAST(s AS DOUBLE) / n) > 1.0)
+    SELECT jan.inv_warehouse_sk AS w_sk, jan.inv_item_sk AS i_sk,
+           jan.mean AS mean1, jan.cov AS cov1,
+           feb.mean AS mean2, feb.cov AS cov2
+    FROM flagged jan, flagged feb
+    WHERE jan.inv_warehouse_sk = feb.inv_warehouse_sk
+      AND jan.inv_item_sk = feb.inv_item_sk
+      AND jan.d_moy = 1 AND feb.d_moy = 2
+    ORDER BY w_sk, i_sk
+    LIMIT 20
+    """,
+        "inventory",
+        "date_dim",
+    ),
+)
 def tpcds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q39 shape: monthly on-hand inventory mean and coefficient
     of variation per (warehouse, item); flag high-variance pairs
@@ -2888,6 +2901,7 @@ def tpcds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned doubles reproduce bit-for-bit under any partition count.
     Scale: the inventory grid reduces with one hash-agg; the
     month-over-month join sees only the tiny flagged survivors."""
+    _gate(spark)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
     monthly = (
@@ -2941,30 +2955,50 @@ def tpcds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q72_catalog_inventory_promo", """
-    SELECT * FROM (VALUES
-      ('0000000000000I18', 'Doors canno', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('0000000000000I21', 'Important issues liv', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('0000000000000I25', 'Conventional childr', CAST(5205 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I137', 'Bad cards must make', CAST(5193 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I189', 'Doors canno', CAST(5181 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I221', 'Bad cards must make', CAST(5190 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I229', 'Doors canno', CAST(5213 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I253', 'Rooms cook', CAST(5197 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I388', 'Bad cards must make', CAST(5165 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I388', 'Important issues liv', CAST(5165 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I411', 'Conventional childr', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I411', 'Doors canno', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I411', 'Rooms cook', CAST(5186 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I427', 'Doors canno', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I427', 'Important issues liv', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I427', 'Rooms cook', CAST(5204 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I499', 'Doors canno', CAST(5190 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I588', 'Important issues liv', CAST(5202 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I592', 'Conventional childr', CAST(5198 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('000000000000I635', 'Important issues liv', CAST(5191 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
-    ) AS t(i_item_id, w_warehouse_name, week_seq, no_promo, promo, total_cnt)
-    """)
+@register(
+    "tpcds_q72_catalog_inventory_promo",
+    _wh_sql(
+        """
+    SELECT i_item_id, w_warehouse_name,
+           CAST(d1.d_week_seq AS INT) AS week_seq,
+           CAST(sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS no_promo,
+           CAST(sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM catalog_sales
+    JOIN household_demographics
+      ON cs_bill_hdemo_sk = hd_demo_sk
+    JOIN customer_demographics
+      ON cs_bill_cdemo_sk = cd_demo_sk
+    JOIN date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+    JOIN date_dim d3 ON cs_ship_date_sk = d3.d_date_sk
+    JOIN inventory ON cs_item_sk = inv_item_sk
+    JOIN date_dim d2 ON inv_date_sk = d2.d_date_sk
+    JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+    JOIN item ON cs_item_sk = i_item_sk
+    LEFT JOIN promotion ON cs_promo_sk = p_promo_sk
+                        AND p_channel_email = 'N'
+    WHERE hd_buy_potential = '1001-5000'
+      AND cd_marital_status = 'D'
+      AND d1.d_year = 1999
+      AND d3.d_date > d1.d_date + 5
+      AND d1.d_week_seq = d2.d_week_seq
+      AND inv_quantity_on_hand < cs_quantity
+    GROUP BY i_item_id, w_warehouse_name, d1.d_week_seq
+    ORDER BY total_cnt DESC, i_item_id, w_warehouse_name, week_seq
+    LIMIT 20
+    """,
+        "catalog_sales",
+        "household_demographics",
+        "customer_demographics",
+        "date_dim",
+        "inventory",
+        "warehouse",
+        "item",
+        "promotion",
+    ),
+)
 def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q72 shape: catalog orders whose warehouse was short on
     stock the week they sold (inv_quantity_on_hand < cs_quantity),
@@ -2980,6 +3014,7 @@ def tpcds_q72_catalog_inventory_promo(spark: SparkSession, sf_dir: str) -> DataF
     join; the join keys (item_sk, week_seq) co-partition both facts —
     the only multi-TB×multi-TB shuffle in the tier, keyed exactly as
     a production short-stock audit would be."""
+    _gate(spark)
     cs = _cs(spark, sf_dir)
     inv = _inv(spark, sf_dir)
     dd = gen_date_dim(spark)
@@ -3582,15 +3617,63 @@ def tpcds_q84_income_band_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q85_return_reason_profile", """
-    SELECT * FROM (VALUES
-      ('Found a better exten', CAST(4.0 AS DOUBLE), CAST(373.72 AS DOUBLE), CAST(49.71 AS DOUBLE)),
-      ('reason 21', CAST(11.0 AS DOUBLE), CAST(26.83 AS DOUBLE), CAST(30.9 AS DOUBLE)),
-      ('reason 23', CAST(3.0 AS DOUBLE), CAST(55.61 AS DOUBLE), CAST(56.81 AS DOUBLE)),
-      ('reason 24', CAST(6.0 AS DOUBLE), CAST(143.12 AS DOUBLE), CAST(52.22 AS DOUBLE)),
-      ('reason 25', CAST(2.0 AS DOUBLE), CAST(93.35 AS DOUBLE), CAST(50.11 AS DOUBLE))
-    ) AS t(reason, avg_quantity, avg_refunded, avg_fee)
-    """)
+@register(
+    "tpcds_q85_return_reason_profile",
+    _wh_sql(
+        """
+    SELECT substring(r_reason_desc, 1, 20) AS reason,
+           CAST(round(avg(ws_quantity), 4) AS DOUBLE) AS avg_quantity,
+           CAST(round(avg(wr_refunded_cash), 4) AS DOUBLE) AS avg_refunded,
+           CAST(round(avg(wr_fee), 4) AS DOUBLE) AS avg_fee
+    FROM web_sales_big, web_returns_big, web_page, customer_demographics
+         cd1, customer_demographics cd2, customer_address, date_dim,
+         reason
+    WHERE ws_web_page_sk = wp_web_page_sk
+      AND ws_item_sk = wr_item_sk
+      AND ws_order_number = wr_order_number
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year IN (1998, 1999)
+      AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+      AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+      AND ca_address_sk = wr_refunded_addr_sk
+      AND r_reason_sk = wr_reason_sk
+      AND ((cd1.cd_marital_status = 'M'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = '4 yr Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 100.00 AND 150.00)
+        OR (cd1.cd_marital_status = 'S'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'College'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 50.00 AND 100.00)
+        OR (cd1.cd_marital_status = 'W'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = '2 yr Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 150.00 AND 200.00))
+      AND ((ca_country = 'United States'
+            AND ca_state IN ('FL', 'IL', 'MI')
+            AND ws_net_profit BETWEEN 50 AND 250)
+        OR (ca_country = 'United States'
+            AND ca_state IN ('NC', 'TX', 'CA')
+            AND ws_net_profit BETWEEN 100 AND 300)
+        OR (ca_country = 'United States'
+            AND ca_state IN ('WA', 'NY', 'KY')
+            AND ws_net_profit BETWEEN 0 AND 250))
+    GROUP BY substring(r_reason_desc, 1, 20)
+    ORDER BY reason
+    LIMIT 20
+    """,
+        "web_sales_big",
+        "web_returns_big",
+        "web_page",
+        "customer_demographics",
+        "customer_address",
+        "date_dim",
+        "reason",
+    ),
+)
 def tpcds_q85_return_reason_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q85 shape: average quantity / refund / fee per return
     reason for web returns whose refunding and returning demographics
@@ -3602,6 +3685,7 @@ def tpcds_q85_return_reason_profile(spark: SparkSession, sf_dir: str) -> DataFra
     order); the demographics pair joins are key lookups into the fixed
     1.92M-row cross-product dim; every predicate lands before the
     joins it feeds."""
+    _gate(spark, big=True)
     ws = _ws_big(spark, sf_dir)
     wr = _wr_big(spark, sf_dir)
     wp = gen_web_page(spark)
@@ -3675,22 +3759,46 @@ def tpcds_q85_return_reason_profile(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("tpcds_q91_call_center_losses", """
-    SELECT * FROM (VALUES
-      ('0000000000000CC2', 'Hawaii/Alaska', 'Manager 2', CAST(1475.31 AS DOUBLE)),
-      ('0000000000000CC5', 'Pacific NW', 'Manager 5', CAST(1467.25 AS DOUBLE)),
-      ('0000000000000CC6', 'NY Metro', 'Manager 6', CAST(1369.48 AS DOUBLE)),
-      ('0000000000000CC3', 'Pacific NW', 'Manager 3', CAST(1316.1 AS DOUBLE)),
-      ('0000000000000CC1', 'North Midwest', 'Manager 1', CAST(866.48 AS DOUBLE)),
-      ('0000000000000CC4', 'North Midwest', 'Manager 4', CAST(609.84 AS DOUBLE))
-    ) AS t(call_center, call_center_name, manager, returns_loss)
-    """)
+@register(
+    "tpcds_q91_call_center_losses",
+    _wh_sql(
+        """
+    SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+           cc_manager AS manager,
+           CAST(round(sum(CAST(cr_net_loss AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS returns_loss
+    FROM call_center, catalog_returns_big, date_dim, customer,
+         customer_demographics, household_demographics
+    WHERE cr_call_center_sk = cc_call_center_sk
+      AND cr_returned_date_sk = d_date_sk
+      AND cr_returning_customer_sk = c_customer_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND d_year = 1998
+      AND d_moy = 11
+      AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+        OR (cd_marital_status = 'W'
+            AND cd_education_status = 'Advanced Degree'))
+      AND hd_buy_potential = '0-500'
+    GROUP BY cc_call_center_id, cc_name, cc_manager
+    ORDER BY returns_loss DESC, call_center
+    LIMIT 10
+    """,
+        "call_center",
+        "catalog_returns_big",
+        "date_dim",
+        "customer",
+        "customer_demographics",
+        "household_demographics",
+    ),
+)
 def tpcds_q91_call_center_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q91 shape: November catalog-return losses per call
     center, restricted to a demographic slice (marital × education
     pairs, low buy-potential households) — call_center/customer dims
     chain onto the returns fact, one hash-agg on the 6-row center dim.
     """
+    _gate(spark, big=True)
     cr = _cr_big(spark, sf_dir)
     cc = gen_call_center(spark)
     dd = gen_date_dim(spark)
@@ -4391,29 +4499,80 @@ def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q75_declining_items_yoy", """    SELECT * FROM (VALUES
-      (CAST(4502 AS INT), CAST(14 AS INT), CAST(3 AS INT), CAST(45 AS INT), CAST(1608 AS BIGINT), CAST(534 AS BIGINT), CAST(-1074 AS BIGINT), CAST(-79994.4 AS DOUBLE)),
-      (CAST(8001 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(80 AS INT), CAST(1110 AS BIGINT), CAST(243 AS BIGINT), CAST(-867 AS BIGINT), CAST(-99490.97 AS DOUBLE)),
-      (CAST(5101 AS INT), CAST(8 AS INT), CAST(3 AS INT), CAST(51 AS INT), CAST(1789 AS BIGINT), CAST(925 AS BIGINT), CAST(-864 AS BIGINT), CAST(-61988.74 AS DOUBLE)),
-      (CAST(9304 AS INT), CAST(2 AS INT), CAST(3 AS INT), CAST(93 AS INT), CAST(1013 AS BIGINT), CAST(195 AS BIGINT), CAST(-818 AS BIGINT), CAST(-57465.73 AS DOUBLE)),
-      (CAST(5208 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(52 AS INT), CAST(1249 AS BIGINT), CAST(455 AS BIGINT), CAST(-794 AS BIGINT), CAST(-34808.88 AS DOUBLE)),
-      (CAST(2501 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(25 AS INT), CAST(1028 AS BIGINT), CAST(272 AS BIGINT), CAST(-756 AS BIGINT), CAST(-90261.3 AS DOUBLE)),
-      (CAST(9804 AS INT), CAST(13 AS INT), CAST(3 AS INT), CAST(98 AS INT), CAST(1110 AS BIGINT), CAST(357 AS BIGINT), CAST(-753 AS BIGINT), CAST(-41517.57 AS DOUBLE)),
-      (CAST(6503 AS INT), CAST(6 AS INT), CAST(3 AS INT), CAST(65 AS INT), CAST(1087 AS BIGINT), CAST(353 AS BIGINT), CAST(-734 AS BIGINT), CAST(-57846.1 AS DOUBLE)),
-      (CAST(2403 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(24 AS INT), CAST(1593 AS BIGINT), CAST(862 AS BIGINT), CAST(-731 AS BIGINT), CAST(-41694.97 AS DOUBLE)),
-      (CAST(6001 AS INT), CAST(16 AS INT), CAST(3 AS INT), CAST(60 AS INT), CAST(775 AS BIGINT), CAST(71 AS BIGINT), CAST(-704 AS BIGINT), CAST(-43022.54 AS DOUBLE)),
-      (CAST(1402 AS INT), CAST(13 AS INT), CAST(3 AS INT), CAST(14 AS INT), CAST(936 AS BIGINT), CAST(243 AS BIGINT), CAST(-693 AS BIGINT), CAST(-52627.88 AS DOUBLE)),
-      (CAST(9104 AS INT), CAST(5 AS INT), CAST(3 AS INT), CAST(91 AS INT), CAST(1144 AS BIGINT), CAST(453 AS BIGINT), CAST(-691 AS BIGINT), CAST(-56752.09 AS DOUBLE)),
-      (CAST(8303 AS INT), CAST(15 AS INT), CAST(3 AS INT), CAST(83 AS INT), CAST(935 AS BIGINT), CAST(248 AS BIGINT), CAST(-687 AS BIGINT), CAST(-48359.07 AS DOUBLE)),
-      (CAST(8207 AS INT), CAST(11 AS INT), CAST(3 AS INT), CAST(82 AS INT), CAST(919 AS BIGINT), CAST(240 AS BIGINT), CAST(-679 AS BIGINT), CAST(-65995.74 AS DOUBLE)),
-      (CAST(7205 AS INT), CAST(6 AS INT), CAST(3 AS INT), CAST(72 AS INT), CAST(1203 AS BIGINT), CAST(528 AS BIGINT), CAST(-675 AS BIGINT), CAST(-62755.35 AS DOUBLE)),
-      (CAST(8506 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(85 AS INT), CAST(953 AS BIGINT), CAST(279 AS BIGINT), CAST(-674 AS BIGINT), CAST(-42227.58 AS DOUBLE)),
-      (CAST(9207 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(92 AS INT), CAST(1432 AS BIGINT), CAST(776 AS BIGINT), CAST(-656 AS BIGINT), CAST(-31737.62 AS DOUBLE)),
-      (CAST(6305 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(63 AS INT), CAST(758 AS BIGINT), CAST(124 AS BIGINT), CAST(-634 AS BIGINT), CAST(-63350.48 AS DOUBLE)),
-      (CAST(1310 AS INT), CAST(14 AS INT), CAST(3 AS INT), CAST(13 AS INT), CAST(862 AS BIGINT), CAST(234 AS BIGINT), CAST(-628 AS BIGINT), CAST(-58169.34 AS DOUBLE)),
-      (CAST(1006 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(10 AS INT), CAST(1099 AS BIGINT), CAST(475 AS BIGINT), CAST(-624 AS BIGINT), CAST(-45471.07 AS DOUBLE))
-    ) AS t(i_brand_id, i_class_id, i_category_id, i_manufact_id, prev_qty, curr_qty, qty_delta, amt_delta)
-    """)
+@register(
+    "tpcds_q75_declining_items_yoy",
+    _wh_sql(
+        """
+    WITH items AS (
+      SELECT i_item_sk, i_brand_id, i_class_id, i_category_id,
+             i_manufact_id
+      FROM item WHERE i_category = 'Electronics'),
+    all_sales AS (
+      SELECT d_year, i_brand_id, i_class_id, i_category_id,
+             i_manufact_id,
+             ss_quantity - coalesce(sr_return_quantity, 0) net_qty,
+             CAST(ss_ext_sales_price
+                  - coalesce(sr_return_amt, 0) AS DECIMAL(38,12)) net_amt
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      JOIN items ON ss_item_sk = items.i_item_sk
+      LEFT JOIN store_returns
+        ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+      UNION ALL
+      SELECT d_year, i_brand_id, i_class_id, i_category_id,
+             i_manufact_id,
+             cs_quantity - coalesce(cr_return_quantity, 0),
+             CAST(cs_ext_sales_price
+                  - coalesce(cr_return_amount, 0) AS DECIMAL(38,12))
+      FROM catalog_sales
+      JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      JOIN items ON cs_item_sk = items.i_item_sk
+      LEFT JOIN catalog_returns
+        ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+      UNION ALL
+      SELECT d_year, i_brand_id, i_class_id, i_category_id,
+             i_manufact_id,
+             ws_quantity - coalesce(wr_return_quantity, 0),
+             CAST(ws_ext_sales_price
+                  - coalesce(wr_return_amt, 0) AS DECIMAL(38,12))
+      FROM web_sales
+      JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      JOIN items ON ws_item_sk = items.i_item_sk
+      LEFT JOIN web_returns
+        ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk),
+    yearly AS (
+      SELECT d_year, i_brand_id, i_class_id, i_category_id,
+             i_manufact_id, sum(net_qty) qty, sum(net_amt) amt
+      FROM all_sales
+      GROUP BY d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id)
+    SELECT curr.i_brand_id AS i_brand_id, curr.i_class_id AS i_class_id,
+           curr.i_category_id AS i_category_id,
+           curr.i_manufact_id AS i_manufact_id,
+           CAST(prev.qty AS BIGINT) AS prev_qty,
+           CAST(curr.qty AS BIGINT) AS curr_qty,
+           CAST(curr.qty - prev.qty AS BIGINT) AS qty_delta,
+           CAST(round(curr.amt - prev.amt, 2) AS DOUBLE) AS amt_delta
+    FROM yearly curr, yearly prev
+    WHERE curr.i_brand_id = prev.i_brand_id
+      AND curr.i_class_id = prev.i_class_id
+      AND curr.i_category_id = prev.i_category_id
+      AND curr.i_manufact_id = prev.i_manufact_id
+      AND curr.d_year = 1999 AND prev.d_year = 1998
+      AND curr.qty < prev.qty
+    ORDER BY qty_delta, i_brand_id, i_class_id, i_manufact_id
+    LIMIT 20
+    """,
+        "item",
+        "store_sales",
+        "store_returns",
+        "catalog_sales",
+        "catalog_returns",
+        "web_sales",
+        "web_returns",
+        "date_dim",
+    ),
+)
 def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q75 shape: items of one category whose returns-netted
     quantity DECLINED year-over-year, summed across all three sales
@@ -4423,6 +4582,7 @@ def tpcds_q75_declining_items_yoy(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: returns net out BEFORE the union (channel-local natural-key
     joins); the yoy join sees (year × item) rollups only."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
@@ -5382,29 +5542,76 @@ def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tpcds_q14_cross_channel_intersect", """    SELECT * FROM (VALUES
-      ('store', CAST(1602 AS INT), CAST(14 AS INT), CAST(4 AS INT), CAST(49566.42 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('store', CAST(4604 AS INT), CAST(11 AS INT), CAST(10 AS INT), CAST(48709.27 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('store', CAST(1706 AS INT), CAST(16 AS INT), CAST(7 AS INT), CAST(48538.51 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('catalog', CAST(3404 AS INT), CAST(12 AS INT), CAST(9 AS INT), CAST(40756.52 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('store', CAST(4202 AS INT), CAST(9 AS INT), CAST(5 AS INT), CAST(38448.33 AS DOUBLE), CAST(7 AS BIGINT)),
-      ('store', CAST(9906 AS INT), CAST(14 AS INT), CAST(7 AS INT), CAST(36884.01 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('store', CAST(2206 AS INT), CAST(7 AS INT), CAST(1 AS INT), CAST(36859.5 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('catalog', CAST(3804 AS INT), CAST(7 AS INT), CAST(7 AS INT), CAST(36852.93 AS DOUBLE), CAST(2 AS BIGINT)),
-      ('store', CAST(509 AS INT), CAST(12 AS INT), CAST(10 AS INT), CAST(36689.4 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('catalog', CAST(3402 AS INT), CAST(15 AS INT), CAST(9 AS INT), CAST(36411.26 AS DOUBLE), CAST(5 AS BIGINT)),
-      ('store', CAST(703 AS INT), CAST(12 AS INT), CAST(3 AS INT), CAST(35869.21 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('store', CAST(6001 AS INT), CAST(5 AS INT), CAST(2 AS INT), CAST(34419.07 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('catalog', CAST(9302 AS INT), CAST(9 AS INT), CAST(5 AS INT), CAST(34268.31 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('catalog', CAST(9603 AS INT), CAST(13 AS INT), CAST(6 AS INT), CAST(34081.3 AS DOUBLE), CAST(2 AS BIGINT)),
-      ('web', CAST(1003 AS INT), CAST(11 AS INT), CAST(7 AS INT), CAST(33988.91 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('catalog', CAST(8510 AS INT), CAST(11 AS INT), CAST(6 AS INT), CAST(33859.95 AS DOUBLE), CAST(3 AS BIGINT)),
-      ('catalog', CAST(5203 AS INT), CAST(7 AS INT), CAST(2 AS INT), CAST(33603.39 AS DOUBLE), CAST(2 AS BIGINT)),
-      ('store', CAST(9102 AS INT), CAST(3 AS INT), CAST(5 AS INT), CAST(33338.49 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('store', CAST(4109 AS INT), CAST(2 AS INT), CAST(1 AS INT), CAST(33242.87 AS DOUBLE), CAST(4 AS BIGINT)),
-      ('store', CAST(5607 AS INT), CAST(5 AS INT), CAST(6 AS INT), CAST(32918.36 AS DOUBLE), CAST(3 AS BIGINT))
-    ) AS t(channel, i_brand_id, i_class_id, i_category_id, sum_sales, n_sales)
-    """)
+@register(
+    "tpcds_q14_cross_channel_intersect",
+    _wh_sql(
+        """
+    WITH cross_triples AS (
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM store_sales, item
+      WHERE ss_item_sk = i_item_sk
+      INTERSECT
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM catalog_sales, item
+      WHERE cs_item_sk = i_item_sk
+      INTERSECT
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM web_sales, item
+      WHERE ws_item_sk = i_item_sk),
+    cross_items AS (
+      SELECT i_item_sk, item.i_brand_id, item.i_class_id,
+             item.i_category_id
+      FROM item
+      WHERE EXISTS (SELECT 1 FROM cross_triples ct
+                    WHERE ct.i_brand_id = item.i_brand_id
+                      AND ct.i_class_id = item.i_class_id
+                      AND ct.i_category_id = item.i_category_id)),
+    avg_sales AS (
+      SELECT avg(s) avg_sales FROM (
+        SELECT CAST(ss_quantity * ss_list_price AS DECIMAL(38,12)) s
+        FROM store_sales
+        UNION ALL
+        SELECT CAST(cs_quantity * cs_list_price AS DECIMAL(38,12))
+        FROM catalog_sales
+        UNION ALL
+        SELECT CAST(ws_quantity * ws_list_price AS DECIMAL(38,12))
+        FROM web_sales) x),
+    unioned AS (
+      SELECT 'store' channel, i_brand_id, i_class_id, i_category_id,
+             CAST(ss_quantity * ss_list_price AS DECIMAL(38,12)) sales
+      FROM store_sales, date_dim, cross_items
+      WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999 AND d_moy = 12
+        AND ss_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'catalog', i_brand_id, i_class_id, i_category_id,
+             CAST(cs_quantity * cs_list_price AS DECIMAL(38,12))
+      FROM catalog_sales, date_dim, cross_items
+      WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999 AND d_moy = 12
+        AND cs_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'web', i_brand_id, i_class_id, i_category_id,
+             CAST(ws_quantity * ws_list_price AS DECIMAL(38,12))
+      FROM web_sales, date_dim, cross_items
+      WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999 AND d_moy = 12
+        AND ws_item_sk = i_item_sk)
+    SELECT channel, i_brand_id, i_class_id, i_category_id,
+           CAST(round(sum_sales, 2) AS DOUBLE) AS sum_sales, n_sales
+    FROM (SELECT channel, i_brand_id, i_class_id, i_category_id,
+                 sum(sales) sum_sales,
+                 CAST(count(*) AS BIGINT) n_sales
+          FROM unioned
+          GROUP BY channel, i_brand_id, i_class_id, i_category_id) r
+    WHERE sum_sales > (SELECT avg_sales FROM avg_sales)
+    ORDER BY sum_sales DESC, channel, i_brand_id
+    LIMIT 20
+    """,
+        "store_sales",
+        "catalog_sales",
+        "web_sales",
+        "item",
+        "date_dim",
+    ),
+)
 def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q14 shape (first variant): December revenue per channel
     for items whose (brand, class, category) triple sold in ALL THREE
@@ -5418,6 +5625,7 @@ def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     scalar threshold leg reduces the union of facts to ONE row before
     the cross join; each channel's December rollup joins the small
     cross_items key set via leftsemi."""
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
