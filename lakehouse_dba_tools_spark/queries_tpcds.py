@@ -5723,7 +5723,15 @@ def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs (documented adaptation).
 
     Scale: each channel projects and filters to its null-key rows
-    BEFORE the union; the rollup sees only the (tiny) null slices."""
+    BEFORE the union; the rollup sees only the (tiny) null slices.
+
+    ORACLE EXCEPTION (round 6): this is one of only two tier
+    queries still on a pinned-VALUES oracle — the null-key
+    simulation uses xxhash64, which has no DuckDB twin, so the
+    filter cannot be re-expressed in oracle SQL. The other 97
+    tpcds_* oracles are DuckDB-EXECUTED SQL over the exported
+    warehouse (datagen/export.py).
+    """
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
