@@ -1,13 +1,14 @@
 """Regenerate the pinned VALUES oracles for queries_tpcds.py.
 
-RETIRED for the 17 queries converted to independent DuckDB-executed
-oracles in round 6 (q1 q3 q4 q7 q16 q23 q38 q51 q59 q62 q64 q67 q87
-q88 q93 q96 q97 — their oracles are real TPC-DS SQL over the
-datagen/export.py gate warehouse and MUST NOT be re-pinned from engine
-output). Still applies to the remaining pinned-VALUES queries: run
-after any intentional generator change, paste the printed blocks over
-the existing pins, then re-run tools/diffcheck.py to confirm. Skips
-converted queries automatically (their oracle is not a VALUES block).
+RETIRED (round 6) for 97 of the tier's 99 query numbers: their
+oracles are real TPC-DS SQL executed by DuckDB over the
+datagen/export.py gate warehouse and MUST NOT be re-pinned from
+engine output. Only `tpcds_q76_null_key_report` (xxhash64 filter, no
+DuckDB twin) and `tpcds_warehouse_build_audit` (structural counts)
+still carry pins — for those, run after any intentional generator
+change, paste the printed blocks over the existing pins, then re-run
+tools/diffcheck.py to confirm. Skips converted queries automatically
+(their oracle is not a VALUES block).
 """
 
 from __future__ import annotations
