@@ -5690,29 +5690,44 @@ def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("tpcds_q76_null_key_report", """    SELECT * FROM (VALUES
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Books', CAST(35 AS BIGINT), CAST(185498.82 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Children', CAST(23 AS BIGINT), CAST(71717.57 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Electronics', CAST(21 AS BIGINT), CAST(102763.5 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Home', CAST(31 AS BIGINT), CAST(145964.37 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Jewelry', CAST(36 AS BIGINT), CAST(195233.65 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Men', CAST(27 AS BIGINT), CAST(120259.07 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Music', CAST(34 AS BIGINT), CAST(144336.4 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Shoes', CAST(33 AS BIGINT), CAST(140249.5 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Sports', CAST(14 AS BIGINT), CAST(44054.36 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(1 AS INT), 'Women', CAST(24 AS BIGINT), CAST(82316.97 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Books', CAST(40 AS BIGINT), CAST(137759.36 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Children', CAST(23 AS BIGINT), CAST(72002.76 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Electronics', CAST(39 AS BIGINT), CAST(193019.69 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Home', CAST(29 AS BIGINT), CAST(164234.61 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Jewelry', CAST(22 AS BIGINT), CAST(128501.33 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Men', CAST(31 AS BIGINT), CAST(142519.01 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Music', CAST(24 AS BIGINT), CAST(107943.85 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Shoes', CAST(34 AS BIGINT), CAST(124144.53 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Sports', CAST(30 AS BIGINT), CAST(127890.73 AS DOUBLE)),
-      ('catalog', 'cs_ship_addr_sk', CAST(1998 AS INT), CAST(2 AS INT), 'Women', CAST(25 AS BIGINT), CAST(83682.85 AS DOUBLE))
-    ) AS t(channel, col_name, d_year, d_qoy, i_category, sales_cnt, sales_amt)
-    """)
+@register(
+    "tpcds_q76_null_key_report",
+    _wh_sql(
+        """
+    WITH unioned AS (
+      SELECT 'store' channel, 'ss_customer_sk' col_name, d_year, d_qoy,
+             i_category,
+             CAST(ss_ext_sales_price AS DECIMAL(38,12)) ext_sales_price
+      FROM store_sales, date_dim, item
+      WHERE substring(md5(CAST(ss_customer_sk AS VARCHAR)), 1, 1) = '0'
+        AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'web', 'ws_ship_customer_sk', d_year, d_qoy, i_category,
+             CAST(ws_ext_sales_price AS DECIMAL(38,12))
+      FROM web_sales, date_dim, item
+      WHERE substring(md5(CAST(ws_ship_customer_sk AS VARCHAR)), 1, 1) = '0'
+        AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'catalog', 'cs_ship_addr_sk', d_year, d_qoy, i_category,
+             CAST(cs_ext_sales_price AS DECIMAL(38,12))
+      FROM catalog_sales, date_dim, item
+      WHERE substring(md5(CAST(cs_ship_addr_sk AS VARCHAR)), 1, 1) = '0'
+        AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk)
+    SELECT channel, col_name, d_year, d_qoy, i_category,
+           CAST(count(*) AS BIGINT) AS sales_cnt,
+           CAST(round(sum(ext_sales_price), 2) AS DOUBLE) AS sales_amt
+    FROM unioned
+    GROUP BY channel, col_name, d_year, d_qoy, i_category
+    ORDER BY channel, col_name, d_year, d_qoy, i_category
+    LIMIT 20
+    """,
+        "store_sales",
+        "web_sales",
+        "catalog_sales",
+        "date_dim",
+        "item",
+    ),
+)
 def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q76 shape: sales rows with a NULL surrogate key, counted
     and summed per (channel, null-column, year, quarter) over the
@@ -5725,21 +5740,24 @@ def tpcds_q76_null_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each channel projects and filters to its null-key rows
     BEFORE the union; the rollup sees only the (tiny) null slices.
 
-    ORACLE EXCEPTION (round 6): this is one of only two tier
-    queries still on a pinned-VALUES oracle — the null-key
-    simulation uses xxhash64, which has no DuckDB twin, so the
-    filter cannot be re-expressed in oracle SQL. The other 97
-    tpcds_* oracles are DuckDB-EXECUTED SQL over the exported
-    warehouse (datagen/export.py).
+    Round 6: the null-key simulation moved from xxhash64 (no DuckDB
+    twin) to an md5-nibble rule so the oracle can re-derive the
+    simulated null set and this query joins the DuckDB-executed tier
+    — leaving only the structural warehouse build audit on a pin.
     """
+    _gate(spark)
     ss, dd, it = _star(spark, sf_dir)
     cs = _cs(spark, sf_dir)
     ws = _ws(spark, sf_dir)
 
     def leg(fact, date_col, item_col, key_col, price_col, channel, col_name):
-        nulled = F.when(F.xxhash64(F.col(key_col)) % 50 == 0, None).otherwise(
-            F.col(key_col)
-        )
+        # md5 is bit-identical in Spark and DuckDB (xxhash64 is not),
+        # so the simulated null set is re-derivable by the oracle:
+        # ~1/16 of keys (leading hex nibble '0') go null
+        nulled = F.when(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 1) == "0",
+            None,
+        ).otherwise(F.col(key_col))
         return (
             fact.withColumn("_k", nulled)
             .where(F.col("_k").isNull())

@@ -1,11 +1,10 @@
 """Regenerate the pinned VALUES oracles for queries_tpcds.py.
 
-RETIRED (round 6) for 97 of the tier's 99 query numbers: their
+RETIRED (round 6) for 98 of the tier's 99 query numbers: their
 oracles are real TPC-DS SQL executed by DuckDB over the
 datagen/export.py gate warehouse and MUST NOT be re-pinned from
-engine output. Only `tpcds_q76_null_key_report` (xxhash64 filter, no
-DuckDB twin) and `tpcds_warehouse_build_audit` (structural counts)
-still carry pins — for those, run after any intentional generator
+engine output. Only `tpcds_warehouse_build_audit` (structural counts)
+still carries a pin — for it, run after any intentional generator
 change, paste the printed blocks over the existing pins, then re-run
 tools/diffcheck.py to confirm. Skips converted queries automatically
 (their oracle is not a VALUES block).
