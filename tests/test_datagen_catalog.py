@@ -245,3 +245,37 @@ def test_gen_store_sales_spec_types_and_determinism(spark):
     assert agg(gen_store_sales(spark, 3_000, seed=100, partitions=3)) == agg(
         gen_store_sales(spark, 3_000, seed=100, partitions=11)
     )
+
+
+def test_gate_export_equals_generator_output(spark):
+    """The whole independent-oracle edifice rests on one invariant:
+    the parquet warehouse the DuckDB oracles read (datagen/export.py)
+    contains EXACTLY the rows the gate-scale generators produce. Pin
+    it with exact-decimal checksums over a fact and a dim, plus row
+    counts — if an export ever goes stale against a generator change
+    (EXPORT_VERSION not bumped), this fails before any oracle does."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.datagen.export import (
+        ensure_gate_export,
+        warehouse_tables,
+    )
+
+    wh = ensure_gate_export(spark)
+    gen = warehouse_tables(spark, scale=1)
+
+    def sig(df, money_col, key_col):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(money_col).cast("decimal(38,12)")).alias("s"),
+            F.expr(f"bit_xor(xxhash64(cast({key_col} as string)))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["s"], row["h"])
+
+    for table, money, key in [
+        ("store_sales", "ss_ext_sales_price", "ss_ticket_number"),
+        ("web_returns", "wr_return_amt", "wr_order_number"),
+        ("item", "i_current_price", "i_item_id"),
+    ]:
+        exported = spark.read.parquet(f"{wh}/{table}")
+        assert sig(exported, money, key) == sig(gen[table], money, key), table
