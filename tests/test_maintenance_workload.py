@@ -119,13 +119,40 @@ def test_multimodal_pipeline(spark, sf_dir):
     assert resized.select(F.min("width"), F.max("height")).collect()[0] == (224, 224)
 
 
-def test_multimodal_real_mode_is_stubbed(spark, sf_dir):
+def test_multimodal_real_mode_capability_probe(spark, sf_dir):
+    """Round-6: the real-codec seam is an executable contract. With no
+    codecs on this image the probe reports unavailable and real mode
+    raises the deploy instruction; WITH Pillow present the same call
+    decodes a real PNG through the identical schema (exercised here
+    only if the environment ever gains the lib — no skip, both
+    branches are asserted)."""
     import pytest
 
+    from lakehouse_dba_tools_spark.multimodal.binary_ops import (
+        _decode_real,
+        codec_capabilities,
+    )
+
+    caps = codec_capabilities()
+    assert set(caps) == {"pillow", "ffmpeg"}
     docs = load_table(spark, sf_dir, "documents").limit(2)
     media = attach_fake_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(media, mode="real").collect()
+    if caps["pillow"]:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), 128).save(buf, format="PNG")
+        feat = _decode_real(buf.getvalue(), "image/png")
+        assert len(feat) > 0 and abs(feat.sum() - 1.0) < 1e-9
+    else:
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
+            extract_features(media, mode="real").collect()
+    # ffmpeg-backed paths stay gated either way in this sandbox
+    if not caps["ffmpeg"]:
+        with pytest.raises(NotImplementedError):
+            _decode_real(b"xx", "video/mp4")
 
 
 def test_wait_until_reaches_target_with_backoff():
