@@ -1790,97 +1790,49 @@ def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     return common.agg(F.count("*").cast("bigint").alias("hot_customers"))
 
 
-@register("tpcds_warehouse_build_audit", """
-    SELECT * FROM (VALUES
-      ('call_center', CAST(6 AS BIGINT)),
-      ('catalog_page', CAST(400 AS BIGINT)),
-      ('catalog_returns', CAST(293 AS BIGINT)),
-      ('catalog_sales', CAST(3000 AS BIGINT)),
-      ('customer', CAST(1000 AS BIGINT)),
-      ('customer_address', CAST(1000 AS BIGINT)),
-      ('customer_demographics', CAST(1920800 AS BIGINT)),
-      ('date_dim', CAST(1826 AS BIGINT)),
-      ('household_demographics', CAST(7200 AS BIGINT)),
-      ('income_band', CAST(20 AS BIGINT)),
-      ('inventory', CAST(10000 AS BIGINT)),
-      ('item', CAST(1000 AS BIGINT)),
-      ('promotion', CAST(300 AS BIGINT)),
-      ('reason', CAST(35 AS BIGINT)),
-      ('ship_mode', CAST(20 AS BIGINT)),
-      ('store', CAST(8 AS BIGINT)),
-      ('store_returns', CAST(313 AS BIGINT)),
-      ('store_sales', CAST(3000 AS BIGINT)),
-      ('time_dim', CAST(86400 AS BIGINT)),
-      ('warehouse', CAST(5 AS BIGINT)),
-      ('web_page', CAST(60 AS BIGINT)),
-      ('web_returns', CAST(289 AS BIGINT)),
-      ('web_sales', CAST(3000 AS BIGINT)),
-      ('web_site', CAST(30 AS BIGINT))
-    ) AS t(table_name, n_rows)
-    
-    """)
+def _wh_audit_oracle() -> str:
+    """Cross-engine oracle for the warehouse-build audit: DuckDB opens
+    every Spark-written parquet table of the gate export itself and
+    recounts. Until round 6 this oracle was a pinned-VALUES block (the
+    last one in the tier); now the check is independent — a schema the
+    writer corrupts, a file DuckDB can't parse, or a dropped row fails
+    the hash."""
+    from lakehouse_dba_tools_spark.datagen.export import CORE_TABLES, rp
+
+    units = "\n      UNION ALL\n      ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM {rp(t)}"
+        for t in sorted(CORE_TABLES)
+    )
+    return f"SELECT table_name, n_rows FROM (\n      {units}\n    ) ORDER BY table_name"
+
+
+@register("tpcds_warehouse_build_audit", _wh_audit_oracle())
 def tpcds_warehouse_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference notebook's end-to-end flow (TPC:361-371 generate →
-    write → verify with row counts, TPC:1929-1956): build a miniature
-    24-table TPC-DS warehouse from the native generators, write every
-    table to parquet, read back, and report per-table row counts. The
-    read-back count (not the in-memory count) is what's reported, so
-    the audit proves the write path round-trips every schema — the
-    returns facts' counts also pin the content-hash derivation.
-    Partitioned-write mechanics are hash-checked separately
-    (orc_roundtrip_report / catalog_ddl_roundtrip); here the writes
-    coalesce to bound file counts, the reference's small-file rule."""
-    import shutil
-    import tempfile
-
-    from lakehouse_dba_tools_spark.datagen.tpcds import (
-        gen_income_band,
-        gen_reason,
-    )
-    from lakehouse_dba_tools_spark.datagen.tpcds_channels import (
-        gen_call_center,
-        gen_catalog_page,
+    write → verify with row counts, TPC:1929-1956): generate the
+    24-table TPC-DS warehouse, write every table to parquet
+    (datagen/export.py's crash-safe staged writer), read back, and
+    report per-table row counts. The read-back count (not the
+    in-memory count) is what's reported, so the audit proves the write
+    path round-trips every schema — and the oracle makes the check
+    cross-engine: DuckDB independently re-opens the same Spark-written
+    files and recounts, so a parquet-encoding defect any other engine
+    would trip on fails the hash. Export-vs-generator row *content* is
+    pinned separately by test_gate_export_equals_generator_output;
+    small-file coalesce mechanics by small_file_write_audit."""
+    from lakehouse_dba_tools_spark.datagen.export import (
+        CORE_TABLES,
+        ensure_gate_export,
     )
 
-    n_fact = 3_000
-    tables = {
-        "call_center": gen_call_center(spark),
-        "catalog_page": gen_catalog_page(spark, 400),
-        "catalog_returns": gen_catalog_returns(spark, n_fact, seed=100),
-        "catalog_sales": gen_catalog_sales(spark, n_fact, seed=100),
-        "customer": gen_customer_ds(spark, 1_000),
-        "customer_address": gen_customer_address(spark, 1_000),
-        "customer_demographics": gen_customer_demographics(spark),
-        "date_dim": gen_date_dim(spark),
-        "household_demographics": gen_household_demographics(spark),
-        "income_band": gen_income_band(spark),
-        "inventory": gen_inventory(spark, n_items=200, n_warehouses=5, n_weeks=10),
-        "item": gen_item(spark, 1_000),
-        "promotion": gen_promotion(spark),
-        "reason": gen_reason(spark),
-        "ship_mode": gen_ship_mode(spark),
-        "store": gen_store(spark),
-        "store_returns": gen_store_returns(spark, n_fact, seed=100),
-        "store_sales": gen_store_sales(spark, n_fact, seed=100),
-        "time_dim": gen_time_dim(spark),
-        "warehouse": gen_warehouse(spark),
-        "web_page": gen_web_page(spark),
-        "web_returns": gen_web_returns(spark, n_fact, seed=100),
-        "web_sales": gen_web_sales(spark, n_fact, seed=100),
-        "web_site": gen_web_site(spark),
-    }
-    tmp = tempfile.mkdtemp(prefix="tpcds_wh_")
-    try:
-        rows = []
-        for name, df in sorted(tables.items()):
-            path = f"{tmp}/{name}"
-            df.coalesce(4).write.mode("overwrite").parquet(path)
-            rows.append((name, spark.read.parquet(path).count()))
-        return spark.createDataFrame(rows, "table_name string, n_rows bigint").orderBy(
-            "table_name"
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    root = ensure_gate_export(spark)
+    rows = [
+        (name, spark.read.parquet(f"{root}/{name}").count())
+        for name in sorted(CORE_TABLES)
+    ]
+    return spark.createDataFrame(rows, "table_name string, n_rows bigint").orderBy(
+        "table_name"
+    )
 
 
 @register(

@@ -1,13 +1,11 @@
 """Regenerate the pinned VALUES oracles for queries_tpcds.py.
 
-RETIRED (round 6) for 98 of the tier's 99 query numbers: their
-oracles are real TPC-DS SQL executed by DuckDB over the
-datagen/export.py gate warehouse and MUST NOT be re-pinned from
-engine output. Only `tpcds_warehouse_build_audit` (structural counts)
-still carries a pin — for it, run after any intentional generator
-change, paste the printed blocks over the existing pins, then re-run
-tools/diffcheck.py to confirm. Skips converted queries automatically
-(their oracle is not a VALUES block).
+FULLY RETIRED (round 6): every oracle in the tier — all 99 query
+numbers AND the warehouse-build audit — is now real SQL executed by
+DuckDB over the datagen/export.py gate warehouse, and MUST NOT be
+re-pinned from engine output. This tool is kept only as tooling
+history; running it finds no VALUES-block oracles to regenerate
+(it skips any oracle that is not a VALUES block).
 """
 
 from __future__ import annotations
