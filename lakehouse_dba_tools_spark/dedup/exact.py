@@ -26,6 +26,77 @@ def content_groups(
     )
 
 
+def span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Every ``window``-token sliding-window digest per document,
+    stride 1 → (id, span_hash) rows.
+
+    Stride 1 is what makes the check *alignment-free*: any two
+    documents sharing ≥ ``window`` consecutive tokens share at least
+    one window hash regardless of where the run starts in each doc —
+    the guarantee suffix-array exact-substring dedup gives, expressed
+    as a shuffle-friendly hash join instead of a global sort. Only the
+    16-byte digest + id ever shuffle; bodies are pruned before the
+    explode. The O(window) re-hash per position is the JVM-codegen
+    price for staying UDF-free; at 100 TB swap in a Rabin-Karp rolling
+    hash over ``mapInPandas`` (same output contract) to make it O(1)
+    per position.
+    """
+    from lakehouse_dba_tools_spark.functions.text import tokens
+
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .where(F.size("_t") >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - window),
+                    lambda p: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_t"), p + 1, window))
+                    ),
+                )
+            ).alias("span_hash"),
+        )
+    )
+
+
+def duplicate_span_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile: how many of a
+    doc's sliding windows also appear verbatim in ANOTHER document.
+
+    Two shuffles on span_hash (group → duplicated-hash set, then the
+    marker join lands on the same partitioning, so AQE reuses the
+    exchange) plus the final rollup on id. Within-doc repetition is
+    deliberately excluded (that is doc_repetition_scores' axis): a
+    hash counts as duplicated only when ≥2 DISTINCT docs carry it.
+    """
+    spans = span_hashes(df, text_col, id_col, window)
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("span_hash", F.lit(1).alias("_dup"))
+    )
+    return (
+        spans.join(dup, "span_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+
+
 def drop_exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
 ) -> DataFrame:

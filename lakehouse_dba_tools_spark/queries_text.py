@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_dba_tools_spark.dedup.exact import content_groups
+from lakehouse_dba_tools_spark.dedup.exact import content_groups, duplicate_span_report
 from lakehouse_dba_tools_spark.dedup.minhash import lsh_candidate_pairs, verified_near_dups
 from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
 from lakehouse_dba_tools_spark.dedup.simhash import simhash_verified_near_dups
@@ -652,3 +652,37 @@ def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(build_inverted_index(docs)).select(
         "term", "n_docs", F.col("total_tf").cast("long").alias("total_tf")
     )
+
+
+@register(
+    "exact_substring_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKS} AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, md5(array_to_string(t[p+1:p+20], ' ')) AS span_hash
+      FROM toks, UNNEST(range(0, len(t) - 19, 1)) AS u(p)
+      WHERE len(t) >= 20
+    ), dup AS (
+      SELECT span_hash FROM spans GROUP BY span_hash
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)            AS n_spans,
+           CAST(count(d.span_hash) AS BIGINT)  AS n_dup_spans
+    FROM spans s LEFT JOIN dup d USING (span_hash)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (dedup/exact.py
+    duplicate_span_report): the alignment-free 20-token sliding-window
+    profile of cross-document verbatim duplication — the
+    suffix-array-style "repeated long substring" pass of a training
+    pipeline, complementing doc-level exact dedup
+    (doc_exact_dedup_groups) and near-dup minhash/simhash. Stride-1
+    window hashes guarantee any shared ≥20-token run is detected
+    whatever its offset in each doc; only (digest, id) pairs shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return duplicate_span_report(docs, window=20).orderBy("doc_id")

@@ -268,3 +268,40 @@ def test_connected_components_random_vs_union_find(spark):
             for r in connected_components(pairs, max_driver_edges=mde).collect()
         }
         assert got == rep
+
+
+def test_duplicate_span_report_alignment_free(spark):
+    """A shared 20-token run is detected at DIFFERENT offsets in each
+    doc; within-doc repetition alone never counts as duplication."""
+    from lakehouse_dba_tools_spark.dedup.exact import duplicate_span_report, span_hashes
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # shared run starts at offset 0
+            (1, shared + " tail1 tail2 tail3"),
+            # shared run starts at offset 5
+            (2, "p1 p2 p3 p4 p5 " + shared),
+            # ≥20 tokens, no overlap with anyone
+            (3, " ".join(f"solo{i}" for i in range(25))),
+            # within-doc repetition only (two copies of its own run)
+            (4, " ".join(f"rep{i % 10}" for i in range(40))),
+            # too short to carry a window
+            (5, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in duplicate_span_report(docs, window=20).collect()}
+
+    assert 5 not in rep  # shorter than the window → no spans at all
+    # doc1: 4 windows (23 tokens), exactly 1 (the shared run) duplicated
+    assert rep[1]["n_spans"] == 4 and rep[1]["n_dup_spans"] == 1
+    # doc2: 6 windows, exactly 1 duplicated — found despite offset 5
+    assert rep[2]["n_spans"] == 6 and rep[2]["n_dup_spans"] == 1
+    assert rep[3]["n_dup_spans"] == 0
+    # doc4 repeats ITSELF; cross-doc rule keeps it clean
+    assert rep[4]["n_dup_spans"] == 0
+
+    # stride-1 span inventory is exhaustive: n_tokens - window + 1 rows
+    n1 = span_hashes(docs.where("doc_id = 1"), window=20).count()
+    assert n1 == 23 - 20 + 1
