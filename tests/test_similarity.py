@@ -136,3 +136,84 @@ def test_semantic_dedup_deterministic_across_partitionings(spark, sf_dir):
     assert sorted(r.doc_id for r in k1.collect()) == sorted(
         r.doc_id for r in k2.collect()
     )
+
+
+def test_pq_codebooks_deterministic_and_codes_bounded(spark, sf_dir):
+    import numpy as np
+
+    from lakehouse_dba_tools_spark.similarity.pq import (
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = train_pq_codebooks(emb, m=8, k=16)
+    b2 = train_pq_codebooks(emb, m=8, k=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)  # pure function of (data, seed)
+
+    codes = (
+        emb.select(pq_encode_udf(b1)(F.col("embedding")).alias("c"))
+        .select(F.explode("c").alias("code"))
+        .agg(F.min("code"), F.max("code"), F.count("*"))
+        .first()
+    )
+    assert codes[0] >= 0 and codes[1] < 16
+    assert codes[2] == emb.count() * 8  # m codes per vector
+
+
+def test_pq_roundtrip_reduces_distortion_vs_random(spark, sf_dir):
+    """Reconstruction from trained codebooks must beat reconstructing
+    from a shuffled (wrong) codebook — i.e. training actually fits."""
+    import numpy as np
+
+    from lakehouse_dba_tools_spark.similarity.pq import (
+        pq_reconstructed,
+        train_pq_codebooks,
+    )
+    from lakehouse_dba_tools_spark.similarity.vector import as_double, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    books = train_pq_codebooks(emb, m=8, k=16)
+    rng = np.random.default_rng(0)
+    scrambled = books[:, rng.permutation(16)][rng.permutation(8)]
+
+    def mean_err(bk):
+        rec = pq_reconstructed(
+            emb.select("vec_id", l2_normalize(as_double("embedding")).alias("orig")),
+            bk,
+            vec_col="orig",
+        ).withColumnRenamed("orig", "rec")
+        both = rec.join(
+            emb.select("vec_id", l2_normalize(as_double("embedding")).alias("orig")),
+            "vec_id",
+        )
+        return (
+            both.select(
+                F.aggregate(
+                    F.zip_with("rec", "orig", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("se")
+            )
+            .agg(F.avg("se"))
+            .first()[0]
+        )
+
+    assert mean_err(books) < mean_err(scrambled)
+
+
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    from lakehouse_dba_tools_spark.similarity.pq import pq_topk_rerank
+    from lakehouse_dba_tools_spark.similarity.search import brute_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = pq_topk_rerank(emb, q, k=5, shortlist=100, m=16, k_codes=16).select(
+        "query_id", "neighbor_id"
+    )
+    recall = approx.join(truth, ["query_id", "neighbor_id"]).count() / truth.count()
+    assert recall >= 0.85
