@@ -686,3 +686,70 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever its offset in each doc; only (digest, id) pairs shuffle."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return duplicate_span_report(docs, window=20).orderBy("doc_id")
+
+
+@register(
+    "exact_substring_dedup_clean",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKS} AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, p, md5(array_to_string(t[p+1:p+20], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - 19, 1)) AS u(p)
+      WHERE len(t) >= 20
+    ), dup AS (
+      SELECT h, min(doc_id) AS keeper FROM spans GROUP BY h
+      HAVING count(DISTINCT doc_id) > 1
+    ), rm AS (
+      SELECT s.doc_id, s.p AS s0, s.p + 19 AS s1
+      FROM spans s JOIN dup d ON s.h = d.h AND s.doc_id <> d.keeper
+    ), brk AS (
+      SELECT doc_id, s0, s1,
+             CASE WHEN s0 > coalesce(max(s1) OVER (
+                    PARTITION BY doc_id ORDER BY s0, s1
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS b
+      FROM rm
+    ), grp AS (
+      SELECT doc_id, s0, s1,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s0, s1
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM brk
+    ), merged AS (
+      SELECT doc_id, g, min(s0) AS i0, max(s1) AS i1 FROM grp GROUP BY doc_id, g
+    ), tok_rows AS (
+      SELECT doc_id, t[p+1] AS tok, p AS pos
+      FROM toks, UNNEST(range(0, len(t), 1)) AS u(p)
+    ), kept AS (
+      SELECT tr.doc_id, tr.tok, tr.pos FROM tok_rows tr
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = tr.doc_id
+                          AND tr.pos BETWEEN m.i0 AND m.i1)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT)                        AS n_tokens,
+           CAST(coalesce(i.n_islands, 0) AS BIGINT)        AS n_islands,
+           CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+           md5(coalesce(k.ctext, ''))                      AS cleaned_hash
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, count(*) AS n_islands
+               FROM merged GROUP BY doc_id) i USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                      array_to_string(list(tok ORDER BY pos), ' ') AS ctext
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def exact_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (dedup/exact.py
+    remove_duplicate_spans): every cross-doc duplicated >=20-token run
+    is excised from all docs but its canonical keeper (min doc_id per
+    hash); overlapping removal windows merge into maximal islands via
+    gaps-and-islands window algebra before a single order-preserving
+    token-filter pass. The oracle re-derives the CLEANED TEXT itself
+    (md5 of surviving tokens) in DuckDB, so keeper selection, interval
+    merge, and excision are all value-checked — not just counts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    from lakehouse_dba_tools_spark.dedup.exact import remove_duplicate_spans
+
+    return remove_duplicate_spans(docs, window=20).orderBy("doc_id")

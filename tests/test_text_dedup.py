@@ -305,3 +305,29 @@ def test_duplicate_span_report_alignment_free(spark):
     # stride-1 span inventory is exhaustive: n_tokens - window + 1 rows
     n1 = span_hashes(docs.where("doc_id = 1"), window=20).count()
     assert n1 == 23 - 20 + 1
+
+
+def test_remove_duplicate_spans_excises_only_non_keepers(spark):
+    import hashlib
+
+    from lakehouse_dba_tools_spark.dedup.exact import remove_duplicate_spans
+
+    run = [f"tok{i}" for i in range(22)]  # 22-token shared run → 3 windows
+    d1 = " ".join(run + ["t1", "t2", "t3"])
+    d2 = " ".join(["p1", "p2", "p3", "p4", "p5"] + run + ["q1"])
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, " ".join(f"s{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, window=20).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # keeper (min id) keeps everything
+    assert out[1]["n_removed_tokens"] == 0 and out[1]["cleaned_hash"] == md5(d1)
+    # doc2: 3 overlapping removal windows merge into ONE island covering
+    # the whole 22-token run; prefix and suffix survive
+    assert out[2]["n_islands"] == 1
+    assert out[2]["n_removed_tokens"] == 22
+    assert out[2]["cleaned_hash"] == md5("p1 p2 p3 p4 p5 q1")
+    # untouched doc round-trips
+    assert out[3]["n_removed_tokens"] == 0
