@@ -753,3 +753,96 @@ def exact_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_dba_tools_spark.dedup.exact import remove_duplicate_spans
 
     return remove_duplicate_spans(docs, window=20).orderBy("doc_id")
+
+
+@register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, len({_D_BM_TOKS}) AS dl,
+             {', '.join(f"len(list_filter({_D_BM_TOKS}, t -> t = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM feat
+    ),
+    lex20 AS (
+      SELECT doc_id, round(score, 4) AS s FROM (
+        SELECT f.doc_id,
+               {' + '.join(f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * tf_{i} * 2.2 / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))" for i in range(len(_BM25_TERMS)))}
+               AS score
+        FROM feat f CROSS JOIN stats s
+      )
+      WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS lex_rank
+      FROM lex20
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rank AS INT) AS dense_rank FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+        FROM (
+          SELECT vec_id,
+                 round(list_cosine_similarity(embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 9) AS sim
+          FROM embeddings
+        )
+      ) WHERE rank <= 20
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (lex_rank + 60), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (dense_rank + 60), 0), 6) AS rrf_score
+    FROM lex FULL JOIN dense USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 (similarity/bm25.py) and
+    dense cosine top-20 (similarity/search.py brute_topk, probe =
+    vec_id 0's embedding; the fixture family indexes embeddings and
+    documents by the same id space) fused by reciprocal-rank fusion
+    score = Σ_legs 1/(60 + rank) — the standard hybrid-search
+    combinator. Cross-engine rank determinism: each leg ranks on its
+    ROUNDED score (4 dp BM25 / 9 dp cosine — the precisions the
+    checked bm25/cosine queries already hash-match at) with id
+    tie-break. Both legs are corpus scans with 1-row broadcast stats;
+    the fuse is a 20∪20-row full outer join — driver-light at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import bm25_topk
+    from lakehouse_dba_tools_spark.similarity.search import brute_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_QUERY, k=20).withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+        .cast("int"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_topk(emb, q, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("dense_rank")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.col("lex_rank") + 60), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.col("dense_rank") + 60), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.select("doc_id", "lex_rank")
+        .join(dense, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
