@@ -521,3 +521,50 @@ def hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "approx_quantile_error_bound",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_within_bound, TRUE AS p95_within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile-sketch contract — the t-digest-style twin of
+    approx_distinct_parts' HLL bound check. percentile_approx (Spark's
+    mergeable quantile summary, the only form that rolls up over
+    100 TB partials) guarantees rank error ≤ n/accuracy; the query
+    RECOMPUTES the returned estimate's realized rank relationally
+    (broadcast the 1-row-per-group sketch output back onto the fact,
+    conditional count) and asserts |rank − q·n| ≤ n/accuracy + 1.
+    A sketch regression flips the boolean and hash-fails the gate;
+    the exact-value counterpart is order_price_percentiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    acc = 1000
+    ap = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, acc).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.95, acc).alias("ap95"),
+    )
+    ranks = (
+        orders.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(ap), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("ap50"), 1).otherwise(0)
+            ).alias("r50"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("ap95"), 1).otherwise(0)
+            ).alias("r95"),
+        )
+    )
+    tol = F.col("n") / acc + 1
+    return ranks.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol).alias("p50_within_bound"),
+        (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol).alias("p95_within_bound"),
+    )
