@@ -230,3 +230,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_span_dedup_shuffles_digests_not_text(spark, sf_dir):
+    """Every KEYED exchange of exact-substring dedup (the span_hash
+    group/join and the per-doc rollups) carries only digests, ids and
+    counts — document bodies and token arrays never ride a hash
+    shuffle (SCALE.md round-6 continuation: at 100 TB text is ~1000×
+    the digest). The only exchange allowed to carry text is fan_out's
+    round-robin repartition of the raw scan, which is a no-op on a
+    many-split 100 TB scan."""
+    for name in ("exact_substring_spans", "exact_substring_dedup_clean"):
+        plan = _plan(spark, name, sf_dir)
+        keyed = 0
+        for ex in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", plan):
+            inputs = ex.group(1)
+            if "span_hash" in inputs or "s0#" in inputs or "n_spans" in inputs:
+                keyed += 1
+                assert "text#" not in inputs, f"{name} shuffles raw text"
+                assert "_t#" not in inputs, f"{name} shuffles token arrays"
+        assert keyed >= 2, f"{name}: expected keyed exchanges in plan"
