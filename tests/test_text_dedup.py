@@ -331,3 +331,24 @@ def test_remove_duplicate_spans_excises_only_non_keepers(spark):
     assert out[2]["cleaned_hash"] == md5("p1 p2 p3 p4 p5 q1")
     # untouched doc round-trips
     assert out[3]["n_removed_tokens"] == 0
+
+
+def test_rolling_kernel_matches_md5_kernel(spark, sf_dir):
+    """The Rabin-Karp mapInPandas scale path and the JVM md5 path must
+    produce the IDENTICAL duplicate-span report — equal windows ⇔
+    equal hashes is the contract, whatever the hash family."""
+    from lakehouse_dba_tools_spark.dedup.exact import (
+        duplicate_span_report,
+        span_hashes,
+        span_hashes_rolling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    md5_rep = duplicate_span_report(docs, window=20, kernel=span_hashes)
+    roll_rep = duplicate_span_report(docs, window=20, kernel=span_hashes_rolling)
+    assert md5_rep.exceptAll(roll_rep).count() == 0
+    assert roll_rep.exceptAll(md5_rep).count() == 0
+    # and the span inventories agree row-for-row on (doc, pos)
+    a = span_hashes(docs).select("doc_id", "pos")
+    b = span_hashes_rolling(docs).select("doc_id", "pos")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
