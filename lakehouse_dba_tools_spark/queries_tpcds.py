@@ -8824,3 +8824,61 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev_aqe is not None:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return spark.createDataFrame(rows, out.schema)
+
+
+def _sqltext_ext_oracle() -> str:
+    """Oracle for the extended SQL-text coverage: DuckDB executes the
+    SAME 14 official texts over the exported gate warehouse and pins
+    each rowcount (LIMIT-ed result CONTENT is tie-order-specific per
+    engine; counts are stable)."""
+    from lakehouse_dba_tools_spark.datagen.export import CORE_TABLES, with_tables
+    from lakehouse_dba_tools_spark.workload.tpcds_corpus import CORPUS_EXT
+
+    units = ",\n".join(
+        f"u_{name} AS (SELECT count(*) AS c FROM (\n{sql}\n) t_{name})"
+        for name, sql in sorted(CORPUS_EXT.items())
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS unit_name, CAST(c AS BIGINT) AS n_rows FROM u_{name}"
+        for name in sorted(CORPUS_EXT)
+    )
+    return with_tables(f"WITH {units}\n{selects}\nORDER BY unit_name", *CORE_TABLES)
+
+
+@register("tpcds_sqltext_extended", _sqltext_ext_oracle())
+def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended official-SQL-text coverage, 14 MORE TPC-DS v2.13 texts
+    beyond the 27 the checked stress query drives (41 total — the
+    reference's dbstress corpus surface,
+    `evaluation_tools/dbstress__Current.py:93-103`): correlated
+    category-average (q6), scalar-subquery bucket CASE matrix (q9),
+    EXISTS/NOT-EXISTS ship-spread (q16), 3-way INTERSECT (q38) and
+    EXCEPT (q87), the deep OR attribute probe with its vocabulary
+    remapped pair-safely into the generated domains (q41), zip/item
+    disjunction (q45), return-latency buckets (q50), under-average
+    revenue derived tables (q65), stocked-item inventory probe (q82),
+    am/pm decimal ratio (q90), left-join-then-comma-join net returns
+    (q93), FULL OUTER channel overlap (q97), and warehouse-substring
+    ship buckets (q99). Each text runs ONCE via spark.sql over the
+    parquet-backed warehouse views — this is parser/semantics
+    coverage; concurrency stress is tpcds_sqltext_stress's axis.
+    Trailing query: diffcheck-only, so bench cost is unchanged."""
+    from lakehouse_dba_tools_spark.datagen.export import CORE_TABLES, ensure_export
+    from lakehouse_dba_tools_spark.workload.tpcds_corpus import CORPUS_EXT
+
+    _gate(spark)
+    wh = ensure_export(spark, scale=_sf_scale(sf_dir))
+    for name in CORE_TABLES:
+        spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        rows = [
+            (name, spark.sql(sql).count()) for name, sql in sorted(CORPUS_EXT.items())
+        ]
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(rows, "unit_name string, n_rows long").orderBy(
+        "unit_name"
+    )

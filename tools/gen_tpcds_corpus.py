@@ -72,6 +72,65 @@ SUBS: dict[int, list[tuple[str, str]]] = {
     96: [],
 }
 
+# Round-6 continuation: 12 MORE official texts for the trailing
+# extended-coverage query (tpcds_sqltext_extended — diffcheck-only, so
+# bench cost is unaffected). Same adaptation discipline: params mapped
+# into generated domains; q41's attribute vocabulary is remapped
+# pairwise (each OR-pair keeps two DISTINCT generated values).
+EXT_SUBS: dict[int, list[tuple[str, str]]] = {
+    6: [("d_year = 2001", "d_year = 1998")],
+    9: [],  # bucket thresholds compare against counts; any outcome is deterministic
+    16: [("'2002-02-01'", "'1998-02-01'"), ("'2002-04-02'", "'1998-04-02'")],
+    38: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
+    41: [
+        ("BETWEEN 738 AND 738+40", "BETWEEN 30 AND 30+40"),
+        # units not in the generated vocabulary, mapped pair-safely
+        ("'Ounce'", "'Each'"),
+        ("i_units = 'N/A'", "i_units = 'Unknown'"),
+        ("'Pallet'", "'Case'"),
+        ("'Gross'", "'Gram'"),
+        ("'Cup'", "'Box'"),
+        ("'Dram'", "'Bunch'"),
+        ("'Tbl'", "'Ton'"),
+        ("'Lb'", "'Oz'"),
+        ("'Bundle'", "'Pound'"),
+        # colors not in the generated vocabulary, mapped pair-safely
+        ("'powder'", "'coral'"),
+        ("'honeydew'", "'almond'"),
+        ("'floral'", "'azure'"),
+        ("'deep'", "'blue'"),
+        ("'light'", "'gold'"),
+        ("'cornflower'", "'ivory'"),
+        ("'midnight'", "'black'"),
+        ("'snow'", "'cream'"),
+        ("'papaya'", "'green'"),
+        ("'orange'", "'indigo'"),
+        ("'frosted'", "'beige'"),
+        ("'forest'", "'green'"),
+        ("'ghost'", "'ivory'"),
+    ],
+    45: [
+        (
+            re.compile(r"IN \('85669',[^)]*\)"),
+            "IN ('49229', '15387', '28946', '51897', '89433', "
+            "'67978', '51519', '44776', '15683')",
+        ),
+        ("d_year = 2001", "d_year = 1998"),
+    ],
+    50: [("d2.d_year = 2001", "d2.d_year = 1998")],
+    65: [],  # DuckDB's bundled text already uses the 1176 month_seq base
+    82: [
+        ("'2000-05-25'", "'1998-05-25'"),
+        ("'2000-07-24'", "'1998-07-24'"),
+        (re.compile(r"IN \(129,[^)]*\)"), "IN (29, 70, 82, 43)"),
+    ],
+    87: [("BETWEEN 1200 AND 1200+11", "BETWEEN 1176 AND 1176+11")],
+    90: [],  # hour/dep-count/char-count params all inside generated domains
+    93: [("'reason 28'", "'Stopped working'")],
+    97: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
+    99: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
+}
+
 # q48 has three different ca_state arms; cycle through generated states
 STATE_ARMS = [
     "ca_state IN ('CA', 'WA', 'TX')",
@@ -90,9 +149,9 @@ def _ident(name: str) -> str:
     return out or "col"
 
 
-def adapt(n: int, sql: str) -> str:
+def adapt(n: int, sql: str, subs: dict | None = None) -> str:
     sql = _COMMENT_RE.sub("", sql).strip().rstrip(";").strip()
-    for old, new in SUBS[n]:
+    for old, new in (subs or SUBS)[n]:
         if isinstance(old, str):
             assert old in sql, (n, old)
             sql = sql.replace(old, new)
@@ -134,10 +193,26 @@ def main() -> None:
         body = sql.replace("\\", "\\\\").replace('"""', '\\"\\"\\"')
         lines.append(f'    "{name}": """\\\n{body}\n""",')
     lines.append("}")
+    ext_entries = []
+    for n in sorted(EXT_SUBS):
+        raw = con.execute(
+            "SELECT query FROM tpcds_queries() WHERE query_nr = ?", [n]
+        ).fetchone()[0]
+        ext_entries.append((f"q{n:02d}", adapt(n, raw, EXT_SUBS)))
+    lines += [
+        "",
+        "# Extended-coverage texts (EXT_SUBS): driven by the trailing",
+        "# tpcds_sqltext_extended query — diffcheck-only, bench-neutral.",
+        "CORPUS_EXT: dict[str, str] = {",
+    ]
+    for name, sql in ext_entries:
+        body = sql.replace("\\", "\\\\").replace('"""', '\\"\\"\\"')
+        lines.append(f'    "{name}": """\\\n{body}\n""",')
+    lines.append("}")
     path = "lakehouse_dba_tools_spark/workload/tpcds_corpus.py"
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"wrote {path}: {len(entries)} queries")
+    print(f"wrote {path}: {len(entries)} + {len(ext_entries)} queries")
 
 
 if __name__ == "__main__":
