@@ -179,6 +179,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 20,
+    return_text: bool = False,
 ) -> DataFrame:
     """Excise cross-document duplicated runs from every doc except the
     run's canonical keeper (min id per duplicated hash) — the removal
@@ -264,6 +265,11 @@ def remove_duplicate_spans(
             F.size("_islands").cast("long").alias("n_islands"),
             (F.size("_t") - F.size("_clean")).cast("long").alias("n_removed_tokens"),
             F.md5(F.concat_ws(" ", F.col("_clean"))).alias("cleaned_hash"),
+            *(
+                [F.concat_ws(" ", F.col("_clean")).alias("cleaned_text")]
+                if return_text
+                else []
+            ),
         )
     )
 
