@@ -129,6 +129,49 @@ EXT_SUBS: dict[int, list[tuple[str, str]]] = {
     93: [("'reason 28'", "'Stopped working'")],
     97: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
     99: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
+    # batch 2 (round-6 continuation): 8 more singles
+    21: [
+        ("'2000-03-11'", "'1998-03-11'"),
+        ("'2000-02-10'", "'1998-02-10'"),
+        ("'2000-04-10'", "'1998-04-10'"),
+    ],
+    32: [
+        ("i_manufact_id = 977", "i_manufact_id = 43"),
+        ("'2000-01-27'", "'1998-01-27'"),
+        ("'2000-04-26'", "'1998-04-26'"),
+    ],
+    60: [],  # d_year 1998 / d_moy 9 / gmt -5 / 'Music' all already in-domain
+    63: [
+        ("1200", "1176"),
+        # spec class/brand vocabularies mapped into the generated ones
+        (
+            re.compile(r"i_class IN \('personal',[^)]*\)"),
+            "i_class IN ('computers', 'fiction', 'bedding', 'decor')",
+        ),
+        (
+            re.compile(r"i_class IN \('accessories',[^)]*\)"),
+            "i_class IN ('accent', 'classical', 'dresses', 'fitness')",
+        ),
+        (
+            re.compile(r"i_brand IN \('scholaramalgamalg #14',[^)]*\)"),
+            "i_brand IN ('Brand#1-1', 'Brand#2-2', 'Brand#3-3', 'Brand#4-4')",
+        ),
+        (
+            re.compile(r"i_brand IN \('amalgimporto #1',[^)]*\)"),
+            "i_brand IN ('Brand#1-2', 'Brand#2-3', 'Brand#3-4', 'Brand#4-5')",
+        ),
+    ],
+    69: [
+        (re.compile(r"IN \('KY',[^)]*\)"), "IN ('KY', 'GA', 'MO')"),
+        ("d_year = 2001", "d_year = 1998"),
+    ],
+    92: [
+        ("i_manufact_id = 350", "i_manufact_id = 70"),
+        ("'2000-01-27'", "'1998-01-27'"),
+        ("'2000-04-26'", "'1998-04-26'"),
+    ],
+    95: [],  # 1999 ship window, ca_state IL, company 'pri' all in-domain
+    98: [],  # 1999 date window and category list already in-domain
 }
 
 # q48 has three different ca_state arms; cycle through generated states
