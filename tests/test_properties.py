@@ -216,3 +216,59 @@ def test_salted_join_equals_plain_join(spark, fact, dim, n_salts, how):
     got = sorted(tuple(r) for r in salted_join(f, d, ["k"], n_salts=n_salts, how=how).collect())
     want = sorted(tuple(r) for r in f.join(d, ["k"], how).collect())
     assert got == want
+
+
+# --- exact-substring span removal ------------------------------------------
+# Small vocab + short shared runs force cross-doc duplication often;
+# window=5 keeps docs small enough for a Spark round-trip per example.
+_span_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_span_docs)
+@settings(
+    max_examples=15,
+    deadline=None,
+    # derandomized: the conservation/keeper invariants below are
+    # universal, but the zero-dups-after postcondition is an empirical
+    # strength claim (an excision SEAM could in principle mint a new
+    # 5-gram that matches another doc); pinning the example set keeps
+    # this a regression test, not a lottery. The fixture-corpus twin
+    # (test_span_removal_converges_to_zero_cross_doc_dups) covers the
+    # realistic-corpus case.
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+def test_span_removal_properties(spark, texts):
+    from lakehouse_dba_tools_spark.dedup.exact import (
+        duplicate_span_report,
+        remove_duplicate_spans,
+    )
+
+    W = 5
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(docs, window=W, return_text=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    # conservation: removed + surviving == original token count
+    for r in rows.values():
+        assert 0 <= r["n_removed_tokens"] <= r["n_tokens"]
+        assert (r["n_removed_tokens"] > 0) == (r["n_islands"] > 0)
+
+    # the minimum doc id can never lose tokens (it is the keeper of
+    # every hash it shares — min over doc ids is global)
+    assert rows[min(rows)]["n_removed_tokens"] == 0
+
+    # postcondition: a second detection pass finds no cross-doc dups
+    cleaned = out.select("doc_id", F.col("cleaned_text").alias("text"))
+    post = (
+        duplicate_span_report(cleaned, window=W)
+        .agg(F.sum("n_dup_spans"))
+        .first()[0]
+    )
+    assert post in (None, 0)
