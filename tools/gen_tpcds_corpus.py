@@ -172,6 +172,61 @@ EXT_SUBS: dict[int, list[tuple[str, str]]] = {
     ],
     95: [],  # 1999 ship window, ca_state IL, company 'pri' all in-domain
     98: [],  # 1999 date window and category list already in-domain
+    # batch 3: ten more singles
+    28: [],  # pure store_sales numeric bucket ranges, all in-domain
+    33: [],  # 1998/moy-5/gmt-5/'Electronics' already in-domain
+    34: [
+        (re.compile(r"IN \(1999,[^)]*\)"), "IN (1998, 1998+1, 1998+2)"),
+        # generated baskets carry <=3 lines and ticket lines draw
+        # independent demographics, so the surviving-lines-per-ticket
+        # band scales from the spec's 15-20 to 1-3
+        ("cnt BETWEEN 15 AND 20", "cnt BETWEEN 1 AND 3"),
+    ],
+    36: [("d1.d_year = 2001", "d1.d_year = 1998")],
+    40: [
+        ("'2000-03-11'", "'1998-03-11'"),
+        ("'2000-02-10'", "'1998-02-10'"),
+        ("'2000-04-10'", "'1998-04-10'"),
+    ],
+    44: [],  # store_sk 4 exists; ss_addr_sk never NULL → both engines
+    # agree the 0.9*avg-of-empty HAVING yields an empty rank set
+    53: [
+        ("1200", "1176"),
+        (
+            re.compile(r"i_class IN \('personal',[^)]*\)"),
+            "i_class IN ('computers', 'fiction', 'bedding', 'decor')",
+        ),
+        (
+            re.compile(r"i_class IN \('accessories',[^)]*\)"),
+            "i_class IN ('accent', 'classical', 'dresses', 'fitness')",
+        ),
+        (
+            re.compile(r"i_brand IN \('scholaramalgamalg #14',[^)]*\)"),
+            "i_brand IN ('Brand#1-1', 'Brand#2-2', 'Brand#3-3', 'Brand#4-4')",
+        ),
+        (
+            re.compile(r"i_brand IN \('amalgimporto #1',[^)]*\)"),
+            "i_brand IN ('Brand#1-2', 'Brand#2-3', 'Brand#3-4', 'Brand#4-5')",
+        ),
+    ],
+    56: [
+        ("'slate'", "'azure'"),
+        ("'blanched'", "'almond'"),
+        ("'burnished'", "'beige'"),
+        ("d_year = 2001", "d_year = 1998"),
+    ],
+    70: [("BETWEEN 1200 AND 1200+11", "BETWEEN 1176 AND 1176+11")],
+    86: [("BETWEEN 1200 AND 1200+11", "BETWEEN 1176 AND 1176+11")],
+    89: [
+        (
+            re.compile(r"i_class IN \('computers',[^)]*\)"),
+            "i_class IN ('computers', 'classical', 'fitness')",
+        ),
+        (
+            re.compile(r"i_class IN \('shirts',[^)]*\)"),
+            "i_class IN ('kids', 'bracelets', 'dresses')",
+        ),
+    ],
 }
 
 # q48 has three different ca_state arms; cycle through generated states
