@@ -8871,14 +8871,28 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in CORE_TABLES:
         spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    prev_bto = spark.conf.get("spark.sql.broadcastTimeout", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # scalar-subquery/broadcast futures in q6/q32/q44/q92 can outlive
+    # the 300s default under shared-host load spikes late in a long
+    # battery session; widen the window for this query's scope only
+    spark.conf.set("spark.sql.broadcastTimeout", "1200")
     try:
-        rows = [
-            (name, spark.sql(sql).count()) for name, sql in sorted(CORPUS_EXT.items())
-        ]
+        rows = []
+        for name, sql in sorted(CORPUS_EXT.items()):
+            try:
+                rows.append((name, spark.sql(sql).count()))
+            except Exception:
+                # one retry for transient executor/broadcast failures
+                # (the dbstress posture: a unit is re-attempted, never
+                # silently skipped — a REAL semantic error still
+                # raises here and fails the gate)
+                rows.append((name, spark.sql(sql).count()))
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_bto is not None:
+            spark.conf.set("spark.sql.broadcastTimeout", prev_bto)
     return spark.createDataFrame(rows, "unit_name string, n_rows long").orderBy(
         "unit_name"
     )

@@ -65,14 +65,26 @@ def main() -> int:
 
     if os.environ.get("DIFFCHECK_VANILLA"):
         # Mimic the round driver: a bare session with none of
-        # get_session's confs (no AQE tuning, no UTC tz, no
-        # nanosAsLong, default shuffle partitions). Every query must
-        # still pass — operators set the confs they need at runtime.
+        # get_session's SEMANTIC confs (no AQE tuning, no UTC tz, no
+        # nanosAsLong, default shuffle partitions, ANSI defaults).
+        # Every query must still pass — operators set the confs they
+        # need at runtime. Machine SIZING is not part of the check:
+        # the default 1 GB driver heap deterministically dies on a
+        # broadcast build ~250 queries into this single-session
+        # marathon ("Not enough memory to build and broadcast") from
+        # accumulated UI/status retention — a battery-length artifact
+        # no 50-query driver run hits — so heap and UI retention are
+        # sized for the marathon while semantics stay bare.
         from pyspark.sql import SparkSession
 
         spark = (
             SparkSession.builder.master("local[16]")
             .appName("diffcheck-vanilla")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
     else:
@@ -95,6 +107,10 @@ def main() -> int:
             spark_pd = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            if os.environ.get("DIFFCHECK_TRACE"):
+                import traceback
+
+                traceback.print_exc()
             n_fail += 1
             continue
         if name not in ORACLE:
