@@ -227,6 +227,29 @@ EXT_SUBS: dict[int, list[tuple[str, str]]] = {
             "i_class IN ('kids', 'bracelets', 'dresses')",
         ),
     ],
+    # batch 4: seven more singles (q76 deliberately omitted — the
+    # generated facts carry no NULL fks, so the official text would be
+    # deterministically empty; the engine's q76 twin injects NULLs via
+    # an md5 rule instead)
+    22: [("BETWEEN 1200 AND 1200 + 11", "BETWEEN 1176 AND 1176 + 11")],
+    46: [
+        (re.compile(r"IN \(1999,[^)]*\)"), "IN (1998, 1998+1, 1998+2)"),
+    ],  # 'Fairview'/'Midway' are generated cities; dow/demographics in-domain
+    # q58/q83 are legitimately EMPTY at gate scale (a single week of
+    # sales / the ~300-row returns facts can't satisfy the 0.9-1.1
+    # equal-channel ratio bands) — both engines agree on 0, like q44
+    58: [("'2000-01-03'", "'1998-02-02'")],
+    66: [
+        ("d_year = 2001", "d_year = 1998"),
+        ("('DHL','BARIAN')", "('UPS','FEDEX')"),
+    ],
+    71: [],  # 1999/moy-11 and breakfast/dinner meal times all in-domain
+    77: [("'2000-08-23'", "'1998-08-23'"), ("'2000-09-22'", "'1998-09-22'")],
+    83: [
+        ("'2000-06-30'", "'1998-06-30'"),
+        ("'2000-09-27'", "'1998-09-27'"),
+        ("'2000-11-17'", "'1998-11-17'"),
+    ],
 }
 
 # q48 has three different ca_state arms; cycle through generated states
