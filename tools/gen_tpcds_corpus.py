@@ -250,6 +250,20 @@ EXT_SUBS: dict[int, list[tuple[str, str]]] = {
         ("'2000-09-27'", "'1998-09-27'"),
         ("'2000-11-17'", "'1998-11-17'"),
     ],
+    # batch 5: eleven more singles
+    1: [("d_year = 2000", "d_year = 1998")],
+    30: [("d_year = 2002", "d_year = 1998")],
+    31: [("d_year = 2000", "d_year = 1998")],
+    35: [("d_year = 2002", "d_year = 1998")],
+    47: [],  # 1999-centered lag/lead chain: Dec-1998 prev exists; the
+    # empty Jan-2000 lead arm is filtered by the rn join on both engines
+    49: [("d_year = 2001", "d_year = 1998")],
+    57: [],  # same 1999-centered structure as q47
+    # covers both curr_yr.d_year=2002 and prev_yr.d_year=2002-1 → 1999/1998
+    75: [("d_year=2002", "d_year=1999")],
+    78: [("ss_sold_year=2000", "ss_sold_year=1998")],
+    80: [("'2000-08-23'", "'1998-08-23'"), ("'2000-09-22'", "'1998-09-22'")],
+    81: [("d_year = 2000", "d_year = 1998")],
 }
 
 # q48 has three different ca_state arms; cycle through generated states
