@@ -28,7 +28,7 @@ def register(name: str, oracle: str | None = None):
 # locally diffchecked at both gate SFs, every one oracle-independent):
 # exact_substring_spans, exact_substring_dedup_clean, pq_rerank_recall,
 # hybrid_rrf_fusion, approx_quantile_error_bound, tpcds_sqltext_extended
-# (51 official texts), tpcds_warehouse_build_audit (now cross-engine).
+# (72 official texts; all 99 numbers covered with the stress 27), tpcds_warehouse_build_audit (now cross-engine).
 #
 # The driver's differential gate checks the FIRST 50 registered queries
 # (registration order = dict order). This list pins those 50 explicitly:

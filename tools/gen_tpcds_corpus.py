@@ -264,6 +264,83 @@ EXT_SUBS: dict[int, list[tuple[str, str]]] = {
     78: [("ss_sold_year=2000", "ss_sold_year=1998")],
     80: [("'2000-08-23'", "'1998-08-23'"), ("'2000-09-22'", "'1998-09-22'")],
     81: [("d_year = 2000", "d_year = 1998")],
+    # batch 7 completes the corpus — ALL 99 official texts execute:
+    # DuckDB's bundle ships ONE statement per query number, so the
+    # spec's two-statement files arrive single; q8's 400-zip
+    # substitution list is regenerated from the generated address
+    # space (exactly what dsdgen's param generator does); q76's
+    # NULL-fk probe is deterministically EMPTY over the generated
+    # facts (no null fks) with both engines agreeing — the engine's
+    # DataFrame twin injects nulls via an md5 rule to get a non-empty
+    # version of the same shape.
+    76: [],
+    8: [
+        # zip substitution list regenerated from the generated address
+        # space (what dsdgen's param generator does), restricted to
+        # zips that carry preferred customers and share a store's
+        # 2-digit prefix so the intersect→store join is non-vacuous
+        (
+            re.compile(r"IN \('24128',[^)]*\)"),
+            "IN ('17025', '17053', '17132', '17241', '17298', '17337', "
+            "'17352', '17426', '17493', '17615', '17622', '17648', "
+            "'17649', '17702', '17792', '17831', '17833', '17947', "
+            "'17956', '17983', '17992', '20214', '20274', '20369', "
+            "'20389')",
+        ),
+        # generated zip-5 groups top out at 6 addresses (~3 preferred);
+        # scale the spec's >10-preferred band accordingly
+        ("count(*) > 10", "count(*) > 2"),
+    ],
+    14: [("1999", "1997")],  # 3-year window → 1997-1999; current month
+    # 1997+2/moy-11 lands in Nov 1999 sales
+    23: [
+        (re.compile(r"IN \(2000,[^)]*\)"), "IN (1996, 1996+1, 1996+2, 1996+3)"),
+        (re.compile(r"d_year = 2000(\s+)AND d_moy = 2"), r"d_year = 1998\1AND d_moy = 2"),
+        # gate-scale baskets never repeat an item >4× per day; scale
+        # the frequent-item band to the generated density
+        ("count(*) >4", "count(*) >1"),
+    ],
+    24: [("'peach'", "'coral'"), ("s_market_id=8", "s_market_id=5")],
+    39: [("=2001", "=1998")],
+    # batch 6: the rest of the adaptable singles
+    4: [("2001", "1998")],  # 6 occurrences, all year params (3-channel q11)
+    64: [
+        ("1999", "1998"),  # syear pair → 1998/1999, both with sales
+        (
+            re.compile(r"IN \('purple',[^)]*\)"),
+            "IN ('coral', 'almond', 'azure', 'blue', 'gold', 'ivory')",
+        ),
+    ],
+    2: [("d_year = 2001", "d_year = 1998")],  # the +1 arm follows to 1999
+    5: [("'2000-08-23'", "'1998-08-23'"), ("'2000-09-06'", "'1998-09-06'")],
+    10: [
+        (
+            re.compile(r"IN \('Rush County',[^)]*\)"),
+            "IN ('Daviess County', 'Ziebach County', 'Williamson County', "
+            "'Walker County', 'Daviess County')",
+        ),
+        ("d_year = 2002", "d_year = 1998"),
+    ],
+    11: [("2001", "1998")],  # 4 occurrences, all year params
+    17: [("2001Q", "1998Q")],
+    18: [
+        (
+            re.compile(r"IN \('MS',[^)]*\)"),
+            "IN ('MO', 'OH', 'KY', 'TX', 'CA', 'VA', 'MO')",
+        ),
+    ],
+    51: [("BETWEEN 1200 AND 1200+11", "BETWEEN 1176 AND 1176+11")],
+    54: [("'maternity'", "'dresses'")],  # 1998/moy-12 already in-domain
+    59: [("1212", "1176")],  # both 12-month windows land inside 1176-1199
+    67: [("BETWEEN 1200 AND 1200+11", "BETWEEN 1176 AND 1176+11")],
+    72: [],  # 1999 / '>10000' / date+int arithmetic all in-domain
+    74: [("2001", "1998")],  # 8 occurrences, all year params
+    85: [
+        (re.compile(r"IN \('IN',\s*'OH',\s*'NJ'\)"), "IN ('OH', 'TX', 'KY')"),
+        (re.compile(r"IN \('WI',\s*'CT',\s*'KY'\)"), "IN ('FL', 'CA', 'MO')"),
+        (re.compile(r"IN \('LA',\s*'IA',\s*'AR'\)"), "IN ('TN', 'IL', 'NY')"),
+        ("d_year = 2000", "d_year = 1998"),
+    ],
 }
 
 # q48 has three different ca_state arms; cycle through generated states
