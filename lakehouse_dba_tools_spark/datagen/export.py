@@ -183,25 +183,42 @@ def gate_dir() -> str:
 def _export(
     spark: SparkSession, names: tuple[str, ...], marker: str, scale: int = 1
 ) -> None:
+    """Single-writer export: an flock on ``_EXPORT_LOCK`` serializes
+    concurrent sessions (two exporters previously raced on the shared
+    ``_tmp_{name}`` staging dirs and the rmtree+rename pair, able to
+    corrupt the warehouse the oracles read). The marker is re-checked
+    INSIDE the lock, so a process that waited on a peer's export
+    returns without rewriting anything; staging dirs are additionally
+    pid-suffixed so even a crashed-and-restarted exporter never shares
+    a staging path with a live one."""
+    import fcntl
+
     root = warehouse_dir(scale)
     os.makedirs(root, exist_ok=True)
     mpath = os.path.join(root, marker)
     if os.path.exists(mpath):
         return
-    tables = warehouse_tables(
-        spark, scale=scale, big=any(n in BIG_TABLES for n in names)
-    )
-    for name in names:
-        final = os.path.join(root, name)
-        if os.path.isdir(final):
-            shutil.rmtree(final)  # partial from a crashed exporter
-        staging = os.path.join(root, f"_tmp_{name}")
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
-        tables[name].write.mode("overwrite").parquet(staging)
-        os.rename(staging, final)
-    with open(mpath, "w") as fh:
-        fh.write("ok\n")
+    with open(os.path.join(root, "_EXPORT_LOCK"), "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(mpath):  # a peer exported while we waited
+                return
+            tables = warehouse_tables(
+                spark, scale=scale, big=any(n in BIG_TABLES for n in names)
+            )
+            for name in names:
+                final = os.path.join(root, name)
+                if os.path.isdir(final):
+                    shutil.rmtree(final)  # partial from a crashed exporter
+                staging = os.path.join(root, f"_tmp_{name}_{os.getpid()}")
+                if os.path.isdir(staging):
+                    shutil.rmtree(staging)
+                tables[name].write.mode("overwrite").parquet(staging)
+                os.rename(staging, final)
+            with open(mpath, "w") as fh:
+                fh.write("ok\n")
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
 
 
 def ensure_export(spark: SparkSession, scale: int = 1, big: bool = False) -> str:

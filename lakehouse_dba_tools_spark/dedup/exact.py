@@ -92,6 +92,12 @@ def span_hashes_rolling(
     import numpy as np
     import pandas as pd
 
+    # SINGLE tokenizer contract: both kernels split on the same
+    # WORD_SPLIT_RE constant, so the md5 and rolling kernels cannot
+    # silently desynchronize if the corpus tokenization ever changes.
+    from lakehouse_dba_tools_spark.functions.text import WORD_SPLIT_RE
+
+    split_re = _re.compile(WORD_SPLIT_RE)
     B = np.uint64(1099511628211)  # FNV prime doubles as the base
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +106,7 @@ def span_hashes_rolling(
             for pdf in batches:
                 frames = []
                 for did, text in zip(pdf[id_col], pdf[text_col]):
-                    toks = _re.split(r"\s+", (text or "").strip())
+                    toks = split_re.split((text or "").strip())
                     n = len(toks)
                     if n < window:
                         continue

@@ -177,10 +177,17 @@ def create_or_upsert_partitioned(
     affected = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
-    # partition pruning keeps the target read to the affected dirs only
-    target = spark.read.option("basePath", path).parquet(path).where(
-        F.col(partition_col).isin(affected)
-    )
+    # Partition pruning keeps the target read to the affected dirs only.
+    # NULL partition values need an explicit isNull arm: isin() is
+    # three-valued and never matches NULL, yet the staging write emits a
+    # __HIVE_DEFAULT_PARTITION__ dir whose rename would replace the
+    # target's NULL partition — without this arm the target's existing
+    # NULL-partition keys would be silently dropped.
+    non_null = [a for a in affected if a is not None]
+    prune = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(a is None for a in affected):
+        prune = prune | F.col(partition_col).isNull()
+    target = spark.read.option("basePath", path).parquet(path).where(prune)
     # source already deduped above when source_order was given; without
     # it, keep merge_upsert's uniqueness guard
     merged = merge_upsert(

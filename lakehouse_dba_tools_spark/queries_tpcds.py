@@ -8798,8 +8798,14 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same knob goes the other way — sized per workload, not per query.)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_bto = spark.conf.get("spark.sql.broadcastTimeout", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The oracle pins n_ok == n_runs; at unit_parallel=16 on the shared
+    # noisy host one broadcast future outliving the 300s default would
+    # fail the gate for a scheduling reason. Widen for this scope (the
+    # extended query's posture) and let the harness retry once.
+    spark.conf.set("spark.sql.broadcastTimeout", "1200")
     try:
         # per-unit parallel config like the reference's YAML units
         # (DBS:108-118): the q3 rollup family runs 2 concurrent
@@ -8813,7 +8819,7 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 12 → 19.0s, 16 → 18.4s — planning/codegen overlap keeps
         # improving up to half the core count; results are identical
         # (scheduling only)
-        results = run_workload(spark, units, unit_parallel=16)
+        results = run_workload(spark, units, unit_parallel=16, retries=1)
         out = (
             latency_summary(results)
             .select("unit_name", "n_runs", "n_ok", "min_rows", "max_rows")
@@ -8827,6 +8833,8 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev_aqe is not None:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if prev_bto is not None:
+            spark.conf.set("spark.sql.broadcastTimeout", prev_bto)
     return spark.createDataFrame(rows, out.schema)
 
 

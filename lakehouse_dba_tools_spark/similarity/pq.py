@@ -57,9 +57,13 @@ def train_pq_codebooks(
             l2_normalize(as_double(vec_col)).alias("v"),
         )
         .sample(fraction=sample_fraction, seed=seed)
+        # Deterministic cap: orderBy before limit plans as
+        # TakeOrderedAndProject, so the 100k rows chosen are a pure
+        # function of (data, seed) regardless of partitioning — a bare
+        # limit() would take whichever partitions answered first.
+        .orderBy("_id")
         .limit(100_000)
         .toPandas()
-        .sort_values("_id")
     )
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     n, dim = X.shape

@@ -73,7 +73,8 @@ RESULT_SCHEMA = T.StructType(
 
 
 def run_workload(
-    spark: SparkSession, units: list[SqlUnit], unit_parallel: int = 1
+    spark: SparkSession, units: list[SqlUnit], unit_parallel: int = 1,
+    retries: int = 0,
 ) -> DataFrame:
     """Execute every unit with its own parallel×repeats schedule; return
     the latency results table.
@@ -83,16 +84,25 @@ def run_workload(
     serves other tenants concurrently — cross-unit overlap is the
     realistic load shape, and Spark's scheduler interleaves the jobs
     exactly as a SQL endpoint would). Results are identical either
-    way; only wall-clock and the latency columns change."""
+    way; only wall-clock and the latency columns change.
+
+    ``retries``: re-attempts per failed run before recording ``error``
+    (the dbstress posture — a unit is re-tried, never silently lost to
+    a transient broadcast/executor hiccup on a loaded host; a REAL
+    semantic error fails every attempt and still surfaces). Retried
+    runs report total wall including failed attempts."""
     rows: list[tuple] = []
 
     def one_run(unit: SqlUnit, conn_id: int, run_idx: int) -> tuple:
         t0 = time.time()
-        try:
-            n = spark.sql(unit.sql).count()
-            return (unit.name, conn_id, run_idx, (time.time() - t0) * 1000, n, "ok", None)
-        except Exception as e:  # noqa: BLE001 — harness records, never raises
-            return (unit.name, conn_id, run_idx, (time.time() - t0) * 1000, 0, "error", str(e)[:200])
+        last_err: Exception | None = None
+        for _ in range(retries + 1):
+            try:
+                n = spark.sql(unit.sql).count()
+                return (unit.name, conn_id, run_idx, (time.time() - t0) * 1000, n, "ok", None)
+            except Exception as e:  # noqa: BLE001 — harness records, never raises
+                last_err = e
+        return (unit.name, conn_id, run_idx, (time.time() - t0) * 1000, 0, "error", str(last_err)[:200])
 
     if unit_parallel <= 1:
         for unit in units:

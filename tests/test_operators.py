@@ -122,6 +122,29 @@ def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
     assert got[7] == ("v7", 2)  # k=7 lives in p=2, untouched by the update of k=2
 
 
+def test_partitioned_merge_null_partition_values(spark, tmp_path):
+    """Round-7 ADVICE fix: a NULL source partition value must pull the
+    target's existing NULL partition into the merge (isin() alone
+    never matches NULL, yet the staging rename replaces the
+    __HIVE_DEFAULT_PARTITION__ dir — old NULL-partition keys would be
+    silently dropped)."""
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", 1)], "k int, v string, p int"
+    )
+    create_or_upsert_partitioned(spark, base, path, ["k"], "p")
+    # source updates k=1 in the NULL partition; k=2 must survive
+    src = spark.createDataFrame([(1, "a2", None)], "k int, v string, p int")
+    rewritten = create_or_upsert_partitioned(spark, src, path, ["k"], "p")
+    assert rewritten == ["p=__HIVE_DEFAULT_PARTITION__"]
+    got = {r.k: (r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", None), 2: ("b", None), 3: ("c", 1)}
+
+
 def test_union_fold_and_template(spark):
     a = spark.createDataFrame([(1,)], "x int")
     frames = [a, a, a, a, a]
