@@ -180,20 +180,19 @@ def gate_dir() -> str:
     return warehouse_dir(1)
 
 
-def _export(
-    spark: SparkSession, names: tuple[str, ...], marker: str, scale: int = 1
-) -> None:
-    """Single-writer export: an flock on ``_EXPORT_LOCK`` serializes
-    concurrent sessions (two exporters previously raced on the shared
-    ``_tmp_{name}`` staging dirs and the rmtree+rename pair, able to
-    corrupt the warehouse the oracles read). The marker is re-checked
-    INSIDE the lock, so a process that waited on a peer's export
-    returns without rewriting anything; staging dirs are additionally
-    pid-suffixed so even a crashed-and-restarted exporter never shares
-    a staging path with a live one."""
+def _locked_export(root: str, marker: str, names, tables_fn) -> None:
+    """Single-writer export core: an flock on ``_EXPORT_LOCK``
+    serializes concurrent sessions (two exporters previously raced on
+    the shared ``_tmp_{name}`` staging dirs and the rmtree+rename
+    pair, able to corrupt the warehouse the oracles read). The marker
+    is re-checked INSIDE the lock, so a process that waited on a
+    peer's export returns without rewriting anything; staging dirs are
+    additionally pid-suffixed so even a crashed-and-restarted exporter
+    never shares a staging path with a live one. ``tables_fn`` is
+    called lazily (only when an export is actually needed) and returns
+    {name: DataFrame}."""
     import fcntl
 
-    root = warehouse_dir(scale)
     os.makedirs(root, exist_ok=True)
     mpath = os.path.join(root, marker)
     if os.path.exists(mpath):
@@ -203,9 +202,7 @@ def _export(
         try:
             if os.path.exists(mpath):  # a peer exported while we waited
                 return
-            tables = warehouse_tables(
-                spark, scale=scale, big=any(n in BIG_TABLES for n in names)
-            )
+            tables = tables_fn()
             for name in names:
                 final = os.path.join(root, name)
                 if os.path.isdir(final):
@@ -219,6 +216,19 @@ def _export(
                 fh.write("ok\n")
         finally:
             fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+
+def _export(
+    spark: SparkSession, names: tuple[str, ...], marker: str, scale: int = 1
+) -> None:
+    _locked_export(
+        warehouse_dir(scale),
+        marker,
+        names,
+        lambda: warehouse_tables(
+            spark, scale=scale, big=any(n in BIG_TABLES for n in names)
+        ),
+    )
 
 
 def ensure_export(spark: SparkSession, scale: int = 1, big: bool = False) -> str:
@@ -256,3 +266,52 @@ def with_tables(sql: str, *tables: str) -> str:
         # merge into the query's own WITH clause
         return f"WITH {binds},\n    {lead[4:].lstrip()}"
     return f"WITH {binds}\n    {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Datagen-verification export (round-7): the three gen_* rollup queries
+# (queries_datagen.py) used to pin their seed-100 aggregates as VALUES —
+# the engine's own output, a determinism pin rather than an independent
+# check. Exporting the exact generated inputs once per machine lets
+# DuckDB RECOMPUTE each rollup from the same rows (the
+# tpcds_warehouse_build_audit read-back pattern), making the oracles
+# genuinely independent formulations of the aggregation.
+
+DATAGEN_TABLES = ("lineitem", "supplier", "partsupp", "store_sales")
+
+
+def datagen_dir() -> str:
+    return f"/tmp/lakehouse_datagen_wh_v{EXPORT_VERSION}_seed{SEED}"
+
+
+def _datagen_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    """EXACTLY the frames the queries_datagen rollups generate — same
+    row counts, same seed, pure functions of (seed, row_id)."""
+    from lakehouse_dba_tools_spark.datagen.generator import (
+        gen_lineitem,
+        gen_partsupp,
+        gen_store_sales,
+        gen_supplier,
+    )
+
+    return {
+        "lineitem": gen_lineitem(spark, 200_000, seed=SEED),
+        "supplier": gen_supplier(spark, 1_000, seed=SEED),
+        "partsupp": gen_partsupp(spark, 10_000, n_suppliers=1_000, seed=SEED),
+        "store_sales": gen_store_sales(spark, 100_000, seed=SEED),
+    }
+
+
+def ensure_datagen_export(spark: SparkSession) -> str:
+    """Write the datagen-verification tables to parquet if absent;
+    marker-cached, flock-serialized like the TPC-DS warehouse."""
+    _locked_export(
+        datagen_dir(), "_EXPORT_OK", DATAGEN_TABLES,
+        lambda: _datagen_tables(spark),
+    )
+    return datagen_dir()
+
+
+def rp_datagen(table: str) -> str:
+    """DuckDB ``read_parquet`` fragment for a datagen-export table."""
+    return f"read_parquet('{datagen_dir()}/{table}/*.parquet')"

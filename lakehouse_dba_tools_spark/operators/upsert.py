@@ -85,9 +85,15 @@ def create_or_upsert_parquet(
 ) -> None:
     """The reference's create-vs-merge branch (QH:229-250) over parquet.
 
-    First load: write. Else: read-merge-rewrite. (With a Delta/Iceberg
-    classpath this becomes a true transactional MERGE; the branch logic
-    and key-uniqueness contract are identical.)
+    First load: write. Else: read-merge-rewrite — a WHOLE-TABLE rewrite
+    per merge, which is only acceptable for genuinely small dimension
+    tables (a few files). Fact/history tables must use
+    ``create_or_upsert_partitioned`` instead, where a natural
+    date/key-prefix partition bounds the rewrite to touched dirs; the
+    streaming sink and the QH ETL flagship route through it (round-7).
+
+    (With a Delta/Iceberg classpath this becomes a true transactional
+    MERGE; the branch logic and key-uniqueness contract are identical.)
     """
     import os
 

@@ -87,29 +87,39 @@ def event_cost_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "datagen_lineitem_rollup",
+def _lineitem_rollup_oracle() -> str:
+    from lakehouse_dba_tools_spark.datagen.export import rp_datagen
+    from lakehouse_dba_tools_spark.functions.stable import (
+        stable_avg_sql,
+        stable_sum_sql,
+    )
+
+    return f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {stable_sum_sql('l_quantity', 2)} AS sum_qty,
+           {stable_avg_sql('l_extendedprice', 4)} AS avg_price
+    FROM {rp_datagen('lineitem')}
+    GROUP BY l_returnflag, l_linestatus
     """
-    SELECT * FROM (VALUES
-      ('A', 'F', CAST(33339 AS BIGINT), CAST(851386.74 AS DOUBLE), CAST(50400.5802 AS DOUBLE)),
-      ('A', 'O', CAST(33538 AS BIGINT), CAST(850178.51 AS DOUBLE), CAST(50440.97   AS DOUBLE)),
-      ('N', 'F', CAST(33234 AS BIGINT), CAST(847979.54 AS DOUBLE), CAST(50519.2225 AS DOUBLE)),
-      ('N', 'O', CAST(33216 AS BIGINT), CAST(848109.07 AS DOUBLE), CAST(50151.3685 AS DOUBLE)),
-      ('R', 'F', CAST(33389 AS BIGINT), CAST(851873.4  AS DOUBLE), CAST(50339.4208 AS DOUBLE)),
-      ('R', 'O', CAST(33284 AS BIGINT), CAST(847104.55 AS DOUBLE), CAST(50594.2832 AS DOUBLE))
-    ) AS t(l_returnflag, l_linestatus, n, sum_qty, avg_price)
-    """,
-)
+
+
+@register("datagen_lineitem_rollup", _lineitem_rollup_oracle())
 def datagen_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generate 200k synthetic lineitem rows distributed (seed=100,
     partition-count-independent determinism) and roll them up — the
     datagen → verify loop of the reference (TPC:1818-1845 + 1929-1956).
-    Hash-derived data has no DuckDB twin, so the oracle PINS the exact
-    expected aggregates as VALUES: the generator is deterministic by
-    construction (hash of (seed, row_id)) and the sums use the exact
-    decimal pattern, so any drift in the generator or the rollup flips
-    the hash loudly. Determinism across partition counts is additionally
-    pinned in tests/test_datagen_catalog.py."""
+
+    Round-7 oracle independence: the generated rows are exported once
+    per machine (`datagen/export.py ensure_datagen_export`) and DuckDB
+    RECOMPUTES the rollup from that parquet — an independent
+    formulation of the aggregation over the same rows (the
+    tpcds_warehouse_build_audit read-back pattern), replacing the old
+    pinned-VALUES determinism pin. Export rows == generator rows is
+    pinned by test_datagen_export_equals_generator_output; determinism
+    across partition counts by tests/test_datagen_catalog.py."""
+    from lakehouse_dba_tools_spark.datagen.export import ensure_datagen_export
+
+    ensure_datagen_export(spark)
     li = gen_lineitem(spark, 200_000, seed=100)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
@@ -118,45 +128,21 @@ def datagen_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pinned from a seed=100 run; the generator is a pure function of
-# (seed, row_id), so these VALUES are stable across partition counts
-# and Spark versions (decimal-exact arithmetic; determinism pinned in
-# tests/test_datagen_catalog.py).
-_SUPPLIER_PARTSUPP_VALUES = """(CAST(0 AS BIGINT), CAST(1600 AS BIGINT), CAST(8047384 AS BIGINT), CAST(1.76 AS DOUBLE), CAST(8020483.2 AS DOUBLE)),
-      (CAST(1 AS BIGINT), CAST(1600 AS BIGINT), CAST(8120825 AS BIGINT), CAST(1.05 AS DOUBLE), CAST(6527196.8 AS DOUBLE)),
-      (CAST(2 AS BIGINT), CAST(1600 AS BIGINT), CAST(8180815 AS BIGINT), CAST(2.76 AS DOUBLE), CAST(6561644.4 AS DOUBLE)),
-      (CAST(3 AS BIGINT), CAST(1600 AS BIGINT), CAST(8029017 AS BIGINT), CAST(1.82 AS DOUBLE), CAST(6733173.2 AS DOUBLE)),
-      (CAST(4 AS BIGINT), CAST(1600 AS BIGINT), CAST(8034865 AS BIGINT), CAST(1.23 AS DOUBLE), CAST(8225215.2 AS DOUBLE)),
-      (CAST(5 AS BIGINT), CAST(1600 AS BIGINT), CAST(8025989 AS BIGINT), CAST(1.86 AS DOUBLE), CAST(7087981.2 AS DOUBLE)),
-      (CAST(6 AS BIGINT), CAST(1600 AS BIGINT), CAST(8019850 AS BIGINT), CAST(1.28 AS DOUBLE), CAST(5857502.4 AS DOUBLE)),
-      (CAST(7 AS BIGINT), CAST(1600 AS BIGINT), CAST(7910501 AS BIGINT), CAST(1.27 AS DOUBLE), CAST(6908365.2 AS DOUBLE)),
-      (CAST(8 AS BIGINT), CAST(1600 AS BIGINT), CAST(7884745 AS BIGINT), CAST(1.53 AS DOUBLE), CAST(6856252.8 AS DOUBLE)),
-      (CAST(9 AS BIGINT), CAST(1600 AS BIGINT), CAST(7890445 AS BIGINT), CAST(1.56 AS DOUBLE), CAST(7018362.4 AS DOUBLE)),
-      (CAST(10 AS BIGINT), CAST(1600 AS BIGINT), CAST(7973294 AS BIGINT), CAST(3.03 AS DOUBLE), CAST(6817537.6 AS DOUBLE)),
-      (CAST(11 AS BIGINT), CAST(1600 AS BIGINT), CAST(8055646 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(5890861.6 AS DOUBLE)),
-      (CAST(12 AS BIGINT), CAST(1600 AS BIGINT), CAST(7985384 AS BIGINT), CAST(1.93 AS DOUBLE), CAST(7427686.4 AS DOUBLE)),
-      (CAST(13 AS BIGINT), CAST(1600 AS BIGINT), CAST(8030410 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(6542851.6 AS DOUBLE)),
-      (CAST(14 AS BIGINT), CAST(1600 AS BIGINT), CAST(7898769 AS BIGINT), CAST(1.52 AS DOUBLE), CAST(6234300.4 AS DOUBLE)),
-      (CAST(15 AS BIGINT), CAST(1600 AS BIGINT), CAST(7836512 AS BIGINT), CAST(1.46 AS DOUBLE), CAST(8246196.4 AS DOUBLE)),
-      (CAST(16 AS BIGINT), CAST(1600 AS BIGINT), CAST(8026952 AS BIGINT), CAST(1.65 AS DOUBLE), CAST(7702967.6 AS DOUBLE)),
-      (CAST(17 AS BIGINT), CAST(1600 AS BIGINT), CAST(7972583 AS BIGINT), CAST(1.71 AS DOUBLE), CAST(7347053.6 AS DOUBLE)),
-      (CAST(18 AS BIGINT), CAST(1600 AS BIGINT), CAST(7852087 AS BIGINT), CAST(1.37 AS DOUBLE), CAST(7186650.0 AS DOUBLE)),
-      (CAST(19 AS BIGINT), CAST(1600 AS BIGINT), CAST(7995956 AS BIGINT), CAST(1.95 AS DOUBLE), CAST(7392635.6 AS DOUBLE)),
-      (CAST(20 AS BIGINT), CAST(1600 AS BIGINT), CAST(8039287 AS BIGINT), CAST(1.11 AS DOUBLE), CAST(7723426.4 AS DOUBLE)),
-      (CAST(21 AS BIGINT), CAST(1600 AS BIGINT), CAST(8179101 AS BIGINT), CAST(1.16 AS DOUBLE), CAST(6977964.0 AS DOUBLE)),
-      (CAST(22 AS BIGINT), CAST(1600 AS BIGINT), CAST(8059724 AS BIGINT), CAST(1.15 AS DOUBLE), CAST(5882720.0 AS DOUBLE)),
-      (CAST(23 AS BIGINT), CAST(1600 AS BIGINT), CAST(7943279 AS BIGINT), CAST(1.1 AS DOUBLE), CAST(6935130.0 AS DOUBLE)),
-      (CAST(24 AS BIGINT), CAST(1600 AS BIGINT), CAST(8087720 AS BIGINT), CAST(1.39 AS DOUBLE), CAST(6874485.6 AS DOUBLE))"""
+def _supplier_partsupp_oracle() -> str:
+    from lakehouse_dba_tools_spark.datagen.export import rp_datagen
+
+    return f"""
+    SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(ps_availqty AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(min(ps_supplycost) AS DOUBLE) AS min_cost,
+           CAST(round(sum(s_acctbal), 2) AS DOUBLE) AS total_bal
+    FROM {rp_datagen('partsupp')} ps
+    JOIN {rp_datagen('supplier')} s ON ps.ps_suppkey = s.s_suppkey
+    GROUP BY s_nationkey
+    """
 
 
-@register(
-    "datagen_supplier_partsupp",
-    f"""
-    SELECT * FROM (VALUES
-      {_SUPPLIER_PARTSUPP_VALUES}
-    ) AS t(s_nationkey, n, total_qty, min_cost, total_bal)
-    """,
-)
+@register("datagen_supplier_partsupp", _supplier_partsupp_oracle())
 def datagen_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated supplier × partsupp join rollup — the reference's
     full-schema datagen loop (`resources/TPC-datagen-notebook.scala:
@@ -164,9 +150,14 @@ def datagen_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies). partsupp is the fact (4 rows/part), supplier the dim —
     but supplier scales with the datagen config, so the join is left to
     AQE (which broadcasts the 1k-row dim here, and demotes at real
-    scale); the rollup is a 25-key hash agg with map-side partials."""
+    scale); the rollup is a 25-key hash agg with map-side partials.
+    Oracle: DuckDB re-joins and re-aggregates the exported generator
+    rows (round-7 read-back conversion; decimal sums exact on both
+    engines)."""
+    from lakehouse_dba_tools_spark.datagen.export import ensure_datagen_export
     from lakehouse_dba_tools_spark.datagen.generator import gen_partsupp, gen_supplier
 
+    ensure_datagen_export(spark)
     supp = gen_supplier(spark, 1_000, seed=100)
     ps = gen_partsupp(spark, 10_000, n_suppliers=1_000, seed=100)
     return (
@@ -181,33 +172,34 @@ def datagen_supplier_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STORE_SALES_VALUES = """(CAST(1 AS INT), CAST(12382 AS BIGINT), CAST(623593 AS BIGINT), CAST(53599979.2 AS DOUBLE), CAST(101.0866 AS DOUBLE)),
-      (CAST(2 AS INT), CAST(12562 AS BIGINT), CAST(634837 AS BIGINT), CAST(54305774.88 AS DOUBLE), CAST(100.8112 AS DOUBLE)),
-      (CAST(3 AS INT), CAST(12645 AS BIGINT), CAST(635239 AS BIGINT), CAST(54450499.02 AS DOUBLE), CAST(100.7551 AS DOUBLE)),
-      (CAST(4 AS INT), CAST(12418 AS BIGINT), CAST(626198 AS BIGINT), CAST(53352347.05 AS DOUBLE), CAST(100.4542 AS DOUBLE)),
-      (CAST(5 AS INT), CAST(12491 AS BIGINT), CAST(633541 AS BIGINT), CAST(54243701.59 AS DOUBLE), CAST(100.5145 AS DOUBLE)),
-      (CAST(6 AS INT), CAST(12465 AS BIGINT), CAST(628000 AS BIGINT), CAST(53498700.37 AS DOUBLE), CAST(100.4974 AS DOUBLE)),
-      (CAST(7 AS INT), CAST(12519 AS BIGINT), CAST(629405 AS BIGINT), CAST(53660673.03 AS DOUBLE), CAST(100.4007 AS DOUBLE)),
-      (CAST(8 AS INT), CAST(12518 AS BIGINT), CAST(627921 AS BIGINT), CAST(53720932.45 AS DOUBLE), CAST(100.648 AS DOUBLE))"""
+def _store_sales_rollup_oracle() -> str:
+    from lakehouse_dba_tools_spark.datagen.export import rp_datagen
+
+    return f"""
+    SELECT ss_store_sk, count(*) AS n,
+           CAST(sum(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(round(sum(ss_ext_sales_price), 2) AS DOUBLE) AS total_ext,
+           round(CAST(sum(ss_list_price) AS DOUBLE) / count(*), 4) AS avg_price
+    FROM {rp_datagen('store_sales')}
+    GROUP BY ss_store_sk
+    """
 
 
-@register(
-    "datagen_store_sales_rollup",
-    f"""
-    SELECT * FROM (VALUES
-      {_STORE_SALES_VALUES}
-    ) AS t(ss_store_sk, n, total_qty, total_ext, avg_price)
-    """,
-)
+@register("datagen_store_sales_rollup", _store_sales_rollup_oracle())
 def datagen_store_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS-side datagen loop: generate the widest TPC-DS fact
     (store_sales, spec types from datagen/schemas.py) and roll it up
     per store — the reference generates/validates TPC-DS the same way
     it does TPC-H (`resources/TPC-datagen-notebook.scala:1818-1845`).
-    Decimal money columns sum exactly (no double drift); the oracle
-    pins the seed-100 aggregates as VALUES like the other gen_* loops."""
+    Decimal money columns sum exactly (no double drift); the oracle is
+    DuckDB recomputing the rollup from the exported generator rows
+    (round-7 read-back conversion — NOTE this export is the 100k-row
+    verification table, distinct from the TPC-DS warehouse's 200k
+    store_sales)."""
+    from lakehouse_dba_tools_spark.datagen.export import ensure_datagen_export
     from lakehouse_dba_tools_spark.datagen.generator import gen_store_sales
 
+    ensure_datagen_export(spark)
     ss = gen_store_sales(spark, 100_000, seed=100)
     return (
         ss.groupBy("ss_store_sk")

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
 from lakehouse_dba_tools_spark.operators.flatten import splat_structs
-from lakehouse_dba_tools_spark.operators.upsert import merge_upsert
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.json_records import paged_source
 from lakehouse_dba_tools_spark.sources.tables import load_table
@@ -52,6 +51,16 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The payload is derived from the events fixture so the DuckDB oracle
     can recompute the result relationally.
+
+    Round-7: the warehouse merge is the PHYSICAL partition-pruned MERGE
+    (`create_or_upsert_partitioned`) into a date-partitioned parquet
+    table — the reference's hourly QH flow merges a 1-hour look-back
+    into a table whose natural partition is the query-start date
+    (QH:236-250), so each run rewrites only the day dirs the look-back
+    touches. event_date = to_date(start_ts) is stable per event_id, as
+    the pruning contract requires. First page plays the pre-existing
+    table; the full slice then merges on top (updates + inserts), and
+    the rollup reads the merged table back from disk.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < ETL_SLICE)
     # Build the "REST payload": nested records with a metrics struct and
@@ -81,17 +90,39 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = splat_structs(df, ["metrics"])
     flat = flat.withColumn("start_ts", F.timestamp_millis(F.col("start_time_ms")))
     deduped = dedup_by_key(flat, ["event_id"], ["start_time_ms", "user_id"])
+    deduped = deduped.withColumn("event_date", F.to_date("start_ts"))
 
-    # warehouse upsert: first page as pre-existing table, full set merged
-    target = deduped.limit(0)
-    merged = merge_upsert(target, deduped, ["event_id"])
+    # warehouse upsert: first page plays the pre-existing table, the
+    # full slice merges on top — a real partition-pruned parquet MERGE
+    # (only touched event_date dirs rewrite; QH:236-250's hourly flow)
+    import shutil
+    import tempfile
 
-    return merged.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
-        stable_sum("value", 2).alias("sum_value"),
-        F.sum((F.col("is_final") == "true").cast("bigint")).alias("n_final"),
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_partitioned,
     )
+
+    tmp = tempfile.mkdtemp(prefix="qh_etl_")
+    wh_path = f"{tmp}/query_history"
+    try:
+        first_page = deduped.filter(F.col("event_id") < PAGE_SIZE)
+        create_or_upsert_partitioned(
+            spark, first_page, wh_path, ["event_id"], partition_col="event_date"
+        )
+        create_or_upsert_partitioned(
+            spark, deduped, wh_path, ["event_id"], partition_col="event_date"
+        )
+        merged = spark.read.parquet(wh_path)
+        out = merged.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            stable_sum("value", 2).alias("sum_value"),
+            F.sum((F.col("is_final") == "true").cast("bigint")).alias("n_final"),
+        )
+        # pin before the tempdir vanishes (cache blocks are evictable)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

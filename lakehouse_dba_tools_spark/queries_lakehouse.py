@@ -92,17 +92,21 @@ def stream_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
 # --------------------------------------------------------------------------
 # D8: DESCRIBE HISTORY over the engine's own commit log (reference
 # TPC:2168-2183 uses Delta's; see README "Table-format boundary"). The
-# trace is deterministic (create -> merge -> merge), so the oracle pins
-# the expected history as VALUES (timestamps excluded: wall-clock).
+# (version, operation) pairs ARE the submitted trace (create → merge →
+# merge: an inline fixture of the driver-side sequence, like the
+# pricing dim), but each commit's num_output_rows is DERIVED
+# relationally from the nation fixture (round-7): version v's table
+# holds exactly the nation keys ≤ 4+v, so DuckDB recomputes the row
+# counts instead of trusting pinned literals.
 # --------------------------------------------------------------------------
 @register(
     "parquet_table_history",
     """
-    SELECT * FROM (VALUES
-      (CAST(2 AS BIGINT), 'MERGE',    CAST(7 AS BIGINT)),
-      (CAST(1 AS BIGINT), 'MERGE',    CAST(6 AS BIGINT)),
-      (CAST(0 AS BIGINT), 'CREATE',   CAST(5 AS BIGINT))
-    ) AS t(version, operation, num_output_rows)
+    SELECT CAST(v.version AS BIGINT) AS version, v.operation,
+           (SELECT count(*) FROM nation
+            WHERE n_nationkey <= 4 + v.version) AS num_output_rows
+    FROM (VALUES (2, 'MERGE'), (1, 'MERGE'), (0, 'CREATE'))
+         AS v(version, operation)
     """,
 )
 def parquet_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:

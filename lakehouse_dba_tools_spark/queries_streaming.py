@@ -80,7 +80,16 @@ def streaming_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed-merge sink (reference QH MERGE ETL, streaming
     form): dedup latest-per-user within each batch, upsert into a
     parquet target; final target == batch latest-event-per-user (the
-    oracle), proving MERGE idempotency across micro-batches."""
+    oracle), proving MERGE idempotency across micro-batches.
+
+    The sink routes through the PARTITION-PRUNED merge (round-7): the
+    target is partitioned on a key-prefix bucket (pmod(user_id, 8) —
+    stable per key, as the pruning contract requires), so each
+    micro-batch rewrites only the buckets its users land in instead of
+    the whole accumulated table. At 100 TB with per-batch key slices
+    this is what keeps sink cost proportional to batch size, not to
+    history size (the round-5/6 scale-killer, now off the default
+    pipeline path)."""
     import shutil
     import tempfile
 
@@ -92,10 +101,14 @@ def streaming_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream_upsert_to_parquet(
             spark,
-            ev.select("user_id", "event_id", "event_type", "value", "ts"),
+            ev.select(
+                "user_id", "event_id", "event_type", "value", "ts",
+                F.pmod("user_id", F.lit(8)).cast("int").alias("ubucket"),
+            ),
             path,
             keys=["user_id"],
             source_order=["ts", "event_id"],
+            partition_col="ubucket",
         )
         final = spark.read.parquet(path)
         rows = final.select(

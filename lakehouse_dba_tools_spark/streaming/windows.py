@@ -122,15 +122,34 @@ def stream_upsert_to_parquet(
     keys: list[str],
     source_order: list[str] | None = None,
     checkpoint_dir: str | None = None,
+    partition_col: str | None = None,
 ) -> None:
     """foreachBatch + keyed merge — the reference's MERGE-idempotent ETL
     (QH:244-250) as an exactly-once streaming sink. ``source_order``
     picks the surviving row per key within a batch (the reference's W1
-    dedup-before-MERGE invariant)."""
-    from lakehouse_dba_tools_spark.operators.upsert import create_or_upsert_parquet
+    dedup-before-MERGE invariant).
+
+    ``partition_col`` routes every micro-batch through the
+    partition-pruned MERGE (``create_or_upsert_partitioned``): only
+    target partitions receiving batch rows are rewritten — the path a
+    100 TB keyed sink must take, since each micro-batch touches a tiny
+    key slice and a whole-table rewrite per batch is quadratic in
+    history. The column must be stable per key (a creation date, a
+    key-prefix bucket). Without it, every batch rewrites the whole
+    target — acceptable only for genuinely small dimension tables."""
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_parquet,
+        create_or_upsert_partitioned,
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        create_or_upsert_parquet(spark, batch_df, path, keys, source_order=source_order)
+        if partition_col is not None:
+            create_or_upsert_partitioned(
+                spark, batch_df, path, keys,
+                partition_col=partition_col, source_order=source_order,
+            )
+        else:
+            create_or_upsert_parquet(spark, batch_df, path, keys, source_order=source_order)
 
     q = (
         source.writeStream.foreachBatch(sink)

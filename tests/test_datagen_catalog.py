@@ -279,3 +279,36 @@ def test_gate_export_equals_generator_output(spark):
     ]:
         exported = spark.read.parquet(f"{wh}/{table}")
         assert sig(exported, money, key) == sig(gen[table], money, key), table
+
+
+def test_datagen_export_equals_generator_output(spark):
+    """Round-7 twin of the gate-export invariant for the
+    datagen-verification export (queries_datagen's read-back oracles):
+    the exported lineitem/supplier/partsupp/store_sales parquet must
+    contain EXACTLY the rows the seed-100 generators produce."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_dba_tools_spark.datagen.export import (
+        _datagen_tables,
+        ensure_datagen_export,
+    )
+
+    root = ensure_datagen_export(spark)
+    gen = _datagen_tables(spark)
+
+    def sig(df, money_col, key_col):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(money_col).cast("decimal(38,12)")).alias("s"),
+            F.expr(f"bit_xor(xxhash64(cast({key_col} as string)))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["s"], row["h"])
+
+    for table, money, key in [
+        ("lineitem", "l_extendedprice", "l_orderkey"),
+        ("supplier", "s_acctbal", "s_suppkey"),
+        ("partsupp", "ps_supplycost", "ps_partkey"),
+        ("store_sales", "ss_ext_sales_price", "ss_ticket_number"),
+    ]:
+        exported = spark.read.parquet(f"{root}/{table}")
+        assert sig(exported, money, key) == sig(gen[table], money, key), table

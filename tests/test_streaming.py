@@ -63,6 +63,63 @@ def test_multibatch_upsert_idempotent(spark, sf_dir, tmp_path):
     assert first == expected
 
 
+def test_streaming_partitioned_sink_byte_identity(spark, sf_dir, tmp_path):
+    """The streaming carrier's partition-pruned sink contract (round-7):
+    after the bounded replay builds the bucket-partitioned target, a
+    follow-up merge batch touching ONE key must rewrite only that
+    key's bucket dir — every other bucket stays byte-identical (the
+    same file-pruning invariant test_partitioned_merge pins for the
+    batch path, here exercised on the streaming sink's own target)."""
+    import hashlib
+    import os
+
+    from lakehouse_dba_tools_spark.operators.upsert import (
+        create_or_upsert_partitioned,
+    )
+
+    target = str(tmp_path / "target")
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts",
+        F.pmod("user_id", F.lit(8)).cast("int").alias("ubucket"),
+    )
+    stream_upsert_to_parquet(
+        spark, ev, target, keys=["user_id"], source_order=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ck"), partition_col="ubucket",
+    )
+    buckets = sorted(d for d in os.listdir(target) if d.startswith("ubucket="))
+    assert len(buckets) > 1  # pruning is only meaningful across >1 dir
+
+    def digest(pdir):
+        h = hashlib.sha256()
+        d = os.path.join(target, pdir)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                h.update(fn.encode())
+                with open(os.path.join(d, fn), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = {b: digest(b) for b in buckets}
+    one_user = spark.read.parquet(target).limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(one_user.user_id, one_user.event_id, "updated", 1.0, one_user.ts,
+          int(one_user.user_id) % 8)],
+        "user_id long, event_id long, event_type string, value double, "
+        "ts timestamp, ubucket int",
+    )
+    rewritten = create_or_upsert_partitioned(
+        spark, batch, target, ["user_id"], partition_col="ubucket"
+    )
+    touched = f"ubucket={int(one_user.user_id) % 8}"
+    assert rewritten == [touched]
+    after = {b: digest(b) for b in buckets}
+    for b in buckets:
+        if b == touched:
+            assert after[b] != before[b]
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+
 def test_stateful_running_profile(spark, sf_dir):
     from lakehouse_dba_tools_spark.streaming.stateful import running_user_profile
 
