@@ -1,0 +1,166 @@
+"""Persisted MinHash-LSH index: continuous-ingestion near-dup dedup.
+
+`lsh_candidate_pairs_bipartite` (minhash.py) already gives batch-vs-
+corpus candidates, but it recomputes the corpus's signatures every
+run. At 100 TB the corpus side is computed ONCE and stored; each
+ingest batch then (1) signs only its own documents, (2) joins its band
+keys against the stored band table, (3) verifies exact Jaccard against
+the stored shingle-hash table, and (4) appends its own rows so the
+next batch dedups against it too. This module is that lifecycle.
+
+On-disk layout under ``path`` (plain parquet — same no-jars boundary
+as operators/upsert.py):
+
+- ``bands/``  (doc_id, band_idx, band_key), partitioned by band_idx —
+  the candidate generator. Partitioning by band_idx lets a band-
+  parallel reader prune, and keeps each append writing exactly
+  ``bands`` directories.
+- ``shash/``  (doc_id, shash array<bigint>) — distinct xxhash64'd
+  shingles per doc, the compact verify-side payload (8 B/shingle;
+  document TEXT never enters the index).
+- ``_lsh_meta.json``  {k, num_perm, bands, seed} — signatures only
+  collide within one permutation family, so query/append take their
+  parameters FROM the stored meta (callers cannot pass divergent ones)
+  and a missing meta file fails loudly instead of finding nothing.
+
+Scale notes: query cost is |batch| signatures + one join against the
+band table (shuffle carries (band_key, id) pairs only) + a verify join
+that fetches stored shash rows for candidate ids only (semi-join
+pattern — the full shash table is never materialized). Appends create
+one file per band partition per batch; compact with
+maintenance/compact.py's bin-pack OPTIMIZE analog on the usual small-
+file cadence. Concurrent appends are last-writer-wins parquet appends
+(safe: rows are immutable and idempotent per doc_id); multi-writer
+atomicity carries the repo-wide documented Delta-jars boundary.
+
+Reference parity note: the reference repo has no index lifecycle —
+this is part of the training-data-pipeline surface the build brief
+adds as first-class (dedup at continuous-ingest scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.dedup.minhash import (
+    band_keys,
+    hashed_shingles,
+    verify_pairs_exact_jaccard_hashed,
+    with_minhash_signature,
+    with_shingle_set,
+)
+
+META_NAME = "_lsh_meta.json"
+
+
+def _index_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(band rows, shash rows) for a document set — the only signature
+    computation in the lifecycle; build and append both route here so
+    index contents cannot drift from the query side's expectations."""
+    from pyspark import StorageLevel
+
+    shingled = with_shingle_set(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    signed = with_minhash_signature(shingled, num_perm, seed)
+    bk = band_keys(signed, id_col, bands, num_perm // bands)
+    return bk, hashed_shingles(shingled, id_col)
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Materialize the index from an initial corpus. Overwrites
+    ``path``. Returns the meta dict."""
+    bk, sh = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
+    bk.write.mode("overwrite").partitionBy("band_idx").parquet(
+        os.path.join(path, "bands")
+    )
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shash"))
+    meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+            "id_col": id_col, "text_col": text_col}
+    with open(os.path.join(path, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_lsh_meta(path: str) -> dict:
+    with open(os.path.join(path, META_NAME)) as fh:
+        return json.load(fh)
+
+
+def append_to_lsh_index(docs: DataFrame, path: str) -> None:
+    """Append a (deduplicated, kept) batch's rows so future batches
+    dedup against it. Parameters come from the stored meta — a batch
+    signed under a different permutation family would never collide
+    with the existing rows, so there is nothing to pass."""
+    m = read_lsh_meta(path)
+    bk, sh = _index_rows(
+        docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
+    )
+    bk.write.mode("append").partitionBy("band_idx").parquet(
+        os.path.join(path, "bands")
+    )
+    sh.write.mode("append").parquet(os.path.join(path, "shash"))
+
+
+def query_lsh_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a = batch doc, id_b = indexed doc,
+    jaccard) between a new batch and the stored corpus. The corpus
+    side is READ, never recomputed: band rows from ``bands/``, verify
+    payloads from ``shash/``. Self-pairs are dropped so re-ingesting
+    an already-indexed document does not match itself."""
+    from pyspark.sql import Window
+
+    m = read_lsh_meta(path)
+    id_col = m["id_col"]
+    bk, batch_sh = _index_rows(
+        batch, m["text_col"], id_col, m["k"], m["num_perm"], m["bands"], m["seed"]
+    )
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    # Boilerplate guard, same policy as the inline bipartite path: an
+    # index bucket bigger than max_bucket_size is near-identical
+    # boilerplate and belongs to exact dedup, not an LSH fan-out.
+    idx_sized = (
+        idx_bands.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+        )
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    pairs = (
+        bk.withColumnRenamed(id_col, "id_a")
+        .join(idx_sized.withColumnRenamed(id_col, "id_b"), ["band_idx", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    idx_sh = spark.read.parquet(os.path.join(path, "shash"))
+    return verify_pairs_exact_jaccard_hashed(
+        pairs, batch_sh, idx_sh, id_col, threshold
+    )

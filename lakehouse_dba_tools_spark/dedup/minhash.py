@@ -228,18 +228,44 @@ def verify_pairs_exact_jaccard(
     """
     from pyspark import StorageLevel
 
-    hashed = shingled.select(
+    hashed = hashed_shingles(shingled, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persisted: three consumers below (size prefilter + both join
+    # sides); without it each re-shingles the corpus. Evictable blocks,
+    # ids+longs only.
+    return verify_pairs_exact_jaccard_hashed(pairs, hashed, hashed, id_col, threshold)
+
+
+def hashed_shingles(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shash) with distinct xxhash64'd shingles — the compact
+    (8-byte-per-shingle) representation exact-Jaccard verification
+    joins on, and the form a persisted index stores instead of text."""
+    return shingled.select(
         F.col(id_col),
         F.array_distinct(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("shash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Persisted: three consumers below (size prefilter + both join
-    # sides); without it each re-shingles the corpus. Evictable blocks,
-    # ids+longs only.
-    sizes = hashed.select(F.col(id_col), F.size("shash").alias("n_sh"))
-    a_n = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    b_n = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    )
+
+
+def verify_pairs_exact_jaccard_hashed(
+    pairs: DataFrame,
+    hashed_a: DataFrame,
+    hashed_b: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verify over pre-hashed shingle sets, with the two
+    pair sides possibly sourced from DIFFERENT frames — the
+    incremental-index shape, where ``id_a`` rows come from the fresh
+    batch and ``id_b`` rows from the stored index's shash table (never
+    recomputed from corpus text). Same size-ratio prefilter and hashed
+    set algebra as ``verify_pairs_exact_jaccard``."""
+    a_n = hashed_a.select(
+        F.col(id_col).alias("id_a"), F.size("shash").alias("n_a")
+    )
+    b_n = hashed_b.select(
+        F.col(id_col).alias("id_b"), F.size("shash").alias("n_b")
+    )
     pruned = (
         pairs.join(a_n, "id_a")
         .join(b_n, "id_b")
@@ -249,8 +275,8 @@ def verify_pairs_exact_jaccard(
         )
         .select("id_a", "id_b")
     )
-    a = hashed.select(F.col(id_col).alias("id_a"), F.col("shash").alias("sh_a"))
-    b = hashed.select(F.col(id_col).alias("id_b"), F.col("shash").alias("sh_b"))
+    a = hashed_a.select(F.col(id_col).alias("id_a"), F.col("shash").alias("sh_a"))
+    b = hashed_b.select(F.col(id_col).alias("id_b"), F.col("shash").alias("sh_b"))
     joined = pruned.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

@@ -426,6 +426,82 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_exact_jaccard(pairs, sh, threshold=0.5)
 
 
+@register(
+    "lsh_index_incremental_dedup",
+    f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    p1 AS (
+      SELECT 'b1' AS phase, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6)
+               AS jaccard
+      FROM sh a JOIN sh b
+        ON a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 5)
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    p2 AS (
+      SELECT 'b2' AS phase, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6)
+               AS jaccard
+      FROM sh a JOIN sh b
+        ON a.doc_id % 10 = 5 AND b.doc_id % 10 <> 5
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    )
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2
+    ORDER BY phase, id_a, id_b
+    """,
+)
+def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index form of incremental dedup (dedup/index.py)
+    — the continuous-ingestion lifecycle incremental_dedup_batch only
+    models inline: build an LSH index from the standing corpus (docs
+    with doc_id % 10 not in {0, 5}), dedup batch 1 (% 10 == 0) against
+    it by READING the stored band + shingle-hash tables (corpus
+    signatures are never recomputed), APPEND batch 1, then dedup batch
+    2 (% 10 == 5) against the grown index — whose matches must now
+    include pairs against batch-1 documents. The oracle is the exact
+    all-pairs Jaccard answer for both bipartite phases, so index
+    round-trip fidelity, the append path, and LSH candidate recall are
+    all hash-proven in one report."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(0, 5))
+    batch1 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 5)
+    tmp = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
+        p1 = query_lsh_index(spark, batch1, tmp, threshold=0.5).withColumn(
+            "phase", F.lit("b1")
+        )
+        append_to_lsh_index(batch1, tmp)
+        p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5).withColumn(
+            "phase", F.lit("b2")
+        )
+        out = (
+            p1.unionByName(p2)
+            .select("phase", "id_a", "id_b", "jaccard")
+            .orderBy("phase", "id_a", "id_b")
+        )
+        # Materialize before the index tempdir vanishes: the plan reads
+        # parquet under tmp lazily (bounded: verified near-dup pairs).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _funnel_oracle() -> str:
     """Sequential-filter funnel oracle sharing the langid/quality SQL
     fragments with the per-stage oracles above."""

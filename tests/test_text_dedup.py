@@ -377,3 +377,83 @@ def test_span_removal_converges_to_zero_cross_doc_dups(spark, sf_dir):
         duplicate_span_report(cleaned, window=20).agg(F.sum("n_dup_spans")).first()[0]
     )
     assert after == 0
+
+
+def test_lsh_index_lifecycle(spark, tmp_path):
+    """Persisted-index dedup (dedup/index.py): query equals the inline
+    bipartite pipeline, the append makes batch-1 docs discoverable,
+    and a parameter mismatch hard-fails instead of silently missing."""
+    import pytest
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+        read_lsh_meta,
+    )
+    from lakehouse_dba_tools_spark.dedup.minhash import (
+        lsh_candidate_pairs_bipartite,
+        verify_pairs_exact_jaccard,
+        with_shingle_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    meta = build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    assert read_lsh_meta(path) == meta
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, batch1, path, threshold=0.5).collect()
+    }
+    # same answer as the inline (non-persisted) bipartite pipeline
+    sh_all = with_shingle_set(corpus.unionByName(batch1))
+    inline_pairs = lsh_candidate_pairs_bipartite(
+        with_shingle_set(batch1), with_shingle_set(corpus),
+        num_perm=32, bands=8, seed=7,
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs_exact_jaccard(
+            inline_pairs, sh_all, threshold=0.5
+        ).collect()
+    }
+    assert got == want == {(10, 1)}
+
+    # append: batch2 must now also match the batch-1 doc it duplicates
+    append_to_lsh_index(batch1, path)
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, batch2, path, threshold=0.5).collect()
+    }
+    assert got2 == {(20, 1), (20, 10)}
+
+    # jaccard values are exact (identical text -> 1.0)
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in query_lsh_index(spark, batch2, path, threshold=0.5).collect()
+    }
+    assert j[(20, 10)] == 1.0
+
+    # a missing meta file fails loudly instead of silently finding
+    # nothing (query/append take parameters FROM the stored meta, so
+    # the API itself cannot diverge from what the index was built with)
+    import os as _os
+
+    _os.remove(_os.path.join(path, "_lsh_meta.json"))
+    with pytest.raises(FileNotFoundError):
+        query_lsh_index(spark, batch2, path, threshold=0.5)
