@@ -104,6 +104,47 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=TOP_K, n_centroids=16, nprobe=16, seed=42)
 
 
+@register("ivf_index_incremental_topk", _TOPK_ORACLE)
+def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF lifecycle (similarity/index.py) in the
+    exact setting: build the index from 90% of the corpus (vec_id %
+    10 != 0), APPEND the remaining 10% with the stored quantizer, then
+    answer the standard query set with nprobe = n_centroids against
+    the stored lists. The oracle is the brute-force top-k over the
+    FULL corpus — equality hash-proves that the append landed vectors
+    in the lists a rebuild would choose (query ids 0 and 10 live in
+    the appended batch; their rank-1 self-neighbors exist ONLY via
+    appended rows) and that the lists round-trip parquet losslessly.
+    Partial-nprobe pruning (the scan-p/C-of-the-index scale win) is
+    exercised in tests/test_similarity.py."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 10 != 0), tmp, n_centroids=16, seed=42
+        )
+        append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), tmp)
+        out = query_ivf_index(spark, queries, tmp, k=TOP_K, nprobe=16)
+        # Materialize before the index tempdir vanishes (bounded:
+        # N_QUERY × TOP_K rows).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Cap for the O(n²) exact baseline — no-op at sf≤0.01 (500 vectors);
 # the LSH variant below stays uncapped (it IS the scale path).
 BRUTE_VEC_CAP = 600

@@ -1,0 +1,145 @@
+"""Persisted IVF-Flat index: continuous-ingestion ANN search.
+
+`ivf_topk` (search.py) trains the coarse quantizer and assigns the
+whole corpus on every call. At 100 TB both steps happen ONCE: the
+centroids and the inverted lists are stored, each ingest batch is
+assigned with the STORED centroids and appended to its lists, and a
+query reads only the lists it probes. This module is that lifecycle —
+the vector twin of dedup/index.py's LSH index.
+
+On-disk layout under ``path``:
+
+- ``lists/``  (cid, neighbor_id, vec array<double> L2-normalized),
+  partitioned by ``cid`` — the inverted lists. Partitioning makes
+  nprobe a PARTITION-PRUNED scan: a query batch probing p of C lists
+  reads p/C of the index bytes (`query_ivf_index` pushes the probed
+  cid set into the parquet read).
+- ``_ivf_meta.json``  {n_centroids, seed, id_col, vec_col, centroids}
+  — the trained quantizer itself rides in the sidecar (C × dim
+  doubles: KBs, driver-sized by construction since training already
+  samples to the driver).
+
+Append semantics match FAISS/production IVF: centroids stay FIXED
+after build (assignments are a pure function of the stored quantizer,
+so appended vectors land in the same list a rebuild would put them
+in); re-train + rebuild on drift is a separate maintenance decision,
+same cadence as OPTIMIZE for the small files appends create.
+
+Reference parity note: the reference repo has no ANN surface — this
+extends the training-data-pipeline tier the build brief makes
+first-class (similarity search at continuous-ingest scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_dba_tools_spark.operators.partitioning import fan_out
+from lakehouse_dba_tools_spark.similarity.kernels import (
+    nearest_centroids_udf,
+    pair_dot,
+)
+from lakehouse_dba_tools_spark.similarity.search import _topk_by_sim, train_centroids
+from lakehouse_dba_tools_spark.similarity.vector import as_double, l2_normalize
+
+META_NAME = "_ivf_meta.json"
+
+
+def _assigned_rows(
+    vectors: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cid, neighbor_id, vec) list rows for a vector set — build and
+    append both route here so list contents cannot depend on which
+    phase wrote them."""
+    assign1 = nearest_centroids_udf(centroids, 1)
+    return (
+        fan_out(vectors)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            l2_normalize(as_double(vec_col)).alias("vec"),
+        )
+        .withColumn("cid", assign1(F.col("vec"))[0])
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train the coarse quantizer, assign the corpus, materialize the
+    inverted lists. Overwrites ``path``. Returns the meta dict."""
+    cents = train_centroids(
+        corpus, n_centroids, vec_col, seed=seed, id_col=id_col
+    )
+    rows = _assigned_rows(corpus, np.asarray(cents), id_col, vec_col)
+    rows.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    meta = {
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": cents,
+    }
+    with open(os.path.join(path, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_ivf_meta(path: str) -> dict:
+    with open(os.path.join(path, META_NAME)) as fh:
+        return json.load(fh)
+
+
+def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
+    """Assign a new batch with the STORED centroids and append to the
+    lists — identical placement to what a rebuild would choose."""
+    m = read_ivf_meta(path)
+    rows = _assigned_rows(
+        vectors, np.asarray(m["centroids"]), m["id_col"], m["vec_col"]
+    )
+    rows.write.mode("append").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k over the stored lists. The probed cid set (bounded by
+    n_centroids — a handful of ints) is collected driver-side and
+    pushed into the parquet read as a partition filter, so a batch
+    probing p of C lists scans p/C of the index. Scoring and top-k
+    stay distributed."""
+    m = read_ivf_meta(path)
+    cents = np.asarray(m["centroids"])
+    assignN = nearest_centroids_udf(cents, nprobe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        l2_normalize(as_double(m["vec_col"])).alias("_qv"),
+    ).withColumn("cid", F.explode(assignN(F.col("_qv"))))
+    # Bounded collect: distinct probed list ids, ≤ n_centroids values.
+    probed = [r[0] for r in q.select("cid").distinct().collect()]
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .where(F.col("cid").isin(probed))
+    )
+    scored = lists.join(q, "cid").select(
+        "query_id", "neighbor_id", F.round(pair_dot("vec", "_qv"), 9).alias("sim")
+    )
+    return _topk_by_sim(scored, k)

@@ -217,3 +217,52 @@ def test_pq_rerank_recall_floor(spark, sf_dir):
     )
     recall = approx.join(truth, ["query_id", "neighbor_id"]).count() / truth.count()
     assert recall >= 0.85
+
+
+def test_ivf_index_lifecycle_and_pruning(spark, sf_dir, tmp_path):
+    """Persisted IVF index (similarity/index.py): full-probe queries
+    against the stored lists equal brute force (incl. vectors that
+    arrived via append), and partial-probe queries scan only the
+    probed list partitions."""
+    import os
+
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        read_ivf_meta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(
+        emb.filter(F.col("vec_id") % 10 != 0), path, n_centroids=4, seed=42
+    )
+    assert read_ivf_meta(path)["n_centroids"] == 4
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), path)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact setting: stored-index answer == brute force over everything
+    got = query_ivf_index(spark, q, path, k=3, nprobe=4)
+    want = brute_topk(emb, q, k=3)
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+    # appended vectors are findable: query 0 lives in the appended
+    # batch and must be its own rank-1 neighbor
+    r1 = {r.query_id: r.neighbor_id for r in got.filter("rank = 1").collect()}
+    assert r1[0] == 0
+
+    # partial probe: the parquet scan is pruned to the probed lists
+    pruned = query_ivf_index(spark, q, path, k=3, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    n_lists = len(
+        [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("cid=")]
+    )
+    assert n_lists == 4
+    # every query still gets k results (from its probed list alone)
+    assert {r.query_id for r in pruned.collect()} == set(range(5))
+    # the probed-cid filter reaches the scan as a PARTITION filter —
+    # the p/C index-bytes win, not a post-read row filter
+    assert "PartitionFilters: [cid" in plan
