@@ -218,3 +218,40 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_stream_to_table(rollup, spark)
+
+
+def _ingest_dedup_oracle() -> str:
+    """Exact cross-batch all-pairs Jaccard: the streaming replay's
+    batches are doc_id // 125 slices processed in order, so a pair is
+    reported exactly once, with the LATER doc as id_a."""
+    from lakehouse_dba_tools_spark.queries_text import _D_SHINGLES3
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON (a.doc_id // 125) > (b.doc_id // 125)
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("streaming_ingest_dedup", _ingest_dedup_oracle())
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: documents replay as deterministic
+    micro-batches (doc_id // 125 slices, file source oldest-first) and
+    every batch is deduped against ALL earlier arrivals through the
+    persisted LSH index — query-then-append inside foreachBatch
+    (streaming/ingest_dedup.py), the streaming composition of
+    dedup/index.py's lifecycle. The oracle is the exact cross-batch
+    all-pairs Jaccard answer, so batch ordering, index append
+    visibility, and LSH recall are all hash-proven on the bounded
+    replay."""
+    from lakehouse_dba_tools_spark.sources.tables import load_table
+    from lakehouse_dba_tools_spark.streaming.ingest_dedup import stream_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stream_ingest_dedup(spark, docs, batch_size=125, threshold=0.5)

@@ -1,0 +1,112 @@
+"""Streaming ingest dedup: Structured Streaming + the persisted LSH index.
+
+The continuous form of dedup/index.py's lifecycle: documents arrive as
+micro-batches; ``foreachBatch`` dedups each batch against everything
+that arrived BEFORE it (one index query), then appends the batch so
+later batches dedup against it. This is the shape a 100 TB ingest
+pipeline actually runs — the index is the only cross-batch state, the
+per-batch cost is proportional to the batch, and a crash resumes from
+the stream checkpoint with the index reflecting completed batches
+(foreachBatch replays of an uncommitted batch re-query before
+re-append, so duplicated appends are confined to the failed epoch —
+the same at-least-once caveat as any external-sink foreachBatch;
+dedup by (band_idx, band_key, doc_id) on compaction removes them).
+
+Test harness determinism: the bounded replay stages the document set
+as one parquet file per ``doc_id // batch_size`` slice with strictly
+increasing mtimes — Spark's file source processes oldest-first, so
+micro-batch order (and therefore which pair-direction each duplicate
+is reported under) is a pure function of doc_id. The batch oracle is
+then exact: all pairs whose members land in different batches, with
+the LATER doc as id_a.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    batch_size: int = 125,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Run the bounded streaming replay; returns (id_a, id_b, jaccard)
+    — every cross-batch near-dup pair, id_a from the later batch.
+
+    The first batch seeds the index (an ingest pipeline starts from
+    SOME standing corpus; an empty-corpus start just means batch 0
+    reports nothing, identically to this). Each subsequent micro-batch
+    runs query-then-append inside ``foreachBatch``.
+    """
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    stage = tempfile.mkdtemp(prefix="ingest_stage_")
+    idx = tempfile.mkdtemp(prefix="ingest_idx_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    try:
+        batched = docs.withColumn(
+            "_b", F.floor(F.col("doc_id") / batch_size).cast("long")
+        )
+        batch_ids = sorted(
+            r[0] for r in batched.select("_b").distinct().collect()
+        )  # bounded: corpus_size / batch_size values
+        first, rest = batch_ids[0], batch_ids[1:]
+        build_lsh_index(
+            batched.filter(F.col("_b") == first).drop("_b"),
+            idx, num_perm=num_perm, bands=bands, seed=seed,
+        )
+        # Stage the remaining slices as single files with increasing
+        # mtimes; the file source (maxFilesPerTrigger=1, oldest-first)
+        # then replays them as deterministic micro-batches.
+        t0 = 1_600_000_000
+        for i, b in enumerate(rest):
+            d = os.path.join(stage, f"b{i:05d}")
+            batched.filter(F.col("_b") == b).drop("_b").coalesce(1).write.parquet(d)
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    os.utime(os.path.join(d, name), (t0 + i, t0 + i))
+        schema = docs.drop("_b").schema
+        found: list = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            # bounded collect: verified near-dup pairs for ONE batch
+            found.extend(
+                query_lsh_index(spark, batch_df, idx, threshold=threshold)
+                .select("id_a", "id_b", "jaccard")
+                .collect()
+            )
+            append_to_lsh_index(batch_df, idx)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out_schema = "id_a long, id_b long, jaccard double"
+        if found:
+            return spark.createDataFrame(found, out_schema).orderBy("id_a", "id_b")
+        return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, idx, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

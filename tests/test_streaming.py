@@ -134,3 +134,29 @@ def test_stateful_running_profile(spark, sf_dir):
     got = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
     want = {r.user_id: (r.n_events, r.sum_value) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_ingest_dedup_direction_and_visibility(spark):
+    """Cross-batch pairs only, LATER doc as id_a; a dup pair within
+    one batch is NOT reported (intra-batch dedup is a separate pass);
+    appends make batch N visible to batch N+1."""
+    from lakehouse_dba_tools_spark.streaming.ingest_dedup import stream_ingest_dedup
+
+    same = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, same),          # batch 0 (seed corpus)
+            (1, "completely different text about spark engines and shuffles"),
+            (10, same),         # batch 1: dup of 0
+            (11, same),         # batch 1: dup of 0 AND of 10 (same batch)
+            (20, same),         # batch 2: dup of 0, 10, 11
+        ],
+        "doc_id long, text string",
+    )
+    out = stream_ingest_dedup(spark, docs, batch_size=10, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {
+        (10, 0), (11, 0),           # batch 1 vs seed; (11, 10) intra-batch -> absent
+        (20, 0), (20, 10), (20, 11) # batch 2 sees appended batch-1 docs
+    }
+    assert all(r.jaccard == 1.0 for r in out.collect())
