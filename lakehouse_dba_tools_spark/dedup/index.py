@@ -123,6 +123,49 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     sh.write.mode("append").parquet(os.path.join(path, "shash"))
 
 
+def compact_lsh_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the index with appends folded in: drop duplicate rows
+    (the at-least-once artifact of a foreachBatch epoch replay — rows
+    are idempotent per (band_idx, band_key, doc_id) / (doc_id, shash))
+    and bin-pack each band partition to one file. Run on the same
+    cadence as any small-file OPTIMIZE. Returns {table: files_before/
+    files_after/rows} for observability. Stage-and-rename per table so
+    a crash mid-compact leaves the live index readable."""
+    import shutil
+
+    out: dict = {}
+    for sub, key_cols in (
+        ("bands", ["band_idx", "band_key", "doc_id"]),
+        ("shash", ["doc_id"]),
+    ):
+        live = os.path.join(path, sub)
+        df = spark.read.parquet(live).dropDuplicates(key_cols)
+        staging = live + "._compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        if sub == "bands":
+            # repartition BY the partition column: one task holds each
+            # band -> one file per band directory after the write
+            df.repartition("band_idx").write.mode("overwrite").partitionBy(
+                "band_idx"
+            ).parquet(staging)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+        n_before = sum(
+            1 for _, _, files in os.walk(live) for f in files if f.endswith(".parquet")
+        )
+        rows = spark.read.parquet(staging).count()
+        old = live + "._old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = sum(
+            1 for _, _, files in os.walk(live) for f in files if f.endswith(".parquet")
+        )
+        out[sub] = {"files_before": n_before, "files_after": n_after, "rows": rows}
+    return out
+
+
 def query_lsh_index(
     spark: SparkSession,
     batch: DataFrame,
@@ -161,6 +204,12 @@ def query_lsh_index(
         .distinct()
     )
     idx_sh = spark.read.parquet(os.path.join(path, "shash"))
+    # Duplicate-tolerant: an at-least-once append replay leaves
+    # duplicate shash rows until compact_lsh_index runs; the verify
+    # join would then emit the SAME pair once per copy. jaccard is a
+    # pure function of the pair, so distinct over the verified output
+    # (near-dup pairs — tiny next to the corpus) restores exactly-once
+    # results without shuffling the index.
     return verify_pairs_exact_jaccard_hashed(
         pairs, batch_sh, idx_sh, id_col, threshold
-    )
+    ).dropDuplicates(["id_a", "id_b"])

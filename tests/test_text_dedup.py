@@ -457,3 +457,49 @@ def test_lsh_index_lifecycle(spark, tmp_path):
     _os.remove(_os.path.join(path, "_lsh_meta.json"))
     with pytest.raises(FileNotFoundError):
         query_lsh_index(spark, batch2, path, threshold=0.5)
+
+
+def test_lsh_index_compaction_idempotent(spark, tmp_path):
+    """A replayed append (at-least-once foreachBatch epoch) leaves
+    duplicate index rows; compaction removes them and bin-packs files
+    WITHOUT changing any query answer."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        query_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    probe = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    append_to_lsh_index(batch, path)
+    append_to_lsh_index(batch, path)  # replayed epoch
+
+    before = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in query_lsh_index(spark, probe, path, threshold=0.5).collect()
+    )
+    stats = compact_lsh_index(spark, path)
+    after = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in query_lsh_index(spark, probe, path, threshold=0.5).collect()
+    )
+    assert after == before and {p[1] for p in after} == {1, 10}
+    # the replayed shash rows are gone: one row per doc
+    assert stats["shash"]["rows"] == 2
+    assert stats["shash"]["files_after"] == 1
+    assert stats["bands"]["files_after"] <= stats["bands"]["files_before"]
+    # duplicated band rows are gone too: 8 bands x 2 docs
+    assert stats["bands"]["rows"] == 16
