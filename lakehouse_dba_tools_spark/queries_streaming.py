@@ -222,18 +222,22 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ingest_dedup_oracle() -> str:
     """Exact cross-batch all-pairs Jaccard: the streaming replay's
-    batches are doc_id // 125 slices processed in order, so a pair is
-    reported exactly once, with the LATER doc as id_a."""
+    batches are doc_id // ceil(n/4) slices processed in order (the
+    batch size scales with the corpus so the replay is always ~4
+    micro-batches — a daily increment grows with the corpus), so a
+    pair is reported exactly once, with the LATER doc as id_a."""
     from lakehouse_dba_tools_spark.queries_text import _D_SHINGLES3
 
     return f"""
-    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents)
+    WITH bs AS (SELECT (count(*) + 3) // 4 AS b FROM documents),
+    sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.s, b.s))::DOUBLE
                  / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6)
              AS jaccard
-    FROM sh a JOIN sh b ON (a.doc_id // 125) > (b.doc_id // 125)
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+    FROM sh a, sh b, bs
+    WHERE (a.doc_id // bs.b) > (b.doc_id // bs.b)
+      AND len(list_intersect(a.s, b.s))::DOUBLE
           / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
     ORDER BY id_a, id_b
     """
@@ -242,16 +246,19 @@ def _ingest_dedup_oracle() -> str:
 @register("streaming_ingest_dedup", _ingest_dedup_oracle())
 def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: documents replay as deterministic
-    micro-batches (doc_id // 125 slices, file source oldest-first) and
-    every batch is deduped against ALL earlier arrivals through the
-    persisted LSH index — query-then-append inside foreachBatch
-    (streaming/ingest_dedup.py), the streaming composition of
-    dedup/index.py's lifecycle. The oracle is the exact cross-batch
-    all-pairs Jaccard answer, so batch ordering, index append
-    visibility, and LSH recall are all hash-proven on the bounded
-    replay."""
+    micro-batches (doc_id // ceil(n/4) slices, file source
+    oldest-first) and every batch is deduped against ALL earlier
+    arrivals through the persisted LSH index — query-then-append
+    inside foreachBatch (streaming/ingest_dedup.py), the streaming
+    composition of dedup/index.py's lifecycle. The oracle is the exact
+    cross-batch all-pairs Jaccard answer, so batch ordering, index
+    append visibility, and LSH recall are all hash-proven on the
+    bounded replay. The batch size scales with the corpus (always ~4
+    replay batches: at the gate, ceil(500/4) = 125), keeping the
+    replay's fixed per-micro-batch cost bounded at every SF."""
     from lakehouse_dba_tools_spark.sources.tables import load_table
     from lakehouse_dba_tools_spark.streaming.ingest_dedup import stream_ingest_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return stream_ingest_dedup(spark, docs, batch_size=125, threshold=0.5)
+    batch_size = (docs.count() + 3) // 4  # one count job, metadata-cheap
+    return stream_ingest_dedup(spark, docs, batch_size=batch_size, threshold=0.5)
