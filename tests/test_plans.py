@@ -250,3 +250,33 @@ def test_span_dedup_shuffles_digests_not_text(spark, sf_dir):
                 assert "text#" not in inputs, f"{name} shuffles raw text"
                 assert "_t#" not in inputs, f"{name} shuffles token arrays"
         assert keyed >= 2, f"{name}: expected keyed exchanges in plan"
+
+
+def test_lsh_index_query_never_shuffles_text(spark, tmp_path):
+    """Persisted-index dedup: document TEXT never enters a shuffle —
+    the band join carries (band_idx, band_key, id) and the verify
+    joins carry ids + hashed-shingle arrays read from the index."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i} with shared words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs, path, num_perm=32, bands=8, seed=7)
+    out = query_lsh_index(spark, docs.limit(2), path, threshold=0.5)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # fan_out's round-robin repartition of the INPUT batch legitimately
+    # carries text (payload = the batch itself, for CPU-parallel
+    # shingling); every hash-partitioned exchange (join/agg shuffles,
+    # the ones that scale with candidate volume) must be text-free.
+    for ex in re.finditer(
+        r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])\nArguments: (\w+)", plan
+    ):
+        if ex.group(2) == "hashpartitioning":
+            assert "text" not in ex.group(1)
