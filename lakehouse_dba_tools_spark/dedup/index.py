@@ -100,6 +100,7 @@ def build_lsh_index(
             "id_col": id_col, "text_col": text_col}
     with open(os.path.join(path, META_NAME), "w") as fh:
         json.dump(meta, fh)
+    _refresh(docs.sparkSession, path)
     return meta
 
 
@@ -121,6 +122,18 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
         os.path.join(path, "bands")
     )
     sh.write.mode("append").parquet(os.path.join(path, "shash"))
+    _refresh(docs.sparkSession, path)
+
+
+def _refresh(spark: SparkSession, path: str) -> None:
+    """Invalidate the session's cached file listings for the index
+    paths. Without this, a query DataFrame created BEFORE an append
+    can leave a pre-append listing in the shared FileStatusCache, and
+    a query created AFTER the append may silently evaluate against the
+    stale snapshot — observed as a deterministic missing pair in the
+    two-batch carrier until this refresh was added."""
+    for sub in ("bands", "shash"):
+        spark.catalog.refreshByPath(os.path.join(path, sub))
 
 
 def compact_lsh_index(spark: SparkSession, path: str) -> dict:
@@ -163,6 +176,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
             1 for _, _, files in os.walk(live) for f in files if f.endswith(".parquet")
         )
         out[sub] = {"files_before": n_before, "files_after": n_after, "rows": rows}
+    _refresh(spark, path)
     return out
 
 

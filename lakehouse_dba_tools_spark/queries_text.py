@@ -482,22 +482,26 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="lsh_index_")
     try:
         build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
-        p1 = query_lsh_index(spark, batch1, tmp, threshold=0.5).withColumn(
-            "phase", F.lit("b1")
-        )
+        # Each phase is MATERIALIZED before the index mutates again —
+        # the real pipeline order (a batch's report ships before the
+        # next batch lands), and required for correctness: a lazy
+        # pre-append DataFrame re-lists the index files at evaluation
+        # time and would see the post-append contents. Both collects
+        # are bounded (verified near-dup pairs).
+        schema = "id_a bigint, id_b bigint, jaccard double"
+        p1 = query_lsh_index(spark, batch1, tmp, threshold=0.5)
+        rows1 = p1.select("id_a", "id_b", "jaccard").collect()
         append_to_lsh_index(batch1, tmp)
-        p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5).withColumn(
-            "phase", F.lit("b2")
-        )
-        out = (
-            p1.unionByName(p2)
+        p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)
+        rows2 = p2.select("id_a", "id_b", "jaccard").collect()
+        return (
+            spark.createDataFrame(rows1, schema).withColumn("phase", F.lit("b1"))
+            .unionByName(
+                spark.createDataFrame(rows2, schema).withColumn("phase", F.lit("b2"))
+            )
             .select("phase", "id_a", "id_b", "jaccard")
             .orderBy("phase", "id_a", "id_b")
         )
-        # Materialize before the index tempdir vanishes: the plan reads
-        # parquet under tmp lazily (bounded: verified near-dup pairs).
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
