@@ -111,6 +111,11 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
     rows.write.mode("append").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
+    # Invalidate cached file listings: a query created after this
+    # append must never evaluate against a pre-append snapshot left in
+    # the shared file-status cache by an earlier query (the LSH index
+    # hit exactly this — see dedup/index.py _refresh).
+    vectors.sparkSession.catalog.refreshByPath(os.path.join(path, "lists"))
 
 
 def query_ivf_index(
