@@ -214,6 +214,11 @@ def create_or_upsert_partitioned(
         os.rename(os.path.join(staging, d), dst)
         rewritten.append(d)
     shutil.rmtree(staging, ignore_errors=True)
+    # The dir renames bypass any write-through cache refresh: a reader
+    # whose file listing was cached pre-merge would chase renamed-away
+    # part files. Invalidate explicitly (same stale-snapshot class as
+    # dedup/index.py _refresh, where it silently dropped a pair).
+    spark.catalog.refreshByPath(path)
     record_commit(
         path, "MERGE", num_output_rows=footer_row_count(path),
         parameters={
