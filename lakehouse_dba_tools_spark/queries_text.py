@@ -16,7 +16,7 @@ from lakehouse_dba_tools_spark.dedup.ngram import jaccard_pairs
 from lakehouse_dba_tools_spark.dedup.simhash import simhash_verified_near_dups
 from lakehouse_dba_tools_spark.functions import text as TX
 from lakehouse_dba_tools_spark.operators.partitioning import fan_out
-from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.registry import ORACLE, register
 from lakehouse_dba_tools_spark.sources.tables import load_table
 
 # DuckDB fragments mirroring functions/text.py
@@ -732,6 +732,38 @@ def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(build_inverted_index(docs)).select(
         "term", "n_docs", F.col("total_tf").cast("long").alias("total_tf")
     )
+
+
+@register("bm25_index_topk", ORACLE["bm25_keyword_topk"])
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED postings index (similarity/bm25.py
+    build/append/query_postings_index) — the lexical leg of the
+    stored-index family: build from 90% of the corpus, APPEND the
+    rest, answer the standard query from the stored postings with
+    corpus stats recomputed from the doclens table (so the append
+    shifts N/avgdl/df and the scores stay exact). The oracle is the
+    full-corpus BM25 top-20 — equality hash-proves append visibility,
+    the stats recompute, and postings round-trip in one report."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        append_to_postings_index,
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        build_postings_index(docs.filter(F.col("doc_id") % 10 != 0), tmp)
+        append_to_postings_index(docs.filter(F.col("doc_id") % 10 == 0), tmp)
+        out = query_postings_index(spark, tmp, _BM25_QUERY, k=20)
+        # materialize before the index tempdir vanishes (bounded: k rows)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

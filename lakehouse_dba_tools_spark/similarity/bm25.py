@@ -204,3 +204,88 @@ def bm25_score_scalar(
     check the distributed columns against this literal formula."""
     idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
     return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+# --- persisted postings index (continuous-ingestion lexical retrieval) ---
+#
+# The third leg of the stored-index family (dedup/index.py LSH,
+# similarity/index.py IVF): postings are computed once and stored;
+# ingest batches append their own postings; queries read only the
+# slice matching their terms. Layout under ``path``:
+#
+# - postings/  (term, doc_id, tf, dl), range-partitioned and sorted by
+#   term — parquet row-group min/max on the sort key become a skip
+#   index, so a query-term IN-filter reads only matching row groups
+#   (the plain-parquet analog of partitioning by term, without a
+#   directory per term).
+# - doclens/   (doc_id, dl) — corpus stats (N, avgdl) are recomputed
+#   from this tiny table at query time, so APPENDS KEEP BM25 HONEST:
+#   stored global stats would go stale with every batch.
+# - _bm25_meta.json  {id_col, text_col}
+
+BM25_META = "_bm25_meta.json"
+
+
+def build_postings_index(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    import json
+    import os
+
+    _write_postings(docs, path, text_col, id_col, mode="overwrite")
+    with open(os.path.join(path, BM25_META), "w") as fh:
+        json.dump({"id_col": id_col, "text_col": text_col}, fh)
+
+
+def append_to_postings_index(docs: DataFrame, path: str) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, BM25_META)) as fh:
+        m = json.load(fh)
+    _write_postings(docs, path, m["text_col"], m["id_col"], mode="append")
+
+
+def _write_postings(
+    docs: DataFrame, path: str, text_col: str, id_col: str, mode: str
+) -> None:
+    import os
+
+    postings = build_inverted_index(docs, text_col, id_col)
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(os.path.join(path, "postings"))
+    )
+    docs.select(
+        F.col(id_col), F.size(_tokens(text_col)).alias("dl")
+    ).write.mode(mode).parquet(os.path.join(path, "doclens"))
+    # invalidate cached file listings (same stale-snapshot class as
+    # dedup/index.py _refresh)
+    for sub in ("postings", "doclens"):
+        docs.sparkSession.catalog.refreshByPath(os.path.join(path, sub))
+
+
+def query_postings_index(
+    spark, path: str, query: str, k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 top-k over the stored postings. (N, avgdl) reduce from the
+    doclens table (1-row aggregate — reflects every append); the
+    postings read carries a pushed term IN-filter, so only the query
+    terms' row groups are scanned."""
+    import json
+    import os
+
+    with open(os.path.join(path, BM25_META)) as fh:
+        m = json.load(fh)
+    row = (
+        spark.read.parquet(os.path.join(path, "doclens"))
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return bm25_topk_from_index(
+        postings, (int(row["n"]), float(row["avgdl"])), query, k,
+        id_col=m["id_col"], k1=k1, b=b,
+    )

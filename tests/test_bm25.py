@@ -73,3 +73,32 @@ def test_inverted_index_shuffles_postings_not_bodies(spark, sf_dir):
     plan = build_inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Exchange [^\n]*\n", plan):
         assert "text" not in m.group(0)
+
+
+def test_postings_index_lifecycle(spark, tmp_path):
+    """Persisted postings index: build + append answers equal the
+    direct full-corpus scorer (stats recomputed from doclens, so the
+    append shifts N/avgdl/df correctly), and the query-term filter
+    pushes into the postings scan."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        append_to_postings_index,
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = _toy_docs(spark)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs.filter("doc_id != 2"), path)
+    append_to_postings_index(docs.filter("doc_id = 2"), path)
+
+    got = query_postings_index(spark, path, "spark join", k=4)
+    want = bm25_topk(docs, "spark join", k=4)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # the appended doc (tf-heavy for 'join') must rank first — proves
+    # the append is visible AND included in the df/N/avgdl stats
+    assert got.collect()[0].doc_id == 2
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PushedFilters: \[.*In\(term", plan)
