@@ -7754,36 +7754,38 @@ def tpcds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame
     ws = _ws(spark, sf_dir)
     cu = gen_customer_ds(spark)
 
-    def year_total(fact, date_col, cust_col, lp, wc, disc, sp, label):
+    # One pass per channel: the spec's year_total self-join (first-year
+    # row ⋈ second-year row) would run each fact pipeline TWICE (0
+    # ReusedExchange — six fact scans for three channels). Two fixed
+    # years fold into conditional partials per customer; requiring both
+    # totals non-null is the self-join's both-years-present semantics.
+    def year_pair(fact, date_col, cust_col, lp, wc, disc, sp, label):
         total = (
             (F.col(lp) - F.col(wc) - F.col(disc)) + F.col(sp)
         ) / 2
         return (
             fact.join(dd, F.col(date_col) == dd.d_date_sk)
             .where(F.col("d_year").isin(1998, 1999))
-            .groupBy(F.col(cust_col).alias("cust_sk"), "d_year")
-            .agg(F.sum(total).alias(f"{label}_total"))
+            .groupBy(F.col(cust_col).alias("cust_sk"))
+            .agg(
+                F.sum(F.when(F.col("d_year") == 1998, total)).alias(f"{label}98"),
+                F.sum(F.when(F.col("d_year") == 1999, total)).alias(f"{label}99"),
+            )
+            .where(
+                F.col(f"{label}98").isNotNull() & F.col(f"{label}99").isNotNull()
+            )
         )
 
-    s = year_total(ss, "ss_sold_date_sk", "ss_customer_sk",
-                   "ss_ext_list_price", "ss_ext_wholesale_cost",
-                   "ss_ext_discount_amt", "ss_ext_sales_price", "s")
-    c = year_total(cs, "cs_sold_date_sk", "cs_bill_customer_sk",
-                   "cs_ext_list_price", "cs_ext_wholesale_cost",
-                   "cs_ext_discount_amt", "cs_ext_sales_price", "c")
-    w = year_total(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
-                   "ws_ext_list_price", "ws_ext_wholesale_cost",
-                   "ws_ext_discount_amt", "ws_ext_sales_price", "w")
-
-    def split(df, label):
-        first = df.where(F.col("d_year") == 1998).select(
-            "cust_sk", F.col(f"{label}_total").alias(f"{label}98")
-        )
-        second = df.where(F.col("d_year") == 1999).select(
-            "cust_sk", F.col(f"{label}_total").alias(f"{label}99")
-        )
-        return first.join(second, "cust_sk")
-    joined = split(s, "s").join(split(c, "c"), "cust_sk").join(split(w, "w"), "cust_sk")
+    s = year_pair(ss, "ss_sold_date_sk", "ss_customer_sk",
+                  "ss_ext_list_price", "ss_ext_wholesale_cost",
+                  "ss_ext_discount_amt", "ss_ext_sales_price", "s")
+    c = year_pair(cs, "cs_sold_date_sk", "cs_bill_customer_sk",
+                  "cs_ext_list_price", "cs_ext_wholesale_cost",
+                  "cs_ext_discount_amt", "cs_ext_sales_price", "c")
+    w = year_pair(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+                  "ws_ext_list_price", "ws_ext_wholesale_cost",
+                  "ws_ext_discount_amt", "ws_ext_sales_price", "w")
+    joined = s.join(c, "cust_sk").join(w, "cust_sk")
     # ratios compared in IEEE double on BOTH engines (the oracle casts
     # its exact-decimal year totals to DOUBLE the same way) so the
     # growth comparison is bit-identical, not decimal-scale-dependent
