@@ -5582,7 +5582,7 @@ def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
     channels over the full span — the spec's cross_items INTERSECT
     chain (computed on distinct attribute triples, then semi-joined
     back to the item dim) and its avg_sales scalar threshold (1-row
-    cross join), rolled up per channel with grouping sets.
+    cross join), rolled up per (channel, brand, class, category).
 
     Scale: the INTERSECT operates on distinct (brand, class, category)
     triples — bounded by the item-attribute domain, not the facts; the
