@@ -27,11 +27,19 @@ Scale notes: query cost is |batch| signatures + one join against the
 band table (shuffle carries (band_key, id) pairs only) + a verify join
 that fetches stored shash rows for candidate ids only (semi-join
 pattern — the full shash table is never materialized). Appends create
-one file per band partition per batch; compact with
-maintenance/compact.py's bin-pack OPTIMIZE analog on the usual small-
-file cadence. Concurrent appends are last-writer-wins parquet appends
-(safe: rows are immutable and idempotent per doc_id); multi-writer
-atomicity carries the repo-wide documented Delta-jars boundary.
+one file per band partition per batch; `compact_lsh_index` is the
+bin-pack OPTIMIZE analog, run on the usual small-file cadence.
+
+Writer semantics (operators/indexio.py): build/append/compact hold an
+exclusive flock on the index root, so an append can never land inside
+a compaction's swap window; each table's live path is a symlink to a
+versioned directory and compaction publishes with one atomic pointer
+flip, so the live path always resolves to a complete tree — a crash
+mid-compact leaves at worst an orphan version dir that the next
+locked writer removes. A reader whose cached file listing predates a
+compact fails loudly (superseded version deleted) and should retry;
+it can never silently read a partial index. Multi-HOST atomicity
+carries the repo-wide documented Delta-jars boundary.
 
 Reference parity note: the reference repo has no index lifecycle —
 this is part of the training-data-pipeline surface the build brief
@@ -46,6 +54,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.operators.indexio import (
+    heal,
+    init_versioned,
+    publish,
+    writer_lock,
+)
 from lakehouse_dba_tools_spark.dedup.minhash import (
     band_keys,
     hashed_shingles,
@@ -92,14 +106,20 @@ def build_lsh_index(
     """Materialize the index from an initial corpus. Overwrites
     ``path``. Returns the meta dict."""
     bk, sh = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
-    bk.write.mode("overwrite").partitionBy("band_idx").parquet(
-        os.path.join(path, "bands")
-    )
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shash"))
-    meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
-            "id_col": id_col, "text_col": text_col}
-    with open(os.path.join(path, META_NAME), "w") as fh:
-        json.dump(meta, fh)
+    with writer_lock(path):
+        for sub, df in (("bands", bk), ("shash", sh)):
+            live = os.path.join(path, sub)
+            heal(live)
+            target = init_versioned(live)
+            if sub == "bands":
+                df.write.mode("overwrite").partitionBy("band_idx").parquet(target)
+            else:
+                df.write.mode("overwrite").parquet(target)
+            publish(live, target)
+        meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+                "id_col": id_col, "text_col": text_col}
+        with open(os.path.join(path, META_NAME), "w") as fh:
+            json.dump(meta, fh)
     _refresh(docs.sparkSession, path)
     return meta
 
@@ -118,10 +138,14 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     bk, sh = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
-    bk.write.mode("append").partitionBy("band_idx").parquet(
-        os.path.join(path, "bands")
-    )
-    sh.write.mode("append").parquet(os.path.join(path, "shash"))
+    # The lock keeps this append out of any concurrent compaction's
+    # snapshot→publish window (it would otherwise be silently dropped
+    # with the superseded version directory).
+    with writer_lock(path):
+        bk.write.mode("append").partitionBy("band_idx").parquet(
+            os.path.join(path, "bands")
+        )
+        sh.write.mode("append").parquet(os.path.join(path, "shash"))
     _refresh(docs.sparkSession, path)
 
 
@@ -142,42 +166,51 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
     are idempotent per (band_idx, band_key, doc_id) / (doc_id, shash))
     and bin-pack each band partition to one file. Run on the same
     cadence as any small-file OPTIMIZE. Returns {table: files_before/
-    files_after/rows} for observability. Stage-and-rename per table so
-    a crash mid-compact leaves the live index readable."""
-    import shutil
+    files_after/rows} for observability.
 
+    Holds the index writer lock for the whole rewrite (appends queue
+    behind it — none can land in the superseded version and vanish)
+    and publishes each table as a new version directory behind one
+    atomic pointer flip, so the live path resolves to a complete tree
+    at every instant; a crash mid-compact leaves only an orphan
+    version dir for the next locked writer's `heal`."""
     out: dict = {}
-    for sub, key_cols in (
-        ("bands", ["band_idx", "band_key", "doc_id"]),
-        ("shash", ["doc_id"]),
-    ):
-        live = os.path.join(path, sub)
-        df = spark.read.parquet(live).dropDuplicates(key_cols)
-        staging = live + "._compact"
-        shutil.rmtree(staging, ignore_errors=True)
-        if sub == "bands":
-            # repartition BY the partition column: one task holds each
-            # band -> one file per band directory after the write
-            df.repartition("band_idx").write.mode("overwrite").partitionBy(
-                "band_idx"
-            ).parquet(staging)
-        else:
-            df.coalesce(1).write.mode("overwrite").parquet(staging)
-        n_before = sum(
-            1 for _, _, files in os.walk(live) for f in files if f.endswith(".parquet")
-        )
-        rows = spark.read.parquet(staging).count()
-        old = live + "._old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(live, old)
-        os.rename(staging, live)
-        shutil.rmtree(old, ignore_errors=True)
-        n_after = sum(
-            1 for _, _, files in os.walk(live) for f in files if f.endswith(".parquet")
-        )
-        out[sub] = {"files_before": n_before, "files_after": n_after, "rows": rows}
+    with writer_lock(path):
+        for sub, key_cols in (
+            ("bands", ["band_idx", "band_key", "doc_id"]),
+            ("shash", ["doc_id"]),
+        ):
+            live = os.path.join(path, sub)
+            heal(live)
+            df = spark.read.parquet(live).dropDuplicates(key_cols)
+            n_before = _parquet_file_count(live)
+            target = init_versioned(live)
+            if sub == "bands":
+                # repartition BY the partition column: one task holds
+                # each band -> one file per band directory
+                df.repartition("band_idx").write.mode("overwrite").partitionBy(
+                    "band_idx"
+                ).parquet(target)
+            else:
+                df.coalesce(1).write.mode("overwrite").parquet(target)
+            rows = spark.read.parquet(target).count()
+            publish(live, target)
+            out[sub] = {
+                "files_before": n_before,
+                "files_after": _parquet_file_count(live),
+                "rows": rows,
+            }
     _refresh(spark, path)
     return out
+
+
+def _parquet_file_count(root: str) -> int:
+    return sum(
+        1
+        for _, _, files in os.walk(root, followlinks=True)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def query_lsh_index(

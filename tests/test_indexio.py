@@ -1,0 +1,129 @@
+"""Filesystem-level tests for operators/indexio.py — the shared
+versioned-pointer + writer-lock primitives under the persisted-index
+family (dedup/index.py, similarity/index.py, similarity/bm25.py).
+
+These simulate the two hazards the module exists to close (round-7
+ADVICE): a crash between the old two-rename swap (live path absent)
+and an append racing a compaction's directory swap (append silently
+deleted). No SparkSession needed — the contract is pure filesystem.
+"""
+
+import os
+import threading
+import time
+
+from lakehouse_dba_tools_spark.operators.indexio import (
+    current_version_dir,
+    heal,
+    init_versioned,
+    next_version_dir,
+    publish,
+    writer_lock,
+)
+
+
+def _mk_version(live, marker):
+    target = init_versioned(live)
+    os.makedirs(target)
+    with open(os.path.join(target, "data.parquet"), "w") as fh:
+        fh.write(marker)
+    return target
+
+
+def _read_live(live):
+    with open(os.path.join(live, "data.parquet")) as fh:
+        return fh.read()
+
+
+def test_publish_flips_pointer_and_drops_previous(tmp_path):
+    live = str(tmp_path / "bands")
+    v0 = _mk_version(live, "v0")
+    publish(live, v0)
+    assert os.path.islink(live) and _read_live(live) == "v0"
+    assert current_version_dir(live) == os.path.realpath(v0)
+
+    v1 = _mk_version(live, "v1")
+    assert v1.endswith(".v1")
+    publish(live, v1)
+    assert _read_live(live) == "v1"
+    # the superseded version directory is gone
+    assert not os.path.exists(v0)
+
+
+def test_live_path_always_resolves_during_publish(tmp_path):
+    """The old rename(live, old); rename(staging, live) swap had a
+    window with NO live path. The pointer flip must not: the live
+    symlink resolves to a complete version at every instant."""
+    live = str(tmp_path / "bands")
+    publish(live, _mk_version(live, "v0"))
+
+    stop = threading.Event()
+    failures = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                if _read_live(live) not in ("v0", "v1"):
+                    failures.append("partial content")
+            except FileNotFoundError:
+                failures.append("live path absent")
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(50):
+            publish(live, _mk_version(live, "v1" if _read_live(live) == "v0" else "v0"))
+            time.sleep(0.001)
+    finally:
+        stop.set()
+        t.join()
+    assert not failures
+
+
+def test_heal_removes_orphans_keeps_current(tmp_path):
+    """A crash after writing a new version but before publish leaves
+    an orphan directory; heal (run under the writer lock) removes it
+    and never touches the published version."""
+    live = str(tmp_path / "bands")
+    v0 = _mk_version(live, "v0")
+    publish(live, v0)
+    # simulate the crash: next version fully written, never published
+    orphan = _mk_version(live, "vX")
+    # and a stale pointer temp from a crash mid-publish
+    os.symlink(os.path.basename(orphan), live + "._ptr")
+    heal(live)
+    assert not os.path.exists(orphan)
+    assert not os.path.lexists(live + "._ptr")
+    assert _read_live(live) == "v0"
+
+
+def test_next_version_increments_from_pointer(tmp_path):
+    live = str(tmp_path / "bands")
+    assert next_version_dir(live).endswith(".v0")
+    publish(live, _mk_version(live, "a"))
+    assert next_version_dir(live).endswith(".v1")
+    publish(live, _mk_version(live, "b"))
+    assert next_version_dir(live).endswith(".v2")
+
+
+def test_writer_lock_serializes(tmp_path):
+    """Two writers on the same index root run strictly one-at-a-time
+    (the append-during-compact race from the round-7 ADVICE)."""
+    root = str(tmp_path / "idx")
+    order = []
+
+    def writer(tag):
+        with writer_lock(root):
+            order.append((tag, "in"))
+            time.sleep(0.05)
+            order.append((tag, "out"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # strict nesting: every 'in' is immediately followed by its own 'out'
+    for i in range(0, len(order), 2):
+        assert order[i][0] == order[i + 1][0]
+        assert order[i][1] == "in" and order[i + 1][1] == "out"
