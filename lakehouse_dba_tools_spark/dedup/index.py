@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from lakehouse_dba_tools_spark.operators.indexio import (
     heal,
     init_versioned,
+    parquet_file_count,
     publish,
     writer_lock,
 )
@@ -183,7 +184,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
             live = os.path.join(path, sub)
             heal(live)
             df = spark.read.parquet(live).dropDuplicates(key_cols)
-            n_before = _parquet_file_count(live)
+            n_before = parquet_file_count(live)
             target = init_versioned(live)
             if sub == "bands":
                 # repartition BY the partition column: one task holds
@@ -197,20 +198,11 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
             publish(live, target)
             out[sub] = {
                 "files_before": n_before,
-                "files_after": _parquet_file_count(live),
+                "files_after": parquet_file_count(live),
                 "rows": rows,
             }
     _refresh(spark, path)
     return out
-
-
-def _parquet_file_count(root: str) -> int:
-    return sum(
-        1
-        for _, _, files in os.walk(root, followlinks=True)
-        for f in files
-        if f.endswith(".parquet")
-    )
 
 
 def query_lsh_index(

@@ -99,6 +99,17 @@ def init_versioned(live: str) -> str:
     return target
 
 
+def parquet_file_count(root: str) -> int:
+    """Observability helper for compaction stats (follows the live
+    symlink into the current version directory)."""
+    return sum(
+        1
+        for _, _, files in os.walk(root, followlinks=True)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def heal(live: str) -> None:
     """Remove crash debris around one live table: orphan version
     directories not currently pointed to, and a stale pointer temp.

@@ -5345,6 +5345,13 @@ def tpcds_q64_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     y2 = F.col("syear") == 1999
     rolled = (
         base.where(F.col("syear").isin(1998, 1999))
+        # groupBy is null-SAFE where the oracle's self-join equality is
+        # null-REJECTING: a group with NULL store_name/zip present in
+        # both years would be emitted here but dropped by the join.
+        # Guard the dim attributes so the fold stays join-equivalent
+        # even if the generator ever emits NULLs (today it cannot —
+        # datagen/tpcds.py builds both from non-null hash expressions).
+        .where(F.col("s_store_name").isNotNull() & F.col("s_zip").isNotNull())
         .groupBy("i_product_name", "ss_item_sk", "s_store_name", "s_zip")
         .agg(
             F.count(F.when(y1, 1)).alias("cnt1"),

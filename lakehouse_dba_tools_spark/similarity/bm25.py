@@ -222,6 +222,20 @@ def bm25_score_scalar(
 #   from this tiny table at query time, so APPENDS KEEP BM25 HONEST:
 #   stored global stats would go stale with every batch.
 # - _bm25_meta.json  {id_col, text_col}
+#
+# Writer semantics (operators/indexio.py, shared with the LSH and IVF
+# indexes): build/append/compact hold an exclusive flock on the index
+# root, and each table's live path is a symlink to a versioned
+# directory published by one atomic pointer flip — an append can never
+# vanish inside a compaction's swap window, and a crash mid-compact
+# leaves the live tables readable. Replay semantics: a replayed append
+# (at-least-once foreachBatch) writes duplicate (term, doc_id) posting
+# rows and duplicate (doc_id) doclens rows; queries dedup both at read
+# time (the postings dedup runs on the query-terms slice only, the
+# doclens dedup on the tiny doc_id/dl table), and
+# `compact_postings_index` folds them permanently. The index is
+# replay-tolerant, NOT update-tolerant: re-appending a doc_id whose
+# text CHANGED is caller error (dedup keeps an arbitrary variant).
 
 BM25_META = "_bm25_meta.json"
 
@@ -232,39 +246,103 @@ def build_postings_index(
     import json
     import os
 
-    _write_postings(docs, path, text_col, id_col, mode="overwrite")
-    with open(os.path.join(path, BM25_META), "w") as fh:
-        json.dump({"id_col": id_col, "text_col": text_col}, fh)
+    from lakehouse_dba_tools_spark.operators.indexio import writer_lock
+
+    with writer_lock(path):
+        _write_postings(docs, path, text_col, id_col, fresh=True)
+        with open(os.path.join(path, BM25_META), "w") as fh:
+            json.dump({"id_col": id_col, "text_col": text_col}, fh)
 
 
 def append_to_postings_index(docs: DataFrame, path: str) -> None:
     import json
     import os
 
+    from lakehouse_dba_tools_spark.operators.indexio import writer_lock
+
     with open(os.path.join(path, BM25_META)) as fh:
         m = json.load(fh)
-    _write_postings(docs, path, m["text_col"], m["id_col"], mode="append")
+    # The lock keeps this append out of any concurrent compaction's
+    # snapshot→publish window (it would otherwise be silently dropped
+    # with the superseded version directory).
+    with writer_lock(path):
+        _write_postings(docs, path, m["text_col"], m["id_col"], fresh=False)
 
 
 def _write_postings(
-    docs: DataFrame, path: str, text_col: str, id_col: str, mode: str
+    docs: DataFrame, path: str, text_col: str, id_col: str, fresh: bool
 ) -> None:
     import os
 
-    postings = build_inverted_index(docs, text_col, id_col)
-    (
-        postings.repartitionByRange("term")
-        .sortWithinPartitions("term")
-        .write.mode(mode)
-        .parquet(os.path.join(path, "postings"))
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        heal,
+        init_versioned,
+        publish,
     )
-    docs.select(
-        F.col(id_col), F.size(_tokens(text_col)).alias("dl")
-    ).write.mode(mode).parquet(os.path.join(path, "doclens"))
+
+    postings = build_inverted_index(docs, text_col, id_col).repartitionByRange(
+        "term"
+    ).sortWithinPartitions("term")
+    doclens = docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl"))
+    for sub, df in (("postings", postings), ("doclens", doclens)):
+        live = os.path.join(path, sub)
+        if fresh:
+            heal(live)
+            target = init_versioned(live)
+            df.write.mode("overwrite").parquet(target)
+            publish(live, target)
+        else:
+            # appends are additive (new files only) through the live
+            # pointer — readers racing one see a prefix, the standard
+            # parquet-append visibility
+            df.write.mode("append").parquet(live)
     # invalidate cached file listings (same stale-snapshot class as
     # dedup/index.py _refresh)
     for sub in ("postings", "doclens"):
         docs.sparkSession.catalog.refreshByPath(os.path.join(path, sub))
+
+
+def compact_postings_index(spark, path: str) -> dict:
+    """OPTIMIZE analog for the postings index: fold replayed-append
+    duplicates — keyed (term, doc_id) for postings, (doc_id) for
+    doclens, safe because replays write identical rows — restore the
+    term sort (appends interleave term ranges across files, weakening
+    row-group skipping), and bin-pack the per-batch small files.
+    Publishes each table as a new version behind one atomic pointer
+    flip under the index writer lock (appends queue behind it).
+    Returns {table: files_before/files_after/rows}."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        heal,
+        init_versioned,
+        parquet_file_count,
+        publish,
+        writer_lock,
+    )
+
+    out: dict = {}
+    with writer_lock(path):
+        for sub, key_cols in (("postings", ["term", "doc_id"]), ("doclens", ["doc_id"])):
+            live = os.path.join(path, sub)
+            heal(live)
+            df = spark.read.parquet(live).dropDuplicates(key_cols)
+            if sub == "postings":
+                df = df.repartitionByRange("term").sortWithinPartitions("term")
+            else:
+                df = df.coalesce(1)
+            n_before = parquet_file_count(live)
+            target = init_versioned(live)
+            df.write.mode("overwrite").parquet(target)
+            rows = spark.read.parquet(target).count()
+            publish(live, target)
+            out[sub] = {
+                "files_before": n_before,
+                "files_after": parquet_file_count(live),
+                "rows": rows,
+            }
+            spark.catalog.refreshByPath(live)
+    return out
 
 
 def query_postings_index(
@@ -273,7 +351,10 @@ def query_postings_index(
     """BM25 top-k over the stored postings. (N, avgdl) reduce from the
     doclens table (1-row aggregate — reflects every append); the
     postings read carries a pushed term IN-filter, so only the query
-    terms' row groups are scanned."""
+    terms' row groups are scanned. Both legs dedup replayed-append
+    rows before any stat is derived (postings on the filtered slice
+    only — the dedup shuffle carries query-term postings, never the
+    corpus), so scores are identical before and after compaction."""
     import json
     import os
 
@@ -281,10 +362,16 @@ def query_postings_index(
         m = json.load(fh)
     row = (
         spark.read.parquet(os.path.join(path, "doclens"))
+        .dropDuplicates([m["id_col"]])
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    terms = sorted(set(_py_tokens(query)))
+    if terms:  # pre-filter BEFORE the dedup shuffle: only query-term
+        # postings pay it (the same pushed IN-filter the scorer applies)
+        postings = postings.filter(F.col("term").isin(terms))
+    postings = postings.dropDuplicates(["term", m["id_col"]])
     return bm25_topk_from_index(
         postings, (int(row["n"]), float(row["avgdl"])), query, k,
         id_col=m["id_col"], k1=k1, b=b,

@@ -22,8 +22,19 @@ On-disk layout under ``path``:
 Append semantics match FAISS/production IVF: centroids stay FIXED
 after build (assignments are a pure function of the stored quantizer,
 so appended vectors land in the same list a rebuild would put them
-in); re-train + rebuild on drift is a separate maintenance decision,
-same cadence as OPTIMIZE for the small files appends create.
+in); re-train + rebuild on drift is a separate maintenance decision.
+`compact_ivf_index` is the OPTIMIZE analog for the small files
+appends create, and it folds replayed appends (at-least-once
+foreachBatch) keyed on (cid, neighbor_id); queries dedup the same key
+on the probed slice, so answers are identical before and after
+compaction. Writer semantics (operators/indexio.py, shared with the
+LSH and BM25 indexes): build/append/compact hold an exclusive flock
+on the index root, and the lists table's live path is a symlink to a
+versioned directory published by one atomic pointer flip — an append
+can never vanish inside a compaction's swap window, and a crash
+mid-compact leaves the index readable. Replay-tolerant, NOT
+update-tolerant: re-appending an id whose vector CHANGED is caller
+error (dedup keeps an arbitrary variant).
 
 Reference parity note: the reference repo has no ANN surface — this
 extends the training-data-pipeline tier the build brief makes
@@ -39,6 +50,13 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_dba_tools_spark.operators.indexio import (
+    heal,
+    init_versioned,
+    parquet_file_count,
+    publish,
+    writer_lock,
+)
 from lakehouse_dba_tools_spark.operators.partitioning import fan_out
 from lakehouse_dba_tools_spark.similarity.kernels import (
     nearest_centroids_udf,
@@ -81,18 +99,22 @@ def build_ivf_index(
         corpus, n_centroids, vec_col, seed=seed, id_col=id_col
     )
     rows = _assigned_rows(corpus, np.asarray(cents), id_col, vec_col)
-    rows.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "lists")
-    )
-    meta = {
-        "n_centroids": n_centroids,
-        "seed": seed,
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "centroids": cents,
-    }
-    with open(os.path.join(path, META_NAME), "w") as fh:
-        json.dump(meta, fh)
+    with writer_lock(path):
+        live = os.path.join(path, "lists")
+        heal(live)
+        target = init_versioned(live)
+        rows.write.mode("overwrite").partitionBy("cid").parquet(target)
+        publish(live, target)
+        meta = {
+            "n_centroids": n_centroids,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": cents,
+        }
+        with open(os.path.join(path, META_NAME), "w") as fh:
+            json.dump(meta, fh)
+    corpus.sparkSession.catalog.refreshByPath(live)
     return meta
 
 
@@ -108,14 +130,50 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
     rows = _assigned_rows(
         vectors, np.asarray(m["centroids"]), m["id_col"], m["vec_col"]
     )
-    rows.write.mode("append").partitionBy("cid").parquet(
-        os.path.join(path, "lists")
-    )
+    # The lock keeps this append out of any concurrent compaction's
+    # snapshot→publish window (it would otherwise be silently dropped
+    # with the superseded version directory).
+    with writer_lock(path):
+        rows.write.mode("append").partitionBy("cid").parquet(
+            os.path.join(path, "lists")
+        )
     # Invalidate cached file listings: a query created after this
     # append must never evaluate against a pre-append snapshot left in
     # the shared file-status cache by an earlier query (the LSH index
     # hit exactly this — see dedup/index.py _refresh).
     vectors.sparkSession.catalog.refreshByPath(os.path.join(path, "lists"))
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+    """OPTIMIZE analog for the inverted lists: fold replayed-append
+    duplicates keyed (cid, neighbor_id) — safe because a replay
+    re-assigns with the same stored centroids, so duplicate rows are
+    identical — and bin-pack each cid partition to one file.
+    Publishes the lists as a new version behind one atomic pointer
+    flip under the index writer lock (appends queue behind it).
+    Returns {files_before, files_after, rows}."""
+    live = os.path.join(path, "lists")
+    with writer_lock(path):
+        heal(live)
+        df = (
+            spark.read.parquet(live)
+            .dropDuplicates(["cid", "neighbor_id"])
+            # repartition BY the partition column: one task holds each
+            # cid -> one file per list directory after the write
+            .repartition("cid")
+        )
+        n_before = parquet_file_count(live)
+        target = init_versioned(live)
+        df.write.mode("overwrite").partitionBy("cid").parquet(target)
+        rows = spark.read.parquet(target).count()
+        publish(live, target)
+        out = {
+            "files_before": n_before,
+            "files_after": parquet_file_count(live),
+            "rows": rows,
+        }
+    spark.catalog.refreshByPath(live)
+    return out
 
 
 def query_ivf_index(
@@ -130,7 +188,8 @@ def query_ivf_index(
     n_centroids — a handful of ints) is collected driver-side and
     pushed into the parquet read as a partition filter, so a batch
     probing p of C lists scans p/C of the index. Scoring and top-k
-    stay distributed."""
+    stay distributed. Replayed-append duplicates fold after scoring
+    (see below), so answers match the post-compaction index."""
     m = read_ivf_meta(path)
     cents = np.asarray(m["centroids"])
     assignN = nearest_centroids_udf(cents, nprobe)
@@ -147,4 +206,9 @@ def query_ivf_index(
     scored = lists.join(q, "cid").select(
         "query_id", "neighbor_id", F.round(pair_dot("vec", "_qv"), 9).alias("sim")
     )
-    return _topk_by_sim(scored, k)
+    # Replayed-append duplicates fold AFTER scoring — a replay
+    # re-assigns with the same stored centroids, so dup rows score
+    # identically, and the dedup exchange carries 3 scalars per row
+    # (never the vectors); dropping them keeps duplicates from eating
+    # top-k slots, so answers match the post-compaction index.
+    return _topk_by_sim(scored.dropDuplicates(["query_id", "neighbor_id"]), k)

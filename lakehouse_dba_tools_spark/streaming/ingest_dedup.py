@@ -31,6 +31,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def make_query_then_append_sink(
+    spark: SparkSession, idx: str, threshold: float, found: dict
+):
+    """The per-micro-batch body: query the index for the batch's
+    near-dups, record them, append the batch. ``found`` is keyed by
+    epoch_id so an at-least-once foreachBatch REPLAY overwrites its
+    epoch's contribution instead of extending it — the replayed query
+    may also see the failed attempt's appended rows, but
+    query_lsh_index is duplicate-tolerant, so the replacement slot
+    holds the same pairs either way."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        query_lsh_index,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # bounded collect: verified near-dup pairs for ONE batch
+        found[int(epoch_id)] = (
+            query_lsh_index(spark, batch_df, idx, threshold=threshold)
+            .select("id_a", "id_b", "jaccard")
+            .collect()
+        )
+        append_to_lsh_index(batch_df, idx)
+
+    return sink
+
+
 def stream_ingest_dedup(
     spark: SparkSession,
     docs: DataFrame,
@@ -48,11 +75,7 @@ def stream_ingest_dedup(
     reports nothing, identically to this). Each subsequent micro-batch
     runs query-then-append inside ``foreachBatch``.
     """
-    from lakehouse_dba_tools_spark.dedup.index import (
-        append_to_lsh_index,
-        build_lsh_index,
-        query_lsh_index,
-    )
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
 
     stage = tempfile.mkdtemp(prefix="ingest_stage_")
     idx = tempfile.mkdtemp(prefix="ingest_idx_")
@@ -80,16 +103,8 @@ def stream_ingest_dedup(
                 if name.endswith(".parquet"):
                     os.utime(os.path.join(d, name), (t0 + i, t0 + i))
         schema = docs.drop("_b").schema
-        found: list = []
-
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            # bounded collect: verified near-dup pairs for ONE batch
-            found.extend(
-                query_lsh_index(spark, batch_df, idx, threshold=threshold)
-                .select("id_a", "id_b", "jaccard")
-                .collect()
-            )
-            append_to_lsh_index(batch_df, idx)
+        found: dict[int, list] = {}
+        sink = make_query_then_append_sink(spark, idx, threshold, found)
 
         q = (
             spark.readStream.schema(schema)
@@ -104,8 +119,9 @@ def stream_ingest_dedup(
         )
         q.awaitTermination()
         out_schema = "id_a long, id_b long, jaccard double"
-        if found:
-            return spark.createDataFrame(found, out_schema).orderBy("id_a", "id_b")
+        rows = [r for epoch in sorted(found) for r in found[epoch]]
+        if rows:
+            return spark.createDataFrame(rows, out_schema).orderBy("id_a", "id_b")
         return spark.createDataFrame([], out_schema)
     finally:
         for d in (stage, idx, ckpt):

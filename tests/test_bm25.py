@@ -102,3 +102,42 @@ def test_postings_index_lifecycle(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert re.search(r"PushedFilters: \[.*In\(term", plan)
+
+
+def test_postings_index_replay_and_compaction(spark, tmp_path):
+    """A replayed append (at-least-once foreachBatch epoch) writes
+    duplicate posting and doclens rows; queries must NOT double-count
+    tf/df or inflate N/avgdl, and compaction folds the duplicates and
+    bin-packs without changing any answer."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        append_to_postings_index,
+        build_postings_index,
+        compact_postings_index,
+        query_postings_index,
+    )
+
+    docs = _toy_docs(spark)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs.filter("doc_id != 2"), path)
+    append_to_postings_index(docs.filter("doc_id = 2"), path)
+    append_to_postings_index(docs.filter("doc_id = 2"), path)  # replay
+
+    want = [tuple(r) for r in bm25_topk(docs, "spark join", k=4).collect()]
+    before = [
+        tuple(r) for r in query_postings_index(spark, path, "spark join", k=4).collect()
+    ]
+    assert before == want  # replayed rows did not skew any score
+
+    stats = compact_postings_index(spark, path)
+    after = [
+        tuple(r) for r in query_postings_index(spark, path, "spark join", k=4).collect()
+    ]
+    assert after == want
+    # the replayed doclens rows are gone: one row per doc
+    assert stats["doclens"]["rows"] == docs.count()
+    assert stats["doclens"]["files_after"] == 1
+    assert stats["postings"]["files_after"] <= stats["postings"]["files_before"]
+    # postings folded to one row per (term, doc_id)
+    from lakehouse_dba_tools_spark.similarity.bm25 import build_inverted_index
+
+    assert stats["postings"]["rows"] == build_inverted_index(docs).count()

@@ -266,3 +266,36 @@ def test_ivf_index_lifecycle_and_pruning(spark, sf_dir, tmp_path):
     # the probed-cid filter reaches the scan as a PARTITION filter —
     # the p/C index-bytes win, not a post-read row filter
     assert "PartitionFilters: [cid" in plan
+
+
+def test_ivf_index_replay_and_compaction(spark, sf_dir, tmp_path):
+    """A replayed append leaves duplicate list rows; queries must not
+    let duplicates eat top-k slots, and compaction folds them and
+    bin-packs each cid partition without changing any answer."""
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path, n_centroids=4, seed=42)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    append_to_ivf_index(batch, path)
+    append_to_ivf_index(batch, path)  # replayed epoch
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()}
+    want = as_set(brute_topk(emb, q, k=3))
+    assert as_set(query_ivf_index(spark, q, path, k=3, nprobe=4)) == want
+
+    stats = compact_ivf_index(spark, path)
+    assert as_set(query_ivf_index(spark, q, path, k=3, nprobe=4)) == want
+    # duplicates folded: one list row per vector
+    assert stats["rows"] == emb.count()
+    # bin-packed: at most one file per cid partition
+    assert stats["files_after"] <= 4 <= stats["files_before"]

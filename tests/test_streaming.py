@@ -160,3 +160,33 @@ def test_streaming_ingest_dedup_direction_and_visibility(spark):
         (20, 0), (20, 10), (20, 11) # batch 2 sees appended batch-1 docs
     }
     assert all(r.jaccard == 1.0 for r in out.collect())
+
+
+def test_ingest_dedup_sink_epoch_replay_idempotent(spark, tmp_path):
+    """An at-least-once foreachBatch replay re-invokes the sink with
+    the SAME epoch_id after its append already landed. The replayed
+    epoch must replace (not extend) its recorded pairs, and the pairs
+    must be identical despite the duplicated index rows."""
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
+    from lakehouse_dba_tools_spark.streaming.ingest_dedup import (
+        make_query_then_append_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_lsh_index(corpus, idx, num_perm=32, bands=8, seed=7)
+
+    found: dict = {}
+    sink = make_query_then_append_sink(spark, idx, 0.5, found)
+    sink(batch, 0)
+    first = sorted((r.id_a, r.id_b) for r in found[0])
+    sink(batch, 0)  # replay: append already landed, same epoch_id
+    assert sorted((r.id_a, r.id_b) for r in found[0]) == first == [(10, 1)]
+    assert list(found) == [0]  # one slot, replaced not extended
