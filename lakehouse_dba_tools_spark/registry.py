@@ -24,12 +24,10 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-8 rotation candidates (locally green, oracle-independent):
-# tpcds_q67_rollup_rank / tpcds_q49_return_ratio_ranks (remaining heavy
-# composites), tpcds_sqltext_extended (72 official texts),
-# tpcds_warehouse_build_audit (cross-engine read-back), and the round-7
-# swap-outs below (each banked a hard driver row r6, all still
-# diffchecked every round).
+# Round-9 rotation candidates (locally green): shift EXT_CHECKED to the
+# next 20-text window of the extended corpus, and the round-8 swap-outs
+# below (each holds a banked hard row, all still diffchecked every
+# round).
 #
 # The driver's differential gate checks the FIRST 50 registered queries
 # (registration order = dict order). This list pins those 50 explicitly:
@@ -81,18 +79,54 @@ CHECKED_FIRST: tuple[str, ...] = (
     #   carriers: hourly_gapfill_locf and
     #   incremental_join_retract_refresh; blocking-key join algebra
     #   stays locally diffchecked.
+    # Round-8 rotation (VERDICT r7 directives #1/#5/#6): eight slots
+    # turn over — the four persisted-index lifecycle carriers, the two
+    # remaining heavy composites + the cross-engine export audit, and a
+    # 20-text checked window of the extended official-SQL corpus get
+    # first driver rows. Coverage justification per swap-out (each
+    # holds a banked hard row and stays diffchecked every round):
+    # ivf_recall_report out (green r5-r7) — IVF top-k + recall stays
+    #   checked via ivf_index_incremental_topk (the persisted superset:
+    #   same probe algebra + stored-quantizer lifecycle) and
+    #   pq_rerank_recall (quantized-ANN recall).
+    # exact_substring_spans out (green r7) — exact_substring_dedup_clean
+    #   (kept) drives the SAME span-detect kernel and then removes.
+    # hybrid_rrf_fusion out (green r7) — its BM25 leg is re-exercised by
+    #   bm25_index_topk (in); the dense leg by ivf_index_incremental_
+    #   topk; RRF fusion math stays locally diffchecked + unit-pinned.
+    # streaming_sliding_rollup out (green r1-r7) — windowed streaming
+    #   agg stays checked via streaming_session_windows (the harder
+    #   window shape); sliding stays unit-pinned + locally diffchecked.
+    # streaming_upsert_pipeline out (green r2-r7) — the MERGE sink it
+    #   drives is checked via partition_pruned_merge_report AND
+    #   query_history_etl_e2e's per-batch merges; streaming_ingest_dedup
+    #   (in) keeps a foreachBatch-composition slot checked.
+    # window_function_battery out (green r2-r7) — rank/lag/lead/ntile
+    #   algebra is carried by checked TPC-DS composites (q51 cumulative
+    #   windows, q49 triple-rank in, q67 rank-over-rollup in, q47 in the
+    #   checked sqltext window).
+    # tpcds_q3_brand_rollup out (green r4-r7) — the basic star rollup is
+    #   carried by tpcds_q7_demographics_star (kept) and q67's
+    #   rollup-rank (in); q3 stays the SCALE.md 100×-evidence query and
+    #   locally diffchecked.
+    # tpcds_q62_web_ship_latency out (green r4-r7) — its CASE-bucket
+    #   star shape recurs in the checked sqltext window (q50 latency
+    #   buckets, q99 trailing) and q16's order-spread (kept).
     "doc_text_profile",
     "doc_near_dup_components",
-    "ivf_recall_report",
     "multimodal_features",
     "doc_decontamination",
     "corpus_pack_chunks",
-    # ---- round-6-continuation LLM/dedup/ANN operators (first rows)
-    "exact_substring_spans",
     "exact_substring_dedup_clean",
     "pq_rerank_recall",
-    "hybrid_rrf_fusion",
     "approx_quantile_error_bound",
+    # ---- persisted-index lifecycle (round-7 flagship, first rows):
+    # build/query/append/compact on stored LSH-dedup, IVF-ANN, and BM25
+    # postings indexes + the foreachBatch streaming composition.
+    "lsh_index_incremental_dedup",
+    "ivf_index_incremental_topk",
+    "bm25_index_topk",
+    "streaming_ingest_dedup",
     # dq_constraint_report / key_skew_report / forget_keys_cascade
     # (green r3-r5) rotate out: constraint column-algebra is carried by
     # scalar_function_battery + k_anonymity_report (in), skew handling
@@ -108,23 +142,29 @@ CHECKED_FIRST: tuple[str, ...] = (
     # datagen/export.py). Round-7 promotes the four hardest composites
     # (VERDICT r6 directive #1): q64 cross-sales YoY, q4 three-channel
     # growth, q14 cross-channel INTERSECT, q51 cumulative crossover.
-    "tpcds_q3_brand_rollup",
     "tpcds_q7_demographics_star",
     "tpcds_q16_catalog_order_spread",
-    "tpcds_q62_web_ship_latency",
     "tpcds_q64_cross_sales_yoy",
     "tpcds_q4_three_channel_growth",
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q51_cumulative_crossover",
+    # Round-8 promotions (VERDICT r7 directive #6): the remaining heavy
+    # composites + the cross-engine warehouse read-back audit.
+    "tpcds_q49_worst_return_ratios",
+    "tpcds_q67_rollup_topk_items",
+    "tpcds_warehouse_build_audit",
+    # Round-8 promotion (VERDICT r7 directive #5): a rotating 20-text
+    # checked window of the 72 extended official TPC-DS v2.13 texts
+    # (EXT_CHECKED_R8 in queries_tpcds.py; shifts each round).
+    "tpcds_sqltext_extended_checked",
     # tpcds_stress_corpus (green r5) hands its harness slot to the
     # round-6 successor: 27 REAL TPC-DS v2.13 SQL texts through the
     # same run_workload/latency_summary path, rowcounts pinned by
     # DuckDB executing the same texts (S16 + the parser surface).
     "tpcds_sqltext_stress",
-    # ---- Structured Streaming tier
-    "streaming_sliding_rollup",
+    # ---- Structured Streaming tier (sliding + upsert rotated out r8,
+    # see the round-8 block above; ingest_dedup joined the index tier)
     "streaming_session_windows",
-    "streaming_upsert_pipeline",
     "streaming_dedup_rollup",
     # incremental_rollup_refresh (green r4-r5) rotates out for its
     # deletion-aware superset: join-view IVM with multiset retraction.
@@ -151,7 +191,6 @@ CHECKED_FIRST: tuple[str, ...] = (
     "event_cost_attribution",
     "scd2_customer_history",
     "scalar_function_battery",
-    "window_function_battery",
     # W2 latest-per-group promoted (round 6): first driver row after
     # trailing green r1-r5.
     "latest_event_per_user",

@@ -686,3 +686,36 @@ def test_q76_null_slices_before_union(spark, sf_dir):
     plan = _plan(spark, "tpcds_q76_null_key_report", sf_dir)
     assert "Union" in plan
     assert "isnull" in plan.lower()
+
+
+def _op_count(plan: str, op: str) -> int:
+    return len(re.findall(r"\(\d+\) " + op + r"\b", plan))
+
+
+def test_yoy_folds_single_fact_pipeline(spark, sf_dir):
+    """The year_total folds (q74/q11/q4): each fact pipeline executes
+    ONCE per channel — one aggregation exchange per channel, and the
+    source pipelines (Range generators at the gate scale) appear once
+    per table, not once per self-join leg. A regression to the
+    filter-then-self-join form doubles both counts."""
+    # (channels, max shuffle exchanges, max source pipelines)
+    pins = {
+        "tpcds_q74_yoy_growth": (2, 2, 5),   # ss, ws, 2×date_dim, customer
+        "tpcds_q11_two_channel_growth": (2, 2, 5),
+        "tpcds_q4_three_channel_growth": (3, 3, 7),
+    }
+    for name, (_, max_exch, max_src) in pins.items():
+        plan = _plan(spark, name, sf_dir)
+        assert _op_count(plan, "Exchange") <= max_exch, name
+        assert _op_count(plan, "Range") <= max_src, name
+
+
+def test_q64_fold_exchange_ceiling(spark, sf_dir):
+    """q64's yoy self-join is folded into one conditional-aggregate
+    pass: the 12-join base executes once (7 shuffle exchanges, 18
+    source pipelines at HEAD). The pre-fold form measured 16 exchanges
+    with every fact pipeline doubled — pin a ceiling well under that
+    so the self-join form cannot silently return."""
+    plan = _plan(spark, "tpcds_q64_cross_sales_yoy", sf_dir)
+    assert _op_count(plan, "Exchange") <= 8
+    assert _op_count(plan, "Range") <= 18
