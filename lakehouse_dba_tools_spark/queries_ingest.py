@@ -33,6 +33,10 @@ _PAGES = [
 ]
 
 
+# VALUES justification (round-8 adjudication): the input is the inline
+# driver-side JSON fixture above, not a parquet table — there is no
+# relational source for DuckDB to derive from, so the oracle restates
+# the fixture's expected flattening literally.
 @register(
     "json_ingest_flatten",
     """
@@ -57,6 +61,8 @@ def json_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# VALUES justification: same class as json_ingest_flatten — the input
+# is an inline nested document fixture with no relational source.
 @register(
     "nested_flatten_deep",
     """

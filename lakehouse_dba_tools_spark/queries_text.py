@@ -302,6 +302,10 @@ _VERIFIED_NEAR_DUP_ORACLE = f"""
     """
 
 
+# VALUES justification: a bound-contract oracle (same adjudicated class
+# as the vector tier's recall floors) — the booleans are computed
+# Spark-side against exact relational truth; the oracle states the
+# config and the floor the contract guarantees.
 @register(
     "minhash_candidate_quality",
     """
