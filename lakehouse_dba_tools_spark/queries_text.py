@@ -464,18 +464,21 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     models inline: build an LSH index from the standing corpus (docs
     with doc_id % 10 not in {0, 5}), dedup batch 1 (% 10 == 0) against
     it by READING the stored band + shingle-hash tables (corpus
-    signatures are never recomputed), APPEND batch 1, then dedup batch
-    2 (% 10 == 5) against the grown index — whose matches must now
-    include pairs against batch-1 documents. The oracle is the exact
-    all-pairs Jaccard answer for both bipartite phases, so index
-    round-trip fidelity, the append path, and LSH candidate recall are
-    all hash-proven in one report."""
+    signatures are never recomputed), APPEND batch 1 — TWICE, the
+    at-least-once replay — COMPACT (folds the replayed rows, bin-packs
+    behind the atomic pointer flip), then dedup batch 2 (% 10 == 5)
+    against the compacted index — whose matches must now include pairs
+    against batch-1 documents. The oracle is the exact all-pairs
+    Jaccard answer for both bipartite phases, so index round-trip
+    fidelity, the append path, replay-safe compaction, and LSH
+    candidate recall are all hash-proven in one report."""
     import shutil
     import tempfile
 
     from lakehouse_dba_tools_spark.dedup.index import (
         append_to_lsh_index,
         build_lsh_index,
+        compact_lsh_index,
         query_lsh_index,
     )
 
@@ -496,6 +499,8 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1 = query_lsh_index(spark, batch1, tmp, threshold=0.5)
         rows1 = p1.select("id_a", "id_b", "jaccard").collect()
         append_to_lsh_index(batch1, tmp)
+        append_to_lsh_index(batch1, tmp)  # replayed epoch
+        compact_lsh_index(spark, tmp)
         p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)
         rows2 = p2.select("id_a", "id_b", "jaccard").collect()
         return (
@@ -740,20 +745,24 @@ def term_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bm25_index_topk", ORACLE["bm25_keyword_topk"])
 def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED postings index (similarity/bm25.py
-    build/append/query_postings_index) — the lexical leg of the
-    stored-index family: build from 90% of the corpus, APPEND the
-    rest, answer the standard query from the stored postings with
-    corpus stats recomputed from the doclens table (so the append
-    shifts N/avgdl/df and the scores stay exact). The oracle is the
-    full-corpus BM25 top-20 — equality hash-proves append visibility,
-    the stats recompute, and postings round-trip in one report."""
+    """The FULL persisted postings-index lifecycle (similarity/bm25.py)
+    — the lexical leg of the stored-index family: build from 90% of
+    the corpus, APPEND the rest, REPLAY that append (at-least-once
+    duplicate posting/doclens rows land on disk), COMPACT (folds the
+    replay, restores the term sort, bin-packs behind the atomic
+    pointer flip), then answer the standard query from the stored
+    postings with corpus stats recomputed from the doclens table (so
+    the append shifts N/avgdl/df and the scores stay exact). The
+    oracle is the full-corpus BM25 top-20 — equality hash-proves
+    append visibility, replay-safe stats, compaction answer
+    preservation, and postings round-trip in one report."""
     import shutil
     import tempfile
 
     from lakehouse_dba_tools_spark.similarity.bm25 import (
         append_to_postings_index,
         build_postings_index,
+        compact_postings_index,
         query_postings_index,
     )
 
@@ -761,7 +770,10 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bm25_index_")
     try:
         build_postings_index(docs.filter(F.col("doc_id") % 10 != 0), tmp)
-        append_to_postings_index(docs.filter(F.col("doc_id") % 10 == 0), tmp)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        append_to_postings_index(batch, tmp)
+        append_to_postings_index(batch, tmp)  # replayed epoch
+        compact_postings_index(spark, tmp)
         out = query_postings_index(spark, tmp, _BM25_QUERY, k=20)
         # materialize before the index tempdir vanishes (bounded: k rows)
         rows = out.collect()

@@ -106,23 +106,29 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_index_incremental_topk", _TOPK_ORACLE)
 def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED-index IVF lifecycle (similarity/index.py) in the
-    exact setting: build the index from 90% of the corpus (vec_id %
-    10 != 0), APPEND the remaining 10% with the stored quantizer, then
+    """The FULL persisted-index IVF lifecycle (similarity/index.py) in
+    the exact setting: build the index from 90% of the corpus (vec_id
+    % 10 != 0), APPEND the remaining 10% with the stored quantizer,
+    REPLAY that append (the at-least-once foreachBatch failure mode —
+    duplicate list rows land on disk), COMPACT (folds the replay,
+    bin-packs each cid partition behind the atomic pointer flip), then
     answer the standard query set with nprobe = n_centroids against
-    the stored lists. The oracle is the brute-force top-k over the
+    the compacted lists. The oracle is the brute-force top-k over the
     FULL corpus — equality hash-proves that the append landed vectors
     in the lists a rebuild would choose (query ids 0 and 10 live in
     the appended batch; their rank-1 self-neighbors exist ONLY via
-    appended rows) and that the lists round-trip parquet losslessly.
-    Partial-nprobe pruning (the scan-p/C-of-the-index scale win) is
-    exercised in tests/test_similarity.py."""
+    appended rows), that compaction is answer-preserving under replay,
+    and that the lists round-trip parquet losslessly. Partial-nprobe
+    pruning (the scan-p/C-of-the-index scale win) and the
+    pre-compaction duplicate-tolerant query are exercised in
+    tests/test_similarity.py."""
     import shutil
     import tempfile
 
     from lakehouse_dba_tools_spark.similarity.index import (
         append_to_ivf_index,
         build_ivf_index,
+        compact_ivf_index,
         query_ivf_index,
     )
 
@@ -135,7 +141,10 @@ def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(
             emb.filter(F.col("vec_id") % 10 != 0), tmp, n_centroids=16, seed=42
         )
-        append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), tmp)
+        batch = emb.filter(F.col("vec_id") % 10 == 0)
+        append_to_ivf_index(batch, tmp)
+        append_to_ivf_index(batch, tmp)  # replayed epoch
+        compact_ivf_index(spark, tmp)
         out = query_ivf_index(spark, queries, tmp, k=TOP_K, nprobe=16)
         # Materialize before the index tempdir vanishes (bounded:
         # N_QUERY × TOP_K rows).
