@@ -36,10 +36,14 @@ a compaction's swap window; each table's live path is a symlink to a
 versioned directory and compaction publishes with one atomic pointer
 flip, so the live path always resolves to a complete tree — a crash
 mid-compact leaves at worst an orphan version dir that the next
-locked writer removes. A reader whose cached file listing predates a
-compact fails loudly (superseded version deleted) and should retry;
-it can never silently read a partial index. Multi-HOST atomicity
-carries the repo-wide documented Delta-jars boundary.
+locked writer removes. The newest superseded version is RETAINED
+after a publish (indexio's tombstone-retention analog): a reader
+whose cached file listing predates one compact completes against the
+snapshot it planned on, and because queries are duplicate-tolerant
+that answer equals the post-compact one; only a reader ≥2 compacts
+stale fails loudly and retries — it can never silently read a partial
+index. Multi-HOST atomicity carries the repo-wide documented
+Delta-jars boundary.
 
 Reference parity note: the reference repo has no index lifecycle —
 this is part of the training-data-pipeline surface the build brief
@@ -55,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    current_version_dir,
     heal,
     init_versioned,
     parquet_file_count,
@@ -144,9 +149,11 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     # with the superseded version directory).
     with writer_lock(path):
         bk.write.mode("append").partitionBy("band_idx").parquet(
-            os.path.join(path, "bands")
+            current_version_dir(os.path.join(path, "bands"))
         )
-        sh.write.mode("append").parquet(os.path.join(path, "shash"))
+        sh.write.mode("append").parquet(
+            current_version_dir(os.path.join(path, "shash"))
+        )
     _refresh(docs.sparkSession, path)
 
 
@@ -158,7 +165,12 @@ def _refresh(spark: SparkSession, path: str) -> None:
     stale snapshot — observed as a deterministic missing pair in the
     two-batch carrier until this refresh was added."""
     for sub in ("bands", "shash"):
-        spark.catalog.refreshByPath(os.path.join(path, sub))
+        live = os.path.join(path, sub)
+        spark.catalog.refreshByPath(live)
+        # Readers and appends bind to the RESOLVED version directory
+        # (snapshot isolation across a compact) — its listing is the
+        # one the cache actually keys.
+        spark.catalog.refreshByPath(current_version_dir(live))
 
 
 def compact_lsh_index(spark: SparkSession, path: str) -> dict:
@@ -183,7 +195,9 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
         ):
             live = os.path.join(path, sub)
             heal(live)
-            df = spark.read.parquet(live).dropDuplicates(key_cols)
+            df = spark.read.parquet(current_version_dir(live)).dropDuplicates(
+                key_cols
+            )
             n_before = parquet_file_count(live)
             target = init_versioned(live)
             if sub == "bands":
@@ -224,7 +238,12 @@ def query_lsh_index(
     bk, batch_sh = _index_rows(
         batch, m["text_col"], id_col, m["k"], m["num_perm"], m["bands"], m["seed"]
     )
-    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    # Bind the scan to the RESOLVED version directory: the snapshot
+    # stays complete across one subsequent compact (indexio retention),
+    # so a query planned pre-compact evaluates correctly post-compact.
+    idx_bands = spark.read.parquet(
+        current_version_dir(os.path.join(path, "bands"))
+    )
     # Boilerplate guard, same policy as the inline bipartite path: an
     # index bucket bigger than max_bucket_size is near-identical
     # boilerplate and belongs to exact dedup, not an LSH fan-out.
@@ -242,7 +261,9 @@ def query_lsh_index(
         .select("id_a", "id_b")
         .distinct()
     )
-    idx_sh = spark.read.parquet(os.path.join(path, "shash"))
+    idx_sh = spark.read.parquet(
+        current_version_dir(os.path.join(path, "shash"))
+    )
     # Duplicate-tolerant: an at-least-once append replay leaves
     # duplicate shash rows until compact_lsh_index runs; the verify
     # join would then emit the SAME pair once per copy. jaccard is a

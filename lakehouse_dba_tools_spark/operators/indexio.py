@@ -27,6 +27,15 @@ parquet (no transaction-log jars — the repo-wide documented boundary):
    single-host semantics exactly like the rest of the no-jars
    boundary.
 
+3. **Readers racing a compact.** The newest superseded version is
+   RETAINED after a publish (the tombstone-retention analog): a
+   reader whose cached file listing predates one compact finishes its
+   scan against the complete snapshot it planned on — and because
+   every index query is duplicate-tolerant, that pre-compact answer
+   equals the post-compact one. Only a reader ≥2 compactions stale
+   (or racing ``vacuum_versions``) fails loudly and retries; nothing
+   ever silently reads a partial tree.
+
 Appends write *through* the symlink into the current version
 directory: parquet appends are additive (new files only), so readers
 racing an append see a prefix of it — the standard parquet-append
@@ -74,19 +83,23 @@ def next_version_dir(live: str) -> str:
     return f"{live}.v{n}"
 
 
-def publish(live: str, version_dir: str) -> None:
-    """Atomically point ``live`` at ``version_dir`` (a sibling) and
-    remove the previously-current version directory. The pointer flip
-    is one ``os.replace`` of a symlink — readers see the old complete
-    tree or the new complete tree, never an absent path."""
-    prev = os.path.realpath(live) if os.path.islink(live) else None
+def publish(live: str, version_dir: str, retain: int = 1) -> None:
+    """Atomically point ``live`` at ``version_dir`` (a sibling). The
+    pointer flip is one ``os.replace`` of a symlink — readers see the
+    old complete tree or the new complete tree, never an absent path.
+
+    Retention (the poor-man's Delta tombstone window): the newest
+    ``retain`` superseded versions are KEPT so a reader whose file
+    listing predates this publish finishes its scan against the
+    complete snapshot it planned on; older superseded versions and
+    never-published crash debris are reclaimed. ``vacuum_versions``
+    reclaims the retained snapshots eagerly."""
     tmp = live + "._ptr"
     if os.path.islink(tmp) or os.path.exists(tmp):
         os.remove(tmp)
     os.symlink(os.path.basename(version_dir), tmp)
     os.replace(tmp, live)
-    if prev and prev != os.path.realpath(live):
-        shutil.rmtree(prev, ignore_errors=True)
+    _reclaim(live, retain)
 
 
 def init_versioned(live: str) -> str:
@@ -110,22 +123,54 @@ def parquet_file_count(root: str) -> int:
     )
 
 
-def heal(live: str) -> None:
-    """Remove crash debris around one live table: orphan version
-    directories not currently pointed to, and a stale pointer temp.
-    Call under ``writer_lock`` before mutating. A reader never needs
-    this — the pointer always resolves to a complete version."""
+def heal(live: str, retain: int = 1) -> None:
+    """Remove crash debris around one live table: never-published
+    version directories (numbered above the pointer — a crash between
+    write and publish strands one) and a stale pointer temp, keeping
+    the newest ``retain`` superseded published snapshots for in-flight
+    readers. Call under ``writer_lock`` before mutating. A reader
+    never needs this — the pointer always resolves to a complete
+    version."""
     tmp = live + "._ptr"
     if os.path.islink(tmp) or os.path.exists(tmp):
         os.remove(tmp)
+    _reclaim(live, retain)
+
+
+def vacuum_versions(live: str) -> None:
+    """The VACUUM analog: eagerly reclaim ALL superseded snapshots
+    (readers more than zero compactions stale then fail loudly on
+    their next file access instead of finishing). Call under
+    ``writer_lock``."""
+    _reclaim(live, 0)
+
+
+def _reclaim(live: str, retain: int) -> None:
+    """Delete sibling version directories that are neither the current
+    pointer target, nor one of the ``retain`` newest superseded
+    published snapshots. Versions numbered ABOVE the current pointer
+    were never published (publishing is monotonic) — always debris."""
     cur = os.path.realpath(live) if os.path.islink(live) else None
+    cur_n = None
+    if cur:
+        m = _VER_RE.search(os.path.basename(cur))
+        cur_n = int(m.group(1)) if m else None
     parent, base = os.path.dirname(live) or ".", os.path.basename(live)
+    versions = []
     for name in os.listdir(parent):
         full = os.path.join(parent, name)
+        m = _VER_RE.search(name)
         if (
             name.startswith(base + ".v")
-            and _VER_RE.search(name)
+            and m
             and os.path.isdir(full)
             and os.path.realpath(full) != cur
         ):
-            shutil.rmtree(full, ignore_errors=True)
+            versions.append((int(m.group(1)), full))
+    debris = [p for n, p in versions if cur_n is None or n > cur_n]
+    superseded = sorted(
+        ((n, p) for n, p in versions if cur_n is not None and n < cur_n),
+        reverse=True,
+    )
+    for path in debris + [p for _, p in superseded[retain:]]:
+        shutil.rmtree(path, ignore_errors=True)

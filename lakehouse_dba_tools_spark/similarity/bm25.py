@@ -275,6 +275,7 @@ def _write_postings(
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
         heal,
         init_versioned,
         publish,
@@ -292,14 +293,17 @@ def _write_postings(
             df.write.mode("overwrite").parquet(target)
             publish(live, target)
         else:
-            # appends are additive (new files only) through the live
-            # pointer — readers racing one see a prefix, the standard
-            # parquet-append visibility
-            df.write.mode("append").parquet(live)
+            # appends are additive (new files only) into the RESOLVED
+            # current version (the lock pins the pointer) — readers
+            # racing one see a prefix, the standard parquet-append
+            # visibility
+            df.write.mode("append").parquet(current_version_dir(live))
     # invalidate cached file listings (same stale-snapshot class as
     # dedup/index.py _refresh)
     for sub in ("postings", "doclens"):
-        docs.sparkSession.catalog.refreshByPath(os.path.join(path, sub))
+        live = os.path.join(path, sub)
+        docs.sparkSession.catalog.refreshByPath(live)
+        docs.sparkSession.catalog.refreshByPath(current_version_dir(live))
 
 
 def compact_postings_index(spark, path: str) -> dict:
@@ -314,6 +318,7 @@ def compact_postings_index(spark, path: str) -> dict:
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
         heal,
         init_versioned,
         parquet_file_count,
@@ -326,7 +331,9 @@ def compact_postings_index(spark, path: str) -> dict:
         for sub, key_cols in (("postings", ["term", "doc_id"]), ("doclens", ["doc_id"])):
             live = os.path.join(path, sub)
             heal(live)
-            df = spark.read.parquet(live).dropDuplicates(key_cols)
+            df = spark.read.parquet(current_version_dir(live)).dropDuplicates(
+                key_cols
+            )
             if sub == "postings":
                 df = df.repartitionByRange("term").sortWithinPartitions("term")
             else:
@@ -360,13 +367,20 @@ def query_postings_index(
 
     with open(os.path.join(path, BM25_META)) as fh:
         m = json.load(fh)
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    # Bind both scans to the RESOLVED version directories: the snapshot
+    # stays complete across one subsequent compact (indexio retention),
+    # so a query planned pre-compact evaluates correctly post-compact.
     row = (
-        spark.read.parquet(os.path.join(path, "doclens"))
+        spark.read.parquet(current_version_dir(os.path.join(path, "doclens")))
         .dropDuplicates([m["id_col"]])
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    postings = spark.read.parquet(
+        current_version_dir(os.path.join(path, "postings"))
+    )
     terms = sorted(set(_py_tokens(query)))
     if terms:  # pre-filter BEFORE the dedup shuffle: only query-term
         # postings pay it (the same pushed IN-filter the scorer applies)

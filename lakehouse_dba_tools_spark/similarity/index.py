@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    current_version_dir,
     heal,
     init_versioned,
     parquet_file_count,
@@ -135,13 +136,16 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
     # with the superseded version directory).
     with writer_lock(path):
         rows.write.mode("append").partitionBy("cid").parquet(
-            os.path.join(path, "lists")
+            current_version_dir(os.path.join(path, "lists"))
         )
     # Invalidate cached file listings: a query created after this
     # append must never evaluate against a pre-append snapshot left in
     # the shared file-status cache by an earlier query (the LSH index
     # hit exactly this — see dedup/index.py _refresh).
     vectors.sparkSession.catalog.refreshByPath(os.path.join(path, "lists"))
+    vectors.sparkSession.catalog.refreshByPath(
+        current_version_dir(os.path.join(path, "lists"))
+    )
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> dict:
@@ -156,7 +160,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     with writer_lock(path):
         heal(live)
         df = (
-            spark.read.parquet(live)
+            spark.read.parquet(current_version_dir(live))
             .dropDuplicates(["cid", "neighbor_id"])
             # repartition BY the partition column: one task holds each
             # cid -> one file per list directory after the write
@@ -199,8 +203,11 @@ def query_ivf_index(
     ).withColumn("cid", F.explode(assignN(F.col("_qv"))))
     # Bounded collect: distinct probed list ids, ≤ n_centroids values.
     probed = [r[0] for r in q.select("cid").distinct().collect()]
+    # Bind the scan to the RESOLVED version directory: the snapshot
+    # stays complete across one subsequent compact (indexio retention),
+    # so a query planned pre-compact evaluates correctly post-compact.
     lists = (
-        spark.read.parquet(os.path.join(path, "lists"))
+        spark.read.parquet(current_version_dir(os.path.join(path, "lists")))
         .where(F.col("cid").isin(probed))
     )
     scored = lists.join(q, "cid").select(

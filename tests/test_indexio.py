@@ -35,7 +35,7 @@ def _read_live(live):
         return fh.read()
 
 
-def test_publish_flips_pointer_and_drops_previous(tmp_path):
+def test_publish_flips_pointer_with_snapshot_retention(tmp_path):
     live = str(tmp_path / "bands")
     v0 = _mk_version(live, "v0")
     publish(live, v0)
@@ -46,8 +46,19 @@ def test_publish_flips_pointer_and_drops_previous(tmp_path):
     assert v1.endswith(".v1")
     publish(live, v1)
     assert _read_live(live) == "v1"
-    # the superseded version directory is gone
-    assert not os.path.exists(v0)
+    # the newest superseded snapshot is RETAINED for in-flight readers
+    assert os.path.exists(v0)
+
+    v2 = _mk_version(live, "v2")
+    publish(live, v2)
+    assert _read_live(live) == "v2"
+    # retention window is 1: v1 kept, v0 reclaimed
+    assert os.path.exists(v1) and not os.path.exists(v0)
+
+    from lakehouse_dba_tools_spark.operators.indexio import vacuum_versions
+
+    vacuum_versions(live)
+    assert _read_live(live) == "v2" and not os.path.exists(v1)
 
 
 def test_live_path_always_resolves_during_publish(tmp_path):
@@ -80,13 +91,15 @@ def test_live_path_always_resolves_during_publish(tmp_path):
     assert not failures
 
 
-def test_heal_removes_orphans_keeps_current(tmp_path):
+def test_heal_removes_orphans_keeps_current_and_retained(tmp_path):
     """A crash after writing a new version but before publish leaves
-    an orphan directory; heal (run under the writer lock) removes it
-    and never touches the published version."""
+    an orphan directory numbered ABOVE the pointer; heal (run under
+    the writer lock) removes it but never touches the published
+    version or the retained superseded snapshot."""
     live = str(tmp_path / "bands")
-    v0 = _mk_version(live, "v0")
-    publish(live, v0)
+    publish(live, _mk_version(live, "v0"))
+    v1 = _mk_version(live, "v1")
+    publish(live, v1)  # v0 retained, v1 current
     # simulate the crash: next version fully written, never published
     orphan = _mk_version(live, "vX")
     # and a stale pointer temp from a crash mid-publish
@@ -94,7 +107,9 @@ def test_heal_removes_orphans_keeps_current(tmp_path):
     heal(live)
     assert not os.path.exists(orphan)
     assert not os.path.lexists(live + "._ptr")
-    assert _read_live(live) == "v0"
+    assert _read_live(live) == "v1"
+    # the retained published snapshot survives heal
+    assert os.path.exists(str(tmp_path / "bands.v0"))
 
 
 def test_next_version_increments_from_pointer(tmp_path):

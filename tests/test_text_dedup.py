@@ -503,3 +503,40 @@ def test_lsh_index_compaction_idempotent(spark, tmp_path):
     assert stats["bands"]["files_after"] <= stats["bands"]["files_before"]
     # duplicated band rows are gone too: 8 bands x 2 docs
     assert stats["bands"]["rows"] == 16
+
+
+def test_lsh_query_planned_before_compact_survives_it(spark, tmp_path):
+    """Snapshot isolation across one compaction (indexio retention):
+    a query DataFrame planned BEFORE compact binds to the resolved
+    version directory, which is retained through the publish — so it
+    evaluates AFTER the compact with the identical answer instead of
+    failing on deleted files (and duplicate tolerance makes the
+    pre-compact snapshot's answer equal the post-compact one)."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        query_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    append_to_lsh_index(batch, path)
+    append_to_lsh_index(batch, path)  # replay leaves duplicates
+
+    lazy = query_lsh_index(spark, batch, path, threshold=0.5)  # pre-compact plan
+    compact_lsh_index(spark, path)
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in lazy.collect())
+    fresh = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
+    )
+    assert got == fresh and {(a, b) for a, b, _ in got} == {(10, 1)}
