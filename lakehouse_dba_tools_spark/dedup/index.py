@@ -144,6 +144,10 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     bk, sh = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
+    _append_rows(docs.sparkSession, path, bk, sh)
+
+
+def _append_rows(spark: SparkSession, path: str, bk: DataFrame, sh: DataFrame) -> None:
     # The lock keeps this append out of any concurrent compaction's
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
@@ -154,7 +158,40 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
         sh.write.mode("append").parquet(
             current_version_dir(os.path.join(path, "shash"))
         )
-    _refresh(docs.sparkSession, path)
+    _refresh(spark, path)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Query-then-append with the batch signed ONCE — the per-batch
+    unit of a continuous-ingest pipeline. ``query_lsh_index`` followed
+    by ``append_to_lsh_index`` computes the batch's shingles, minhash
+    signatures, and band keys twice (signing text is the dominant
+    per-batch cost at scale); this fuses the two around a persisted
+    signature pass: sign, query with the signed rows, materialize the
+    (bounded) verified pairs, append the SAME signed rows, unpersist.
+    Returns the (id_a, id_b, jaccard) pairs as a stable DataFrame
+    (already materialized — safe to consume after later mutations)."""
+    m = read_lsh_meta(path)
+    bk, sh = _index_rows(
+        docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
+    )
+    bk = bk.persist()
+    sh = sh.persist()
+    try:
+        pairs = _query_signed(spark, bk, sh, path, m, threshold, max_bucket_size)
+        # bounded collect: verified near-dup pairs for ONE batch
+        rows = pairs.select("id_a", "id_b", "jaccard").collect()
+        _append_rows(spark, path, bk, sh)
+        return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
+    finally:
+        bk.unpersist()
+        sh.unpersist()
 
 
 def _refresh(spark: SparkSession, path: str) -> None:
@@ -231,13 +268,28 @@ def query_lsh_index(
     side is READ, never recomputed: band rows from ``bands/``, verify
     payloads from ``shash/``. Self-pairs are dropped so re-ingesting
     an already-indexed document does not match itself."""
+    m = read_lsh_meta(path)
+    bk, batch_sh = _index_rows(
+        batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
+    )
+    return _query_signed(spark, bk, batch_sh, path, m, threshold, max_bucket_size)
+
+
+def _query_signed(
+    spark: SparkSession,
+    bk: DataFrame,
+    batch_sh: DataFrame,
+    path: str,
+    m: dict,
+    threshold: float,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Query body over a batch's precomputed (band rows, shash rows) —
+    shared by query_lsh_index (signs per call) and ingest_batch (signs
+    once for query AND append)."""
     from pyspark.sql import Window
 
-    m = read_lsh_meta(path)
     id_col = m["id_col"]
-    bk, batch_sh = _index_rows(
-        batch, m["text_col"], id_col, m["k"], m["num_perm"], m["bands"], m["seed"]
-    )
     # Bind the scan to the RESOLVED version directory: the snapshot
     # stays complete across one subsequent compact (indexio retention),
     # so a query planned pre-compact evaluates correctly post-compact.

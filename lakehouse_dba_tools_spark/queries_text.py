@@ -479,6 +479,7 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_lsh_index,
         build_lsh_index,
         compact_lsh_index,
+        ingest_batch,
         query_lsh_index,
     )
 
@@ -491,14 +492,12 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
         # Each phase is MATERIALIZED before the index mutates again —
         # the real pipeline order (a batch's report ships before the
-        # next batch lands), and required for correctness: a lazy
-        # pre-append DataFrame re-lists the index files at evaluation
-        # time and would see the post-append contents. Both collects
-        # are bounded (verified near-dup pairs).
+        # next batch lands). Both collects are bounded (verified
+        # near-dup pairs). Batch 1 runs the fused sign-once
+        # query+append (ingest_batch — the production per-batch unit);
+        # the replay then exercises the standalone append API.
         schema = "id_a bigint, id_b bigint, jaccard double"
-        p1 = query_lsh_index(spark, batch1, tmp, threshold=0.5)
-        rows1 = p1.select("id_a", "id_b", "jaccard").collect()
-        append_to_lsh_index(batch1, tmp)
+        rows1 = ingest_batch(spark, batch1, tmp, threshold=0.5).collect()
         append_to_lsh_index(batch1, tmp)  # replayed epoch
         compact_lsh_index(spark, tmp)
         p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)

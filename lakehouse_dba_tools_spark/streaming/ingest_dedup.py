@@ -35,25 +35,22 @@ def make_query_then_append_sink(
     spark: SparkSession, idx: str, threshold: float, found: dict
 ):
     """The per-micro-batch body: query the index for the batch's
-    near-dups, record them, append the batch. ``found`` is keyed by
-    epoch_id so an at-least-once foreachBatch REPLAY overwrites its
+    near-dups, record them, append the batch — fused through
+    ``ingest_batch`` so the batch is signed ONCE for both halves
+    (signing text is the dominant per-batch cost). ``found`` is keyed
+    by epoch_id so an at-least-once foreachBatch REPLAY overwrites its
     epoch's contribution instead of extending it — the replayed query
-    may also see the failed attempt's appended rows, but
-    query_lsh_index is duplicate-tolerant, so the replacement slot
-    holds the same pairs either way."""
-    from lakehouse_dba_tools_spark.dedup.index import (
-        append_to_lsh_index,
-        query_lsh_index,
-    )
+    may also see the failed attempt's appended rows, but the index
+    query is duplicate-tolerant, so the replacement slot holds the
+    same pairs either way."""
+    from lakehouse_dba_tools_spark.dedup.index import ingest_batch
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # bounded collect: verified near-dup pairs for ONE batch
-        found[int(epoch_id)] = (
-            query_lsh_index(spark, batch_df, idx, threshold=threshold)
-            .select("id_a", "id_b", "jaccard")
-            .collect()
-        )
-        append_to_lsh_index(batch_df, idx)
+        # ingest_batch materializes the (bounded) verified pairs before
+        # appending, so the recorded rows are stable
+        found[int(epoch_id)] = ingest_batch(
+            spark, batch_df, idx, threshold=threshold
+        ).collect()
 
     return sink
 
