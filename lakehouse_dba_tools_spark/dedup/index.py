@@ -85,10 +85,15 @@ def _index_rows(
     num_perm: int,
     bands: int,
     seed: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(band rows, shash rows) for a document set — the only signature
-    computation in the lifecycle; build and append both route here so
-    index contents cannot drift from the query side's expectations."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(band rows, shash rows, pinned shingles) for a document set —
+    the only signature computation in the lifecycle; build and append
+    both route here so index contents cannot drift from the query
+    side's expectations. The shingle pass is persisted because both
+    outputs consume it (and SQL-cache entries are NOT garbage
+    collected); the caller MUST unpersist the third return once its
+    consumers are materialized, or a long-running ingest loop leaks
+    one cache entry per batch."""
     from pyspark import StorageLevel
 
     shingled = with_shingle_set(docs, text_col, id_col, k).persist(
@@ -96,7 +101,7 @@ def _index_rows(
     )
     signed = with_minhash_signature(shingled, num_perm, seed)
     bk = band_keys(signed, id_col, bands, num_perm // bands)
-    return bk, hashed_shingles(shingled, id_col)
+    return bk, hashed_shingles(shingled, id_col), shingled
 
 
 def build_lsh_index(
@@ -111,7 +116,7 @@ def build_lsh_index(
 ) -> dict:
     """Materialize the index from an initial corpus. Overwrites
     ``path``. Returns the meta dict."""
-    bk, sh = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
+    bk, sh, pinned = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
     with writer_lock(path):
         for sub, df in (("bands", bk), ("shash", sh)):
             live = os.path.join(path, sub)
@@ -126,6 +131,7 @@ def build_lsh_index(
                 "id_col": id_col, "text_col": text_col}
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)
+    pinned.unpersist()
     _refresh(docs.sparkSession, path)
     return meta
 
@@ -141,10 +147,11 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     signed under a different permutation family would never collide
     with the existing rows, so there is nothing to pass."""
     m = read_lsh_meta(path)
-    bk, sh = _index_rows(
+    bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
     _append_rows(docs.sparkSession, path, bk, sh)
+    pinned.unpersist()
 
 
 def _append_rows(spark: SparkSession, path: str, bk: DataFrame, sh: DataFrame) -> None:
@@ -178,7 +185,7 @@ def ingest_batch(
     Returns the (id_a, id_b, jaccard) pairs as a stable DataFrame
     (already materialized — safe to consume after later mutations)."""
     m = read_lsh_meta(path)
-    bk, sh = _index_rows(
+    bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
     bk = bk.persist()
@@ -192,6 +199,7 @@ def ingest_batch(
     finally:
         bk.unpersist()
         sh.unpersist()
+        pinned.unpersist()
 
 
 def _refresh(spark: SparkSession, path: str) -> None:
@@ -267,9 +275,15 @@ def query_lsh_index(
     jaccard) between a new batch and the stored corpus. The corpus
     side is READ, never recomputed: band rows from ``bands/``, verify
     payloads from ``shash/``. Self-pairs are dropped so re-ingesting
-    an already-indexed document does not match itself."""
+    an already-indexed document does not match itself.
+
+    The returned DataFrame is lazy and its plan references a persisted
+    shingle pass (evaluated when the caller materializes it); callers
+    running MANY batches should prefer ``ingest_batch``, which cleans
+    its caches per batch — SQL-cache entries are not GC'd, so a
+    long-running loop over this function accumulates them."""
     m = read_lsh_meta(path)
-    bk, batch_sh = _index_rows(
+    bk, batch_sh, _pinned = _index_rows(
         batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
     return _query_signed(spark, bk, batch_sh, path, m, threshold, max_bucket_size)

@@ -540,3 +540,31 @@ def test_lsh_query_planned_before_compact_survives_it(spark, tmp_path):
         for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
     )
     assert got == fresh and {(a, b) for a, b, _ in got} == {(10, 1)}
+
+
+def test_index_lifecycle_leaves_no_cache_entries(spark, tmp_path):
+    """SQL-cache entries are not garbage collected, so a long-running
+    ingest loop would leak one per batch unless every lifecycle call
+    cleans up its persisted signature pass. Pin: after build +
+    ingest_batch + append, the session's cache manager is empty."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        ingest_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    spark.catalog.clearCache()
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    got = {(r.id_a, r.id_b) for r in ingest_batch(spark, batch, path, 0.5).collect()}
+    assert got == {(10, 1)}
+    append_to_lsh_index(batch, path)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
