@@ -640,3 +640,46 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "m_subspaces int, k_codes int, shortlist int, recall_floor double, recall_ok boolean",
     )
+
+
+@register("ivf_rebuild_invariance_topk", _TOPK_ORACLE)
+def ivf_rebuild_invariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF drift maintenance under the oracle (trailing; the checked
+    lifecycle carrier is ivf_index_incremental_topk): build the index
+    on a BIASED half of the corpus (vec_id < n/2 — the frozen
+    quantizer never saw the rest), append the other half, REBUILD
+    (similarity/index.py rebuild_ivf_index: re-train on the stored
+    vectors, re-assign, publish behind the pointer flip), then answer
+    the standard query set at full probe. The oracle is brute-force
+    top-k over the full corpus — full-probe answers are invariant
+    under rebuild, so equality hash-proves the rebuild loses no
+    vector, re-assigns consistently, and republishes atomically.
+    Partial-probe recall improvement and the drift report itself are
+    pinned in tests/test_similarity.py."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    tmp = tempfile.mkdtemp(prefix="ivf_rebuild_")
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") < n // 2), tmp, n_centroids=16, seed=42
+        )
+        append_to_ivf_index(emb.filter(F.col("vec_id") >= n // 2), tmp)
+        rebuild_ivf_index(spark, tmp)
+        out = query_ivf_index(spark, queries, tmp, k=TOP_K, nprobe=16)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -219,3 +219,75 @@ def query_ivf_index(
     # (never the vectors); dropping them keeps duplicates from eating
     # top-k slots, so answers match the post-compaction index.
     return _topk_by_sim(scored.dropDuplicates(["query_id", "neighbor_id"]), k)
+
+
+def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-list quantizer health: (cid, n_vectors, avg_sim) where
+    avg_sim is the mean cosine of each stored vector to ITS centroid
+    (vectors are stored L2-normalized; the centroid is normalized
+    here). Appends assign with the FROZEN quantizer, so as ingested
+    data drifts away from the training distribution avg_sim falls and
+    lists skew — the signal that it is time for `rebuild_ivf_index`.
+    One scan of the lists; the centroid table is a broadcast-sized
+    literal frame (C × dim doubles from the meta sidecar)."""
+    import math
+
+    m = read_ivf_meta(path)
+    cents = []
+    for cid, c in enumerate(m["centroids"]):
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        cents.append((cid, [x / norm for x in c]))
+    cdf = spark.createDataFrame(cents, "cid int, _cent array<double>")
+    lists = spark.read.parquet(current_version_dir(os.path.join(path, "lists")))
+    return (
+        lists.join(F.broadcast(cdf), "cid")
+        .select("cid", pair_dot("vec", "_cent").alias("_sim"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("_sim"), 6).alias("avg_sim"),
+        )
+        .orderBy("cid")
+    )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_centroids: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Re-train the coarse quantizer on the CURRENT index contents and
+    re-assign every stored vector — the drift response (FAISS's
+    retrain-and-rebuild). No original corpus needed: the lists already
+    hold (neighbor_id, vec). Runs under the writer lock and publishes
+    lists + meta behind the atomic pointer flip, exactly like compact —
+    a query planned pre-rebuild completes on the retained snapshot.
+    Full-probe (nprobe = n_centroids) answers are invariant under
+    rebuild (every list is scanned either way); partial-probe recall is
+    what improves. Returns the new meta."""
+    m = read_ivf_meta(path)
+    n_c = n_centroids or m["n_centroids"]
+    sd = seed if seed is not None else m["seed"]
+    live = os.path.join(path, "lists")
+    with writer_lock(path):
+        heal(live)
+        stored = (
+            spark.read.parquet(current_version_dir(live))
+            .dropDuplicates(["cid", "neighbor_id"])
+            .select(F.col("neighbor_id").alias(m["id_col"]),
+                    F.col("vec").alias(m["vec_col"]))
+        )
+        cents = train_centroids(
+            stored, n_c, m["vec_col"], seed=sd, id_col=m["id_col"]
+        )
+        rows = _assigned_rows(stored, np.asarray(cents), m["id_col"], m["vec_col"])
+        target = init_versioned(live)
+        rows.write.mode("overwrite").partitionBy("cid").parquet(target)
+        publish(live, target)
+        meta = {**m, "n_centroids": n_c, "seed": sd, "centroids": cents}
+        with open(os.path.join(path, META_NAME), "w") as fh:
+            json.dump(meta, fh)
+    spark.catalog.refreshByPath(live)
+    spark.catalog.refreshByPath(current_version_dir(live))
+    return meta

@@ -299,3 +299,50 @@ def test_ivf_index_replay_and_compaction(spark, sf_dir, tmp_path):
     assert stats["rows"] == emb.count()
     # bin-packed: at most one file per cid partition
     assert stats["files_after"] <= 4 <= stats["files_before"]
+
+
+def test_ivf_drift_report_and_rebuild(spark, sf_dir, tmp_path):
+    """Drift maintenance: the report's per-list avg cosine reflects the
+    frozen quantizer's fit; rebuild re-trains on the stored vectors and
+    full-probe answers are invariant under it (every list is scanned
+    either way), while the rebuilt quantizer covers the full corpus
+    (its drift report must not be worse than the stale one)."""
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_drift_report,
+        query_ivf_index,
+        read_ivf_meta,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    # train on a BIASED slice (first half by id) then append the rest:
+    # the frozen quantizer has never seen the appended distribution
+    n = emb.count()
+    build_ivf_index(emb.filter(F.col("vec_id") < n // 2), path, n_centroids=4, seed=42)
+    append_to_ivf_index(emb.filter(F.col("vec_id") >= n // 2), path)
+
+    stale = {r.cid: (r.n_vectors, r.avg_sim) for r in ivf_drift_report(spark, path).collect()}
+    assert sum(v[0] for v in stale.values()) == n
+    assert all(-1.0 <= v[1] <= 1.0 for v in stale.values())
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()}
+    want = as_set(brute_topk(emb, q, k=3))
+    assert as_set(query_ivf_index(spark, q, path, k=3, nprobe=4)) == want
+
+    meta = rebuild_ivf_index(spark, path)
+    assert read_ivf_meta(path) == meta
+    # full-probe invariance under rebuild
+    assert as_set(query_ivf_index(spark, q, path, k=3, nprobe=4)) == want
+    rebuilt = {r.cid: (r.n_vectors, r.avg_sim) for r in ivf_drift_report(spark, path).collect()}
+    assert sum(v[0] for v in rebuilt.values()) == n
+    # the re-trained quantizer saw the whole corpus: overall weighted
+    # fit must not degrade vs the stale one
+    stale_fit = sum(nv * s for nv, s in stale.values()) / n
+    rebuilt_fit = sum(nv * s for nv, s in rebuilt.values()) / n
+    assert rebuilt_fit >= stale_fit - 1e-9
