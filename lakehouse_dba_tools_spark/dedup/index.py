@@ -339,3 +339,55 @@ def _query_signed(
     return verify_pairs_exact_jaccard_hashed(
         pairs, batch_sh, idx_sh, id_col, threshold
     ).dropDuplicates(["id_a", "id_b"])
+
+
+def rebuild_lsh_index(
+    spark: SparkSession,
+    path: str,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Re-band the index from its OWN stored shingle hashes — no
+    document text needed (``shash`` holds exactly the xxhash64'd
+    shingles the signature min-fold consumes, so recomputed signatures
+    are bit-identical to signing the original text). The maintenance
+    move when the dedup threshold changes: bands/num_perm tune the LSH
+    S-curve, and this re-bands the whole corpus in one pass instead of
+    re-ingesting it. Runs under the writer lock; publishes bands (new
+    parameters) and shash (replay-duplicates folded) plus the updated
+    meta behind the atomic pointer flip — a query planned pre-rebuild
+    completes on the retained snapshot. Returns the new meta."""
+    from lakehouse_dba_tools_spark.dedup.minhash import _signature_udf
+
+    m = read_lsh_meta(path)
+    n_perm = num_perm or m["num_perm"]
+    n_bands = bands or m["bands"]
+    sd = seed if seed is not None else m["seed"]
+    id_col = m["id_col"]
+    with writer_lock(path):
+        sh_live = os.path.join(path, "shash")
+        bands_live = os.path.join(path, "bands")
+        heal(sh_live)
+        heal(bands_live)
+        stored = (
+            spark.read.parquet(current_version_dir(sh_live))
+            .dropDuplicates([id_col])
+        )
+        signed = stored.withColumn(
+            "signature", _signature_udf(n_perm, sd)(F.col("shash"))
+        )
+        bk = band_keys(signed, id_col, n_bands, n_perm // n_bands)
+        bands_target = init_versioned(bands_live)
+        bk.repartition("band_idx").write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(bands_target)
+        sh_target = init_versioned(sh_live)
+        stored.coalesce(1).write.mode("overwrite").parquet(sh_target)
+        publish(bands_live, bands_target)
+        publish(sh_live, sh_target)
+        meta = {**m, "num_perm": n_perm, "bands": n_bands, "seed": sd}
+        with open(os.path.join(path, META_NAME), "w") as fh:
+            json.dump(meta, fh)
+    _refresh(spark, path)
+    return meta

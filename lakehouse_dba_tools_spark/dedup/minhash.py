@@ -70,6 +70,17 @@ def with_minhash_signature(
     per batch. Integer math is exact, so signatures are bit-identical
     to the pure-column formulation.
     """
+    shingle_hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    return shingled.withColumn(
+        "signature", _signature_udf(num_perm, seed)(shingle_hashes)
+    )
+
+
+def _signature_udf(num_perm: int, seed: int):
+    """The permutation min-fold over an ``array<bigint>`` of xxhash64'd
+    shingles. Factored out so signatures can be recomputed from a
+    STORED shingle-hash column (dedup/index.py rebuild — `shash` holds
+    exactly these hashes) bit-identically to the text path."""
     coeffs = _perm_coeffs(num_perm, seed)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)  # (H,)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
@@ -86,8 +97,7 @@ def with_minhash_signature(
             out.append(sig.tolist())
         return pd.Series(out)
 
-    shingle_hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    return shingled.withColumn("signature", signature(shingle_hashes))
+    return signature
 
 
 def band_keys(

@@ -568,3 +568,48 @@ def test_index_lifecycle_leaves_no_cache_entries(spark, tmp_path):
     assert got == {(10, 1)}
     append_to_lsh_index(batch, path)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_lsh_rebuild_rebands_bit_identical_to_fresh_build(spark, tmp_path):
+    """Re-banding from the stored shingle hashes must be EXACT: after
+    rebuild_lsh_index to new (num_perm, bands), the band table and all
+    query answers equal a fresh build of the same documents at those
+    parameters — shash holds the very xxhash64 values the signature
+    min-fold consumes, so no text is needed."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        query_lsh_index,
+        read_lsh_meta,
+        rebuild_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    old = str(tmp_path / "old")
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(docs, old, num_perm=32, bands=8, seed=7)
+    meta = rebuild_lsh_index(spark, old, num_perm=64, bands=16)
+    assert (meta["num_perm"], meta["bands"]) == (64, 16)
+    assert read_lsh_meta(old) == meta
+
+    build_lsh_index(docs, fresh, num_perm=64, bands=16, seed=7)
+    read_bands = lambda p: sorted(
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(p + "/bands").collect()
+    )
+    assert read_bands(old) == read_bands(fresh)
+
+    q = lambda p: sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in query_lsh_index(spark, batch, p, threshold=0.5).collect()
+    )
+    assert q(old) == q(fresh) and {(a, b) for a, b, _ in q(old)} == {(10, 1)}
