@@ -174,3 +174,25 @@ def _reclaim(live: str, retain: int) -> None:
     )
     for path in debris + [p for _, p in superseded[retain:]]:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def describe_index(spark, path: str, tables: tuple[str, ...]) -> list[dict]:
+    """DESCRIBE DETAIL analog for one persisted index: per table, the
+    published version number, live file count, and row count — the
+    observability surface the OPTIMIZE/rebuild cadence decisions read.
+    Reads only (no lock): the pointer always resolves to a complete
+    published version."""
+    out = []
+    for t in tables:
+        live = os.path.join(path, t)
+        cur = current_version_dir(live)
+        m = _VER_RE.search(os.path.basename(cur))
+        out.append(
+            {
+                "table": t,
+                "version": int(m.group(1)) if m else -1,
+                "n_files": parquet_file_count(live),
+                "n_rows": spark.read.parquet(cur).count(),
+            }
+        )
+    return out

@@ -973,3 +973,89 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "index_family_describe",
+    f"""
+    SELECT * FROM (
+      SELECT 'lsh' AS index_name, 'bands' AS table_name,
+             CAST(1 AS BIGINT) AS version,
+             CAST((SELECT count(*) FROM documents) * 16 AS BIGINT) AS n_rows
+      UNION ALL
+      SELECT 'lsh', 'shash', 1, (SELECT count(*) FROM documents)
+      UNION ALL
+      SELECT 'ivf', 'lists', 1, (SELECT count(*) FROM embeddings)
+      UNION ALL
+      SELECT 'bm25', 'postings', 1,
+             (SELECT count(*) FROM (
+                SELECT DISTINCT term, doc_id FROM (
+                  SELECT doc_id, unnest({_D_BM_TOKS}) AS term FROM documents) t))
+      UNION ALL
+      SELECT 'bm25', 'doclens', 1, (SELECT count(*) FROM documents)
+    ) ORDER BY index_name, table_name
+    """,
+)
+def index_family_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL across the whole persisted-index family
+    (operators/indexio.py describe_index): each index runs
+    build(90%) → append(10%) → compact, then reports (table, version,
+    n_rows). The oracle derives every row count relationally (bands =
+    docs × 16 band rows, shash/doclens = docs, lists = embeddings,
+    postings = DuckDB's own distinct (term, doc_id) over the same
+    tokenizer) and pins version = 1 as the lifecycle CONTRACT: build
+    publishes v0 and exactly one compaction follows (the version pin
+    is what proves compact republished rather than rewrote in place).
+    Trailing observability query — the lifecycle carriers hold the
+    checked rows."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import describe_index
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        append_to_postings_index,
+        build_postings_index,
+        compact_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="idx_family_")
+    try:
+        rows = []
+        lsh = f"{tmp}/lsh"
+        build_lsh_index(docs.filter(F.col("doc_id") % 10 != 0), lsh)
+        append_to_lsh_index(docs.filter(F.col("doc_id") % 10 == 0), lsh)
+        compact_lsh_index(spark, lsh)
+        for d in describe_index(spark, lsh, ("bands", "shash")):
+            rows.append(("lsh", d["table"], d["version"], d["n_rows"]))
+
+        ivf = f"{tmp}/ivf"
+        build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), ivf, n_centroids=16)
+        append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), ivf)
+        compact_ivf_index(spark, ivf)
+        for d in describe_index(spark, ivf, ("lists",)):
+            rows.append(("ivf", d["table"], d["version"], d["n_rows"]))
+
+        bm25 = f"{tmp}/bm25"
+        build_postings_index(docs.filter(F.col("doc_id") % 10 != 0), bm25)
+        append_to_postings_index(docs.filter(F.col("doc_id") % 10 == 0), bm25)
+        compact_postings_index(spark, bm25)
+        for d in describe_index(spark, bm25, ("postings", "doclens")):
+            rows.append(("bm25", d["table"], d["version"], d["n_rows"]))
+
+        return spark.createDataFrame(
+            rows, "index_name string, table_name string, version long, n_rows long"
+        ).orderBy("index_name", "table_name")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
