@@ -142,3 +142,78 @@ def test_writer_lock_serializes(tmp_path):
     for i in range(0, len(order), 2):
         assert order[i][0] == order[i + 1][0]
         assert order[i][1] == "in" and order[i + 1][1] == "out"
+
+
+def test_version_machine_invariants_under_random_op_sequences(tmp_path):
+    """Property: under ANY interleaving of publish / heal / vacuum /
+    crash-debris injection, (1) the live pointer always resolves to the
+    complete most-recently-published version, (2) at most retain+1
+    version directories exist after any writer op, and (3) vacuum
+    leaves exactly the current one."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
+        heal,
+        init_versioned,
+        publish,
+        vacuum_versions,
+    )
+
+    ops = st.lists(
+        st.sampled_from(["publish", "heal", "vacuum", "crash_debris"]),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(seq=ops)
+    def run(seq):
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            live = os.path.join(root, "t")
+
+            def mk(marker):
+                target = init_versioned(live)
+                os.makedirs(target)
+                with open(os.path.join(target, "data.parquet"), "w") as fh:
+                    fh.write(marker)
+                return target
+
+            published = 0
+            publish(live, mk("m0"))
+            for op in seq:
+                if op == "publish":
+                    published += 1
+                    publish(live, mk(f"m{published}"))
+                elif op == "heal":
+                    heal(live)
+                elif op == "vacuum":
+                    vacuum_versions(live)
+                else:  # crash_debris: written but never published
+                    target = init_versioned(live)
+                    os.makedirs(target)
+                # (1) pointer resolves to the last published content
+                with open(os.path.join(live, "data.parquet")) as fh:
+                    assert fh.read() == f"m{published}"
+                # (2) bounded dirs after any WRITER op (debris counts
+                # until the next writer op heals it)
+                vdirs = [
+                    d for d in os.listdir(root)
+                    if d.startswith("t.v") and os.path.isdir(os.path.join(root, d))
+                ]
+                assert len(vdirs) <= 3  # current + retained + 1 debris
+                if op == "vacuum":
+                    assert [os.path.join(root, d) for d in vdirs] == [
+                        current_version_dir(live)
+                    ]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
