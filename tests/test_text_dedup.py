@@ -613,3 +613,52 @@ def test_lsh_rebuild_rebands_bit_identical_to_fresh_build(spark, tmp_path):
         for r in query_lsh_index(spark, batch, p, threshold=0.5).collect()
     )
     assert q(old) == q(fresh) and {(a, b) for a, b, _ in q(old)} == {(10, 1)}
+
+
+def test_concurrent_appends_serialize_and_both_land(spark, tmp_path):
+    """Two threads appending different batches to the same index
+    concurrently: the writer flock serializes them and the final index
+    contains BOTH (no lost append — the round-7 ADVICE race), proven
+    by a query matching docs from each batch."""
+    import threading
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, f"{base} today")], "doc_id int, text string"
+    )
+    b1 = spark.createDataFrame([(10, f"{base} tonight")], "doc_id int, text string")
+    b2 = spark.createDataFrame([(20, f"{base} tomorrow")], "doc_id int, text string")
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+
+    errs = []
+
+    def do_append(df):
+        try:
+            append_to_lsh_index(df, path)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_append, args=(df,)) for df in (b1, b2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+    probe = spark.createDataFrame(
+        [(30, f"{base} yesterday")], "doc_id int, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, probe, path, threshold=0.5).collect()
+    }
+    # the probe near-matches the seed doc AND both concurrently
+    # appended docs — neither append was lost
+    assert got == {(30, 1), (30, 10), (30, 20)}
