@@ -683,3 +683,43 @@ def ivf_rebuild_invariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_ingest_ann",
+    """
+    WITH bs AS (SELECT (count(*) + 3) // 4 AS b FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 vec_id // (SELECT b FROM bs) AS bt
+          FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(c.v, q.v), 9) AS sim
+      FROM e q JOIN e c ON c.bt < q.bt
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def streaming_ingest_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest ANN (streaming/ingest_ann.py): embeddings
+    replay as deterministic micro-batches (vec_id // ceil(n/4) slices,
+    file source oldest-first) and every post-seed vector is linked to
+    its top-3 nearest neighbors among ALL earlier arrivals through the
+    persisted IVF index — search-then-append inside foreachBatch, the
+    vector twin of streaming_ingest_dedup. Full probe makes the index
+    answer exact, so the oracle is brute-force top-k restricted to
+    earlier batches: batch ordering, append visibility, quantizer
+    placement, and rank determinism are all hash-proven on the bounded
+    replay. Trailing query (diffcheck-only); the checked IVF row is
+    ivf_index_incremental_topk."""
+    from lakehouse_dba_tools_spark.streaming.ingest_ann import stream_ingest_ann
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    batch_size = (emb.count() + 3) // 4  # one count job, metadata-cheap
+    return stream_ingest_ann(spark, emb, batch_size=batch_size, k=3)

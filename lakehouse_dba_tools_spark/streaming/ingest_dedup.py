@@ -23,12 +23,10 @@ the LATER doc as id_a.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def make_query_then_append_sink(
@@ -73,53 +71,25 @@ def stream_ingest_dedup(
     runs query-then-append inside ``foreachBatch``.
     """
     from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
+    from lakehouse_dba_tools_spark.streaming.replay import replay_in_batches
 
-    stage = tempfile.mkdtemp(prefix="ingest_stage_")
     idx = tempfile.mkdtemp(prefix="ingest_idx_")
-    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
     try:
-        batched = docs.withColumn(
-            "_b", F.floor(F.col("doc_id") / batch_size).cast("long")
-        )
-        batch_ids = sorted(
-            r[0] for r in batched.select("_b").distinct().collect()
-        )  # bounded: corpus_size / batch_size values
-        first, rest = batch_ids[0], batch_ids[1:]
-        build_lsh_index(
-            batched.filter(F.col("_b") == first).drop("_b"),
-            idx, num_perm=num_perm, bands=bands, seed=seed,
-        )
-        # Stage the remaining slices as single files with increasing
-        # mtimes; the file source (maxFilesPerTrigger=1, oldest-first)
-        # then replays them as deterministic micro-batches.
-        t0 = 1_600_000_000
-        for i, b in enumerate(rest):
-            d = os.path.join(stage, f"b{i:05d}")
-            batched.filter(F.col("_b") == b).drop("_b").coalesce(1).write.parquet(d)
-            for name in os.listdir(d):
-                if name.endswith(".parquet"):
-                    os.utime(os.path.join(d, name), (t0 + i, t0 + i))
-        schema = docs.drop("_b").schema
         found: dict[int, list] = {}
-        sink = make_query_then_append_sink(spark, idx, threshold, found)
-
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("pathGlobFilter", "*.parquet")
-            .option("recursiveFileLookup", "true")
-            .parquet(stage)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        replay_in_batches(
+            spark,
+            docs,
+            "doc_id",
+            batch_size,
+            seed_fn=lambda first: build_lsh_index(
+                first, idx, num_perm=num_perm, bands=bands, seed=seed
+            ),
+            sink=make_query_then_append_sink(spark, idx, threshold, found),
         )
-        q.awaitTermination()
         out_schema = "id_a long, id_b long, jaccard double"
         rows = [r for epoch in sorted(found) for r in found[epoch]]
         if rows:
             return spark.createDataFrame(rows, out_schema).orderBy("id_a", "id_b")
         return spark.createDataFrame([], out_schema)
     finally:
-        for d in (stage, idx, ckpt):
-            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
