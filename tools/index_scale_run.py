@@ -1,0 +1,125 @@
+"""Persisted-index lifecycle scale evidence: the round-8 analog of
+tools/dedup_scale_run.py, focused on the INDEX operations themselves.
+
+At two corpus scales (5k docs — the sf0.1 bench size — and 50k, 10×),
+measures the whole lifecycle with a fixed-size ingest batch (500 docs,
+the daily-increment shape):
+
+- build wall (one-time; expected ~linear in corpus)
+- ingest_batch wall (sign-once query+append; the 100 TB claim is that
+  this depends on |batch| + matched candidates, NOT on corpus size —
+  the stored corpus is only touched through the band join and the
+  candidate-id semi-join)
+- compact wall (expected ~linear in corpus — it rewrites the index)
+- describe_index row/file counts before/after compact (small-file
+  control evidence)
+
+Usage: python tools/index_scale_run.py [out.json]
+Timings min-of-N (SCALE_RUN_PASSES, default 2); shared noisy host —
+compare ratios, not absolutes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.dedup_scale_run import synth_docs  # noqa: E402
+
+
+def run_scale(spark, n: int, passes: int) -> dict:
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        ingest_batch,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import describe_index
+
+    corpus = synth_docs(spark, n)
+    # fixed-size ingest batch: new ids beyond the corpus, 10% of them
+    # EXACT duplicates of corpus docs (the synth token function is
+    # pure in (id, pos), so generating text from a corpus id
+    # reproduces that doc) — the verify leg has real matches to fetch
+    tok = lambda seed_col, p: F.concat(
+        F.lit("w"), (F.abs(F.xxhash64(seed_col, F.lit(p))) % 500).cast("string")
+    )
+    src = F.when(F.col("id") % 10 == 1, F.col("id") * 7 % n).otherwise(
+        F.col("id") + n
+    )
+    batch = spark.range(500).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.concat_ws(" ", *[tok(src, p) for p in range(30)]).alias("text"),
+    )
+
+    out: dict = {"n_docs": n, "batch_docs": 500}
+    best = {"build": None, "ingest": None, "compact": None}
+    for _ in range(passes):
+        tmp = tempfile.mkdtemp(prefix="idx_scale_")
+        try:
+            path = os.path.join(tmp, "idx")
+            t = time.time()
+            build_lsh_index(corpus, path)
+            el = time.time() - t
+            best["build"] = el if best["build"] is None else min(best["build"], el)
+
+            t = time.time()
+            pairs = ingest_batch(spark, batch, path, threshold=0.5)
+            n_pairs = pairs.count()
+            el = time.time() - t
+            best["ingest"] = el if best["ingest"] is None else min(best["ingest"], el)
+
+            pre = describe_index(spark, path, ("bands", "shash"))
+            t = time.time()
+            compact_lsh_index(spark, path)
+            el = time.time() - t
+            best["compact"] = (
+                el if best["compact"] is None else min(best["compact"], el)
+            )
+            post = describe_index(spark, path, ("bands", "shash"))
+            out["n_pairs"] = n_pairs
+            out["files_pre_compact"] = {d["table"]: d["n_files"] for d in pre}
+            out["files_post_compact"] = {d["table"]: d["n_files"] for d in post}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out.update(
+        {
+            "build_sec": round(best["build"], 2),
+            "ingest_batch_sec": round(best["ingest"], 2),
+            "compact_sec": round(best["compact"], 2),
+        }
+    )
+    return out
+
+
+def main() -> None:
+    from lakehouse_dba_tools_spark import get_session
+
+    passes = int(os.environ.get("SCALE_RUN_PASSES", "2"))
+    spark = get_session(app_name="index-scale-run")
+    results = [run_scale(spark, n, passes) for n in (5_000, 50_000)]
+    a, b = results
+    summary = {
+        "scales": results,
+        "ratios_10x_corpus": {
+            "build": round(b["build_sec"] / a["build_sec"], 2),
+            "ingest_batch": round(b["ingest_batch_sec"] / a["ingest_batch_sec"], 2),
+            "compact": round(b["compact_sec"] / a["compact_sec"], 2),
+        },
+    }
+    line = json.dumps(summary)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
