@@ -28,6 +28,23 @@ def test_queries_oracle_keys_align():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
+def test_checked_first_is_exactly_the_driver_gate():
+    """The driver hash-checks the FIRST 50 registered queries.
+    CHECKED_FIRST must therefore hold exactly 50 unique names, every
+    one oracle-backed, and they must actually occupy the first 50
+    registry slots after load_all's reorder — a count or ordering
+    regression would silently change which queries carry hard
+    signal."""
+    from lakehouse_dba_tools_spark import registry
+
+    registry.load_all()
+    names = registry.CHECKED_FIRST
+    assert len(names) == 50
+    assert len(set(names)) == 50
+    assert list(registry.QUERIES)[:50] == list(names)
+    assert all(n in registry.ORACLE for n in names)
+
+
 def test_all_queries_run_sf0001(spark, sf_dir):
     mod = _load_entry()
     for name, fn in mod.queries().items():
