@@ -106,19 +106,138 @@ def main() -> None:
     spark = get_session(app_name="index-scale-run")
     results = [run_scale(spark, n, passes) for n in (5_000, 50_000)]
     a, b = results
+    ivf = [run_ivf_scale(spark, 5_000, 16, passes),
+           run_ivf_scale(spark, 50_000, 160, passes)]
+    bm25 = [run_bm25_scale(spark, 5_000, passes),
+            run_bm25_scale(spark, 50_000, passes)]
     summary = {
-        "scales": results,
+        "lsh": results,
         "ratios_10x_corpus": {
             "build": round(b["build_sec"] / a["build_sec"], 2),
             "ingest_batch": round(b["ingest_batch_sec"] / a["ingest_batch_sec"], 2),
             "compact": round(b["compact_sec"] / a["compact_sec"], 2),
+            "ivf_query_fixed_list_size": round(
+                ivf[1]["query_sec"] / ivf[0]["query_sec"], 2),
+            "bm25_rare_term_query": round(
+                bm25[1]["rare_query_sec"] / bm25[0]["rare_query_sec"], 2),
+            "bm25_common_term_query": round(
+                bm25[1]["common_query_sec"] / bm25[0]["common_query_sec"], 2),
         },
+        "ivf": ivf,
+        "bm25": bm25,
     }
     line = json.dumps(summary)
     print(line)
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as fh:
             fh.write(line + "\n")
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    """Deterministic unit-ish vectors: dim values from xxhash64(id, d)
+    mapped to [-1, 1]. Pure column expressions, no data staged."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    (F.abs(F.xxhash64(F.col("id"), F.lit(d))) % 2001).cast(
+                        "double"
+                    )
+                    / 1000.0
+                    - 1.0
+                )
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def run_ivf_scale(spark, n: int, n_centroids: int, passes: int) -> dict:
+    """IVF at corpus n with nlist scaled ∝ N (constant list size — the
+    production law: query cost is O(nprobe × list_size), so holding
+    list size fixes per-query cost as the corpus grows)."""
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    corpus = synth_vectors(spark, n)
+    queries = synth_vectors(spark, 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {"n_vectors": n, "n_centroids": n_centroids, "nprobe": 4}
+    best = {"build": None, "query": None}
+    for _ in range(passes):
+        tmp = tempfile.mkdtemp(prefix="ivf_scale_")
+        try:
+            path = os.path.join(tmp, "ivf")
+            t = time.time()
+            build_ivf_index(corpus, path, n_centroids=n_centroids, seed=42)
+            el = time.time() - t
+            best["build"] = el if best["build"] is None else min(best["build"], el)
+            t = time.time()
+            n_rows = query_ivf_index(spark, queries, path, k=5, nprobe=4).count()
+            el = time.time() - t
+            best["query"] = el if best["query"] is None else min(best["query"], el)
+            out["result_rows"] = n_rows
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out["build_sec"] = round(best["build"], 2)
+    out["query_sec"] = round(best["query"], 2)
+    return out
+
+
+def run_bm25_scale(spark, n: int, passes: int) -> dict:
+    """BM25 postings at corpus n: a RARE-term query (df fixed at 20
+    planted docs regardless of corpus — the skip-index claim: cost
+    tracks matching postings, not corpus) vs a COMMON-term query
+    (df ∝ N — posting-list length is the honest lower bound)."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    base = synth_docs(spark, n)
+    docs = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % (n // 20) == 3,
+            F.concat(F.col("text"), F.lit(" zebrafrost glacierworm")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = {"n_docs": n}
+    best = {"build": None, "rare": None, "common": None}
+    for _ in range(passes):
+        tmp = tempfile.mkdtemp(prefix="bm25_scale_")
+        try:
+            path = os.path.join(tmp, "bm25")
+            t = time.time()
+            build_postings_index(docs, path)
+            el = time.time() - t
+            best["build"] = el if best["build"] is None else min(best["build"], el)
+            t = time.time()
+            out["rare_rows"] = query_postings_index(
+                spark, path, "zebrafrost glacierworm", k=10
+            ).count()
+            el = time.time() - t
+            best["rare"] = el if best["rare"] is None else min(best["rare"], el)
+            t = time.time()
+            out["common_rows"] = query_postings_index(
+                spark, path, "w1 w2 w3", k=10
+            ).count()
+            el = time.time() - t
+            best["common"] = (
+                el if best["common"] is None else min(best["common"], el)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out["build_sec"] = round(best["build"], 2)
+    out["rare_query_sec"] = round(best["rare"], 2)
+    out["common_query_sec"] = round(best["common"], 2)
+    return out
 
 
 if __name__ == "__main__":
