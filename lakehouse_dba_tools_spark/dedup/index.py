@@ -59,11 +59,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    carry_version_meta,
     current_version_dir,
     heal,
     init_versioned,
     parquet_file_count,
     publish,
+    snapshot_meta,
+    write_version_meta,
     writer_lock,
 )
 from lakehouse_dba_tools_spark.dedup.minhash import (
@@ -117,6 +120,8 @@ def build_lsh_index(
     """Materialize the index from an initial corpus. Overwrites
     ``path``. Returns the meta dict."""
     bk, sh, pinned = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
+    meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+            "id_col": id_col, "text_col": text_col}
     with writer_lock(path):
         for sub, df in (("bands", bk), ("shash", sh)):
             live = os.path.join(path, sub)
@@ -124,11 +129,17 @@ def build_lsh_index(
             target = init_versioned(live)
             if sub == "bands":
                 df.write.mode("overwrite").partitionBy("band_idx").parquet(target)
+                # The permutation-family parameters ride INSIDE the
+                # bands version directory, so the pointer flip
+                # publishes data + params in one atomic step (a reader
+                # can never pair re-banded tables with stale
+                # num_perm/bands — see indexio.write_version_meta).
+                write_version_meta(target, META_NAME, meta)
             else:
                 df.write.mode("overwrite").parquet(target)
             publish(live, target)
-        meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
-                "id_col": id_col, "text_col": text_col}
+        # root-level copy is informational only (humans / legacy
+        # tooling); every reader goes through snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)
     pinned.unpersist()
@@ -137,8 +148,9 @@ def build_lsh_index(
 
 
 def read_lsh_meta(path: str) -> dict:
-    with open(os.path.join(path, META_NAME)) as fh:
-        return json.load(fh)
+    """Parameters of the CURRENT published snapshot (resolved through
+    the bands pointer — atomically coupled with the band tables)."""
+    return snapshot_meta(os.path.join(path, "bands"), META_NAME, path)[1]
 
 
 def append_to_lsh_index(docs: DataFrame, path: str) -> None:
@@ -150,15 +162,36 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
-    _append_rows(docs.sparkSession, path, bk, sh)
+    _append_rows(docs.sparkSession, path, bk, sh, signed_under=m)
     pinned.unpersist()
 
 
-def _append_rows(spark: SparkSession, path: str, bk: DataFrame, sh: DataFrame) -> None:
+_FAMILY_KEYS = ("k", "num_perm", "bands", "seed")
+
+
+def _append_rows(
+    spark: SparkSession,
+    path: str,
+    bk: DataFrame,
+    sh: DataFrame,
+    signed_under: dict | None = None,
+) -> None:
     # The lock keeps this append out of any concurrent compaction's
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
     with writer_lock(path):
+        if signed_under is not None:
+            # the batch was signed OUTSIDE the lock; a rebuild landing
+            # in between would make these rows a different permutation
+            # family than the published bands — fail loudly (caller
+            # re-signs and retries) instead of silently never colliding
+            cur = read_lsh_meta(path)
+            if any(cur[k] != signed_under[k] for k in _FAMILY_KEYS):
+                raise RuntimeError(
+                    f"LSH index at {path!r} was rebuilt with different "
+                    f"parameters while this batch was being signed; "
+                    f"re-sign and retry the append"
+                )
         bk.write.mode("append").partitionBy("band_idx").parquet(
             current_version_dir(os.path.join(path, "bands"))
         )
@@ -183,19 +216,35 @@ def ingest_batch(
     signature pass: sign, query with the signed rows, materialize the
     (bounded) verified pairs, append the SAME signed rows, unpersist.
     Returns the (id_a, id_b, jaccard) pairs as a stable DataFrame
-    (already materialized — safe to consume after later mutations)."""
-    m = read_lsh_meta(path)
+    (already materialized — safe to consume after later mutations).
+
+    Replay idempotence: candidates whose id_b is IN the current batch
+    are excluded. On a first delivery that is a no-op (the batch is
+    not yet indexed), but on an at-least-once redelivery the failed
+    attempt's append has already indexed these rows — without the
+    exclusion a batch containing internal near-dups would emit
+    within-batch pairs the original epoch never produced. With it, a
+    replayed epoch reproduces the original cross-batch-only result."""
+    bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
     bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
     bk = bk.persist()
     sh = sh.persist()
     try:
-        pairs = _query_signed(spark, bk, sh, path, m, threshold, max_bucket_size)
-        # bounded collect: verified near-dup pairs for ONE batch
-        rows = pairs.select("id_a", "id_b", "jaccard").collect()
-        _append_rows(spark, path, bk, sh)
-        return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
+        pairs = _query_signed(
+            spark, bk, sh, path, m, threshold, max_bucket_size,
+            bands_dir=bands_dir,
+            exclude_ids=docs.select(m["id_col"]),
+        )
+        # bounded collect: verified near-dup pairs for ONE batch —
+        # schema captured from the plan so non-default id types
+        # (string doc ids) round-trip instead of failing a literal DDL
+        sel = pairs.select("id_a", "id_b", "jaccard")
+        out_schema = sel.schema
+        rows = sel.collect()
+        _append_rows(spark, path, bk, sh, signed_under=m)
+        return spark.createDataFrame(rows, out_schema)
     finally:
         bk.unpersist()
         sh.unpersist()
@@ -240,9 +289,8 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
         ):
             live = os.path.join(path, sub)
             heal(live)
-            df = spark.read.parquet(current_version_dir(live)).dropDuplicates(
-                key_cols
-            )
+            src = current_version_dir(live)
+            df = spark.read.parquet(src).dropDuplicates(key_cols)
             n_before = parquet_file_count(live)
             target = init_versioned(live)
             if sub == "bands":
@@ -251,6 +299,9 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
                 df.repartition("band_idx").write.mode("overwrite").partitionBy(
                     "band_idx"
                 ).parquet(target)
+                # params unchanged by a compact, but every published
+                # version must be self-describing (snapshot_meta)
+                carry_version_meta(src, target, META_NAME)
             else:
                 df.coalesce(1).write.mode("overwrite").parquet(target)
             rows = spark.read.parquet(target).count()
@@ -282,11 +333,14 @@ def query_lsh_index(
     running MANY batches should prefer ``ingest_batch``, which cleans
     its caches per batch — SQL-cache entries are not GC'd, so a
     long-running loop over this function accumulates them."""
-    m = read_lsh_meta(path)
+    bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
     bk, batch_sh, _pinned = _index_rows(
         batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
-    return _query_signed(spark, bk, batch_sh, path, m, threshold, max_bucket_size)
+    return _query_signed(
+        spark, bk, batch_sh, path, m, threshold, max_bucket_size,
+        bands_dir=bands_dir,
+    )
 
 
 def _query_signed(
@@ -297,19 +351,25 @@ def _query_signed(
     m: dict,
     threshold: float,
     max_bucket_size: int,
+    bands_dir: str | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query body over a batch's precomputed (band rows, shash rows) —
     shared by query_lsh_index (signs per call) and ingest_batch (signs
-    once for query AND append)."""
+    once for query AND append). ``bands_dir`` is the version directory
+    the caller's meta snapshot resolved to (params and band tables are
+    co-published — indexio.snapshot_meta); ``exclude_ids`` drops
+    candidates whose id_b is in the given id set (ingest_batch's
+    replay-idempotence guard)."""
     from pyspark.sql import Window
 
     id_col = m["id_col"]
     # Bind the scan to the RESOLVED version directory: the snapshot
     # stays complete across one subsequent compact (indexio retention),
     # so a query planned pre-compact evaluates correctly post-compact.
-    idx_bands = spark.read.parquet(
-        current_version_dir(os.path.join(path, "bands"))
-    )
+    if bands_dir is None:
+        bands_dir = current_version_dir(os.path.join(path, "bands"))
+    idx_bands = spark.read.parquet(bands_dir)
     # Boilerplate guard, same policy as the inline bipartite path: an
     # index bucket bigger than max_bucket_size is near-identical
     # boilerplate and belongs to exact dedup, not an LSH fan-out.
@@ -327,6 +387,16 @@ def _query_signed(
         .select("id_a", "id_b")
         .distinct()
     )
+    if exclude_ids is not None:
+        # left-anti against the (bounded) batch id set BEFORE the
+        # verify join — an at-least-once replay finds the batch's own
+        # rows already indexed; dropping them here reproduces the
+        # original epoch's cross-batch-only pairs
+        pairs = pairs.join(
+            F.broadcast(exclude_ids.select(F.col(id_col).alias("id_b")).distinct()),
+            "id_b",
+            "left_anti",
+        )
     idx_sh = spark.read.parquet(
         current_version_dir(os.path.join(path, "shash"))
     )
@@ -360,12 +430,14 @@ def rebuild_lsh_index(
     completes on the retained snapshot. Returns the new meta."""
     from lakehouse_dba_tools_spark.dedup.minhash import _signature_udf
 
-    m = read_lsh_meta(path)
-    n_perm = num_perm or m["num_perm"]
-    n_bands = bands or m["bands"]
-    sd = seed if seed is not None else m["seed"]
-    id_col = m["id_col"]
     with writer_lock(path):
+        # read params under the lock: no concurrent rebuild can swap
+        # them between read and write
+        m = read_lsh_meta(path)
+        n_perm = num_perm or m["num_perm"]
+        n_bands = bands or m["bands"]
+        sd = seed if seed is not None else m["seed"]
+        id_col = m["id_col"]
         sh_live = os.path.join(path, "shash")
         bands_live = os.path.join(path, "bands")
         heal(sh_live)
@@ -378,15 +450,21 @@ def rebuild_lsh_index(
             "signature", _signature_udf(n_perm, sd)(F.col("shash"))
         )
         bk = band_keys(signed, id_col, n_bands, n_perm // n_bands)
+        meta = {**m, "num_perm": n_perm, "bands": n_bands, "seed": sd}
         bands_target = init_versioned(bands_live)
         bk.repartition("band_idx").write.mode("overwrite").partitionBy(
             "band_idx"
         ).parquet(bands_target)
+        # the NEW parameters ride inside the new bands version: the
+        # pointer flip below publishes re-banded tables + params
+        # atomically, so no reader can pair them with the old
+        # num_perm/bands (the silent-zero-matches hazard)
+        write_version_meta(bands_target, META_NAME, meta)
         sh_target = init_versioned(sh_live)
         stored.coalesce(1).write.mode("overwrite").parquet(sh_target)
         publish(bands_live, bands_target)
         publish(sh_live, sh_target)
-        meta = {**m, "num_perm": n_perm, "bands": n_bands, "seed": sd}
+        # root copy is informational only; readers use snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)
     _refresh(spark, path)

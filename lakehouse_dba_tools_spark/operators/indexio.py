@@ -45,23 +45,59 @@ visibility semantics, unchanged by the versioning.
 from __future__ import annotations
 
 import fcntl
+import json
 import os
 import re
 import shutil
+import socket
 from contextlib import contextmanager
 
 LOCK_NAME = "_INDEX_LOCK"
+HOST_NAME = "_INDEX_HOST"
 _VER_RE = re.compile(r"\.v(\d+)$")
+
+
+def _check_host(path: str) -> None:
+    """Single-host boundary guard (the no-jars analog of Delta's
+    multi-cluster write story): ``flock`` serializes writers only
+    within ONE host's kernel — over NFS it is advisory at best, and
+    symlink ``os.replace`` atomicity is a local-filesystem guarantee.
+    The first writer records its hostname in ``_INDEX_HOST``; a writer
+    on a DIFFERENT host then fails fast and loud instead of silently
+    corrupting the index. A moved index (old host decommissioned) is
+    re-claimed by deleting the host file — a deliberate operator
+    action, which is the point."""
+    marker = os.path.join(path, HOST_NAME)
+    me = socket.gethostname()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            owner = fh.read().strip()
+        if owner != me:
+            raise RuntimeError(
+                f"index at {path!r} is owned by host {owner!r}; writers on "
+                f"{me!r} are not safe (flock and symlink-publish atomicity "
+                f"are single-host guarantees — see operators/indexio.py). "
+                f"If {owner!r} is decommissioned, delete {marker} to "
+                f"re-claim the index."
+            )
+    else:
+        with open(marker, "w") as fh:
+            fh.write(me)
 
 
 @contextmanager
 def writer_lock(path: str):
     """Exclusive single-writer lock for one index root. Blocks until
-    any in-flight build/append/compact on the same root finishes."""
+    any in-flight build/append/compact on the same root finishes.
+    A writer whose process dies releases the flock automatically (the
+    kernel drops it with the fd), so same-host stale writers cannot
+    wedge the index; cross-host writers are rejected by the
+    ``_INDEX_HOST`` ownership guard (single-host boundary)."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, LOCK_NAME), "w") as fh:
         fcntl.flock(fh, fcntl.LOCK_EX)
         try:
+            _check_host(path)
             yield
         finally:
             fcntl.flock(fh, fcntl.LOCK_UN)
@@ -134,6 +170,20 @@ def heal(live: str, retain: int = 1) -> None:
     tmp = live + "._ptr"
     if os.path.islink(tmp) or os.path.exists(tmp):
         os.remove(tmp)
+    if os.path.isdir(live) and not os.path.islink(live):
+        # Legacy flat layout (a table written before versioning, or by
+        # an external tool): publish() cannot os.replace a symlink over
+        # a non-empty real directory, so migrate it under the writer
+        # lock — rename the directory to <live>.v0 and point a fresh
+        # symlink at it. Builds/compactions over legacy indexes then
+        # proceed normally (the next version is .v1).
+        target = live + ".v0"
+        # a same-named .v0 here was never published (no pointer exists
+        # to it) — crash debris, safe to clear
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(live, target)
+        os.symlink(os.path.basename(target), tmp)
+        os.replace(tmp, live)
     _reclaim(live, retain)
 
 
@@ -174,6 +224,43 @@ def _reclaim(live: str, retain: int) -> None:
     )
     for path in debris + [p for _, p in superseded[retain:]]:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def write_version_meta(version_dir: str, name: str, meta: dict) -> None:
+    """Write an index's parameter sidecar INSIDE a version directory,
+    BEFORE it is published: the pointer flip then publishes data and
+    parameters in one atomic step, so a reader can never pair new data
+    with old parameters (or vice versa) during a rebuild. The name
+    starts with ``_`` so Spark's file index ignores it in parquet
+    scans."""
+    with open(os.path.join(version_dir, name), "w") as fh:
+        json.dump(meta, fh)
+
+
+def snapshot_meta(live: str, name: str, root: str) -> tuple[str, dict]:
+    """Resolve the live pointer ONCE and return ``(version_dir, meta)``
+    as a coupled pair — the reader-side half of the atomic-parameters
+    contract. Callers MUST scan the returned ``version_dir`` (not
+    re-resolve ``live``), so the parameters they plan with always
+    describe the exact snapshot they read. Falls back to the root-level
+    sidecar for indexes written before meta rode the version
+    directories (those never rebuilt, so the root copy is current)."""
+    vd = current_version_dir(live)
+    p = os.path.join(vd, name)
+    if not os.path.exists(p):
+        p = os.path.join(root, name)
+    with open(p) as fh:
+        return vd, json.load(fh)
+
+
+def carry_version_meta(src_dir: str, dst_dir: str, name: str) -> None:
+    """Copy the parameter sidecar into a compaction's new version
+    directory before publish (parameters are unchanged by a compact,
+    but every published version must be self-describing). No-op for a
+    legacy version that predates in-version meta."""
+    src = os.path.join(src_dir, name)
+    if os.path.exists(src):
+        shutil.copyfile(src, os.path.join(dst_dir, name))
 
 
 def describe_index(spark, path: str, tables: tuple[str, ...]) -> list[dict]:

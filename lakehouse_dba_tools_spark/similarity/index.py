@@ -51,11 +51,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    carry_version_meta,
     current_version_dir,
     heal,
     init_versioned,
     parquet_file_count,
     publish,
+    snapshot_meta,
+    write_version_meta,
     writer_lock,
 )
 from lakehouse_dba_tools_spark.operators.partitioning import fan_out
@@ -100,19 +103,25 @@ def build_ivf_index(
         corpus, n_centroids, vec_col, seed=seed, id_col=id_col
     )
     rows = _assigned_rows(corpus, np.asarray(cents), id_col, vec_col)
+    meta = {
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": cents,
+    }
     with writer_lock(path):
         live = os.path.join(path, "lists")
         heal(live)
         target = init_versioned(live)
         rows.write.mode("overwrite").partitionBy("cid").parquet(target)
+        # the quantizer rides INSIDE the lists version directory: the
+        # pointer flip publishes lists + centroids in one atomic step,
+        # so a reader can never probe new lists with old centroids
+        # (see indexio.write_version_meta / snapshot_meta)
+        write_version_meta(target, META_NAME, meta)
         publish(live, target)
-        meta = {
-            "n_centroids": n_centroids,
-            "seed": seed,
-            "id_col": id_col,
-            "vec_col": vec_col,
-            "centroids": cents,
-        }
+        # root copy is informational only; readers use snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)
     corpus.sparkSession.catalog.refreshByPath(live)
@@ -120,8 +129,9 @@ def build_ivf_index(
 
 
 def read_ivf_meta(path: str) -> dict:
-    with open(os.path.join(path, META_NAME)) as fh:
-        return json.load(fh)
+    """Quantizer + params of the CURRENT published snapshot (resolved
+    through the lists pointer — atomically coupled with the lists)."""
+    return snapshot_meta(os.path.join(path, "lists"), META_NAME, path)[1]
 
 
 def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
@@ -135,6 +145,14 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
     with writer_lock(path):
+        # the batch was assigned OUTSIDE the lock; a rebuild landing in
+        # between re-trained the quantizer, and these assignments would
+        # land in the wrong lists — fail loudly (caller re-assigns)
+        if read_ivf_meta(path)["centroids"] != m["centroids"]:
+            raise RuntimeError(
+                f"IVF index at {path!r} was rebuilt while this batch was "
+                f"being assigned; re-assign and retry the append"
+            )
         rows.write.mode("append").partitionBy("cid").parquet(
             current_version_dir(os.path.join(path, "lists"))
         )
@@ -159,8 +177,9 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     live = os.path.join(path, "lists")
     with writer_lock(path):
         heal(live)
+        src = current_version_dir(live)
         df = (
-            spark.read.parquet(current_version_dir(live))
+            spark.read.parquet(src)
             .dropDuplicates(["cid", "neighbor_id"])
             # repartition BY the partition column: one task holds each
             # cid -> one file per list directory after the write
@@ -169,6 +188,9 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
         n_before = parquet_file_count(live)
         target = init_versioned(live)
         df.write.mode("overwrite").partitionBy("cid").parquet(target)
+        # quantizer unchanged by a compact, but every published version
+        # must be self-describing (snapshot_meta)
+        carry_version_meta(src, target, META_NAME)
         rows = spark.read.parquet(target).count()
         publish(live, target)
         out = {
@@ -187,14 +209,30 @@ def query_ivf_index(
     k: int = 5,
     nprobe: int = 4,
     query_id_col: str = "query_id",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over the stored lists. The probed cid set (bounded by
-    n_centroids — a handful of ints) is collected driver-side and
-    pushed into the parquet read as a partition filter, so a batch
-    probing p of C lists scans p/C of the index. Scoring and top-k
-    stay distributed. Replayed-append duplicates fold after scoring
-    (see below), so answers match the post-compaction index."""
-    m = read_ivf_meta(path)
+    n_centroids — a handful of ints) is collected driver-side and the
+    scan is handed ONLY the probed cid directories (``basePath`` keeps
+    cid as a partition column), so file listing AND planning cost is
+    ∝ nprobe, not n_centroids — reading the whole lists root and
+    pruning with a partition filter scans the same bytes but pays a
+    directory listing over every list, which was the measured 1.46×
+    planning residual at a 10× corpus (SCALE.md round 8). Scoring and
+    top-k stay distributed. Replayed-append duplicates fold after
+    scoring (see below), so answers match the post-compaction index.
+
+    ``exclude_ids`` (single-column DataFrame of neighbor ids) drops
+    those ids before top-k — the continuous-ingest replay guard: a
+    redelivered batch is already in the index, and excluding the
+    batch's own ids reproduces the original epoch's result instead of
+    returning same-batch neighbors."""
+    # Resolve the snapshot ONCE: centroids and the lists directory are
+    # co-published (indexio.snapshot_meta), so the probe assignments
+    # below always match the exact lists tree being scanned — a rebuild
+    # racing this query flips both or neither. Retention keeps this
+    # snapshot complete across one subsequent compact/rebuild.
+    lists_dir, m = snapshot_meta(os.path.join(path, "lists"), META_NAME, path)
     cents = np.asarray(m["centroids"])
     assignN = nearest_centroids_udf(cents, nprobe)
     q = queries.select(
@@ -202,17 +240,36 @@ def query_ivf_index(
         l2_normalize(as_double(m["vec_col"])).alias("_qv"),
     ).withColumn("cid", F.explode(assignN(F.col("_qv"))))
     # Bounded collect: distinct probed list ids, ≤ n_centroids values.
-    probed = [r[0] for r in q.select("cid").distinct().collect()]
-    # Bind the scan to the RESOLVED version directory: the snapshot
-    # stays complete across one subsequent compact (indexio retention),
-    # so a query planned pre-compact evaluates correctly post-compact.
-    lists = (
-        spark.read.parquet(current_version_dir(os.path.join(path, "lists")))
-        .where(F.col("cid").isin(probed))
-    )
+    probed = sorted(r[0] for r in q.select("cid").distinct().collect())
+    # At an object-store scale the isdir probes become one manifest
+    # read; locally they are nprobe stat calls. Empty lists (a centroid
+    # that owns no vectors yet) simply have no directory.
+    probe_dirs = [
+        d
+        for d in (os.path.join(lists_dir, f"cid={c}") for c in probed)
+        if os.path.isdir(d)
+    ]
+    if not probe_dirs:
+        # every probed list is empty — correctness fallback, never the
+        # hot path (a trained quantizer's probed lists hold vectors)
+        lists = spark.read.parquet(lists_dir).where(F.lit(False))
+    else:
+        # the isin filter is a no-op over the targeted directories but
+        # keeps the probe set visible in the plan as PartitionFilters
+        # (the pruning contract the tests pin)
+        lists = (
+            spark.read.option("basePath", lists_dir)
+            .parquet(*probe_dirs)
+            .where(F.col("cid").isin(probed))
+        )
     scored = lists.join(q, "cid").select(
         "query_id", "neighbor_id", F.round(pair_dot("vec", "_qv"), 9).alias("sim")
     )
+    if exclude_ids is not None:
+        ex = exclude_ids.select(
+            F.col(exclude_ids.columns[0]).alias("neighbor_id")
+        ).distinct()
+        scored = scored.join(F.broadcast(ex), "neighbor_id", "left_anti")
     # Replayed-append duplicates fold AFTER scoring — a replay
     # re-assigns with the same stored centroids, so dup rows score
     # identically, and the dedup exchange carries 3 scalars per row
@@ -232,13 +289,15 @@ def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
     literal frame (C × dim doubles from the meta sidecar)."""
     import math
 
-    m = read_ivf_meta(path)
+    # snapshot resolve: centroids always describe the exact lists tree
+    # being scanned (co-published behind one pointer flip)
+    lists_dir, m = snapshot_meta(os.path.join(path, "lists"), META_NAME, path)
     cents = []
     for cid, c in enumerate(m["centroids"]):
         norm = math.sqrt(sum(x * x for x in c)) or 1.0
         cents.append((cid, [x / norm for x in c]))
     cdf = spark.createDataFrame(cents, "cid int, _cent array<double>")
-    lists = spark.read.parquet(current_version_dir(os.path.join(path, "lists")))
+    lists = spark.read.parquet(lists_dir)
     return (
         lists.join(F.broadcast(cdf), "cid")
         .select("cid", pair_dot("vec", "_cent").alias("_sim"))
@@ -266,11 +325,13 @@ def rebuild_ivf_index(
     Full-probe (nprobe = n_centroids) answers are invariant under
     rebuild (every list is scanned either way); partial-probe recall is
     what improves. Returns the new meta."""
-    m = read_ivf_meta(path)
-    n_c = n_centroids or m["n_centroids"]
-    sd = seed if seed is not None else m["seed"]
     live = os.path.join(path, "lists")
     with writer_lock(path):
+        # read params under the lock: no concurrent rebuild can swap
+        # them between read and write
+        m = read_ivf_meta(path)
+        n_c = n_centroids or m["n_centroids"]
+        sd = seed if seed is not None else m["seed"]
         heal(live)
         stored = (
             spark.read.parquet(current_version_dir(live))
@@ -282,10 +343,17 @@ def rebuild_ivf_index(
             stored, n_c, m["vec_col"], seed=sd, id_col=m["id_col"]
         )
         rows = _assigned_rows(stored, np.asarray(cents), m["id_col"], m["vec_col"])
+        meta = {**m, "n_centroids": n_c, "seed": sd, "centroids": cents}
         target = init_versioned(live)
         rows.write.mode("overwrite").partitionBy("cid").parquet(target)
+        # the NEW quantizer rides inside the new lists version: the
+        # pointer flip publishes re-assigned lists + centroids
+        # atomically — a query planning during the rebuild window can
+        # never probe the new lists with the old centroids (or vice
+        # versa); it sees one complete snapshot or the other
+        write_version_meta(target, META_NAME, meta)
         publish(live, target)
-        meta = {**m, "n_centroids": n_c, "seed": sd, "centroids": cents}
+        # root copy is informational only; readers use snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)
     spark.catalog.refreshByPath(live)

@@ -15,8 +15,12 @@ before" is a pure function of vec_id and the exact batch oracle is
 brute-force top-k restricted to earlier batches. Full probe makes the
 IVF answer exact; partial-probe recall at scale is the index's own
 (plan-pinned) story. Epoch replay: the ``found`` dict is keyed by
-epoch_id (a replayed epoch replaces its slot) and the index query is
-duplicate-tolerant, the same at-least-once posture as the dedup twin.
+epoch_id (a replayed epoch replaces its slot), the index query is
+duplicate-tolerant, and the sink excludes the batch's own ids from
+the neighbor side — so a replayed epoch (whose failed attempt already
+appended the batch) reproduces the original earlier-arrivals-only
+answer instead of returning itself and same-batch neighbors. The same
+at-least-once posture as the dedup twin.
 """
 
 from __future__ import annotations
@@ -41,12 +45,19 @@ def make_search_then_append_sink(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         q = batch_df.select(F.col("vec_id").alias("query_id"), "embedding")
-        # bounded collect: |batch| × k neighbor rows
+        # exclude the batch's own ids: on a replayed epoch the failed
+        # attempt's append already indexed them, and without the
+        # exclusion each query would return itself (sim 1.0) and its
+        # same-batch neighbors — results the original epoch never
+        # produced. First delivery: a no-op (batch not yet indexed).
         found[int(epoch_id)] = (
-            query_ivf_index(spark, q, idx, k=k, nprobe=nprobe)
+            query_ivf_index(
+                spark, q, idx, k=k, nprobe=nprobe,
+                exclude_ids=batch_df.select("vec_id"),
+            )
             .select("query_id", "neighbor_id", "sim", "rank")
             .collect()
-        )
+        )  # bounded collect: |batch| × k neighbor rows
         append_to_ivf_index(batch_df, idx)
 
     return sink

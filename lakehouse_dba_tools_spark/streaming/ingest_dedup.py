@@ -37,10 +37,13 @@ def make_query_then_append_sink(
     ``ingest_batch`` so the batch is signed ONCE for both halves
     (signing text is the dominant per-batch cost). ``found`` is keyed
     by epoch_id so an at-least-once foreachBatch REPLAY overwrites its
-    epoch's contribution instead of extending it — the replayed query
-    may also see the failed attempt's appended rows, but the index
-    query is duplicate-tolerant, so the replacement slot holds the
-    same pairs either way."""
+    epoch's contribution instead of extending it. The replayed query
+    sees the failed attempt's appended rows, which is why replay
+    idempotence needs BOTH halves: duplicate index rows fold
+    (duplicate-tolerant query), and the batch's own ids are excluded
+    from the id_b side inside ``ingest_batch`` — otherwise a batch
+    containing internal near-dups would emit within-batch pairs on
+    replay that the original epoch never produced."""
     from lakehouse_dba_tools_spark.dedup.index import ingest_batch
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

@@ -266,6 +266,19 @@ def test_ivf_index_lifecycle_and_pruning(spark, sf_dir, tmp_path):
     # the probed-cid filter reaches the scan as a PARTITION filter —
     # the p/C index-bytes win, not a post-read row filter
     assert "PartitionFilters: [cid" in plan
+    # and the scan's FILE LISTING is scoped to the probed directories
+    # (query_ivf_index hands the reader only the probed cid dirs, so
+    # listing/planning cost is ∝ nprobe, not n_centroids): one query
+    # at nprobe=1 probes exactly one list, and the scan's Location must
+    # name that single cid directory — a root-dir scan would list all 4
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    try:
+        one = query_ivf_index(spark, q.limit(1), path, k=3, nprobe=1)
+        plan1 = one._jdf.queryExecution().executedPlan().toString()
+        loc = [ln for ln in plan1.splitlines() if "Location" in ln and "cid=" in ln]
+        assert loc and sum(f"cid={c}" in loc[0] for c in range(4)) == 1
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
 def test_ivf_index_replay_and_compaction(spark, sf_dir, tmp_path):
@@ -346,3 +359,41 @@ def test_ivf_drift_report_and_rebuild(spark, sf_dir, tmp_path):
     stale_fit = sum(nv * s for nv, s in stale.values()) / n
     rebuilt_fit = sum(nv * s for nv, s in rebuilt.values()) / n
     assert rebuilt_fit >= stale_fit - 1e-9
+
+
+def test_query_ivf_index_exclude_ids_replay_guard(spark, sf_dir, tmp_path):
+    """The streaming-ANN replay guard (round-8 ADVICE): after a failed
+    epoch's append, the batch is already in the index — querying with
+    exclude_ids = the batch's own ids must reproduce the ORIGINAL
+    epoch's earlier-arrivals-only answer (no self-hits, no same-batch
+    neighbors)."""
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path, n_centroids=4, seed=42)
+
+    q = batch.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()
+    }
+    original = as_set(query_ivf_index(spark, q, path, k=3, nprobe=4))
+    # failed attempt appended the batch; replayed query must match
+    append_to_ivf_index(batch, path)
+    replay = as_set(
+        query_ivf_index(
+            spark, q, path, k=3, nprobe=4, exclude_ids=batch.select("vec_id")
+        )
+    )
+    assert replay == original
+    # and WITHOUT the guard the batch finds itself (sim 1.0 self-hits)
+    unguarded = query_ivf_index(spark, q, path, k=3, nprobe=4)
+    self_hits = {
+        r.query_id for r in unguarded.collect() if r.query_id == r.neighbor_id
+    }
+    assert self_hits == {r.query_id for r in q.collect()}

@@ -451,10 +451,21 @@ def test_lsh_index_lifecycle(spark, tmp_path):
 
     # a missing meta file fails loudly instead of silently finding
     # nothing (query/append take parameters FROM the stored meta, so
-    # the API itself cannot diverge from what the index was built with)
+    # the API itself cannot diverge from what the index was built with).
+    # The authoritative copy rides INSIDE the published bands version
+    # (atomic params+data publish); the root copy is informational —
+    # deleting root alone must NOT break reads, deleting both must.
     import os as _os
 
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
     _os.remove(_os.path.join(path, "_lsh_meta.json"))
+    assert query_lsh_index(spark, batch2, path, threshold=0.5).count() >= 1
+    _os.remove(
+        _os.path.join(
+            current_version_dir(_os.path.join(path, "bands")), "_lsh_meta.json"
+        )
+    )
     with pytest.raises(FileNotFoundError):
         query_lsh_index(spark, batch2, path, threshold=0.5)
 
@@ -662,3 +673,69 @@ def test_concurrent_appends_serialize_and_both_land(spark, tmp_path):
     # the probe near-matches the seed doc AND both concurrently
     # appended docs — neither append was lost
     assert got == {(30, 1), (30, 10), (30, 20)}
+
+
+def test_ingest_batch_replay_reproduces_cross_batch_only_pairs(spark, tmp_path):
+    """Replay idempotence for batches containing INTERNAL near-dups
+    (round-8 ADVICE): on a redelivered epoch the batch's own rows are
+    already in the index, so without the id_b exclusion the query
+    would emit within-batch pairs the original epoch never produced.
+    ingest_batch must return the identical cross-batch-only result on
+    first delivery and on replay."""
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index, ingest_batch
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    # 10 and 11 are near-dups of EACH OTHER (same batch) and of doc 1
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (11, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (12, "unrelated content entirely about parquet row groups and footers"),
+        ],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+
+    first = {
+        (r.id_a, r.id_b)
+        for r in ingest_batch(spark, batch, path, threshold=0.5).collect()
+    }
+    # cross-batch only: batch docs vs the standing corpus, never 10<->11
+    assert first == {(10, 1), (11, 1)}
+
+    replay = {
+        (r.id_a, r.id_b)
+        for r in ingest_batch(spark, batch, path, threshold=0.5).collect()
+    }
+    assert replay == first
+
+
+def test_ingest_batch_supports_string_doc_ids(spark, tmp_path):
+    """The index API accepts an arbitrary id_col; ingest_batch's result
+    schema is captured from the pairs plan (round-8 ADVICE: a literal
+    'id_a long' DDL made string ids fail at createDataFrame)."""
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index, ingest_batch
+
+    corpus = spark.createDataFrame(
+        [
+            ("a1", "the quick brown fox jumps over the lazy dog again and again today"),
+            ("b2", "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [("c3", "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    got = ingest_batch(spark, batch, path, threshold=0.5)
+    assert dict(got.dtypes)["id_a"] == "string"
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {("c3", "a1")}
