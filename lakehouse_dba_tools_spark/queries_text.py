@@ -781,6 +781,38 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register("bm25_champions_topk", ORACLE["bm25_keyword_topk"])
+def bm25_champions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The impact-ordered champions tier (similarity/bm25.py, Persin-
+    style champion lists): per term the index stores only the top-N
+    postings by Okapi partial score, so a common-term query costs
+    O(champion_n) instead of O(df) — the sublinear path for stopword-
+    grade terms. Built here with champion_n covering every df, where
+    the tier provably equals full BM25 (single-term queries are exact
+    at ANY champion_n ≥ k; multi-term is the standard champion-list
+    approximation below full coverage) — the oracle hash-proves the
+    tier's scorer against the same full-corpus BM25 the exact path
+    answers."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25_champ_")
+    try:
+        build_postings_index(docs, tmp, champion_n=int(docs.count()))
+        out = query_postings_index(spark, tmp, _BM25_QUERY, k=20, mode="champions")
+        # materialize before the index tempdir vanishes (bounded: k rows)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "exact_substring_spans",
     f"""

@@ -221,7 +221,23 @@ def bm25_score_scalar(
 # - doclens/   (doc_id, dl) — corpus stats (N, avgdl) are recomputed
 #   from this tiny table at query time, so APPENDS KEEP BM25 HONEST:
 #   stored global stats would go stale with every batch.
+# - champions/ (term, doc_id, tf, dl) — the IMPACT-ORDERED tier
+#   (Persin-style champion lists): per term, only the top
+#   ``champion_n`` postings by Okapi partial score. mode="champions"
+#   queries read this tier instead of the full postings slice, so a
+#   stopword-grade term costs O(champion_n) rather than O(df) — the
+#   sublinear path for common-term top-k. Refreshed at build/compact
+#   (the tier-merge cadence of production impact-ordered indexes);
+#   appends between compacts are visible to exact mode immediately and
+#   to champions mode after the next compact — documented staleness,
+#   traded for the bounded cost.
+# - termstats/ (term, df) — exact per-term document frequency as of
+#   the champions refresh (champions-mode idf needs full df; deriving
+#   it from the truncated champion slice would be wrong).
 # - _bm25_meta.json  {id_col, text_col}
+# - champions/_bm25_champ_meta.json  {champion_n, n_docs, avgdl, k1, b}
+#   — the stats snapshot the tier was ordered under, riding inside the
+#   champions version dir (atomic tier+stats publish).
 #
 # Writer semantics (operators/indexio.py, shared with the LSH and IVF
 # indexes): build/append/compact hold an exclusive flock on the index
@@ -238,20 +254,32 @@ def bm25_score_scalar(
 # text CHANGED is caller error (dedup keeps an arbitrary variant).
 
 BM25_META = "_bm25_meta.json"
+CHAMP_META = "_bm25_champ_meta.json"
 
 
 def build_postings_index(
-    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    champion_n: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> None:
+    """Materialize the postings index (+ the impact-ordered champions
+    tier, sized ``champion_n`` per term with ``k1``/``b`` as the
+    ordering params). Overwrites ``path``."""
     import json
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import writer_lock
 
+    spark = docs.sparkSession
     with writer_lock(path):
         _write_postings(docs, path, text_col, id_col, fresh=True)
         with open(os.path.join(path, BM25_META), "w") as fh:
             json.dump({"id_col": id_col, "text_col": text_col}, fh)
+        _refresh_champions(spark, path, id_col, champion_n, k1, b)
 
 
 def append_to_postings_index(docs: DataFrame, path: str) -> None:
@@ -306,15 +334,108 @@ def _write_postings(
         docs.sparkSession.catalog.refreshByPath(current_version_dir(live))
 
 
+def _impact(k1: float, b: float, avgdl: float) -> Column:
+    """One posting's Okapi partial score — the champion ordering key.
+    idf is constant within a term, so ordering by this equals ordering
+    by the term's full per-doc contribution."""
+    tf = F.col("tf").cast("double")
+    return (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+
+
+def _refresh_champions(
+    spark, path: str, id_col: str, champion_n: int, k1: float, b: float
+) -> None:
+    """(Re)build the champions tier + termstats from the CURRENT
+    postings/doclens snapshot. Caller holds the writer lock.
+
+    Skew-safe top-N: a stopword's postings all share one term key, so a
+    single per-term window would funnel its whole df through one task.
+    Phase 1 takes top-N per (term, input partition) — the exchange key
+    carries the partition id, splitting any hot term across the cluster
+    and bounding phase 2's input at champion_n × n_partitions rows per
+    term."""
+    import os
+
+    from pyspark.sql import Window
+
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
+        heal,
+        init_versioned,
+        publish,
+        write_version_meta,
+    )
+
+    postings = spark.read.parquet(
+        current_version_dir(os.path.join(path, "postings"))
+    ).dropDuplicates(["term", id_col])
+    doclens = spark.read.parquet(
+        current_version_dir(os.path.join(path, "doclens"))
+    ).dropDuplicates([id_col])
+    row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    imp = postings.withColumn("_imp", _impact(k1, b, avgdl)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy("term", "_pid").orderBy(F.desc("_imp"), F.col(id_col))
+    pre = (
+        imp.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= champion_n)
+        .drop("_rn", "_pid")
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("_imp"), F.col(id_col))
+    champs = (
+        pre.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= champion_n)
+        .drop("_rn", "_imp")
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+    )
+    tstats = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+    )
+    meta = {
+        "champion_n": champion_n,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "k1": k1,
+        "b": b,
+    }
+    for sub, df in (("champions", champs), ("termstats", tstats)):
+        live = os.path.join(path, sub)
+        heal(live)
+        target = init_versioned(live)
+        df.write.mode("overwrite").parquet(target)
+        if sub == "champions":
+            # the stats the tier was ordered under ride with the tier —
+            # one pointer flip publishes both (indexio protocol)
+            write_version_meta(target, CHAMP_META, meta)
+        publish(live, target)
+        spark.catalog.refreshByPath(live)
+        spark.catalog.refreshByPath(current_version_dir(live))
+
+
 def compact_postings_index(spark, path: str) -> dict:
     """OPTIMIZE analog for the postings index: fold replayed-append
     duplicates — keyed (term, doc_id) for postings, (doc_id) for
     doclens, safe because replays write identical rows — restore the
     term sort (appends interleave term ranges across files, weakening
-    row-group skipping), and bin-pack the per-batch small files.
-    Publishes each table as a new version behind one atomic pointer
-    flip under the index writer lock (appends queue behind it).
-    Returns {table: files_before/files_after/rows}."""
+    row-group skipping), bin-pack the per-batch small files, and
+    REFRESH the champions tier + termstats so champions-mode queries
+    see everything appended since the last refresh (the tier-merge
+    step of an impact-ordered index). Publishes each table as a new
+    version behind one atomic pointer flip under the index writer lock
+    (appends queue behind it). Returns {table: files_before/
+    files_after/rows}."""
+    import json
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
@@ -326,9 +447,11 @@ def compact_postings_index(spark, path: str) -> dict:
         writer_lock,
     )
 
+    with open(os.path.join(path, BM25_META)) as fh:
+        id_col = json.load(fh)["id_col"]
     out: dict = {}
     with writer_lock(path):
-        for sub, key_cols in (("postings", ["term", "doc_id"]), ("doclens", ["doc_id"])):
+        for sub, key_cols in (("postings", ["term", id_col]), ("doclens", [id_col])):
             live = os.path.join(path, sub)
             heal(live)
             df = spark.read.parquet(current_version_dir(live)).dropDuplicates(
@@ -349,25 +472,70 @@ def compact_postings_index(spark, path: str) -> dict:
                 "rows": rows,
             }
             spark.catalog.refreshByPath(live)
+        # champions params carry over from the current tier (defaults
+        # for a legacy index that predates the tier — compacting one
+        # upgrades it)
+        try:
+            _, cm = _champ_snapshot(path)
+            cn, k1, b = cm["champion_n"], cm["k1"], cm["b"]
+        except FileNotFoundError:
+            cn, k1, b = 64, 1.2, 0.75
+        _refresh_champions(spark, path, id_col, cn, k1, b)
     return out
 
 
+def _champ_snapshot(path: str) -> tuple[str, dict]:
+    """(champions version dir, champ meta) — resolved as one couple."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import snapshot_meta
+
+    return snapshot_meta(os.path.join(path, "champions"), CHAMP_META, path)
+
+
 def query_postings_index(
-    spark, path: str, query: str, k: int = 20, k1: float = 1.2, b: float = 0.75
+    spark,
+    path: str,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    mode: str = "exact",
 ) -> DataFrame:
-    """BM25 top-k over the stored postings. (N, avgdl) reduce from the
-    doclens table (1-row aggregate — reflects every append); the
-    postings read carries a pushed term IN-filter, so only the query
-    terms' row groups are scanned. Both legs dedup replayed-append
-    rows before any stat is derived (postings on the filtered slice
-    only — the dedup shuffle carries query-term postings, never the
-    corpus), so scores are identical before and after compaction."""
+    """BM25 top-k over the stored postings.
+
+    mode="exact" (default): (N, avgdl) reduce from the doclens table
+    (1-row aggregate — reflects every append); the postings read
+    carries a pushed term IN-filter, so only the query terms' row
+    groups are scanned. Both legs dedup replayed-append rows before
+    any stat is derived (postings on the filtered slice only — the
+    dedup shuffle carries query-term postings, never the corpus), so
+    scores are identical before and after compaction. Cost is honest:
+    ∝ Σ df(term) — a stopword-grade term scans its whole postings
+    slice.
+
+    mode="champions": score over the impact-ordered champions tier —
+    per term at most champion_n postings, so a common term costs
+    O(champion_n) instead of O(df); idf uses the exact stored df
+    (termstats) and the stats snapshot the tier was ordered under.
+    Guarantees: single-term top-k (k ≤ champion_n) is EXACT (impact
+    order = score order within a term); multi-term top-k is the
+    standard champion-list approximation (a doc championed for only
+    some of its matching terms scores a lower bound) and is exact
+    whenever champion_n covers every query term's df. Reflects the
+    corpus as of the last build/compact — appends since then are
+    visible to exact mode only (run compact to fold them in)."""
     import json
     import os
 
     with open(os.path.join(path, BM25_META)) as fh:
         m = json.load(fh)
     from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    if mode == "champions":
+        return _query_champions(spark, path, query, k, k1, b, m["id_col"])
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}: expected 'exact' or 'champions'")
 
     # Bind both scans to the RESOLVED version directories: the snapshot
     # stays complete across one subsequent compact (indexio retention),
@@ -389,4 +557,51 @@ def query_postings_index(
     return bm25_topk_from_index(
         postings, (int(row["n"]), float(row["avgdl"])), query, k,
         id_col=m["id_col"], k1=k1, b=b,
+    )
+
+
+def _query_champions(
+    spark, path: str, query: str, k: int, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """Champions-mode scorer: per query term, at most champion_n
+    impact-ordered postings + one exact-df row — cost bounded by the
+    tier size, independent of the term's full posting-list length.
+    A missing champions tier (index built before the tier existed)
+    fails loudly; compact the index once to materialize it."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    champ_dir, cm = _champ_snapshot(path)
+    terms = sorted(set(_py_tokens(query)))
+    if not terms:
+        raise ValueError("query produced no tokens")
+    hits = spark.read.parquet(champ_dir).filter(F.col("term").isin(terms))
+    # exact df per term (idf from the truncated champion slice would be
+    # wrong for any term with df > champion_n) — a ≤|terms|-row slice
+    # of the term-sorted stats table, row-group skipped like postings
+    df_t = (
+        spark.read.parquet(current_version_dir(os.path.join(path, "termstats")))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    scored = hits.join(F.broadcast(df_t), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(cm["n_docs"]) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(cm["avgdl"])
+    )
+    per_term = scored.select(
+        F.col(id_col), (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
     )

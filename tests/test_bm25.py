@@ -141,3 +141,96 @@ def test_postings_index_replay_and_compaction(spark, tmp_path):
     from lakehouse_dba_tools_spark.similarity.bm25 import build_inverted_index
 
     assert stats["postings"]["rows"] == build_inverted_index(docs).count()
+
+
+def test_champions_full_tier_equals_exact(spark, sf_dir, tmp_path):
+    """With champion_n covering every term's df, the champions tier IS
+    the postings table — mode='champions' must reproduce mode='exact'
+    bit-for-bit (same stats snapshot: fresh build, no appends)."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, champion_n=docs.count())
+    exact = [
+        tuple(r)
+        for r in query_postings_index(
+            spark, path, "spark merge window join", k=20
+        ).collect()
+    ]
+    champ = [
+        tuple(r)
+        for r in query_postings_index(
+            spark, path, "spark merge window join", k=20, mode="champions"
+        ).collect()
+    ]
+    assert champ == exact
+
+
+def test_champions_single_term_topk_exact_at_small_n(spark, sf_dir, tmp_path):
+    """Single-term guarantee: idf is constant within a term, so impact
+    order = score order — top-k from a champion_n=8 tier equals the
+    exact top-k for any k ≤ 8, even when the term's df is much larger."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, champion_n=8)
+    for term in ("the", "spark", "data"):
+        exact = [
+            tuple(r)
+            for r in query_postings_index(spark, path, term, k=5).collect()
+        ]
+        champ = [
+            tuple(r)
+            for r in query_postings_index(
+                spark, path, term, k=5, mode="champions"
+            ).collect()
+        ]
+        assert champ == exact, term
+
+
+def test_champions_staleness_contract_and_compact_refresh(spark, tmp_path):
+    """Appends are visible to exact mode immediately; champions mode
+    reflects the last build/compact (documented tier staleness), and a
+    compact folds the append into the tier."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        append_to_postings_index,
+        build_postings_index,
+        compact_postings_index,
+        query_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "query engines join tables"),
+        ],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, champion_n=100)
+    newdoc = spark.createDataFrame(
+        [(3, "glacierworm spark appears here")], "doc_id int, text string"
+    )
+    append_to_postings_index(newdoc, path)
+    # exact mode sees the appended doc at once
+    assert {r.doc_id for r in query_postings_index(spark, path, "glacierworm").collect()} == {3}
+    # champions mode still answers from the pre-append tier
+    assert query_postings_index(spark, path, "glacierworm", mode="champions").count() == 0
+    compact_postings_index(spark, path)
+    got = query_postings_index(spark, path, "glacierworm", mode="champions")
+    assert {r.doc_id for r in got.collect()} == {3}
+    # and post-compact the two modes agree on a shared-stats query
+    ex = [tuple(r) for r in query_postings_index(spark, path, "spark", k=3).collect()]
+    ch = [
+        tuple(r)
+        for r in query_postings_index(spark, path, "spark", k=3, mode="champions").collect()
+    ]
+    assert ch == ex

@@ -122,6 +122,9 @@ def main() -> None:
                 bm25[1]["rare_query_sec"] / bm25[0]["rare_query_sec"], 2),
             "bm25_common_term_query": round(
                 bm25[1]["common_query_sec"] / bm25[0]["common_query_sec"], 2),
+            "bm25_common_term_champions": round(
+                bm25[1]["common_champions_query_sec"]
+                / bm25[0]["common_champions_query_sec"], 2),
         },
         "ivf": ivf,
         "bm25": bm25,
@@ -192,7 +195,10 @@ def run_bm25_scale(spark, n: int, passes: int) -> dict:
     """BM25 postings at corpus n: a RARE-term query (df fixed at 20
     planted docs regardless of corpus — the skip-index claim: cost
     tracks matching postings, not corpus) vs a COMMON-term query
-    (df ∝ N — posting-list length is the honest lower bound)."""
+    (df ∝ N — posting-list length is the honest lower bound for the
+    EXACT path) vs the same common-term query through the CHAMPIONS
+    tier (impact-ordered top-champion_n per term — the sublinear path:
+    cost bounded by the tier, independent of df)."""
     from lakehouse_dba_tools_spark.similarity.bm25 import (
         build_postings_index,
         query_postings_index,
@@ -208,14 +214,14 @@ def run_bm25_scale(spark, n: int, passes: int) -> dict:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    out = {"n_docs": n}
-    best = {"build": None, "rare": None, "common": None}
+    out = {"n_docs": n, "champion_n": 64}
+    best = {"build": None, "rare": None, "common": None, "champ": None}
     for _ in range(passes):
         tmp = tempfile.mkdtemp(prefix="bm25_scale_")
         try:
             path = os.path.join(tmp, "bm25")
             t = time.time()
-            build_postings_index(docs, path)
+            build_postings_index(docs, path, champion_n=64)
             el = time.time() - t
             best["build"] = el if best["build"] is None else min(best["build"], el)
             t = time.time()
@@ -232,11 +238,18 @@ def run_bm25_scale(spark, n: int, passes: int) -> dict:
             best["common"] = (
                 el if best["common"] is None else min(best["common"], el)
             )
+            t = time.time()
+            out["champ_rows"] = query_postings_index(
+                spark, path, "w1 w2 w3", k=10, mode="champions"
+            ).count()
+            el = time.time() - t
+            best["champ"] = el if best["champ"] is None else min(best["champ"], el)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     out["build_sec"] = round(best["build"], 2)
     out["rare_query_sec"] = round(best["rare"], 2)
     out["common_query_sec"] = round(best["common"], 2)
+    out["common_champions_query_sec"] = round(best["champ"], 2)
     return out
 
 
