@@ -2727,17 +2727,26 @@ def tpcds_q87_store_only_customers(spark: SparkSession, sf_dir: str) -> DataFram
         "store_returns",
     ),
 )
-def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpcds_q49_worst_return_ratios(
+    spark: SparkSession, sf_dir: str, _lazy: bool = False
+) -> DataFrame:
     """TPC-DS q49 shape: per-channel worst return ratios — each channel
     left-joins its returns fact to its sales fact on (item, order/
     ticket), aggregates quantity- and currency-return ratios per item,
-    ranks both ratios, keeps rank ≤ 10, and unions the three small
-    ranked results. (The spec's >10000-return-amount guard is scaled
-    away for the generator's decimal(7,2) money domain.)
+    rank-filters each ratio's top-10 leg map-side (WindowGroupLimit),
+    derives the survivors' dual ranks with a broadcast count-aggregate,
+    and unions the three small results. (The spec's >10000-return-
+    amount guard is scaled away for the generator's decimal(7,2) money
+    domain.)
 
     Scale: each sales↔returns join is keyed by the fact's natural key
     (order+item) — co-partitioned shuffle, no cross-channel fact join;
-    ranking windows run over per-item rollups only.
+    neither rank needs a full single-partition sort (the legs forward
+    per-partition top-10+ties only). ``_lazy=True`` returns the
+    unmaterialized plan (the plan-pin tests read it); the default
+    eager path caches the ≤|item| rollup so its three consumers share
+    one fact-pipeline execution, collects the ≤ ~20 survivors per
+    channel, and unpersists.
     """
     _gate(spark)
     ss, dd, _ = _star(spark, sf_dir)
@@ -2749,6 +2758,7 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
     dates = dd.where((F.col("d_year") == 1999) & (F.col("d_moy") == 12)).select(
         "d_date_sk"
     )
+    _pins: list[DataFrame] = []
 
     def channel(sales, ret, s_item, s_key, s_date, s_qty, s_paid, r_item, r_key, r_qty, r_amt, label):
         s = sales.join(dates, F.col(s_date) == F.col("d_date_sk")).where(
@@ -2776,20 +2786,69 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("ret_qty") / F.col("sold_qty")).alias("return_ratio"),
             (F.col("ret_amt") / F.col("paid_amt")).alias("currency_ratio"),
         )
-        ranked = ratios.select(
-            F.lit(label).alias("channel"),
-            "item",
-            F.round("return_ratio", 4).cast("double").alias("return_ratio"),
-            F.rank()
-            .over(Window.orderBy(F.col("return_ratio").desc(), F.col("item")))
-            .cast("int")
-            .alias("return_rank"),
-            F.rank()
-            .over(Window.orderBy(F.col("currency_ratio").desc(), F.col("item")))
-            .cast("int")
-            .alias("currency_rank"),
+        if not _lazy:
+            ratios = ratios.persist()
+            _pins.append(ratios)
+        # Two global ranks under an OR-filter, restructured so neither
+        # needs an unpruned single-partition sort: each leg filters
+        # rank <= 10 DIRECTLY above its own window, which Spark
+        # rewrites to a WindowGroupLimit — every map partition forwards
+        # only its local top-10+ties into the final sort, instead of
+        # the whole per-item rollup. (item is unique per channel, so
+        # rank over (ratio desc, item) is a strict total order.)
+        # The rollup feeds three consumers (two legs + the rank
+        # count-aggregate); without an explicit cache Spark re-executes
+        # the fact pipeline per consumer (measured 2× wall at sf0.1 —
+        # exchange reuse does not cover all three subtrees), so the
+        # eager path pins the ≤|item| rollup, collects the bounded
+        # survivors (≤ ~20 rows/channel), and unpersists — cache
+        # hygiene identical to the index lifecycle carriers.
+        def leg(col):
+            w = Window.orderBy(F.col(col).desc(), F.col("item"))
+            return (
+                ratios.withColumn("_rk", F.rank().over(w))
+                .where(F.col("_rk") <= 10)
+                .drop("_rk")
+            )
+
+        # candidates = exactly the rows the OR-filter kept (≤ ~20+ties;
+        # the legs carry both ratio columns, so no re-join needed)
+        cand = (
+            leg("return_ratio")
+            .union(leg("currency_ratio"))
+            .distinct()
+            .select(
+                F.col("item").alias("c_item"),
+                F.col("return_ratio").alias("c_rr"),
+                F.col("currency_ratio").alias("c_cr"),
+            )
         )
-        return ranked.where((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))
+        # Each survivor still reports BOTH ranks (one may be > 10).
+        # rank = 1 + |rows strictly ahead| under the strict total
+        # order — a broadcast count-aggregate over the rollup (tiny
+        # exchange: ≤ |candidates| groups), never a full global sort.
+        ahead = lambda col, cv: (F.col(col) > F.col(cv)) | (
+            (F.col(col) == F.col(cv)) & (F.col("item") < F.col("c_item"))
+        )
+        counted = (
+            ratios.crossJoin(F.broadcast(cand))
+            .groupBy("c_item", "c_rr")
+            .agg(
+                (1 + F.sum(ahead("return_ratio", "c_rr").cast("long")))
+                .cast("int")
+                .alias("return_rank"),
+                (1 + F.sum(ahead("currency_ratio", "c_cr").cast("long")))
+                .cast("int")
+                .alias("currency_rank"),
+            )
+        )
+        return counted.select(
+            F.lit(label).alias("channel"),
+            F.col("c_item").alias("item"),
+            F.round("c_rr", 4).cast("double").alias("return_ratio"),
+            "return_rank",
+            "currency_rank",
+        )
 
     out = (
         channel(ws, wr, "ws_item_sk", "ws_order_number", "ws_sold_date_sk",
@@ -2804,7 +2863,15 @@ def tpcds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame
                     "ss_quantity", "ss_net_paid", "sr_item_sk", "sr_ticket_number",
                     "sr_return_quantity", "sr_return_amt", "store"))
     )
-    return out.orderBy("channel", "return_rank", "currency_rank", "item").limit(20)
+    out = out.orderBy("channel", "return_rank", "currency_rank", "item").limit(20)
+    if _lazy:
+        return out
+    try:
+        rows = out.collect()  # ONE job materializes all three rollup pins
+    finally:
+        for p in _pins:
+            p.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

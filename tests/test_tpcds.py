@@ -494,8 +494,14 @@ def test_q87_except_on_distinct_triples(spark, sf_dir):
 def test_q49_ranks_over_reduced_channels(spark, sf_dir):
     """q49: each channel joins returns to sales on the natural key and
     aggregates per item BEFORE ranking; the union carries only ranked
-    per-item rows."""
-    plan = _plan(spark, "tpcds_q49_worst_return_ratios", sf_dir)
+    per-item rows. (Reads the _lazy plan — the registered form
+    materializes the same plan over the pinned rollup cache.)"""
+    from lakehouse_dba_tools_spark.queries_tpcds import tpcds_q49_worst_return_ratios
+
+    df = tpcds_q49_worst_return_ratios(spark, sf_dir, _lazy=True)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "Union" in plan
     assert plan.count("Window") >= 3
     assert "HashAggregate" in plan
@@ -719,3 +725,26 @@ def test_q64_fold_exchange_ceiling(spark, sf_dir):
     plan = _plan(spark, "tpcds_q64_cross_sales_yoy", sf_dir)
     assert _op_count(plan, "Exchange") <= 8
     assert _op_count(plan, "Range") <= 18
+
+
+def test_q49_rank_legs_prune_map_side(spark, sf_dir):
+    """q49's dual global ranks under an OR-filter: each rank leg
+    filters rank <= 10 directly above its window, so Spark rewrites it
+    to a WindowGroupLimit — map partitions forward only their local
+    top-10+ties into the single-partition sort instead of the whole
+    per-item rollup. The survivors' second rank comes from a broadcast
+    count-aggregate, never an unpruned global sort. The registered
+    (eager) form materializes through the same plan over a pinned
+    rollup cache; _lazy=True exposes that plan for pinning — and the
+    eager form's answer must match the lazy plan's."""
+    from lakehouse_dba_tools_spark.queries_tpcds import tpcds_q49_worst_return_ratios
+
+    df = tpcds_q49_worst_return_ratios(spark, sf_dir, _lazy=True)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert _op_count(plan, "WindowGroupLimit") >= 2
+    eager = QUERIES["tpcds_q49_worst_return_ratios"](spark, sf_dir)
+    assert sorted(map(tuple, eager.collect())) == sorted(map(tuple, df.collect()))
+    # cache hygiene: the eager path unpersists its rollup pins
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
