@@ -429,3 +429,364 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "chunk")
     )
+
+
+def _e2e_oracle() -> str:
+    """End-to-end corpus-build oracle: DuckDB re-derives the surviving
+    doc set through every stage — cross-batch streaming dedup (exact
+    all-pairs Jaccard restricted to later-vs-earlier replay batches),
+    eval holdout + decontamination, PII redaction (the token counts
+    downstream are over REDACTED text), langid+quality funnel, weighted
+    mixture sampling, and training-window packing — and emits the same
+    funnel + pack-manifest rows the Spark pipeline reports. Shares its
+    fragments with the proven per-stage oracles (streaming_ingest_dedup,
+    doc_decontamination, doc_pii_redaction, training_corpus_funnel,
+    corpus_mixture_sample, corpus_pack_chunks)."""
+    from lakehouse_dba_tools_spark.functions import text as TX
+
+    toksr = r"string_split_regex(trim(tr), '\s+')"
+    hits = {
+        lang: (
+            f"len(list_filter(tl, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(TX.STOPWORDS.items())
+    }
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    case = " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in hits)
+    return rf"""
+    WITH bs AS (SELECT (count(*) + 3) // 4 AS b FROM documents),
+    sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    dup AS (
+      SELECT DISTINCT a.doc_id FROM sh a, sh b, bs
+      WHERE (a.doc_id // bs.b) > (b.doc_id // bs.b)
+        AND len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    cont AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh
+            WHERE doc_id % {EVAL_MOD} <> 0) t JOIN ev USING (g)
+    ),
+    base AS (
+      SELECT d.doc_id, d.source, len({_D_TOKS}) AS n_tok0,
+             (dup.doc_id IS NULL) AS a1,
+             (dup.doc_id IS NULL AND d.doc_id % {EVAL_MOD} <> 0
+              AND cont.doc_id IS NULL) AS a2,
+             regexp_replace(regexp_replace(
+               d.text || ' contact user' || CAST(d.doc_id AS VARCHAR)
+                      || '@example.com or +1 555 '
+                      || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || '.',
+               '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') AS tr
+      FROM documents d
+      LEFT JOIN dup ON d.doc_id = dup.doc_id
+      LEFT JOIN cont ON d.doc_id = cont.doc_id
+    ),
+    toked AS (
+      SELECT doc_id, source, n_tok0, a1, a2, tr, {toksr} AS toksr,
+             list_transform({toksr}, t -> lower(t)) AS tl
+      FROM base
+    ),
+    feats AS (
+      SELECT doc_id, source, n_tok0, a1, a2, len(toksr) AS n_tokr,
+             length(regexp_replace(tr, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(tr) AS alpha,
+             len(list_filter(tl, t -> t IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+               / len(toksr) AS stop,
+             list_sum(list_transform(toksr, t -> length(t)))::DOUBLE
+               / len(toksr) AS awl,
+             {hit_cols}
+      FROM toked
+    ),
+    m AS (SELECT *, {mx} AS mx FROM feats),
+    flags AS (
+      SELECT doc_id, source, n_tok0, n_tokr, a1, a2,
+             a2 AND (CASE WHEN mx = 0 THEN 'und' {case} END) = 'en'
+                AND round(0.3 * (CASE WHEN n_tokr BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + 0.3 * least(alpha * 2, 1.0) + 0.2 * least(stop * 5, 1.0)
+                      + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6)
+                  >= 0.5 AS a4
+      FROM m
+    ),
+    stats AS (
+      SELECT source,
+             (CAST(substr(source, 4) AS BIGINT) % 4 + 1)::DOUBLE AS w,
+             sum(n_tokr)::BIGINT AS n_tokens
+      FROM flags WHERE a4 GROUP BY source
+    ),
+    tot AS (SELECT sum(w) AS sum_w, sum(n_tokens)::DOUBLE AS total_tokens FROM stats),
+    rates AS (
+      SELECT s.source,
+             least(1.0, {MIX_BUDGET_FRAC} * t.total_tokens * s.w / t.sum_w
+                        / s.n_tokens) AS rate
+      FROM stats s CROSS JOIN tot t
+    ),
+    samp AS (
+      SELECT f.*,
+             f.a4 AND CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)
+                           || '{MIX_SALT}'), 1, 8)) AS BIGINT)
+                      / 4294967296.0 < r.rate AS a5
+      FROM flags f LEFT JOIN rates r USING (source)
+    ),
+    c AS (
+      SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, n_tokr,
+             sum(n_tokr) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM samp WHERE a5 AND n_tokr > 0
+    ),
+    e AS (
+      SELECT shard, doc_id, cum - n_tokr AS strt, cum,
+             unnest(generate_series(CAST((cum - n_tokr) // {PACK_CAP} AS BIGINT),
+                                    CAST((cum - 1) // {PACK_CAP} AS BIGINT))) AS chunk
+      FROM c
+    ),
+    pack AS (
+      SELECT '60_pack' AS stage, shard::BIGINT AS shard, chunk::BIGINT AS chunk,
+             count(*)::BIGINT AS n_docs,
+             CAST(sum(least(cum, (chunk+1)*{PACK_CAP})
+                      - greatest(strt, chunk*{PACK_CAP})) AS BIGINT) AS n_tokens,
+             min(doc_id)::BIGINT AS first_doc
+      FROM e GROUP BY shard, chunk
+    ),
+    funnel AS (
+      SELECT '00_raw' AS stage, -1::BIGINT AS shard, -1::BIGINT AS chunk,
+             count(*)::BIGINT AS n_docs,
+             coalesce(sum(n_tok0), 0)::BIGINT AS n_tokens,
+             -1::BIGINT AS first_doc FROM samp
+      UNION ALL
+      SELECT '10_crossbatch_dedup', -1, -1, count(*) FILTER (a1)::BIGINT,
+             coalesce(sum(n_tok0) FILTER (a1), 0)::BIGINT, -1 FROM samp
+      UNION ALL
+      SELECT '20_decontam', -1, -1, count(*) FILTER (a2)::BIGINT,
+             coalesce(sum(n_tok0) FILTER (a2), 0)::BIGINT, -1 FROM samp
+      UNION ALL
+      SELECT '30_pii_redacted', -1, -1, count(*) FILTER (a2)::BIGINT,
+             coalesce(sum(n_tokr) FILTER (a2), 0)::BIGINT, -1 FROM samp
+      UNION ALL
+      SELECT '40_quality_en', -1, -1, count(*) FILTER (a4)::BIGINT,
+             coalesce(sum(n_tokr) FILTER (a4), 0)::BIGINT, -1 FROM samp
+      UNION ALL
+      SELECT '50_mixture', -1, -1, count(*) FILTER (a5)::BIGINT,
+             coalesce(sum(n_tokr) FILTER (a5), 0)::BIGINT, -1 FROM samp
+    )
+    SELECT * FROM funnel UNION ALL SELECT * FROM pack
+    """
+
+
+@register("training_corpus_e2e", _e2e_oracle())
+def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's north star as ONE hard-signal flow: raw feed →
+    streaming ingest dedup through the persisted LSH index (real
+    foreachBatch replay, ~4 micro-batches) → eval holdout +
+    decontamination → PII redaction (downstream features are computed
+    over the REDACTED text — the stages genuinely compose) → langid/
+    quality funnel → weighted mixture sample → pack into 2048-token
+    training windows. Output = the per-stage survival funnel plus the
+    full pack manifest in one frame; the DuckDB oracle re-derives every
+    stage from scratch, so one doc surviving (or dying) wrongly
+    anywhere flips the hash.
+
+    Scale shape: the streaming leg is the per-batch-bounded index
+    lifecycle (measured flat per batch at 10× corpus, SCALE.md); every
+    other stage is one scan + broadcast semi-joins; the per-doc feature
+    frame (scalars only, text dropped) is pinned once and every
+    downstream consumer — funnel aggregate, mixture rates, sampling,
+    packing — reads the pin instead of re-running the scan; packing's
+    cumsum is sharded (PACK_SHARDS reducers), never a global window.
+    The bounded output (6 funnel rows + the manifest) is collected and
+    the pin released — same cache hygiene as the index carriers."""
+    from lakehouse_dba_tools_spark.functions import text as TX
+    from lakehouse_dba_tools_spark.operators.sampling import hash_uniform
+    from lakehouse_dba_tools_spark.streaming.ingest_dedup import stream_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # one count job, metadata-cheap
+    pairs = stream_ingest_dedup(
+        spark, docs, batch_size=(n + 3) // 4, threshold=0.5
+    )
+    dup = pairs.select(F.col("id_a").alias("doc_id")).distinct()
+
+    base0 = fan_out(docs)
+    shingled = base0.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("s")
+    )
+    ev = (
+        shingled.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    cont = (
+        shingled.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 "),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("."),
+            ),
+            EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    staged = (
+        base0.join(dup.withColumn("_dup", F.lit(1)), "doc_id", "left")
+        .join(cont.withColumn("_cont", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).alias("n_tok0"),
+            F.col("_dup").isNull().alias("a1"),
+            (
+                F.col("_dup").isNull()
+                & (F.col("doc_id") % EVAL_MOD != 0)
+                & F.col("_cont").isNull()
+            ).alias("a2"),
+            redacted.alias("tr"),
+        )
+        .select(
+            "doc_id", "source", "n_tok0", "a1", "a2", "tr",
+            tokens("tr").alias("toksr"),
+        )
+        .select(
+            "doc_id", "source", "n_tok0", "a1", "a2", "tr", "toksr",
+            F.transform("toksr", lambda t: F.lower(t)).alias("tl"),
+            F.size("toksr").alias("n_tokr"),
+        )
+    )
+    alpha = TX.alpha_ratio("tr")
+    stop = TX.stopword_hits_from_tokens(F.col("tl"), "en") / F.col("n_tokr")
+    awl = F.aggregate("toksr", F.lit(0.0), lambda a, t: a + F.length(t)) / F.col(
+        "n_tokr"
+    )
+    len_ok = F.when((F.col("n_tokr") >= 10) & (F.col("n_tokr") <= 100000), 1.0).otherwise(0.0)
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.3 * len_ok
+        + 0.3 * F.least(alpha * 2, F.lit(1.0))
+        + 0.2 * F.least(stop * 5, F.lit(1.0))
+        + 0.2 * awl_ok,
+        6,
+    )
+    # the pinned frame carries SCALARS only — no text, no token arrays
+    feat = staged.select(
+        "doc_id",
+        "source",
+        "n_tok0",
+        "n_tokr",
+        "a1",
+        "a2",
+        (
+            F.col("a2")
+            & (TX.detect_language_from_tokens(F.col("tl")) == "en")
+            & (quality >= 0.5)
+        ).alias("a4"),
+    ).persist()
+    try:
+        stats = (
+            feat.filter("a4")
+            .groupBy("source")
+            .agg(F.sum("n_tokr").alias("n_tokens"))
+            .withColumn(
+                "w",
+                (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double"),
+            )
+        )
+        tot = stats.agg(
+            F.sum("w").alias("sum_w"),
+            F.sum("n_tokens").cast("double").alias("total_tokens"),
+        )
+        rates = stats.crossJoin(F.broadcast(tot)).select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_BUDGET_FRAC)
+                * F.col("total_tokens")
+                * F.col("w")
+                / F.col("sum_w")
+                / F.col("n_tokens"),
+            ).alias("rate"),
+        )
+        samp = feat.join(F.broadcast(rates), "source", "left").withColumn(
+            "a5",
+            F.col("a4") & (hash_uniform(F.col("doc_id"), MIX_SALT) < F.col("rate")),
+        )
+        frow = samp.agg(
+            F.count("*").alias("n0"),
+            F.coalesce(F.sum("n_tok0"), F.lit(0)).alias("t0"),
+            F.sum(F.col("a1").cast("long")).alias("n1"),
+            F.coalesce(F.sum(F.when(F.col("a1"), F.col("n_tok0"))), F.lit(0)).alias("t1"),
+            F.sum(F.col("a2").cast("long")).alias("n2"),
+            F.coalesce(F.sum(F.when(F.col("a2"), F.col("n_tok0"))), F.lit(0)).alias("t2"),
+            F.coalesce(F.sum(F.when(F.col("a2"), F.col("n_tokr"))), F.lit(0)).alias("t3"),
+            F.sum(F.col("a4").cast("long")).alias("n4"),
+            F.coalesce(F.sum(F.when(F.col("a4"), F.col("n_tokr"))), F.lit(0)).alias("t4"),
+            F.sum(F.col("a5").cast("long")).alias("n5"),
+            F.coalesce(F.sum(F.when(F.col("a5"), F.col("n_tokr"))), F.lit(0)).alias("t5"),
+        ).collect()[0]
+        w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        c = (
+            samp.filter(F.col("a5") & (F.col("n_tokr") > 0))
+            .select(
+                (F.col("doc_id") % PACK_SHARDS).alias("shard"), "doc_id", "n_tokr"
+            )
+            .withColumn("cum", F.sum("n_tokr").over(w))
+            .withColumn("strt", F.col("cum") - F.col("n_tokr"))
+        )
+        e = c.select(
+            "shard",
+            "doc_id",
+            "strt",
+            "cum",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("strt") / PACK_CAP),
+                    F.floor((F.col("cum") - 1) / PACK_CAP),
+                )
+            ).alias("chunk"),
+        )
+        pack_rows = (
+            e.groupBy("shard", "chunk")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(
+                    F.least(F.col("cum"), (F.col("chunk") + 1) * PACK_CAP)
+                    - F.greatest(F.col("strt"), F.col("chunk") * PACK_CAP)
+                )
+                .cast("long")
+                .alias("n_tokens"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .collect()
+        )
+    finally:
+        feat.unpersist()
+    rows = [
+        ("00_raw", -1, -1, int(frow["n0"]), int(frow["t0"]), -1),
+        ("10_crossbatch_dedup", -1, -1, int(frow["n1"]), int(frow["t1"]), -1),
+        ("20_decontam", -1, -1, int(frow["n2"]), int(frow["t2"]), -1),
+        ("30_pii_redacted", -1, -1, int(frow["n2"]), int(frow["t3"]), -1),
+        ("40_quality_en", -1, -1, int(frow["n4"]), int(frow["t4"]), -1),
+        ("50_mixture", -1, -1, int(frow["n5"]), int(frow["t5"]), -1),
+    ] + [
+        ("60_pack", int(r["shard"]), int(r["chunk"]), int(r["n_docs"]),
+         int(r["n_tokens"]), int(r["first_doc"]))
+        for r in pack_rows
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, shard long, chunk long, n_docs long, n_tokens long, first_doc long",
+    ).orderBy("stage", "shard", "chunk")
