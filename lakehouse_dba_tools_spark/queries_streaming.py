@@ -255,7 +255,10 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     append visibility, and LSH recall are all hash-proven on the
     bounded replay. The batch size scales with the corpus (always ~4
     replay batches: at the gate, ceil(500/4) = 125), keeping the
-    replay's fixed per-micro-batch cost bounded at every SF."""
+    replay's fixed per-micro-batch cost bounded at every SF.
+    Rotated to trailing in round 9 (r8 row banked):
+    training_corpus_e2e drives this exact sink + ingest_batch path as
+    its first stage under a stricter composed oracle."""
     from lakehouse_dba_tools_spark.sources.tables import load_table
     from lakehouse_dba_tools_spark.streaming.ingest_dedup import stream_ingest_dedup
 

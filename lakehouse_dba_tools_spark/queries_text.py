@@ -1038,8 +1038,8 @@ def index_family_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer) and pins version = 1 as the lifecycle CONTRACT: build
     publishes v0 and exactly one compaction follows (the version pin
     is what proves compact republished rather than rewrote in place).
-    Trailing observability query — the lifecycle carriers hold the
-    checked rows."""
+    Checked since round 9 — alongside the lifecycle carriers it is the
+    compaction row for all three indexes."""
     import shutil
     import tempfile
 

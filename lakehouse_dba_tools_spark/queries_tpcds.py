@@ -8998,16 +8998,19 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-8 checked window over the extended corpus (VERDICT r7 directive
-# #5): a bench-bounded ~20-text slice of CORPUS_EXT carries hard driver
-# signal each round; the window SHIFTS each round so the whole 72-text
-# tail cycles through checked status. Chosen off the heavy composites
-# (q04/q14/q23/q64/q67/q74/q78/q95 stay trailing-only — their SEMANTICS
-# already carry checked rows via the DataFrame tier's folded forms;
-# these texts' parser shapes run once per diffcheck at the gate SF).
-EXT_CHECKED_R8: tuple[str, ...] = (
-    "q28", "q30", "q31", "q32", "q33", "q34", "q35", "q36", "q38", "q39",
-    "q40", "q41", "q44", "q45", "q46", "q47", "q49", "q50", "q51", "q53",
+# Rotating checked window over the extended corpus (VERDICT r7
+# directive #5): a bench-bounded ~20-text slice of CORPUS_EXT carries
+# hard driver signal each round; the window SHIFTS each round so the
+# whole 72-text tail cycles through checked status. Chosen off the
+# heavy composites (q04/q14/q23/q64/q67/q74/q78/q95 stay trailing-only
+# — their SEMANTICS already carry checked rows via the DataFrame
+# tier's folded forms; these texts' parser shapes run once per
+# diffcheck at the gate SF).
+# Window history: R8 = q28..q53 (banked green in CORRECTNESS_r08);
+# R9 = the next 20 sorted texts after q53.
+EXT_CHECKED_R9: tuple[str, ...] = (
+    "q54", "q56", "q57", "q58", "q59", "q60", "q63", "q65", "q66", "q69",
+    "q70", "q71", "q72", "q75", "q76", "q77", "q80", "q81", "q82", "q83",
 )
 
 
@@ -9020,23 +9023,25 @@ def _sqltext_ext_checked_oracle() -> str:
 
     units = ",\n".join(
         f"u_{name} AS (SELECT count(*) AS c FROM (\n{CORPUS_EXT[name]}\n) t_{name})"
-        for name in sorted(EXT_CHECKED_R8)
+        for name in sorted(EXT_CHECKED_R9)
     )
     selects = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS unit_name, CAST(c AS BIGINT) AS n_rows FROM u_{name}"
-        for name in sorted(EXT_CHECKED_R8)
+        for name in sorted(EXT_CHECKED_R9)
     )
     return with_tables(f"WITH {units}\n{selects}\nORDER BY unit_name", *CORE_TABLES)
 
 
 @register("tpcds_sqltext_extended_checked", _sqltext_ext_checked_oracle())
 def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-8 checked window of the extended official-SQL-text
-    corpus (EXT_CHECKED_R8, 20 texts): correlated/scalar subqueries
-    (q30/q32/q44/q45/q81-shapes), grouping-sets rollups (q36),
-    INTERSECT chains (q38), inventory spreads (q39), the deep OR
-    attribute probe (q41), lag/lead windows (q47/q51), return-latency
-    buckets (q50), and channel unions (q33/q49/q53). Each text runs
+    """The round-9 checked window of the extended official-SQL-text
+    corpus (EXT_CHECKED_R9, the next 20 sorted texts after round 8's
+    q28..q53 slice): cross-channel CTE unions (q54/q56/q60/q71/q76),
+    year-over-year county/web spreads (q57/q59), catalog-vs-store
+    rollups (q58/q65), grouping-sets hierarchies (q70/q77/q86-shape),
+    the inventory×demographics mega-join (q72), channel return unions
+    (q75/q80/q83), correlated customer probes (q69/q81), and
+    inventory-age buckets (q82). Each text runs
     ONCE through the concurrent workload harness (unit_parallel=16 —
     20 sequential texts cost 47s at sf0.1 where the overlapped run
     costs ~a third: planning/codegen and scan stages interleave),
@@ -9064,7 +9069,7 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
     try:
         units = [
             SqlUnit(name, CORPUS_EXT[name], parallel=1, repeats=1)
-            for name in sorted(EXT_CHECKED_R8)
+            for name in sorted(EXT_CHECKED_R9)
         ]
         results = run_workload(spark, units, unit_parallel=16, retries=1)
         out = (

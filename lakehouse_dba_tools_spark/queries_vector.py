@@ -107,7 +107,10 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ivf_index_incremental_topk", _TOPK_ORACLE)
 def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL persisted-index IVF lifecycle (similarity/index.py) in
-    the exact setting: build the index from 90% of the corpus (vec_id
+    the exact setting (rotated to trailing in round 9, r8 row banked —
+    the IVF row's checked carriers are ivf_rebuild_invariance_topk,
+    streaming_ingest_ann, and index_family_describe, which covers the
+    compact leg): build the index from 90% of the corpus (vec_id
     % 10 != 0), APPEND the remaining 10% with the stored quantizer,
     REPLAY that append (the at-least-once foreachBatch failure mode —
     duplicate list rows land on disk), COMPACT (folds the replay,
@@ -644,8 +647,8 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_rebuild_invariance_topk", _TOPK_ORACLE)
 def ivf_rebuild_invariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF drift maintenance under the oracle (trailing; the checked
-    lifecycle carrier is ivf_index_incremental_topk): build the index
+    """IVF drift maintenance under the oracle (checked since round 9 —
+    the strongest index-integrity claim in the repo): build the index
     on a BIASED half of the corpus (vec_id < n/2 — the frozen
     quantizer never saw the rest), append the other half, REBUILD
     (similarity/index.py rebuild_ivf_index: re-train on the stored
@@ -716,8 +719,10 @@ def streaming_ingest_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer exact, so the oracle is brute-force top-k restricted to
     earlier batches: batch ordering, append visibility, quantizer
     placement, and rank determinism are all hash-proven on the bounded
-    replay. Trailing query (diffcheck-only); the checked IVF row is
-    ivf_index_incremental_topk."""
+    replay. Checked since round 9 (with ivf_rebuild_invariance_topk and
+    index_family_describe it carries the IVF lifecycle row;
+    ivf_index_incremental_topk rotated to trailing with its r8 row
+    banked)."""
     from lakehouse_dba_tools_spark.streaming.ingest_ann import stream_ingest_ann
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

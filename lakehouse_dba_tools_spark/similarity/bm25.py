@@ -262,13 +262,17 @@ def build_postings_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    champion_n: int = 64,
+    champion_n: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> None:
-    """Materialize the postings index (+ the impact-ordered champions
-    tier, sized ``champion_n`` per term with ``k1``/``b`` as the
-    ordering params). Overwrites ``path``."""
+    """Materialize the postings index. Overwrites ``path``. Pass
+    ``champion_n`` to also build the impact-ordered champions tier
+    (top-N per term, ordered under ``k1``/``b``) — opt-in because the
+    tier costs one extra postings shuffle per build/compact and only
+    pays off when common-term queries use mode='champions'. An index
+    built without it keeps exactly the pre-tier cost profile; compact
+    refreshes the tier only where one exists."""
     import json
     import os
 
@@ -279,7 +283,8 @@ def build_postings_index(
         _write_postings(docs, path, text_col, id_col, fresh=True)
         with open(os.path.join(path, BM25_META), "w") as fh:
             json.dump({"id_col": id_col, "text_col": text_col}, fh)
-        _refresh_champions(spark, path, id_col, champion_n, k1, b)
+        if champion_n is not None:
+            _refresh_champions(spark, path, id_col, champion_n, k1, b)
 
 
 def append_to_postings_index(docs: DataFrame, path: str) -> None:
@@ -428,10 +433,10 @@ def compact_postings_index(spark, path: str) -> dict:
     duplicates — keyed (term, doc_id) for postings, (doc_id) for
     doclens, safe because replays write identical rows — restore the
     term sort (appends interleave term ranges across files, weakening
-    row-group skipping), bin-pack the per-batch small files, and
-    REFRESH the champions tier + termstats so champions-mode queries
-    see everything appended since the last refresh (the tier-merge
-    step of an impact-ordered index). Publishes each table as a new
+    row-group skipping), bin-pack the per-batch small files, and —
+    where the opt-in champions tier exists — refresh it + termstats so
+    champions-mode queries see everything appended since the last
+    refresh (the tier-merge step of an impact-ordered index). Publishes each table as a new
     version behind one atomic pointer flip under the index writer lock
     (appends queue behind it). Returns {table: files_before/
     files_after/rows}."""
@@ -472,15 +477,16 @@ def compact_postings_index(spark, path: str) -> dict:
                 "rows": rows,
             }
             spark.catalog.refreshByPath(live)
-        # champions params carry over from the current tier (defaults
-        # for a legacy index that predates the tier — compacting one
-        # upgrades it)
+        # champions tier is opt-in: refresh it (params carried from the
+        # current tier) only where the build created one
         try:
             _, cm = _champ_snapshot(path)
-            cn, k1, b = cm["champion_n"], cm["k1"], cm["b"]
         except FileNotFoundError:
-            cn, k1, b = 64, 1.2, 0.75
-        _refresh_champions(spark, path, id_col, cn, k1, b)
+            cm = None
+        if cm is not None:
+            _refresh_champions(
+                spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+            )
     return out
 
 
@@ -566,8 +572,8 @@ def _query_champions(
     """Champions-mode scorer: per query term, at most champion_n
     impact-ordered postings + one exact-df row — cost bounded by the
     tier size, independent of the term's full posting-list length.
-    A missing champions tier (index built before the tier existed)
-    fails loudly; compact the index once to materialize it."""
+    A missing champions tier (the tier is opt-in) fails loudly;
+    rebuild with ``champion_n`` set to materialize it."""
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
