@@ -108,6 +108,16 @@ def main() -> None:
     a, b = results
     ivf = [run_ivf_scale(spark, 5_000, 16, passes),
            run_ivf_scale(spark, 50_000, 160, passes)]
+    # Optional 100× point (build is ~3-4 min): nlist ∝ N holds list
+    # size constant, so the query-side claim is "flat beyond probe
+    # saturation" — the 1×→10× ratio is inflated by the tiny baseline
+    # (a 20-query × nprobe=4 batch can only probe 16 lists at 1× but
+    # ~66 of 160 at 10×; breadth is CAPPED at 80 lists forever, so
+    # 10×→100× is the honest unit). Measured 2026-08-15: 10×→100×
+    # query 2.94s→3.13s (1.06×) with the targeted scan vs 5.66s for a
+    # full-listing scan over 1600 cid dirs (SCALE.md round 9).
+    if os.environ.get("SCALE_RUN_IVF_100X"):
+        ivf.append(run_ivf_scale(spark, 500_000, 1600, passes))
     bm25 = [run_bm25_scale(spark, 5_000, passes),
             run_bm25_scale(spark, 50_000, passes)]
     summary = {
