@@ -113,3 +113,39 @@ def test_pack_chunks_conservation(spark, sf_dir):
         for r in rows[:-1]:
             assert r.n_tokens == PACK_CAP, (shard, r.chunk)
         assert 0 < rows[-1].n_tokens <= PACK_CAP
+
+
+def test_training_corpus_e2e_invariants(spark, sf_dir):
+    """The end-to-end pipeline's internal consistency, independent of
+    the oracle: the funnel is monotonically non-increasing in docs
+    (with the PII stage a pure transform — same doc count, different
+    token count), the pack manifest conserves the sampled stage's
+    tokens exactly, and every window except each shard's tail is full."""
+    from lakehouse_dba_tools_spark.queries_curation import (
+        PACK_CAP,
+        training_corpus_e2e,
+    )
+
+    out = training_corpus_e2e(spark, sf_dir).collect()
+    funnel = {r.stage: r for r in out if r.stage != "60_pack"}
+    pack = [r for r in out if r.stage == "60_pack"]
+
+    order = ["00_raw", "10_crossbatch_dedup", "20_decontam", "40_quality_en", "50_mixture"]
+    counts = [funnel[s].n_docs for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > counts[-1] > 0  # every stage drops something real
+    # PII is a transform: same docs as decontam, token count shifts
+    assert funnel["30_pii_redacted"].n_docs == funnel["20_decontam"].n_docs
+    assert funnel["30_pii_redacted"].n_tokens != funnel["20_decontam"].n_tokens
+
+    # packing conserves the sampled tokens exactly
+    assert sum(r.n_tokens for r in pack) == funnel["50_mixture"].n_tokens
+    # every non-tail window is exactly PACK_CAP tokens
+    by_shard: dict = {}
+    for r in pack:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.chunk)
+        for r in rows[:-1]:
+            assert r.n_tokens == PACK_CAP, (shard, r.chunk)
+        assert 0 < rows[-1].n_tokens <= PACK_CAP

@@ -739,3 +739,49 @@ def test_ingest_batch_supports_string_doc_ids(spark, tmp_path):
     got = ingest_batch(spark, batch, path, threshold=0.5)
     assert dict(got.dtypes)["id_a"] == "string"
     assert {(r.id_a, r.id_b) for r in got.collect()} == {("c3", "a1")}
+
+
+def test_lsh_index_migrates_legacy_flat_layout_end_to_end(spark, tmp_path):
+    """A pre-versioning index (plain directories at the live paths) is
+    migrated by the first locked writer: compaction heals each table to
+    <live>.v0 + pointer and publishes v1, and queries keep answering
+    identically before and after (round-8 ADVICE: publish over a
+    non-symlink live dir used to crash ENOTEMPTY)."""
+    import os
+    import shutil
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        query_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    # simulate the legacy flat layout: replace each live symlink with a
+    # real directory holding the same files
+    for sub in ("bands", "shash"):
+        live = os.path.join(path, sub)
+        resolved = os.path.realpath(live)
+        os.remove(live)
+        shutil.copytree(resolved, live, symlinks=False)
+        shutil.rmtree(resolved)
+    assert not os.path.islink(os.path.join(path, "bands"))
+
+    want = {(r.id_a, r.id_b) for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()}
+    assert want == {(10, 1)}
+    compact_lsh_index(spark, path)  # first locked writer migrates
+    assert os.path.islink(os.path.join(path, "bands"))
+    got = {(r.id_a, r.id_b) for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()}
+    assert got == want
