@@ -128,6 +128,8 @@ def main() -> None:
             "compact": round(b["compact_sec"] / a["compact_sec"], 2),
             "ivf_query_fixed_list_size": round(
                 ivf[1]["query_sec"] / ivf[0]["query_sec"], 2),
+            "ivf_single_query": round(
+                ivf[1]["single_query_sec"] / ivf[0]["single_query_sec"], 2),
             "bm25_rare_term_query": round(
                 bm25[1]["rare_query_sec"] / bm25[0]["rare_query_sec"], 2),
             "bm25_common_term_query": round(
@@ -180,7 +182,7 @@ def run_ivf_scale(spark, n: int, n_centroids: int, passes: int) -> dict:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = {"n_vectors": n, "n_centroids": n_centroids, "nprobe": 4}
-    best = {"build": None, "query": None}
+    best = {"build": None, "query": None, "query1": None}
     for _ in range(passes):
         tmp = tempfile.mkdtemp(prefix="ivf_scale_")
         try:
@@ -193,11 +195,20 @@ def run_ivf_scale(spark, n: int, n_centroids: int, passes: int) -> dict:
             n_rows = query_ivf_index(spark, queries, path, k=5, nprobe=4).count()
             el = time.time() - t
             best["query"] = el if best["query"] is None else min(best["query"], el)
+            # the per-QUERY unit: one query probes exactly nprobe lists
+            # at every scale (constant breadth and bytes under the
+            # nlist ∝ N law) — the 20-query batch above saturates a
+            # small baseline's list count, inflating its 1×→10× ratio
+            t = time.time()
+            query_ivf_index(spark, queries.limit(1), path, k=5, nprobe=4).count()
+            el = time.time() - t
+            best["query1"] = el if best["query1"] is None else min(best["query1"], el)
             out["result_rows"] = n_rows
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     out["build_sec"] = round(best["build"], 2)
     out["query_sec"] = round(best["query"], 2)
+    out["single_query_sec"] = round(best["query1"], 2)
     return out
 
 
