@@ -744,7 +744,10 @@ def test_q49_rank_legs_prune_map_side(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert _op_count(plan, "WindowGroupLimit") >= 2
+    # cache hygiene: the eager path unpersists its rollup pins — start
+    # from a clean cache so other tests' session-scoped entries don't
+    # mask (or fake) a leak
+    spark.catalog.clearCache()
     eager = QUERIES["tpcds_q49_worst_return_ratios"](spark, sf_dir)
     assert sorted(map(tuple, eager.collect())) == sorted(map(tuple, df.collect()))
-    # cache hygiene: the eager path unpersists its rollup pins
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
