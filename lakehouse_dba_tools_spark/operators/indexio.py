@@ -232,9 +232,14 @@ def write_version_meta(version_dir: str, name: str, meta: dict) -> None:
     parameters in one atomic step, so a reader can never pair new data
     with old parameters (or vice versa) during a rebuild. The name
     starts with ``_`` so Spark's file index ignores it in parquet
-    scans."""
-    with open(os.path.join(version_dir, name), "w") as fh:
+    scans. Written via temp + ``os.replace`` so a reader never sees a
+    truncated sidecar — appends UPDATE the current version's sidecar in
+    place (e.g. the IVF cid manifest), and that rewrite must be atomic
+    even though version publication itself is."""
+    tmp = os.path.join(version_dir, name + ".tmp")
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    os.replace(tmp, os.path.join(version_dir, name))
 
 
 def snapshot_meta(live: str, name: str, root: str) -> tuple[str, dict]:

@@ -51,7 +51,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
-    carry_version_meta,
     current_version_dir,
     heal,
     init_versioned,
@@ -89,6 +88,20 @@ def _assigned_rows(
     )
 
 
+def _list_cids(version_dir: str) -> list[int]:
+    """The cid MANIFEST: one writer-side directory listing per mutation
+    (build/append/compact/rebuild, all under the lock) recorded in the
+    version meta, so queries consult the manifest instead of probing
+    the filesystem per probed list — zero reader-side listing/stat
+    calls at any nlist (the object-store story: a query never lists
+    the lists root)."""
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(version_dir)
+        if d.startswith("cid=")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -115,10 +128,12 @@ def build_ivf_index(
         heal(live)
         target = init_versioned(live)
         rows.write.mode("overwrite").partitionBy("cid").parquet(target)
-        # the quantizer rides INSIDE the lists version directory: the
-        # pointer flip publishes lists + centroids in one atomic step,
-        # so a reader can never probe new lists with old centroids
-        # (see indexio.write_version_meta / snapshot_meta)
+        # the quantizer + cid manifest ride INSIDE the lists version
+        # directory: the pointer flip publishes lists + centroids +
+        # manifest in one atomic step, so a reader can never probe new
+        # lists with old centroids (indexio.write_version_meta /
+        # snapshot_meta)
+        meta = {**meta, "cids": _list_cids(target)}
         write_version_meta(target, META_NAME, meta)
         publish(live, target)
         # root copy is informational only; readers use snapshot_meta
@@ -153,9 +168,13 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
                 f"IVF index at {path!r} was rebuilt while this batch was "
                 f"being assigned; re-assign and retry the append"
             )
-        rows.write.mode("append").partitionBy("cid").parquet(
-            current_version_dir(os.path.join(path, "lists"))
-        )
+        vd = current_version_dir(os.path.join(path, "lists"))
+        rows.write.mode("append").partitionBy("cid").parquet(vd)
+        # refresh the cid manifest in place (atomic temp+replace): the
+        # batch may have populated previously-empty lists. A reader
+        # racing this sees either manifest — the standard
+        # parquet-append prefix visibility, now including the manifest.
+        write_version_meta(vd, META_NAME, {**m, "cids": _list_cids(vd)})
     # Invalidate cached file listings: a query created after this
     # append must never evaluate against a pre-append snapshot left in
     # the shared file-status cache by an earlier query (the LSH index
@@ -189,8 +208,9 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
         target = init_versioned(live)
         df.write.mode("overwrite").partitionBy("cid").parquet(target)
         # quantizer unchanged by a compact, but every published version
-        # must be self-describing (snapshot_meta)
-        carry_version_meta(src, target, META_NAME)
+        # must be self-describing (snapshot_meta) with a fresh manifest
+        m = read_ivf_meta(path)
+        write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
         rows = spark.read.parquet(target).count()
         publish(live, target)
         out = {
@@ -241,14 +261,23 @@ def query_ivf_index(
     ).withColumn("cid", F.explode(assignN(F.col("_qv"))))
     # Bounded collect: distinct probed list ids, ≤ n_centroids values.
     probed = sorted(r[0] for r in q.select("cid").distinct().collect())
-    # At an object-store scale the isdir probes become one manifest
-    # read; locally they are nprobe stat calls. Empty lists (a centroid
-    # that owns no vectors yet) simply have no directory.
-    probe_dirs = [
-        d
-        for d in (os.path.join(lists_dir, f"cid={c}") for c in probed)
-        if os.path.isdir(d)
-    ]
+    # The cid MANIFEST rides in the version meta (refreshed by every
+    # locked writer), so the reader does zero filesystem listing/stat
+    # calls at any nlist; empty lists (a centroid that owns no vectors
+    # yet) are simply absent from it. isdir fallback for legacy indexes
+    # whose meta predates the manifest.
+    present = m.get("cids")
+    if present is not None:
+        ps = set(present)
+        probe_dirs = [
+            os.path.join(lists_dir, f"cid={c}") for c in probed if c in ps
+        ]
+    else:
+        probe_dirs = [
+            d
+            for d in (os.path.join(lists_dir, f"cid={c}") for c in probed)
+            if os.path.isdir(d)
+        ]
     if not probe_dirs:
         # every probed list is empty — correctness fallback, never the
         # hot path (a trained quantizer's probed lists hold vectors)
@@ -343,9 +372,10 @@ def rebuild_ivf_index(
             stored, n_c, m["vec_col"], seed=sd, id_col=m["id_col"]
         )
         rows = _assigned_rows(stored, np.asarray(cents), m["id_col"], m["vec_col"])
-        meta = {**m, "n_centroids": n_c, "seed": sd, "centroids": cents}
         target = init_versioned(live)
         rows.write.mode("overwrite").partitionBy("cid").parquet(target)
+        meta = {**m, "n_centroids": n_c, "seed": sd, "centroids": cents,
+                "cids": _list_cids(target)}
         # the NEW quantizer rides inside the new lists version: the
         # pointer flip publishes re-assigned lists + centroids
         # atomically — a query planning during the rebuild window can

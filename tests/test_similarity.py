@@ -397,3 +397,81 @@ def test_query_ivf_index_exclude_ids_replay_guard(spark, sf_dir, tmp_path):
         r.query_id for r in unguarded.collect() if r.query_id == r.neighbor_id
     }
     assert self_hits == {r.query_id for r in q.collect()}
+
+
+def test_ivf_query_planned_before_rebuild_completes_on_its_snapshot(spark, sf_dir, tmp_path):
+    """The rebuild-race contract (round-8 ADVICE): centroids and lists
+    co-publish behind one pointer flip, and retention keeps the
+    superseded version — so a query PLANNED before a rebuild evaluates
+    on its own complete snapshot (old lists + old centroids), and at
+    full probe its answer equals brute force, before AND after the
+    rebuild lands. A query planned after sees the new snapshot and
+    agrees (full-probe invariance)."""
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        query_ivf_index,
+        read_ivf_meta,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4, seed=42)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.sim, r.rank) for r in df.collect()
+    }
+    want = as_set(brute_topk(emb, q, k=3))
+    planned = query_ivf_index(spark, q, path, k=3, nprobe=4)  # binds v0+meta
+    rebuild_ivf_index(spark, path, n_centroids=8, seed=7)  # publishes v1
+    assert read_ivf_meta(path)["n_centroids"] == 8
+    # the pre-rebuild plan evaluates on the retained snapshot it bound
+    assert as_set(planned) == want
+    # a post-rebuild full-probe query agrees (rebuild invariance)
+    assert as_set(query_ivf_index(spark, q, path, k=3, nprobe=8)) == want
+
+
+def test_ivf_manifest_tracks_every_writer_and_feeds_the_query(spark, sf_dir, tmp_path):
+    """The cid manifest (meta["cids"]) is refreshed by every locked
+    writer — build, append, compact, rebuild — always matching the
+    version directory's actual cid= listing; queries consult it
+    instead of probing the filesystem."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+        read_ivf_meta,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+
+    def actual():
+        vd = current_version_dir(os.path.join(path, "lists"))
+        return sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(vd) if d.startswith("cid=")
+        )
+
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path, n_centroids=4, seed=42)
+    assert read_ivf_meta(path)["cids"] == actual()
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), path)
+    assert read_ivf_meta(path)["cids"] == actual()
+    compact_ivf_index(spark, path)
+    assert read_ivf_meta(path)["cids"] == actual()
+    rebuild_ivf_index(spark, path, n_centroids=8)
+    assert read_ivf_meta(path)["cids"] == actual()
+    # and the query path works purely off the manifest
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivf_index(spark, q, path, k=3, nprobe=8)
+    want = brute_topk(emb, q, k=3)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(want)

@@ -785,3 +785,40 @@ def test_lsh_index_migrates_legacy_flat_layout_end_to_end(spark, tmp_path):
     assert os.path.islink(os.path.join(path, "bands"))
     got = {(r.id_a, r.id_b) for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()}
     assert got == want
+
+
+def test_lsh_query_planned_before_rebuild_completes_on_its_snapshot(spark, tmp_path):
+    """The LSH half of the rebuild-race contract (round-8 ADVICE): the
+    permutation-family params ride the bands version directory, so a
+    query PLANNED before a re-banding rebuild evaluates on its own
+    coupled (params, bands) snapshot — same pairs — while a query
+    planned after uses the new family and agrees."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        query_lsh_index,
+        read_lsh_meta,
+        rebuild_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    planned = query_lsh_index(spark, batch, path, threshold=0.5)  # binds v0+meta
+    rebuild_lsh_index(spark, path, num_perm=64, bands=16)
+    assert read_lsh_meta(path)["bands"] == 16
+    want = {(10, 1)}
+    assert {(r.id_a, r.id_b) for r in planned.collect()} == want
+    assert {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
+    } == want
