@@ -272,3 +272,57 @@ def test_span_removal_properties(spark, texts):
         .first()[0]
     )
     assert post in (None, 0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    term=st.sampled_from(["alpha", "beta", "gamma", "delta", "omega"]),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_champions_single_term_topk_exact_property(spark, docs, term, k):
+    """PROPERTY: for any corpus and any single-term query with
+    k ≤ champion_n, champions-mode top-k equals exact-mode top-k —
+    idf is constant within a term, so the impact ordering the tier is
+    truncated under IS the score ordering (similarity/bm25.py). Also
+    holds for terms absent from the corpus (both modes empty)."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    tmp = tempfile.mkdtemp(prefix="bm25_prop_")
+    try:
+        path = tmp + "/idx"
+        build_postings_index(df, path, champion_n=3)
+        exact = [
+            tuple(r) for r in query_postings_index(spark, path, term, k=k).collect()
+        ]
+        champ = [
+            tuple(r)
+            for r in query_postings_index(
+                spark, path, term, k=k, mode="champions"
+            ).collect()
+        ]
+        assert champ == exact
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
