@@ -107,3 +107,56 @@ def poll_history_df(spark, result: WaitResult, columns: Sequence[str] = ("elapse
     the appendable status-history table of the reference's poller."""
     rows = [(float(t), str(s)) for t, s in result.history]
     return spark.createDataFrame(rows, f"{columns[0]} double, {columns[1]} string")
+
+
+def ensure_endpoint_state(
+    get_state: Callable[[], object],
+    request: Callable[[str], None],
+    action: str,
+    target: object,
+    **wait_kwargs,
+) -> tuple[WaitResult, bool]:
+    """The reference's Endpoint_Starter/Stopper control loop
+    (`evaluation_tools/Endpoint_Starter.py:47-57`,
+    `Endpoint_Stopper.py`): probe the endpoint; if it is already in the
+    ``target`` state, do NOT issue the action (the starter's
+    already-running fast path — one probe, no request); otherwise issue
+    ``request(action)`` exactly once and poll until ``target`` (or the
+    wait budget runs out). Transport is injectable — production passes
+    REST calls (the same driver-side control-plane posture as
+    sources/json_records.py's paginated source); tests pass a
+    deterministic state machine.
+
+    Returns ``(WaitResult, requested)`` where ``requested`` says
+    whether the action was actually issued."""
+    state = get_state()
+    if state == target:
+        return WaitResult(True, state, 1, 0.0, [(0.0, state)]), False
+    request(action)
+    return wait_until(get_state, target=target, **wait_kwargs), True
+
+
+def start_endpoint(
+    get_state: Callable[[], object],
+    request: Callable[[str], None],
+    running_state: str = "RUNNING",
+    **wait_kwargs,
+) -> tuple[WaitResult, bool]:
+    """Starter verb: no-op if already running, else request ``start``
+    and poll until ``running_state``."""
+    return ensure_endpoint_state(
+        get_state, request, "start", running_state, **wait_kwargs
+    )
+
+
+def stop_endpoint(
+    get_state: Callable[[], object],
+    request: Callable[[str], None],
+    stopped_state: str = "STOPPED",
+    **wait_kwargs,
+) -> tuple[WaitResult, bool]:
+    """Stopper verb: no-op if already stopped, else request ``stop``
+    and poll until ``stopped_state``."""
+    return ensure_endpoint_state(
+        get_state, request, "stop", stopped_state, **wait_kwargs
+    )

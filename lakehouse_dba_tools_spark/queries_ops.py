@@ -180,3 +180,118 @@ def endpoint_poll_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stamped.select(
         "endpoint_id", "state", F.col("polled_timestamp").cast("long").alias("polled_epoch")
     )
+
+
+# --------------------------------------------------------------------------
+# Endpoint lifecycle REST control (reference Endpoint_Starter.py:47-57 /
+# Endpoint_Stopper.py): issue start/stop against an injectable transport,
+# then poll-until-state with backoff. The carrier drives the REAL
+# controller (operators/lifecycle.py ensure_endpoint_state/wait_until,
+# injected deterministic clock+state machine: start reaches RUNNING on
+# the 4th probe, stop reaches STOPPED on the 3rd, a second start is the
+# already-running fast path — one probe, NO request). The oracle
+# re-derives the whole transcript relationally from those state-machine
+# thresholds; the Spark side earns equality only if the request gating,
+# backoff arithmetic, history capture, and fast path all behave.
+# --------------------------------------------------------------------------
+_EP_START_POLLS = 4  # probes until RUNNING after a start request
+_EP_STOP_POLLS = 3   # probes until STOPPED after a stop request
+_EP_INTERVAL = 5.0   # injected poll interval (deterministic clock)
+
+
+@register(
+    "endpoint_lifecycle_control",
+    f"""
+    SELECT 'a_start' AS phase, poll::INT AS poll,
+           ((poll - 1) * {int(_EP_INTERVAL)})::DOUBLE AS elapsed_sec,
+           CASE WHEN poll < {_EP_START_POLLS} THEN 'STARTING'
+                ELSE 'RUNNING' END AS state,
+           TRUE AS requested
+    FROM (SELECT unnest(generate_series(1, {_EP_START_POLLS})) AS poll)
+    UNION ALL
+    SELECT 'b_noop_start', 1, 0.0::DOUBLE, 'RUNNING', FALSE
+    UNION ALL
+    SELECT 'c_stop', poll::INT, ((poll - 1) * {int(_EP_INTERVAL)})::DOUBLE,
+           CASE WHEN poll < {_EP_STOP_POLLS} THEN 'STOPPING'
+                ELSE 'STOPPED' END,
+           TRUE
+    FROM (SELECT unnest(generate_series(1, {_EP_STOP_POLLS})) AS poll)
+    ORDER BY phase, poll
+    """,
+)
+def endpoint_lifecycle_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint start/stop control loop end-to-end: start (poll until
+    RUNNING), an idempotent second start (fast path: one probe, no
+    request issued), stop (poll until STOPPED) — each phase's full
+    probe transcript as (phase, poll, elapsed_sec, state, requested).
+    Driver-side control plane by design (a handful of states, nothing
+    touches executors); the transport and clock are injected, which is
+    exactly how the production REST calls slot in."""
+    from lakehouse_dba_tools_spark.operators.lifecycle import (
+        start_endpoint,
+        stop_endpoint,
+    )
+
+    class _Endpoint:
+        """Deterministic state machine standing in for the REST API."""
+
+        def __init__(self):
+            self.state = "STOPPED"
+            self.polls_left = 0
+            self.pending = None
+            self.requests = []
+
+        def request(self, action: str) -> None:
+            self.requests.append(action)
+            if action == "start":
+                self.state, self.pending = "STARTING", "RUNNING"
+                self.polls_left = _EP_START_POLLS
+            else:
+                self.state, self.pending = "STOPPING", "STOPPED"
+                self.polls_left = _EP_STOP_POLLS
+
+        def get_state(self) -> str:
+            if self.pending is not None:
+                self.polls_left -= 1
+                if self.polls_left <= 0:
+                    self.state, self.pending = self.pending, None
+            return self.state
+
+    class _Clock:
+        """Deterministic time: sleep() advances it, nothing else does."""
+
+        def __init__(self):
+            self.t = 0.0
+
+        def now(self) -> float:
+            return self.t
+
+        def sleep(self, d: float) -> None:
+            self.t += d
+
+    ep = _Endpoint()
+    rows = []
+
+    def run(phase, verb):
+        clock = _Clock()
+        res, requested = verb(
+            ep.get_state,
+            ep.request,
+            poll_interval_sec=_EP_INTERVAL,
+            timeout_sec=600.0,
+            clock=clock.now,
+            sleeper=clock.sleep,
+        )
+        assert res.reached, (phase, res.final_state)
+        for i, (elapsed, state) in enumerate(res.history, start=1):
+            rows.append((phase, i, float(elapsed), str(state), requested))
+
+    run("a_start", start_endpoint)
+    run("b_noop_start", start_endpoint)  # already RUNNING: 1 probe, no request
+    run("c_stop", stop_endpoint)
+    # request gating is part of the contract the transcript proves
+    assert ep.requests == ["start", "stop"], ep.requests
+    return spark.createDataFrame(
+        rows,
+        "phase string, poll int, elapsed_sec double, state string, requested boolean",
+    ).orderBy("phase", "poll")

@@ -384,3 +384,43 @@ def test_write_version_recovers_from_orphaned_partial_commit(spark):
         assert not os.path.isdir(f"{path}/_tmp_v1")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_endpoint_controller_gates_requests_and_times_out():
+    """ensure_endpoint_state (reference Endpoint_Starter/Stopper loop):
+    already-at-target = one probe and NO request; otherwise exactly one
+    request then poll-until-state; an endpoint that never converges
+    exhausts the wait budget with reached=False (and the request was
+    still issued exactly once)."""
+    from lakehouse_dba_tools_spark.operators.lifecycle import (
+        start_endpoint,
+        stop_endpoint,
+    )
+
+    t = [0.0]
+    clock, sleeper = (lambda: t[0]), (lambda d: t.__setitem__(0, t[0] + d))
+
+    # fast path: already RUNNING
+    reqs: list = []
+    res, requested = start_endpoint(
+        lambda: "RUNNING", reqs.append, clock=clock, sleeper=sleeper
+    )
+    assert res.reached and res.n_polls == 1 and not requested and reqs == []
+
+    # normal path: the pre-check consumes one probe (gating the
+    # request), then the wait loop polls until RUNNING
+    states = iter(["STARTING", "STARTING", "RUNNING"])
+    res, requested = start_endpoint(
+        lambda: next(states), reqs.append,
+        poll_interval_sec=5.0, clock=clock, sleeper=sleeper,
+    )
+    assert res.reached and requested and reqs == ["start"]
+    assert [s for _, s in res.history] == ["STARTING", "RUNNING"]
+
+    # never converges: wait budget exhausted, loud non-reached result
+    res, requested = stop_endpoint(
+        lambda: "STOPPING", reqs.append,
+        poll_interval_sec=5.0, timeout_sec=20.0, clock=clock, sleeper=sleeper,
+    )
+    assert requested and not res.reached and res.final_state == "STOPPING"
+    assert reqs == ["start", "stop"]
