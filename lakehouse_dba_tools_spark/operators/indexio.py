@@ -184,6 +184,22 @@ def heal(live: str, retain: int = 1) -> None:
         os.rename(live, target)
         os.symlink(os.path.basename(target), tmp)
         os.replace(tmp, live)
+    elif not os.path.islink(live) and not os.path.exists(live):
+        # Dangling-migration recovery: a crash BETWEEN the rename above
+        # and its pointer publish leaves the table's only copy as an
+        # unpointered version dir with no live path at all. Without
+        # this re-point, _reclaim (cur_n=None) would treat every
+        # version dir as never-published debris and delete the legacy
+        # table permanently. Re-point at the NEWEST version sibling —
+        # for the migration crash that is the renamed .v0 itself; for a
+        # crashed-before-first-publish fresh build it may resurrect a
+        # possibly-partial .v0, which the imminent build overwrites
+        # (init_versioned) — resurrecting is recoverable, deleting the
+        # only copy is not.
+        newest = _newest_version(live)
+        if newest is not None:
+            os.symlink(os.path.basename(newest), tmp)
+            os.replace(tmp, live)
     _reclaim(live, retain)
 
 
@@ -195,12 +211,33 @@ def vacuum_versions(live: str) -> None:
     _reclaim(live, 0)
 
 
+def _newest_version(live: str) -> str | None:
+    """Highest-numbered sibling version directory of ``live``, or None."""
+    parent, base = os.path.dirname(live) or ".", os.path.basename(live)
+    best: tuple[int, str] | None = None
+    for name in os.listdir(parent) if os.path.isdir(parent) else ():
+        m = _VER_RE.search(name)
+        full = os.path.join(parent, name)
+        if name.startswith(base + ".v") and m and os.path.isdir(full):
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), full)
+    return best[1] if best else None
+
+
 def _reclaim(live: str, retain: int) -> None:
     """Delete sibling version directories that are neither the current
     pointer target, nor one of the ``retain`` newest superseded
     published snapshots. Versions numbered ABOVE the current pointer
-    were never published (publishing is monotonic) — always debris."""
-    cur = os.path.realpath(live) if os.path.islink(live) else None
+    were never published (publishing is monotonic) — always debris.
+
+    Safety interlock (the dangling-migration hazard): when ``live`` is
+    not a symlink, there is no pointer to distinguish debris from a
+    table whose publish crashed mid-flight — deleting on a guess could
+    destroy the only copy, so this refuses to delete anything; heal()
+    re-points the newest version first, making reclaim well-defined."""
+    if not os.path.islink(live):
+        return
+    cur = os.path.realpath(live)
     cur_n = None
     if cur:
         m = _VER_RE.search(os.path.basename(cur))

@@ -119,11 +119,15 @@ def ensure_endpoint_state(
     """The reference's Endpoint_Starter/Stopper control loop
     (`evaluation_tools/Endpoint_Starter.py:47-57`,
     `Endpoint_Stopper.py`): probe the endpoint; if it is already in the
-    ``target`` state, do NOT issue the action (the starter's
-    already-running fast path — one probe, no request); otherwise issue
-    ``request(action)`` exactly once and poll until ``target`` (or the
-    wait budget runs out). Transport is injectable — production passes
-    REST calls (the same driver-side control-plane posture as
+    ``target`` state, do NOT issue the action (one probe, no request);
+    otherwise issue ``request(action)`` exactly once and poll until
+    ``target`` (or the wait budget runs out). The already-at-target
+    fast path is an INTENTIONAL deviation from the reference, which
+    posts the start request unconditionally before polling
+    (`Endpoint_Starter.py:31`) — gating the request on the probe saves
+    a redundant control-plane mutation; the polling contract is
+    otherwise the reference's. Transport is injectable — production
+    passes REST calls (the same driver-side control-plane posture as
     sources/json_records.py's paginated source); tests pass a
     deterministic state machine.
 

@@ -231,13 +231,42 @@ def bm25_score_scalar(
 #   appends between compacts are visible to exact mode immediately and
 #   to champions mode after the next compact — documented staleness,
 #   traded for the bounded cost.
-# - termstats/ (term, df) — exact per-term document frequency as of
-#   the champions refresh (champions-mode idf needs full df; deriving
-#   it from the truncated champion slice would be wrong).
+# - champions/<ver>/_termstats/ (term, df) — exact per-term document
+#   frequency as of the champions refresh (champions-mode idf needs
+#   full df; deriving it from the truncated champion slice would be
+#   wrong). Rides INSIDE the champions version directory — the
+#   underscore prefix hides it from the champions parquet scan — so
+#   ONE pointer flip publishes tier + df + stats together and a query
+#   racing a compact can never pair a tier with another snapshot's df.
+#   (Indexes built before round 10 published termstats as a separate
+#   live table; readers fall back to it.)
+# - blocked/ (bucket, term, doc_id, tf, dl) — the BLOCK-MAX tier
+#   (Ding & Suel's Block-Max WAND, re-expressed for a batch engine):
+#   the full postings partitioned into ``wand_buckets`` doc_id-hash
+#   buckets. A doc's postings for EVERY term land in the same bucket,
+#   so a per-bucket score upper bound is computable from per-bucket
+#   maxima alone and pruning is whole-bucket. mode="wand" queries seed
+#   a top-k threshold from the most-promising buckets, prune every
+#   bucket whose bound cannot reach it, and score survivors exactly —
+#   EXACT top-k (hash-equal to mode="exact" over the same snapshot) at
+#   sublinear cost whenever impact skew exists (Zipf tf); on a
+#   flat-impact corpus it degrades to the exact scan, never to a wrong
+#   answer. Same refresh cadence as champions (build/compact).
+# - blocked/<ver>/_blockmax/ (term, bucket, max_imp, n_docs) — the
+#   per-(term, bucket) impact maxima + posting counts the pruning
+#   plan reads; df(term) = Σ_bucket n_docs (postings are deduped at
+#   refresh). Rides inside the blocked version dir: one flip publishes
+#   postings + maxima + stats.
 # - _bm25_meta.json  {id_col, text_col}
-# - champions/_bm25_champ_meta.json  {champion_n, n_docs, avgdl, k1, b}
-#   — the stats snapshot the tier was ordered under, riding inside the
-#   champions version dir (atomic tier+stats publish).
+# - champions/<ver>/_bm25_champ_meta.json  {champion_n, n_docs, avgdl,
+#   k1, b, impact_flatness} — the stats snapshot the tier was ordered
+#   under, riding inside the champions version dir (atomic tier+stats
+#   publish). impact_flatness = fraction of TRUNCATED terms (df >
+#   champion_n) whose champion_n-th impact ties their 1st — the
+#   regime gauge: near 1.0 the tier truncates on tie-breaks and
+#   multi-term champions answers are untrustworthy (the scorer warns).
+# - blocked/<ver>/_bm25_wand_meta.json  {wand_buckets, n_docs, avgdl,
+#   k1, b} — the stats snapshot the block maxima were computed under.
 #
 # Writer semantics (operators/indexio.py, shared with the LSH and IVF
 # indexes): build/append/compact hold an exclusive flock on the index
@@ -255,6 +284,7 @@ def bm25_score_scalar(
 
 BM25_META = "_bm25_meta.json"
 CHAMP_META = "_bm25_champ_meta.json"
+WAND_META = "_bm25_wand_meta.json"
 
 
 def build_postings_index(
@@ -263,16 +293,19 @@ def build_postings_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     champion_n: int | None = None,
+    wand_buckets: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> None:
     """Materialize the postings index. Overwrites ``path``. Pass
     ``champion_n`` to also build the impact-ordered champions tier
-    (top-N per term, ordered under ``k1``/``b``) — opt-in because the
-    tier costs one extra postings shuffle per build/compact and only
-    pays off when common-term queries use mode='champions'. An index
-    built without it keeps exactly the pre-tier cost profile; compact
-    refreshes the tier only where one exists."""
+    (top-N per term, ordered under ``k1``/``b``) and/or
+    ``wand_buckets`` to build the block-max tier (doc-hash-bucketed
+    postings + per-bucket impact maxima; mode='wand' answers EXACT
+    top-k with whole-bucket pruning). Both tiers are opt-in because
+    each costs one extra postings shuffle per build/compact; an index
+    built without them keeps exactly the pre-tier cost profile, and
+    compact refreshes only the tiers that exist."""
     import json
     import os
 
@@ -285,6 +318,8 @@ def build_postings_index(
             json.dump({"id_col": id_col, "text_col": text_col}, fh)
         if champion_n is not None:
             _refresh_champions(spark, path, id_col, champion_n, k1, b)
+        if wand_buckets is not None:
+            _refresh_wand(spark, path, id_col, wand_buckets, k1, b)
 
 
 def append_to_postings_index(docs: DataFrame, path: str) -> None:
@@ -354,15 +389,21 @@ def _impact(k1: float, b: float, avgdl: float) -> Column:
 def _refresh_champions(
     spark, path: str, id_col: str, champion_n: int, k1: float, b: float
 ) -> None:
-    """(Re)build the champions tier + termstats from the CURRENT
-    postings/doclens snapshot. Caller holds the writer lock.
+    """(Re)build the champions tier from the CURRENT postings/doclens
+    snapshot. Caller holds the writer lock.
 
     Skew-safe top-N: a stopword's postings all share one term key, so a
     single per-term window would funnel its whole df through one task.
     Phase 1 takes top-N per (term, input partition) — the exchange key
     carries the partition id, splitting any hot term across the cluster
     and bounding phase 2's input at champion_n × n_partitions rows per
-    term."""
+    term.
+
+    Everything a champions query plans with is published by ONE pointer
+    flip of the champions table: the exact per-term df rides inside the
+    version dir as ``_termstats/`` (underscore-hidden from the tier's
+    own parquet scan) and the ordering-stats snapshot + the measured
+    ``impact_flatness`` ride in the ``CHAMP_META`` sidecar."""
     import os
 
     from pyspark.sql import Window
@@ -394,10 +435,11 @@ def _refresh_champions(
         .drop("_rn", "_pid")
     )
     w2 = Window.partitionBy("term").orderBy(F.desc("_imp"), F.col(id_col))
+    champs_imp = pre.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= champion_n
+    )
     champs = (
-        pre.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= champion_n)
-        .drop("_rn", "_imp")
+        champs_imp.drop("_rn", "_imp")
         .repartitionByRange("term")
         .sortWithinPartitions("term")
     )
@@ -407,25 +449,119 @@ def _refresh_champions(
         .repartitionByRange("term")
         .sortWithinPartitions("term")
     )
+    # Regime gauge (one tiny agg over the kept slice): among terms the
+    # tier TRUNCATES (df > champion_n), what fraction have their
+    # champion_n-th impact equal to their 1st? Near 1.0 the ordering is
+    # tie-broken, not impact-driven — the multi-term approximation has
+    # no signal to keep, and the scorer warns (enforcing the measured
+    # SCALE.md flat-fixture honesty note as API behavior).
+    flat_row = (
+        champs_imp.groupBy("term")
+        .agg(F.max("_imp").alias("_mx"), F.min("_imp").alias("_mn"))
+        .join(F.broadcast(tstats), "term")
+        .filter(F.col("df") > champion_n)
+        .agg(
+            F.count("*").alias("trunc"),
+            F.sum((F.col("_mx") == F.col("_mn")).cast("long")).alias("flat"),
+        )
+        .collect()[0]
+    )
+    trunc = int(flat_row["trunc"] or 0)
+    flatness = float(flat_row["flat"] or 0) / trunc if trunc else 0.0
     meta = {
         "champion_n": champion_n,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "k1": k1,
         "b": b,
+        "impact_flatness": round(flatness, 4),
     }
-    for sub, df in (("champions", champs), ("termstats", tstats)):
-        live = os.path.join(path, sub)
-        heal(live)
-        target = init_versioned(live)
-        df.write.mode("overwrite").parquet(target)
-        if sub == "champions":
-            # the stats the tier was ordered under ride with the tier —
-            # one pointer flip publishes both (indexio protocol)
-            write_version_meta(target, CHAMP_META, meta)
-        publish(live, target)
-        spark.catalog.refreshByPath(live)
-        spark.catalog.refreshByPath(current_version_dir(live))
+    live = os.path.join(path, "champions")
+    heal(live)
+    target = init_versioned(live)
+    champs.write.mode("overwrite").parquet(target)
+    # exact df + the ordering stats ride INSIDE the version dir — the
+    # single pointer flip below publishes tier + df + stats atomically
+    tstats.write.mode("overwrite").parquet(os.path.join(target, "_termstats"))
+    write_version_meta(target, CHAMP_META, meta)
+    publish(live, target)
+    spark.catalog.refreshByPath(live)
+    spark.catalog.refreshByPath(current_version_dir(live))
+
+
+def _refresh_wand(
+    spark, path: str, id_col: str, wand_buckets: int, k1: float, b: float
+) -> None:
+    """(Re)build the block-max tier from the CURRENT postings/doclens
+    snapshot. Caller holds the writer lock.
+
+    The tier is the FULL deduped postings with a doc-hash bucket key —
+    a doc's postings for every term share one bucket, so per-bucket
+    maxima bound any doc's whole score and mode='wand' can prune whole
+    buckets without losing exactness. One extra shuffle (the range
+    repartition on (term, bucket)); the `_blockmax` sidecar table is a
+    ≤ |vocab| × wand_buckets aggregate. Published like champions: one
+    pointer flip covers postings + maxima + stats."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
+        heal,
+        init_versioned,
+        publish,
+        write_version_meta,
+    )
+
+    postings = spark.read.parquet(
+        current_version_dir(os.path.join(path, "postings"))
+    ).dropDuplicates(["term", id_col])
+    doclens = spark.read.parquet(
+        current_version_dir(os.path.join(path, "doclens"))
+    ).dropDuplicates([id_col])
+    row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    blocked = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(wand_buckets)).cast("int")
+    )
+    # sort (term, bucket): the query's pushed term IN-filter prunes row
+    # groups exactly like the exact path, and within a term's range the
+    # surviving-bucket IN-filter prunes again — pruned buckets are
+    # skipped I/O, not just skipped compute
+    blocked_sorted = blocked.repartitionByRange(
+        "term", "bucket"
+    ).sortWithinPartitions("term", "bucket")
+    # ≤ one row per (term, bucket) pair with postings; term-sorted so
+    # the plan's term IN-filter row-group-skips it like the postings
+    # (at 100 TB this table is millions of rows, never collected whole
+    # — a query collects only its ≤ |terms| × wand_buckets slice)
+    bmax = (
+        blocked.withColumn("_imp", _impact(k1, b, avgdl))
+        .groupBy("term", "bucket")
+        .agg(F.max("_imp").alias("max_imp"), F.count("*").alias("n_docs"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term", "bucket")
+    )
+
+    live = os.path.join(path, "blocked")
+    heal(live)
+    target = init_versioned(live)
+    blocked_sorted.write.mode("overwrite").parquet(target)
+    bmax.write.mode("overwrite").parquet(os.path.join(target, "_blockmax"))
+    write_version_meta(
+        target,
+        WAND_META,
+        {
+            "wand_buckets": wand_buckets,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "k1": k1,
+            "b": b,
+        },
+    )
+    publish(live, target)
+    spark.catalog.refreshByPath(live)
+    spark.catalog.refreshByPath(current_version_dir(live))
 
 
 def compact_postings_index(spark, path: str) -> dict:
@@ -477,8 +613,10 @@ def compact_postings_index(spark, path: str) -> dict:
                 "rows": rows,
             }
             spark.catalog.refreshByPath(live)
-        # champions tier is opt-in: refresh it (params carried from the
-        # current tier) only where the build created one
+        # the champions / block-max tiers are opt-in: refresh each
+        # (params carried from the current tier) only where the build
+        # created one — this is the tier-merge step that makes appends
+        # since the last refresh visible to mode='champions'/'wand'
         try:
             _, cm = _champ_snapshot(path)
         except FileNotFoundError:
@@ -487,6 +625,12 @@ def compact_postings_index(spark, path: str) -> dict:
             _refresh_champions(
                 spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
             )
+        try:
+            _, wm = _wand_snapshot(path)
+        except FileNotFoundError:
+            wm = None
+        if wm is not None:
+            _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
     return out
 
 
@@ -499,13 +643,39 @@ def _champ_snapshot(path: str) -> tuple[str, dict]:
     return snapshot_meta(os.path.join(path, "champions"), CHAMP_META, path)
 
 
+def _wand_snapshot(path: str) -> tuple[str, dict]:
+    """(blocked version dir, wand meta) — resolved as one couple."""
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import snapshot_meta
+
+    return snapshot_meta(os.path.join(path, "blocked"), WAND_META, path)
+
+
+def _tier_params(cm: dict, k1: float | None, b: float | None, tier: str):
+    """Resolve scoring params for a stored tier: the tier's ordering
+    was computed under the STORED k1/b, so an override that differs
+    silently voids the tier's guarantees (champions: impact order =
+    score order; wand: block maxima bound the scores). None → stored;
+    a matching explicit value is allowed; a different one raises."""
+    for name, given, stored in (("k1", k1, cm["k1"]), ("b", b, cm["b"])):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"{tier} tier was built with {name}={stored}; scoring it "
+                f"with {name}={given} would break the tier's ordering "
+                f"guarantees. Pass {name}=None (default) to score with "
+                f"the stored parameters, or rebuild the tier."
+            )
+    return cm["k1"], cm["b"]
+
+
 def query_postings_index(
     spark,
     path: str,
     query: str,
     k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
+    k1: float | None = None,
+    b: float | None = None,
     mode: str = "exact",
 ) -> DataFrame:
     """BM25 top-k over the stored postings.
@@ -536,11 +706,26 @@ def query_postings_index(
     fixture) per-term impact is nearly tied, the tier truncates on the
     tie-break, and measured multi-term recall@10 at champion_n=8 is
     ~0 (reaching exactness at full df coverage, which is what the
-    oracle carrier pins). Size champion_n against the corpus's impact
-    distribution, or use mode='exact' for multi-term queries over
-    flat-impact data. Reflects the corpus as of the last build/compact
-    — appends since then are visible to exact mode only (run compact
-    to fold them in)."""
+    oracle carrier pins). The build measures this (impact_flatness in
+    CHAMP_META) and a multi-term champions query over a near-flat tier
+    emits a UserWarning. Size champion_n against the corpus's impact
+    distribution, use mode='wand' for exact sublinear multi-term, or
+    mode='exact'. Reflects the corpus as of the last build/compact —
+    appends since then are visible to exact mode only (run compact
+    to fold them in).
+
+    mode="wand": Block-Max WAND over the doc-hash-bucketed tier —
+    EXACT top-k (hash-equal to mode='exact' over the tier's snapshot,
+    any corpus, any query shape): a threshold seeded from the
+    highest-bound buckets prunes every bucket whose score upper bound
+    can't reach the current k-th score, and survivors are scored
+    exactly. Sublinear whenever impact skew exists (Zipf corpora);
+    degrades to the exact scan cost — never to a wrong answer — on
+    flat-impact data. Same refresh cadence as champions.
+
+    For champions/wand, ``k1``/``b`` default to the STORED tier
+    parameters; passing explicit values that differ raises (the tier's
+    ordering/bounds were computed under the stored ones)."""
     import json
     import os
 
@@ -550,8 +735,14 @@ def query_postings_index(
 
     if mode == "champions":
         return _query_champions(spark, path, query, k, k1, b, m["id_col"])
+    if mode == "wand":
+        return _query_wand(spark, path, query, k, k1, b, m["id_col"])
     if mode != "exact":
-        raise ValueError(f"unknown mode {mode!r}: expected 'exact' or 'champions'")
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'exact', 'champions' or 'wand'"
+        )
+    k1 = 1.2 if k1 is None else k1
+    b = 0.75 if b is None else b
 
     # Bind both scans to the RESOLVED version directories: the snapshot
     # stays complete across one subsequent compact (indexio retention),
@@ -577,7 +768,8 @@ def query_postings_index(
 
 
 def _query_champions(
-    spark, path: str, query: str, k: int, k1: float, b: float, id_col: str
+    spark, path: str, query: str, k: int, k1: float | None, b: float | None,
+    id_col: str,
 ) -> DataFrame:
     """Champions-mode scorer: per query term, at most champion_n
     impact-ordered postings + one exact-df row — cost bounded by the
@@ -585,19 +777,48 @@ def _query_champions(
     A missing champions tier (the tier is opt-in) fails loudly;
     rebuild with ``champion_n`` set to materialize it."""
     import os
+    import warnings
 
     from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
 
-    champ_dir, cm = _champ_snapshot(path)
+    try:
+        champ_dir, cm = _champ_snapshot(path)
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"index at {path!r} has no champions tier (it is opt-in): "
+            f"rebuild with build_postings_index(..., champion_n=N) — or "
+            f"query with mode='exact'/'wand'"
+        ) from e
+    k1, b = _tier_params(cm, k1, b, "champions")
     terms = sorted(set(_py_tokens(query)))
     if not terms:
         raise ValueError("query produced no tokens")
+    flatness = cm.get("impact_flatness")
+    if len(terms) > 1 and flatness is not None and flatness > 0.5:
+        warnings.warn(
+            f"champions tier at {path!r} has near-flat impacts "
+            f"(impact_flatness={flatness}: that fraction of truncated "
+            f"terms tie their 1st and {cm['champion_n']}th impact), so "
+            f"multi-term champions answers are tie-break truncations "
+            f"with little recall signal — use mode='wand' (exact, "
+            f"sublinear under skew) or mode='exact', or raise "
+            f"champion_n. Single-term queries remain exact.",
+            UserWarning,
+            stacklevel=3,
+        )
     hits = spark.read.parquet(champ_dir).filter(F.col("term").isin(terms))
     # exact df per term (idf from the truncated champion slice would be
     # wrong for any term with df > champion_n) — a ≤|terms|-row slice
-    # of the term-sorted stats table, row-group skipped like postings
+    # of the term-sorted stats table riding in the SAME published
+    # version dir as the tier (one pointer flip covers tier + df +
+    # stats, so a query racing a compact scores one snapshot, like the
+    # exact path). Pre-round-10 indexes published termstats as its own
+    # live table — fall back to it (those metas also lack flatness).
+    ts_path = os.path.join(champ_dir, "_termstats")
+    if not os.path.isdir(ts_path):
+        ts_path = current_version_dir(os.path.join(path, "termstats"))
     df_t = (
-        spark.read.parquet(current_version_dir(os.path.join(path, "termstats")))
+        spark.read.parquet(ts_path)
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
@@ -617,6 +838,191 @@ def _query_champions(
     return (
         per_term.groupBy(id_col)
         .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
+    )
+
+
+def _wand_plan(
+    spark, path: str, query: str, k: int, k1: float | None, b: float | None
+) -> dict:
+    """The driver-side Block-Max WAND plan: which buckets must be
+    scored for an EXACT top-k. Returns a dict the scorer (and the
+    scale-evidence tooling / tests) consume:
+
+    {blocked_dir, terms, idf: {term: idf}, n_docs, avgdl, k1, b,
+     seed: [bucket...], kept: [bucket...], theta,
+     candidate_buckets, total_buckets(wand_buckets),
+     postings_kept, postings_total}
+
+    Mechanics (Ding & Suel's block-max pruning, batched): the
+    ``_blockmax`` slice for the query's terms reduces DISTRIBUTED to
+    one row per candidate bucket — ub(B) = Σ_t idf_t · max_imp(t, B),
+    an exact per-doc score bound because a doc's postings all share
+    its hash bucket. The driver collects only that ≤ wand_buckets-row
+    frame (plus a ≤ |terms|-row df aggregate and the k seed scores —
+    every collect bounded by index PARAMETERS, never by corpus size;
+    size wand_buckets ∝ N / docs-per-bucket, documented in SCALE.md).
+    Buckets are taken in ub-descending order until they provably hold
+    ≥ max(k, 8k) matching docs (the SEED — the 8× overshoot buys a
+    tight threshold for pennies); the seed is scored exactly and its
+    k-th score becomes the threshold θ — a lower bound on the true
+    k-th score, since seed scores are true scores. Every other bucket
+    with ub < θ is pruned: no doc in it can reach the top k.
+    Exactness: any doc with true score ≥ θ lives in a bucket with
+    ub ≥ score ≥ θ, hence unpruned. The float-margin guard (1e-9)
+    keeps a bound-achieving doc on a boundary bucket safe from
+    summation-order jitter in θ."""
+    import json
+    import math
+    import os
+
+    blocked_dir, wm = _wand_snapshot(path)
+    k1, b = _tier_params(wm, k1, b, "wand")
+    with open(os.path.join(path, BM25_META)) as fh:
+        id_col = json.load(fh)["id_col"]
+    terms = sorted(set(_py_tokens(query)))
+    if not terms:
+        raise ValueError("query produced no tokens")
+    n_docs, avgdl = int(wm["n_docs"]), float(wm["avgdl"])
+    bmax = spark.read.parquet(os.path.join(blocked_dir, "_blockmax")).filter(
+        F.col("term").isin(terms)
+    )
+    df_t = {
+        r["term"]: int(r["df"])
+        for r in bmax.groupBy("term").agg(F.sum("n_docs").alias("df")).collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, df in df_t.items()
+    }
+    plan = {
+        "blocked_dir": blocked_dir,
+        "id_col": id_col,
+        "terms": terms,
+        "idf": idf,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "k1": k1,
+        "b": b,
+        "total_buckets": int(wm["wand_buckets"]),
+        "postings_total": sum(df_t.values()),
+    }
+    if not df_t:  # no query term occurs in the corpus
+        plan.update(
+            {"seed": [], "kept": [], "theta": None,
+             "candidate_buckets": 0, "postings_kept": 0}
+        )
+        return plan
+    idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    per_bucket = (
+        bmax.groupBy("bucket")
+        .agg(
+            F.sum(F.element_at(idf_map, F.col("term")) * F.col("max_imp")).alias(
+                "ub"
+            ),
+            F.max("n_docs").alias("docs_lb"),
+            F.sum("n_docs").alias("postings"),
+        )
+        .collect()
+    )
+    ub = {int(r["bucket"]): float(r["ub"]) for r in per_bucket}
+    docs_lb = {int(r["bucket"]): int(r["docs_lb"]) for r in per_bucket}
+    postings = {int(r["bucket"]): int(r["postings"]) for r in per_bucket}
+    ranked = sorted(ub, key=lambda bk: (-ub[bk], bk))
+    seed, have = [], 0
+    for bk in ranked:
+        seed.append(bk)
+        have += docs_lb[bk]
+        if have >= max(k, 8 * k):
+            break
+    theta = None
+    if have >= k:
+        seed_scores = (
+            _score_buckets(spark, plan, seed)
+            .orderBy(F.col("_score").desc())
+            .limit(k)
+            .collect()
+        )
+        if len(seed_scores) >= k:
+            theta = float(seed_scores[-1]["_score"])
+    if theta is None:
+        kept = ranked  # fewer than k matching docs anywhere: score all
+    else:
+        seed_set = set(seed)
+        kept = seed + [
+            bk for bk in ranked
+            if bk not in seed_set and ub[bk] >= theta - 1e-9
+        ]
+    plan.update(
+        {
+            "seed": seed,
+            "kept": kept,
+            "theta": theta,
+            "candidate_buckets": len(ranked),
+            "postings_kept": sum(postings[bk] for bk in kept),
+        }
+    )
+    return plan
+
+
+def _score_buckets(spark, plan: dict, buckets: list[int]) -> DataFrame:
+    """Exact BM25 over the blocked tier restricted to ``buckets``:
+    the pushed (term IN, bucket IN) filters land on the (term, bucket)
+    sort, so pruned buckets are skipped row groups, not filtered rows.
+    The per-term idf constants ride in a literal map (the driver
+    already holds them from the blockmax slice — no second stats job),
+    and only matched postings' (doc_id, partial score) cross the one
+    exchange. Returns (id_col, raw ``_score``)."""
+    id_col = plan["id_col"]
+    k1, b, avgdl = plan["k1"], plan["b"], plan["avgdl"]
+    hits = (
+        spark.read.parquet(plan["blocked_dir"])
+        .filter(F.col("term").isin(plan["terms"]))
+        .filter(F.col("bucket").isin([int(x) for x in buckets]))
+    )
+    idf_map = F.create_map(
+        *[F.lit(x) for kv in plan["idf"].items() for x in kv]
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    per_term = hits.select(
+        F.col(id_col),
+        (F.element_at(idf_map, F.col("term")) * tf * F.lit(k1 + 1.0) / norm).alias(
+            "_s"
+        ),
+    )
+    return per_term.groupBy(id_col).agg(F.sum("_s").alias("_score"))
+
+
+def _query_wand(
+    spark, path: str, query: str, k: int, k1: float | None, b: float | None,
+    id_col: str,
+) -> DataFrame:
+    """WAND-mode scorer: prune with `_wand_plan`, then score the kept
+    buckets exactly — identical output contract (and hash-identical
+    values over the tier's snapshot) to mode='exact'. A missing
+    blocked tier (opt-in) fails loudly; rebuild with ``wand_buckets``
+    set to materialize it."""
+    try:
+        plan = _wand_plan(spark, path, query, k, k1, b)
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"index at {path!r} has no block-max tier (it is opt-in): "
+            f"rebuild with build_postings_index(..., wand_buckets=B) — "
+            f"or query with mode='exact'/'champions'"
+        ) from e
+    if not plan["kept"]:
+        # no query term occurs: empty frame, id type taken from the tier
+        empty = (
+            spark.read.parquet(plan["blocked_dir"])
+            .select(F.col(id_col), F.lit(0.0).alias("bm25_score"))
+            .limit(0)
+        )
+        return empty
+    return (
+        _score_buckets(spark, plan, plan["kept"])
         .orderBy(F.col("_score").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))

@@ -324,3 +324,56 @@ def test_snapshot_meta_falls_back_to_legacy_root_sidecar(tmp_path):
         json.dump({"bands": 4}, fh)
     vd, m = snapshot_meta(live, "_m.json", root)
     assert vd == os.path.realpath(v0) and m == {"bands": 4}
+
+
+def test_heal_recovers_dangling_legacy_migration(tmp_path):
+    """The round-9 ADVICE crash window: a crash AFTER the legacy
+    migration's os.rename(live, <live>.v0) but BEFORE the pointer
+    publish leaves the table's only copy unpointered and the live path
+    absent. heal() must re-point the symlink at it — a naive reclaim
+    would classify it as never-published debris and delete the legacy
+    table permanently."""
+    root = str(tmp_path)
+    live = os.path.join(root, "bands")
+    # simulate the crash state directly: renamed dir, no live path
+    os.makedirs(live + ".v0")
+    with open(os.path.join(live + ".v0", "data.parquet"), "w") as fh:
+        fh.write("legacy-only-copy")
+    with writer_lock(root):
+        heal(live)
+    assert os.path.islink(live)
+    assert _read_live(live) == "legacy-only-copy"
+    assert current_version_dir(live).endswith(".v0")
+
+
+def test_heal_dangling_repoints_newest_version(tmp_path):
+    """Same crash class mid-history: with several version dirs and a
+    lost pointer, heal() re-points the NEWEST (publishing is
+    monotonic, so the newest is the last one a writer produced)."""
+    root = str(tmp_path)
+    live = os.path.join(root, "bands")
+    for n, marker in ((0, "old"), (2, "newest"), (1, "mid")):
+        d = f"{live}.v{n}"
+        os.makedirs(d)
+        with open(os.path.join(d, "data.parquet"), "w") as fh:
+            fh.write(marker)
+    with writer_lock(root):
+        heal(live)
+    assert current_version_dir(live).endswith(".v2")
+    assert _read_live(live) == "newest"
+
+
+def test_reclaim_refuses_without_pointer(tmp_path):
+    """Defense in depth for the same hazard: _reclaim called with no
+    live symlink (however that state arises) must delete NOTHING —
+    without a pointer, debris is indistinguishable from a table whose
+    publish crashed mid-flight."""
+    from lakehouse_dba_tools_spark.operators.indexio import _reclaim
+
+    root = str(tmp_path)
+    live = os.path.join(root, "bands")
+    os.makedirs(live + ".v0")
+    with open(os.path.join(live + ".v0", "data.parquet"), "w") as fh:
+        fh.write("maybe-the-only-copy")
+    _reclaim(live, retain=0)
+    assert os.path.exists(os.path.join(live + ".v0", "data.parquet"))

@@ -120,6 +120,8 @@ def main() -> None:
         ivf.append(run_ivf_scale(spark, 500_000, 1600, passes))
     bm25 = [run_bm25_scale(spark, 5_000, passes),
             run_bm25_scale(spark, 50_000, passes)]
+    wand = [run_bm25_wand_scale(spark, 5_000, passes),
+            run_bm25_wand_scale(spark, 50_000, passes)]
     summary = {
         "lsh": results,
         "ratios_10x_corpus": {
@@ -137,15 +139,50 @@ def main() -> None:
             "bm25_common_term_champions": round(
                 bm25[1]["common_champions_query_sec"]
                 / bm25[0]["common_champions_query_sec"], 2),
+            "bm25_wand_common_term": round(
+                wand[1]["wand_common_sec"] / wand[0]["wand_common_sec"], 2),
+            "bm25_wand_multi_term": round(
+                wand[1]["wand_multi_sec"] / wand[0]["wand_multi_sec"], 2),
+            "bm25_wand_common_postings_scanned": round(
+                wand[1]["common_postings_kept"] / wand[0]["common_postings_kept"],
+                2),
+            "bm25_wand_multi_postings_scanned": round(
+                wand[1]["multi_postings_kept"] / wand[0]["multi_postings_kept"],
+                2),
         },
         "ivf": ivf,
         "bm25": bm25,
+        "bm25_wand_zipf": wand,
     }
     line = json.dumps(summary)
     print(line)
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as fh:
             fh.write(line + "\n")
+
+
+def synth_zipf_docs(spark, n: int, vocab: int = 2000, max_len: int = 100):
+    """Deterministic ZIPF-distributed corpus — the regime impact-ordered
+    and block-max indexes are designed for (the flat-tf `synth_docs`
+    fixture is adversarial for them: uniform tf ties every impact and
+    measures nothing — the round-9 SCALE.md honesty note).
+
+    Per token position, a log-uniform rank r = floor(vocab^u) with u
+    uniform on (0,1] gives P(rank = r) ∝ ln((r+1)/r) ≈ 1/r — Zipf s≈1,
+    so 't1' is stopword-grade (df ≈ corpus) with heavy per-doc tf skew,
+    mid ranks are discriminative, and the tail is rare. Doc lengths
+    vary 20..99 (length-norm skew). Pure column expressions keyed by
+    xxhash64(id, pos): nothing staged, reproducible at any scale."""
+    dl = (F.abs(F.xxhash64(F.col("id"), F.lit(-7))) % (max_len - 20) + 20).cast("int")
+    def tok(p: int):
+        u = (F.abs(F.xxhash64(F.col("id"), F.lit(p))) % 1_000_000 + 1) / 1_000_000.0
+        rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+        return F.concat(F.lit("t"), rank.cast("string"))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.array(*[tok(p) for p in range(max_len)]), 1, dl))
+        .alias("text"),
+    )
 
 
 def synth_vectors(spark, n: int, dim: int = 64):
@@ -271,6 +308,77 @@ def run_bm25_scale(spark, n: int, passes: int) -> dict:
     out["rare_query_sec"] = round(best["rare"], 2)
     out["common_query_sec"] = round(best["common"], 2)
     out["common_champions_query_sec"] = round(best["champ"], 2)
+    return out
+
+
+def run_bm25_wand_scale(spark, n: int, passes: int) -> dict:
+    """Block-Max WAND on the Zipf fixture — the regime the tier is FOR
+    (the flat-tf synth_docs corpus ties every impact and prunes
+    nothing; measuring it would repeat the round-9 champions mistake).
+    Buckets scale ∝ N (docs-per-bucket held at ~4, the production
+    law: the planner's per-bucket collect is bounded by bucket count,
+    pruning power by docs-per-bucket). Reports wall AND the fraction
+    of matching postings the exact scorer would scan that wand
+    actually scans — wall has a fixed multi-job floor at these corpus
+    sizes; the postings fraction is the clean sublinearity signal."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _wand_plan,
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = synth_zipf_docs(spark, n)
+    buckets = max(64, n // 4)
+    common_q, multi_q = "t1", "t1 t3 t9"
+    out = {"n_docs": n, "wand_buckets": buckets}
+    best = {"build": None, "exact_c": None, "wand_c": None,
+            "exact_m": None, "wand_m": None}
+
+    def _best(key, fn):
+        t = time.time()
+        r = fn()
+        el = time.time() - t
+        best[key] = el if best[key] is None else min(best[key], el)
+        return r
+
+    for _ in range(passes):
+        tmp = tempfile.mkdtemp(prefix="bm25_wand_scale_")
+        try:
+            path = os.path.join(tmp, "bm25")
+            _best("build", lambda: build_postings_index(
+                docs, path, wand_buckets=buckets))
+            out["exact_common_rows"] = _best("exact_c", lambda: query_postings_index(
+                spark, path, common_q, k=10).count())
+            out["wand_common_rows"] = _best("wand_c", lambda: query_postings_index(
+                spark, path, common_q, k=10, mode="wand").count())
+            out["exact_multi_rows"] = _best("exact_m", lambda: query_postings_index(
+                spark, path, multi_q, k=10).count())
+            out["wand_multi_rows"] = _best("wand_m", lambda: query_postings_index(
+                spark, path, multi_q, k=10, mode="wand").count())
+            pc = _wand_plan(spark, path, common_q, 10, None, None)
+            pm = _wand_plan(spark, path, multi_q, 10, None, None)
+            out["common_postings_kept"] = pc["postings_kept"]
+            out["common_postings_total"] = pc["postings_total"]
+            out["multi_postings_kept"] = pm["postings_kept"]
+            out["multi_postings_total"] = pm["postings_total"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out.update(
+        {
+            "build_sec": round(best["build"], 2),
+            "exact_common_sec": round(best["exact_c"], 2),
+            "wand_common_sec": round(best["wand_c"], 2),
+            "exact_multi_sec": round(best["exact_m"], 2),
+            "wand_multi_sec": round(best["wand_m"], 2),
+            "common_scan_frac": round(
+                out["common_postings_kept"] / max(1, out["common_postings_total"]),
+                4,
+            ),
+            "multi_scan_frac": round(
+                out["multi_postings_kept"] / max(1, out["multi_postings_total"]), 4
+            ),
+        }
+    )
     return out
 
 
