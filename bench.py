@@ -22,6 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SEAL"):
+        # Builder seal runs only (SPARK_GRAFT_SEAL=1): refuse to produce
+        # numbers destined for SCALE.md/BENCH seals while PLANS.md is
+        # stale (tools/seal_check.py — round-9 VERDICT #4). The driver's
+        # plain `python bench.py` never takes this branch; its JSON line
+        # must always print.
+        from tools.seal_check import check_plans_current
+
+        ok, reason = check_plans_current(os.path.dirname(os.path.abspath(__file__)))
+        if not ok:
+            print(f"SEAL REFUSED — {reason}", file=sys.stderr)
+            raise SystemExit(2)
+        print(f"seal gate: {reason}", file=sys.stderr)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

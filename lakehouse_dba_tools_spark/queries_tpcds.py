@@ -9007,10 +9007,15 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tier's folded forms; these texts' parser shapes run once per
 # diffcheck at the gate SF).
 # Window history: R8 = q28..q53 (banked green in CORRECTNESS_r08);
-# R9 = the next 20 sorted texts after q53.
-EXT_CHECKED_R9: tuple[str, ...] = (
-    "q54", "q56", "q57", "q58", "q59", "q60", "q63", "q65", "q66", "q69",
-    "q70", "q71", "q72", "q75", "q76", "q77", "q80", "q81", "q82", "q83",
+# R9 = q54..q83 (banked green in CORRECTNESS_r09); R10 = the q85..q99
+# tail + the wrap into the front of the corpus. The full sweep schedule
+# lives in registry.py: after this window, exactly 12 texts have never
+# carried a driver row — the heavy-composite set
+# (q04,q14,q18,q21,q22,q23,q24,q64,q67,q74,q78,q95) — and round 11
+# checks them to complete 72/72.
+EXT_CHECKED_R10: tuple[str, ...] = (
+    "q01", "q02", "q05", "q06", "q08", "q09", "q10", "q11", "q16", "q17",
+    "q85", "q86", "q87", "q89", "q90", "q92", "q93", "q97", "q98", "q99",
 )
 
 
@@ -9023,25 +9028,25 @@ def _sqltext_ext_checked_oracle() -> str:
 
     units = ",\n".join(
         f"u_{name} AS (SELECT count(*) AS c FROM (\n{CORPUS_EXT[name]}\n) t_{name})"
-        for name in sorted(EXT_CHECKED_R9)
+        for name in sorted(EXT_CHECKED_R10)
     )
     selects = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS unit_name, CAST(c AS BIGINT) AS n_rows FROM u_{name}"
-        for name in sorted(EXT_CHECKED_R9)
+        for name in sorted(EXT_CHECKED_R10)
     )
     return with_tables(f"WITH {units}\n{selects}\nORDER BY unit_name", *CORE_TABLES)
 
 
 @register("tpcds_sqltext_extended_checked", _sqltext_ext_checked_oracle())
 def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-9 checked window of the extended official-SQL-text
-    corpus (EXT_CHECKED_R9, the next 20 sorted texts after round 8's
-    q28..q53 slice): cross-channel CTE unions (q54/q56/q60/q71/q76),
-    year-over-year county/web spreads (q57/q59), catalog-vs-store
-    rollups (q58/q65), grouping-sets hierarchies (q70/q77/q86-shape),
-    the inventory×demographics mega-join (q72), channel return unions
-    (q75/q80/q83), correlated customer probes (q69/q81), and
-    inventory-age buckets (q82). Each text runs
+    """The round-10 checked window of the extended official-SQL-text
+    corpus (EXT_CHECKED_R10 — the q85..q99 tail plus the wrap into the
+    front, completing 60 of the 72 extended texts; the final 12 are
+    scheduled for round 11, see registry.py): correlated returns/web
+    probes (q85/q92/q93), am-pm and store-hours profiles (q90),
+    customer-total CTEs and rollup hierarchies (q86/q89/q98/q99,
+    q01/q02), promotion/channel spreads (q05/q06/q08/q10/q16/q17), and
+    the year-over-year customer-county pair (q09/q11). Each text runs
     ONCE through the concurrent workload harness (unit_parallel=16 —
     20 sequential texts cost 47s at sf0.1 where the overlapped run
     costs ~a third: planning/codegen and scan stages interleave),
@@ -9069,7 +9074,7 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
     try:
         units = [
             SqlUnit(name, CORPUS_EXT[name], parallel=1, repeats=1)
-            for name in sorted(EXT_CHECKED_R9)
+            for name in sorted(EXT_CHECKED_R10)
         ]
         results = run_workload(spark, units, unit_parallel=16, retries=1)
         out = (
