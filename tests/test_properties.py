@@ -326,3 +326,62 @@ def test_champions_single_term_topk_exact_property(spark, docs, term, k):
         assert champ == exact
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    query=st.sampled_from(
+        ["alpha", "alpha beta", "gamma delta alpha", "beta omega", "omega"]
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_wand_topk_exact_property(spark, docs, query, k, buckets):
+    """PROPERTY: for ANY corpus, ANY query shape (single/multi-term,
+    absent terms), ANY k, and ANY bucket count — including the
+    degenerate 1-bucket tier — wand-mode top-k equals exact-mode
+    top-k (similarity/bm25.py mode='wand'). This is the guarantee the
+    champions tier cannot make: block-max pruning only ever skips
+    buckets whose score bound cannot reach the k-th seed score, so
+    exactness never depends on impact skew."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    tmp = tempfile.mkdtemp(prefix="bm25_wand_prop_")
+    try:
+        path = tmp + "/idx"
+        build_postings_index(df, path, wand_buckets=buckets)
+        exact = [
+            tuple(r) for r in query_postings_index(spark, path, query, k=k).collect()
+        ]
+        wand = [
+            tuple(r)
+            for r in query_postings_index(
+                spark, path, query, k=k, mode="wand"
+            ).collect()
+        ]
+        assert wand == exact
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
