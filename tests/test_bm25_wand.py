@@ -253,3 +253,29 @@ def test_champions_termstats_ride_the_tier_version(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_wand_string_doc_ids(spark, tmp_path):
+    """Bucket assignment hashes the id COLUMN (xxhash64 over any
+    type), so string-keyed corpora work end-to-end — including the
+    empty-result schema, which is derived from the stored tier."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"common w{i} extra{i % 3}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=8)
+    exact = [tuple(r) for r in query_postings_index(spark, path, "common extra1", k=5).collect()]
+    wand = [
+        tuple(r)
+        for r in query_postings_index(
+            spark, path, "common extra1", k=5, mode="wand"
+        ).collect()
+    ]
+    assert wand == exact and len(wand) == 5
+    empty = query_postings_index(spark, path, "zzzunseen", mode="wand")
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "string",
+        "double",
+    ]
