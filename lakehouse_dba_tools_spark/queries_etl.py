@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.functions.stable import stable_sum
 from lakehouse_dba_tools_spark.operators.dedup import dedup_by_key
-from lakehouse_dba_tools_spark.operators.flatten import splat_structs
+from lakehouse_dba_tools_spark.operators.flatten import compat_alias, splat_structs
 from lakehouse_dba_tools_spark.registry import register
 from lakehouse_dba_tools_spark.sources.json_records import paged_source
 from lakehouse_dba_tools_spark.sources.tables import load_table
@@ -37,7 +37,8 @@ ETL_SLICE = PAGE_SIZE * MAX_PAGES
     SELECT event_type, count(*) AS n_events,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_value,
-           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_final
+           sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_final,
+           MAX(event_id) AS max_queryid
     FROM deduped GROUP BY event_type
     """,
 )
@@ -47,6 +48,8 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     REST-paginated JSON (driver-side pages, the reference's S7 shape)
     → bool stringification (P12) → inferred nested schema (S1)
     → struct splat (P2) → epoch→timestamp (F1) → dedup-by-key (W1)
+    → dup-column compat shim (P13 — the legacy `queryid` alias rides
+    through the physical sink and feeds the rollup's max_queryid)
     → MERGE upsert into the warehouse table (S9/J3) → metrics rollup.
 
     The payload is derived from the events fixture so the DuckDB oracle
@@ -91,6 +94,13 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = flat.withColumn("start_ts", F.timestamp_millis(F.col("start_time_ms")))
     deduped = dedup_by_key(flat, ["event_id"], ["start_time_ms", "user_id"])
     deduped = deduped.withColumn("event_date", F.to_date("start_ts"))
+    # P13 dup-column compat shim (operators/flatten.py): the reference
+    # keeps the legacy `queryid` column as a live alias of the renamed
+    # key for downstream readers of the warehouse table; the alias is
+    # carried THROUGH the physical merge and read back for the rollup,
+    # so the max_queryid output column is wrong unless the shim
+    # projected the right source column into the sink.
+    deduped = compat_alias(deduped, {"queryid": "event_id"})
 
     # warehouse upsert: first page plays the pre-existing table, the
     # full slice merges on top — a real partition-pruned parquet MERGE
@@ -118,6 +128,7 @@ def query_history_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k").cast("bigint")).alias("sum_k"),
             stable_sum("value", 2).alias("sum_value"),
             F.sum((F.col("is_final") == "true").cast("bigint")).alias("n_final"),
+            F.max("queryid").alias("max_queryid"),
         )
         # pin before the tempdir vanishes (cache blocks are evictable)
         return spark.createDataFrame(out.collect(), out.schema)

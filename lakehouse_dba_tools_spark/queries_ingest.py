@@ -339,22 +339,35 @@ def csv_exotic_declared_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'csv_inferred_rows_matching', (SELECT count(*) FROM nation)
     UNION ALL
+    SELECT 'maxrecords_restored_files', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'maxrecords_scoped_files',
+           CAST(CEIL((SELECT count(*) FROM nation) / 7.0) AS BIGINT)
+    UNION ALL
     SELECT 'text_gzip_lines', (SELECT count(*) FROM nation)
     ORDER BY metric
     """,
 )
 def small_file_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 + S14 + S2 end-to-end (round-6 promotion of the last
-    unit-only sink rows): deliberately fragment nation into 8 parquet
-    files, bin-pack with optimize_compact (S13 — 128 MB target folds
-    25 rows into ONE file; `maintenance/compact.py:43`), write the
-    gzip-compressed text sink and read it back (S14,
-    `sources/files.py:59`), and round-trip nation through a
-    header+INFERRED-schema CSV (S2, `sources/files.py:19`) re-joined
-    to the original on every column. The oracle derives the row-level
-    values from the nation fixture; the file-count rows pin the
-    operators' structural contracts (8-way fragment, 1-file compact,
-    2 integer-inferred key columns)."""
+    """S13 + S14 + S2 + D15 end-to-end (round-6 promotion of the last
+    unit-only sink rows; D15's session-conf leg added round 10):
+    deliberately fragment nation into 8 parquet files, bin-pack with
+    optimize_compact (S13 — 128 MB target folds 25 rows into ONE file;
+    `maintenance/compact.py:43`), write the gzip-compressed text sink
+    and read it back (S14, `sources/files.py:59`), round-trip nation
+    through a header+INFERRED-schema CSV (S2, `sources/files.py:19`)
+    re-joined to the original on every column, and — D15
+    (`session.scoped_confs`; the reference sets ``maxRecordsPerFile``
+    and codec confs per session, `resources/TPC-datagen-notebook.scala
+    :110-137`) — write a single-task parquet sink under a SCOPED
+    ``spark.sql.files.maxRecordsPerFile=7``, whose file count
+    ceil(|nation|/7) is observable ONLY if ``spark.conf.set`` took
+    effect, then write again after the scope exits, whose 1-file count
+    is observable only if the conf was RESTORED. The oracle derives the
+    row-level values from the nation fixture; the file-count rows pin
+    the operators' structural contracts (8-way fragment, 1-file
+    compact, 2 integer-inferred key columns, conf-driven 4-way split +
+    post-scope single file)."""
     import glob
     import os
     import shutil
@@ -398,11 +411,27 @@ def small_file_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_match = inferred.join(
             nation, ["n_nationkey", "n_name", "n_regionkey"]
         ).count()
+        # D15: conf-scoped sink sizing — maxRecordsPerFile caps rows
+        # per file WITHIN one write task, so a coalesce(1) write under
+        # the scope splits into ceil(n/7) files; the write after the
+        # scope (conf restored to the session default, unlimited)
+        # produces exactly one
+        from lakehouse_dba_tools_spark.session import scoped_confs
+
+        scoped_path = f"{tmp}/nation_scoped"
+        restored_path = f"{tmp}/nation_restored"
+        with scoped_confs(spark, {"spark.sql.files.maxRecordsPerFile": "7"}):
+            nation.coalesce(1).write.parquet(scoped_path)
+        nation.coalesce(1).write.parquet(restored_path)
+        n_scoped = len(glob.glob(os.path.join(scoped_path, "*.parquet")))
+        n_restored = len(glob.glob(os.path.join(restored_path, "*.parquet")))
         rows = [
             ("compact_files_after", n_after),
             ("compact_files_before", n_before),
             ("csv_inferred_int_cols", n_int_cols),
             ("csv_inferred_rows_matching", n_match),
+            ("maxrecords_restored_files", n_restored),
+            ("maxrecords_scoped_files", n_scoped),
             ("text_gzip_lines", n_lines),
         ]
     finally:

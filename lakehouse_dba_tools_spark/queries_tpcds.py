@@ -46,6 +46,7 @@ from lakehouse_dba_tools_spark.datagen.tpcds import (
     gen_store,
 )
 from lakehouse_dba_tools_spark.registry import register
+from lakehouse_dba_tools_spark.session import scoped_confs
 
 # Gate fact size: big enough that every group in the checked rollups
 # is multi-row, small enough for the sf0.01 gate. Bench at sf0.1 runs
@@ -8886,22 +8887,24 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = ensure_export(spark, scale=_sf_scale(sf_dir))
     for name in CORE_TABLES:
         spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
-    # workload-scoped shuffle sizing: the corpus is many SMALL queries,
-    # where 200 (vanilla default) or even 32 shuffle partitions is pure
+    # workload-scoped shuffle sizing (D15 via session.scoped_confs —
+    # restored on exit): the corpus is many SMALL queries, where 200
+    # (vanilla default) or even 32 shuffle partitions is pure
     # task-scheduling overhead per stage. 8 partitions + AQE coalesce
-    # matches the data volume; restored in the finally. (At 100 TB the
-    # same knob goes the other way — sized per workload, not per query.)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
-    prev_bto = spark.conf.get("spark.sql.broadcastTimeout", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # The oracle pins n_ok == n_runs; at unit_parallel=16 on the shared
+    # matches the data volume. (At 100 TB the same knob goes the other
+    # way — sized per workload, not per query.) broadcastTimeout: the
+    # oracle pins n_ok == n_runs; at unit_parallel=16 on the shared
     # noisy host one broadcast future outliving the 300s default would
-    # fail the gate for a scheduling reason. Widen for this scope (the
-    # extended query's posture) and let the harness retry once.
-    spark.conf.set("spark.sql.broadcastTimeout", "1200")
-    try:
+    # fail the gate for a scheduling reason — widen for this scope and
+    # let the harness retry once.
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.broadcastTimeout": "1200",
+        },
+    ):
         # per-unit parallel config like the reference's YAML units
         # (DBS:108-118): the q3 rollup family runs 2 concurrent
         # connections, the long tail 1 — 31 real executions total
@@ -8923,13 +8926,6 @@ def tpcds_sqltext_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before uncaching — the summary must not lazily
         # re-run corpus SQL against dropped caches
         rows = out.collect()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_aqe is not None:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        if prev_bto is not None:
-            spark.conf.set("spark.sql.broadcastTimeout", prev_bto)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -8970,14 +8966,17 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = ensure_export(spark, scale=_sf_scale(sf_dir))
     for name in CORE_TABLES:
         spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    prev_bto = spark.conf.get("spark.sql.broadcastTimeout", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     # scalar-subquery/broadcast futures in q6/q32/q44/q92 can outlive
     # the 300s default under shared-host load spikes late in a long
     # battery session; widen the window for this query's scope only
-    spark.conf.set("spark.sql.broadcastTimeout", "1200")
-    try:
+    # (D15 scoped_confs restores both knobs on exit)
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.broadcastTimeout": "1200",
+        },
+    ):
         rows = []
         for name, sql in sorted(CORPUS_EXT.items()):
             try:
@@ -8988,11 +8987,6 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # silently skipped — a REAL semantic error still
                 # raises here and fails the gate)
                 rows.append((name, spark.sql(sql).count()))
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_bto is not None:
-            spark.conf.set("spark.sql.broadcastTimeout", prev_bto)
     return spark.createDataFrame(rows, "unit_name string, n_rows long").orderBy(
         "unit_name"
     )
@@ -9065,13 +9059,14 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
     wh = ensure_export(spark, scale=_sf_scale(sf_dir))
     for name in CORE_TABLES:
         spark.read.parquet(f"{wh}/{name}").createOrReplaceTempView(name)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
-    prev_bto = spark.conf.get("spark.sql.broadcastTimeout", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.broadcastTimeout", "1200")
-    try:
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.broadcastTimeout": "1200",
+        },
+    ):
         units = [
             SqlUnit(name, CORPUS_EXT[name], parallel=1, repeats=1)
             for name in sorted(EXT_CHECKED_R10)
@@ -9083,11 +9078,4 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
             .orderBy("unit_name")
         )
         rows = out.collect()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_aqe is not None:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        if prev_bto is not None:
-            spark.conf.set("spark.sql.broadcastTimeout", prev_bto)
     return spark.createDataFrame(rows, out.schema)

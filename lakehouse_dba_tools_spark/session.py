@@ -13,6 +13,7 @@ cluster deployments.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -66,3 +67,43 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_UNSET = object()
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """D15 session-conf set, scoped: apply ``spark.conf.set`` pairs for
+    one workload and RESTORE the prior session state on exit (reset
+    values that had one, unset keys that were unset) — exception-safe.
+
+    The reference sets runtime confs per task script and leaves them
+    for the session's remainder (`tasks/Query History API to
+    Delta_withmetrics.py:35` autoMerge;
+    `resources/TPC-datagen-notebook.scala:110-137` shuffle partitions,
+    ``maxRecordsPerFile``, parquet/ORC codecs). In a multi-tenant
+    engine session a leaked conf silently re-plans every later query,
+    so the engine's form is a scope: workload-sized knobs (shuffle
+    partitions for a small-query corpus, ``maxRecordsPerFile`` for a
+    sink's file-size contract) apply exactly as long as the workload
+    runs. Restore uses ``unset`` for keys with no prior value so the
+    session falls back to its builder/cluster default rather than a
+    frozen copy of it.
+    """
+    prior: dict[str, object] = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:  # no value and no default registered
+            prior[k] = _UNSET
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, old in prior.items():
+            if old is _UNSET:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -223,3 +223,51 @@ def test_compat_alias_and_ordinal_sort(spark):
 
     srt = sort_by_ordinal(df, [1], ascending=False).collect()
     assert [r.query_id for r in srt] == [2, 1]
+
+
+def test_scoped_confs_set_restore_unset(spark):
+    """D15 session-conf scope: values apply inside, prior state comes
+    back outside — including keys that had NO prior value (unset, so
+    the session falls back to its default rather than a frozen copy)."""
+    import pytest
+
+    from lakehouse_dba_tools_spark.session import scoped_confs
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # maxRecordsPerFile: defaulted key — readable before, so restore
+    # goes through conf.set of the snapshot value
+    prior_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile")
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "3",
+            "spark.sql.files.maxRecordsPerFile": "7",
+        },
+    ) as s:
+        assert s is spark
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert spark.conf.get("spark.sql.files.maxRecordsPerFile") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior_parts
+    assert spark.conf.get("spark.sql.files.maxRecordsPerFile") == prior_mrpf
+
+    # a key with neither value nor default is UNSET again on exit
+    key = "spark.graft.test.scoped_confs"
+    with pytest.raises(Exception):
+        spark.conf.get(key)
+    with scoped_confs(spark, {key: "on"}):
+        assert spark.conf.get(key) == "on"
+    with pytest.raises(Exception):
+        spark.conf.get(key)
+
+
+def test_scoped_confs_restores_on_error(spark):
+    import pytest
+
+    from lakehouse_dba_tools_spark.session import scoped_confs
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "5"}):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior

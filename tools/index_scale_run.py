@@ -122,6 +122,12 @@ def main() -> None:
             run_bm25_scale(spark, 50_000, passes)]
     wand = [run_bm25_wand_scale(spark, 5_000, passes),
             run_bm25_wand_scale(spark, 50_000, passes)]
+    # Optional 100× point (build is minutes — ~30M postings): buckets
+    # keep scaling ∝ N (docs-per-bucket held ~4), so the sublinearity
+    # claim at 100× is the postings-scanned FRACTION holding or
+    # shrinking while exact-path cost grows with df ∝ N.
+    if os.environ.get("SCALE_RUN_WAND_100X"):
+        wand.append(run_bm25_wand_scale(spark, 500_000, passes))
     summary = {
         "lsh": results,
         "ratios_10x_corpus": {
