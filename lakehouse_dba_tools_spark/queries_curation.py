@@ -308,6 +308,88 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-reweighted mixture (the multinomial-sampling recipe
+# multilingual/multi-domain training runs use: w_i ∝ p_i^T with T < 1
+# upsampling tail sources, T = 1 recovering natural proportions).
+MIX_TEMPERATURE = 0.7
+
+
+@register(
+    "temperature_mixture_plan",
+    f"""
+    WITH stats AS (
+      SELECT source, sum(len({_D_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM stats),
+    shares AS (
+      SELECT s.source, s.n_tokens, s.n_tokens / t.total AS p,
+             pow(s.n_tokens / t.total, {MIX_TEMPERATURE}) AS pt
+      FROM stats s CROSS JOIN tot t
+    ),
+    norm AS (SELECT sum(pt) AS sum_pt FROM shares)
+    SELECT sh.source,
+           sh.n_tokens,
+           round(sh.p, 6) AS token_share,
+           round(sh.pt / n.sum_pt, 6) AS temp_weight,
+           round({MIX_BUDGET_FRAC} * t.total * sh.pt / n.sum_pt, 4)
+             AS target_tokens,
+           round(least(1.0, {MIX_BUDGET_FRAC} * t.total * sh.pt / n.sum_pt
+                            / sh.n_tokens), 6) AS sample_rate,
+           round({MIX_BUDGET_FRAC} * t.total * sh.pt / n.sum_pt
+                 / sh.n_tokens, 6) AS epochs
+    FROM shares sh CROSS JOIN norm n CROSS JOIN tot t
+    ORDER BY source
+    """,
+)
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning — the OTHER standard mixing
+    recipe next to corpus_mixture_sample's explicit weights: each
+    source's natural token share p_i is reweighted to p_i^T / Σ p_j^T
+    (T = {MIX_TEMPERATURE}; T < 1 flattens the distribution, pulling
+    budget from head sources toward the tail — the multilingual
+    sampling law), then the token budget allocates per source. The
+    report carries the capped one-pass sample_rate AND the uncapped
+    `epochs` (target/available) — epochs > 1 means the recipe repeats
+    that source, the signal a corpus builder sizes upsampling by.
+
+    Scale shape: identical to corpus_mixture_sample's planning pass —
+    one per-source aggregate (20 rows), two scalar folds broadcast
+    back; the corpus is scanned once and no doc row ever shuffles.
+    At 100 TB the plan is a 20-row frame a scheduler consumes."""
+    from lakehouse_dba_tools_spark.functions.text import token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "source", token_count("text").alias("n_tok")
+    )
+    stats = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = stats.agg(F.sum("n_tokens").cast("double").alias("total"))
+    shares = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("p"),
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(MIX_TEMPERATURE)).alias("pt"),
+        "total",
+    )
+    norm = shares.agg(F.sum("pt").alias("sum_pt"))
+    target = F.lit(MIX_BUDGET_FRAC) * F.col("total") * F.col("pt") / F.col("sum_pt")
+    return (
+        shares.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("p", 6).alias("token_share"),
+            F.round(F.col("pt") / F.col("sum_pt"), 6).alias("temp_weight"),
+            F.round(target, 4).alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), target / F.col("n_tokens")), 6
+            ).alias("sample_rate"),
+            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 TRAIN_ORDER_SEED = "epoch0"
 SHUFFLE_BUCKETS = 256
 

@@ -721,7 +721,12 @@ def query_postings_index(
     can't reach the current k-th score, and survivors are scored
     exactly. Sublinear whenever impact skew exists (Zipf corpora);
     degrades to the exact scan cost — never to a wrong answer — on
-    flat-impact data. Same refresh cadence as champions.
+    flat-impact data. Planning is distributed: every driver collect
+    is bounded by k or |terms| (seed limit-collect + 2-scalar prune
+    stats), never by bucket or corpus count; small kept sets inline
+    as a pushed bucket-IN filter (row-group skipping), large ones
+    broadcast-semi-join the kept frame. Same refresh cadence as
+    champions.
 
     For champions/wand, ``k1``/``b`` default to the STORED tier
     parameters; passing explicit values that differ raises (the tier's
@@ -844,15 +849,18 @@ def _query_champions(
     )
 
 
+WAND_COLLECT_MAX = 4096
+
+
 def _wand_plan(
     spark, path: str, query: str, k: int, k1: float | None, b: float | None
 ) -> dict:
-    """The driver-side Block-Max WAND plan: which buckets must be
-    scored for an EXACT top-k. Returns a dict the scorer (and the
-    scale-evidence tooling / tests) consume:
+    """The Block-Max WAND plan: which buckets must be scored for an
+    EXACT top-k. Returns a dict the scorer (and the scale-evidence
+    tooling / tests) consume:
 
     {blocked_dir, terms, idf: {term: idf}, n_docs, avgdl, k1, b,
-     seed: [bucket...], kept: [bucket...], theta,
+     seed: [bucket...], kept: [bucket...] | None, kept_count, theta,
      candidate_buckets, total_buckets(wand_buckets),
      postings_kept, postings_total}
 
@@ -860,20 +868,23 @@ def _wand_plan(
     ``_blockmax`` slice for the query's terms reduces DISTRIBUTED to
     one row per candidate bucket — ub(B) = Σ_t idf_t · max_imp(t, B),
     an exact per-doc score bound because a doc's postings all share
-    its hash bucket. The driver collects only that ≤ wand_buckets-row
-    frame (plus a ≤ |terms|-row df aggregate and the k seed scores —
-    every collect bounded by index PARAMETERS, never by corpus size;
-    size wand_buckets ∝ N / docs-per-bucket, documented in SCALE.md).
-    Buckets are taken in ub-descending order until they provably hold
-    ≥ max(k, 8k) matching docs (the SEED — the 8× overshoot buys a
-    tight threshold for pennies); the seed is scored exactly and its
-    k-th score becomes the threshold θ — a lower bound on the true
-    k-th score, since seed scores are true scores. Every other bucket
-    with ub < θ is pruned: no doc in it can reach the top k.
+    its hash bucket. Every driver collect is bounded by k or |terms|,
+    never by bucket or corpus count: the SEED is the top max(k, 8k)
+    buckets by ub (a limit-collect — each holds ≥1 matching doc, so
+    they provably cover ≥ max(k, 8k) docs; the 8× overshoot buys a
+    tight threshold for pennies), scored exactly so its k-th score
+    becomes the threshold θ — a lower bound on the true k-th score,
+    since seed scores are true scores. Pruning then happens
+    DISTRIBUTED: kept = buckets with ub ≥ θ - 1e-9, reduced to a
+    2-scalar stats row; the id list is collected only when
+    kept_count ≤ WAND_COLLECT_MAX (small lists keep the pushed
+    bucket-IN filter and its row-group skipping), otherwise
+    ``kept`` is None and the scorer broadcast-joins the kept-bucket
+    frame instead (`_score_kept_join`).
     Exactness: any doc with true score ≥ θ lives in a bucket with
     ub ≥ score ≥ θ, hence unpruned. The float-margin guard (1e-9)
     keeps a bound-achieving doc on a boundary bucket safe from
-    summation-order jitter in θ."""
+    summation-order jitter in θ or ub."""
     import json
     import math
     import os
@@ -911,31 +922,23 @@ def _wand_plan(
     }
     if not df_t:  # no query term occurs in the corpus
         plan.update(
-            {"seed": [], "kept": [], "theta": None,
+            {"seed": [], "kept": [], "kept_count": 0, "theta": None,
              "candidate_buckets": 0, "postings_kept": 0}
         )
         return plan
-    idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
-    per_bucket = (
-        bmax.groupBy("bucket")
-        .agg(
-            F.sum(F.element_at(idf_map, F.col("term")) * F.col("max_imp")).alias(
-                "ub"
-            ),
-            F.max("n_docs").alias("docs_lb"),
-            F.sum("n_docs").alias("postings"),
-        )
-        .collect()
+    per_bucket = _wand_per_bucket(bmax, idf)
+    # SEED: ub-descending until the buckets provably hold ≥ max(k, 8k)
+    # matching docs. docs_lb ≥ 1 per candidate bucket, so the top
+    # max(k, 8k) rows always suffice — a k-bounded limit-collect.
+    need = max(k, 8 * k)
+    top = (
+        per_bucket.orderBy(F.col("ub").desc(), "bucket").limit(need).collect()
     )
-    ub = {int(r["bucket"]): float(r["ub"]) for r in per_bucket}
-    docs_lb = {int(r["bucket"]): int(r["docs_lb"]) for r in per_bucket}
-    postings = {int(r["bucket"]): int(r["postings"]) for r in per_bucket}
-    ranked = sorted(ub, key=lambda bk: (-ub[bk], bk))
     seed, have = [], 0
-    for bk in ranked:
-        seed.append(bk)
-        have += docs_lb[bk]
-        if have >= max(k, 8 * k):
+    for r in top:
+        seed.append(int(r["bucket"]))
+        have += int(r["docs_lb"])
+        if have >= need:
             break
     theta = None
     if have >= k:
@@ -947,24 +950,51 @@ def _wand_plan(
         )
         if len(seed_scores) >= k:
             theta = float(seed_scores[-1]["_score"])
-    if theta is None:
-        kept = ranked  # fewer than k matching docs anywhere: score all
-    else:
-        seed_set = set(seed)
-        kept = seed + [
-            bk for bk in ranked
-            if bk not in seed_set and ub[bk] >= theta - 1e-9
-        ]
+    plan["seed"] = seed
+    plan["theta"] = theta
+    # PRUNE, distributed: no collect is ever proportional to bucket
+    # count. theta None (fewer than k matching docs) keeps everything.
+    kept_pred = (
+        F.lit(True) if theta is None else F.col("ub") >= F.lit(theta - 1e-9)
+    )
+    stats = per_bucket.agg(
+        F.count("*").alias("cand"),
+        F.sum(kept_pred.cast("long")).alias("kept_n"),
+        F.sum(F.when(kept_pred, F.col("postings")).otherwise(0)).alias(
+            "kept_postings"
+        ),
+    ).collect()[0]
+    kept_count = int(stats["kept_n"] or 0)
     plan.update(
         {
-            "seed": seed,
-            "kept": kept,
-            "theta": theta,
-            "candidate_buckets": len(ranked),
-            "postings_kept": sum(postings[bk] for bk in kept),
+            "kept_count": kept_count,
+            "candidate_buckets": int(stats["cand"] or 0),
+            "postings_kept": int(stats["kept_postings"] or 0),
         }
     )
+    if kept_count <= WAND_COLLECT_MAX:
+        kept_rows = (
+            per_bucket.filter(kept_pred)
+            .orderBy(F.col("ub").desc(), "bucket")
+            .select("bucket")
+            .collect()
+        )
+        plan["kept"] = [int(r["bucket"]) for r in kept_rows]
+    else:
+        plan["kept"] = None  # scorer joins the distributed kept frame
     return plan
+
+
+def _wand_per_bucket(bmax, idf: dict):
+    """Per-candidate-bucket (ub, docs_lb, postings) frame from the
+    query-terms ``_blockmax`` slice — stays distributed; the planner
+    only limit-collects or aggregate-collects it."""
+    idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    return bmax.groupBy("bucket").agg(
+        F.sum(F.element_at(idf_map, F.col("term")) * F.col("max_imp")).alias("ub"),
+        F.max("n_docs").alias("docs_lb"),
+        F.sum("n_docs").alias("postings"),
+    )
 
 
 def _score_buckets(spark, plan: dict, buckets: list[int]) -> DataFrame:
@@ -974,14 +1004,47 @@ def _score_buckets(spark, plan: dict, buckets: list[int]) -> DataFrame:
     The per-term idf constants ride in a literal map (the driver
     already holds them from the blockmax slice — no second stats job),
     and only matched postings' (doc_id, partial score) cross the one
-    exchange. Returns (id_col, raw ``_score``)."""
-    id_col = plan["id_col"]
-    k1, b, avgdl = plan["k1"], plan["b"], plan["avgdl"]
+    exchange. Returns (id_col, raw ``_score``). For kept sets too
+    large to ride in a literal IN (sparse pruning on a huge corpus),
+    use `_score_kept_join` instead."""
     hits = (
         spark.read.parquet(plan["blocked_dir"])
         .filter(F.col("term").isin(plan["terms"]))
         .filter(F.col("bucket").isin([int(x) for x in buckets]))
     )
+    return _score_hits(hits, plan)
+
+
+def _score_kept_join(spark, plan: dict) -> DataFrame:
+    """Exact BM25 over the kept buckets when their id list is too
+    large to collect/inline (plan["kept"] is None): re-derive the
+    kept-bucket frame distributed from the SAME pinned blockmax slice
+    (ub ≥ θ - 1e-9 — the margin makes recomputed float sums agree
+    with the planner's stats pass) and broadcast-semi-join it onto
+    the postings scan. The term IN-filter still pushes into parquet;
+    bucket pruning becomes a join-side filter — at this kept density
+    row-group skipping had no bite anyway, and nothing bucket-shaped
+    ever reaches the driver."""
+    import os
+
+    bmax = spark.read.parquet(
+        os.path.join(plan["blocked_dir"], "_blockmax")
+    ).filter(F.col("term").isin(plan["terms"]))
+    kept = _wand_per_bucket(bmax, plan["idf"])
+    if plan["theta"] is not None:
+        kept = kept.filter(F.col("ub") >= F.lit(plan["theta"] - 1e-9))
+    hits = (
+        spark.read.parquet(plan["blocked_dir"])
+        .filter(F.col("term").isin(plan["terms"]))
+        .join(F.broadcast(kept.select("bucket")), "bucket", "left_semi")
+    )
+    return _score_hits(hits, plan)
+
+
+def _score_hits(hits: DataFrame, plan: dict) -> DataFrame:
+    """Shared exact scorer over a filtered postings frame."""
+    id_col = plan["id_col"]
+    k1, b, avgdl = plan["k1"], plan["b"], plan["avgdl"]
     idf_map = F.create_map(
         *[F.lit(x) for kv in plan["idf"].items() for x in kv]
     )
@@ -1013,7 +1076,7 @@ def _query_wand(
             f"rebuild with build_postings_index(..., wand_buckets=B) — "
             f"or query with mode='exact'/'champions'"
         ) from e
-    if not plan["kept"]:
+    if plan["kept_count"] == 0:
         # no query term occurs: empty frame, id type taken from the tier
         empty = (
             spark.read.parquet(plan["blocked_dir"])
@@ -1021,9 +1084,12 @@ def _query_wand(
             .limit(0)
         )
         return empty
+    if plan["kept"] is not None:
+        scored = _score_buckets(spark, plan, plan["kept"])
+    else:  # kept set too large to inline — distributed semi-join prune
+        scored = _score_kept_join(spark, plan)
     return (
-        _score_buckets(spark, plan, plan["kept"])
-        .orderBy(F.col("_score").desc(), F.col(id_col))
+        scored.orderBy(F.col("_score").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
     )

@@ -279,3 +279,31 @@ def test_wand_string_doc_ids(spark, tmp_path):
         "string",
         "double",
     ]
+
+
+def test_wand_large_kept_set_joins_distributed(spark, tmp_path, monkeypatch):
+    """When the kept-bucket set exceeds WAND_COLLECT_MAX the planner
+    returns kept=None and the scorer broadcast-semi-joins the
+    distributed kept frame instead of inlining ids — answers must be
+    IDENTICAL to the inline path (and to exact). Forced here by
+    dropping the collect cap to 0."""
+    import lakehouse_dba_tools_spark.similarity.bm25 as bm25
+
+    docs = _zipf_docs(spark, 1000)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=256)
+    q = "t1 t3 t9"
+    exact = [tuple(r) for r in query_postings_index(spark, path, q, k=10).collect()]
+    inline = [
+        tuple(r)
+        for r in query_postings_index(spark, path, q, k=10, mode="wand").collect()
+    ]
+    monkeypatch.setattr(bm25, "WAND_COLLECT_MAX", 0)
+    plan = _wand_plan(spark, path, q, 10, None, None)
+    assert plan["kept"] is None and plan["kept_count"] > 0
+    joined = [
+        tuple(r)
+        for r in query_postings_index(spark, path, q, k=10, mode="wand").collect()
+    ]
+    assert joined == inline == exact
+    docs.unpersist()
