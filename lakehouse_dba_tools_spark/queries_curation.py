@@ -390,6 +390,95 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE = """CASE
+        WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || 'split-v1'), 1, 8)) AS BIGINT)
+             / 4294967296.0 < 0.8 THEN 'train'
+        WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || 'split-v1'), 1, 8)) AS BIGINT)
+             / 4294967296.0 < 0.9 THEN 'val'
+        ELSE 'test' END"""
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    labeled AS (
+      SELECT least({_SPLIT_CASE.format(id='id_a')},
+                   {_SPLIT_CASE.format(id='id_b')}) AS split_a,
+             greatest({_SPLIT_CASE.format(id='id_a')},
+                      {_SPLIT_CASE.format(id='id_b')}) AS split_b
+      FROM pairs
+    )
+    SELECT split_a, split_b, count(*) AS n_pairs,
+           (split_a <> split_b) AS is_leak
+    FROM labeled GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — the in-corpus contamination check
+    next to doc_decontamination's external-benchmark one: a near-dup
+    pair whose members land in different splits leaks training signal
+    into evaluation, the failure mode hash-based splitting alone cannot
+    prevent (splits are per-doc; near-dups are per-PAIR). Composes the
+    two existing kernels: deterministic md5 split assignment
+    (operators/sampling.py) × candidates→verify near-dup detection
+    (dedup/minhash.py, recall 1.0 at these params — the same
+    exact-oracle-equality contract doc_near_dup_components pins), then
+    counts pairs per canonical split pair with the cross-split rows
+    flagged. The report a corpus builder acts on: is_leak rows demand
+    re-splitting by CLUSTER (e.g. doc_near_dup_components' canonical
+    keeper as the split key) rather than by doc.
+
+    Scale shape: the pair frame is the banded LSH bucket-join (never
+    all-pairs — the oracle's quadratic join is the gate-SF truth
+    kernel, not the plan); split labels attach by two broadcast-light
+    joins on the tiny verified-pair frame; the rollup is ≤ 6 rows."""
+    from lakehouse_dba_tools_spark.dedup.minhash import verified_near_dups
+    from lakehouse_dba_tools_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(docs, threshold=0.5)
+    split = train_val_test_split(
+        docs.select("doc_id"), "doc_id", (0.8, 0.1, 0.1), salt="split-v1"
+    ).select("doc_id", "split")
+    labeled = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 TRAIN_ORDER_SEED = "epoch0"
 SHUFFLE_BUCKETS = 256
 
