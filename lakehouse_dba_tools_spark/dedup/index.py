@@ -18,10 +18,21 @@ as operators/upsert.py):
 - ``shash/``  (doc_id, shash array<bigint>) — distinct xxhash64'd
   shingles per doc, the compact verify-side payload (8 B/shingle;
   document TEXT never enters the index).
-- ``_lsh_meta.json``  {k, num_perm, bands, seed} — signatures only
-  collide within one permutation family, so query/append take their
-  parameters FROM the stored meta (callers cannot pass divergent ones)
-  and a missing meta file fails loudly instead of finding nothing.
+- ``_lsh_meta.json``  {k, num_perm, bands, seed, shash_dir} —
+  signatures only collide within one permutation family, so
+  query/append take their parameters FROM the stored meta (callers
+  cannot pass divergent ones) and a missing meta file fails loudly
+  instead of finding nothing. ``shash_dir`` names the shash VERSION
+  this bands snapshot pairs with: the index spans two tables, and two
+  independent pointer flips would leave a window (crash mid-build, or
+  a reader racing a full rebuild over a different corpus) where new
+  bands pair with old shash — candidates verifying against absent
+  shash rows are dropped SILENTLY. Riding the pairing inside the
+  bands version meta makes the bands flip the single atomic commit
+  for the whole index (the same pattern as the IVF cid manifest and
+  the champions _termstats); readers resolve bands ONCE and take the
+  shash version that snapshot names. Pre-round-10 indexes lack the
+  key and fall back to the live shash pointer.
 
 Scale notes: query cost is |batch| signatures + one join against the
 band table (shuffle carries (band_key, id) pairs only) + a verify join
@@ -59,7 +70,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
-    carry_version_meta,
     current_version_dir,
     heal,
     init_versioned,
@@ -120,24 +130,27 @@ def build_lsh_index(
     """Materialize the index from an initial corpus. Overwrites
     ``path``. Returns the meta dict."""
     bk, sh, pinned = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
-    meta = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
-            "id_col": id_col, "text_col": text_col}
+    meta: dict = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+                  "id_col": id_col, "text_col": text_col}
     with writer_lock(path):
-        for sub, df in (("bands", bk), ("shash", sh)):
-            live = os.path.join(path, sub)
-            heal(live)
-            target = init_versioned(live)
-            if sub == "bands":
-                df.write.mode("overwrite").partitionBy("band_idx").parquet(target)
-                # The permutation-family parameters ride INSIDE the
-                # bands version directory, so the pointer flip
-                # publishes data + params in one atomic step (a reader
-                # can never pair re-banded tables with stale
-                # num_perm/bands — see indexio.write_version_meta).
-                write_version_meta(target, META_NAME, meta)
-            else:
-                df.write.mode("overwrite").parquet(target)
-            publish(live, target)
+        bands_live = os.path.join(path, "bands")
+        sh_live = os.path.join(path, "shash")
+        heal(bands_live)
+        heal(sh_live)
+        # shash is written FIRST so the bands version meta can NAME it
+        # — the bands pointer flip is then the single atomic commit for
+        # the two-table index (a crash or racing reader before that
+        # flip still resolves the OLD bands meta, which names the OLD,
+        # retained shash version; tables from different builds can
+        # never pair silently)
+        sh_target = init_versioned(sh_live)
+        sh.write.mode("overwrite").parquet(sh_target)
+        bands_target = init_versioned(bands_live)
+        bk.write.mode("overwrite").partitionBy("band_idx").parquet(bands_target)
+        meta["shash_dir"] = os.path.basename(sh_target)
+        write_version_meta(bands_target, META_NAME, meta)
+        publish(sh_live, sh_target)
+        publish(bands_live, bands_target)
         # root-level copy is informational only (humans / legacy
         # tooling); every reader goes through snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
@@ -151,6 +164,26 @@ def read_lsh_meta(path: str) -> dict:
     """Parameters of the CURRENT published snapshot (resolved through
     the bands pointer — atomically coupled with the band tables)."""
     return snapshot_meta(os.path.join(path, "bands"), META_NAME, path)[1]
+
+
+def _shash_dir(path: str, m: dict) -> str:
+    """The shash version directory PAIRED with a bands snapshot's meta
+    (the single-flip coupling — see the module docstring). Falls back
+    to the live shash pointer for pre-round-10 indexes whose meta
+    predates the ``shash_dir`` key, and to a FLAT live directory when
+    the named version is gone because an external tool flattened the
+    layout (the legacy-migration scenario heal() recovers). A named
+    version reclaimed while the live path is still versioned (reader
+    ≥2 compacts stale, or post-vacuum) stays pointed-at and fails
+    loudly on first file access — the standard retention contract,
+    never a silent re-pair with a different build's table."""
+    live = os.path.join(path, "shash")
+    if "shash_dir" in m:
+        named = os.path.join(path, m["shash_dir"])
+        if not os.path.isdir(named) and os.path.isdir(live) and not os.path.islink(live):
+            return live
+        return named
+    return current_version_dir(live)
 
 
 def append_to_lsh_index(docs: DataFrame, path: str) -> None:
@@ -180,12 +213,12 @@ def _append_rows(
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
     with writer_lock(path):
+        cur = read_lsh_meta(path)
         if signed_under is not None:
             # the batch was signed OUTSIDE the lock; a rebuild landing
             # in between would make these rows a different permutation
             # family than the published bands — fail loudly (caller
             # re-signs and retries) instead of silently never colliding
-            cur = read_lsh_meta(path)
             if any(cur[k] != signed_under[k] for k in _FAMILY_KEYS):
                 raise RuntimeError(
                     f"LSH index at {path!r} was rebuilt with different "
@@ -195,9 +228,9 @@ def _append_rows(
         bk.write.mode("append").partitionBy("band_idx").parquet(
             current_version_dir(os.path.join(path, "bands"))
         )
-        sh.write.mode("append").parquet(
-            current_version_dir(os.path.join(path, "shash"))
-        )
+        # append into the shash version the CURRENT bands snapshot
+        # names (not the live pointer) — the coupling readers resolve
+        sh.write.mode("append").parquet(_shash_dir(path, cur))
     _refresh(spark, path)
 
 
@@ -283,34 +316,51 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
     version dir for the next locked writer's `heal`."""
     out: dict = {}
     with writer_lock(path):
-        for sub, key_cols in (
-            ("bands", ["band_idx", "band_key", "doc_id"]),
-            ("shash", ["doc_id"]),
-        ):
-            live = os.path.join(path, sub)
-            heal(live)
-            src = current_version_dir(live)
-            df = spark.read.parquet(src).dropDuplicates(key_cols)
-            n_before = parquet_file_count(live)
-            target = init_versioned(live)
-            if sub == "bands":
-                # repartition BY the partition column: one task holds
-                # each band -> one file per band directory
-                df.repartition("band_idx").write.mode("overwrite").partitionBy(
-                    "band_idx"
-                ).parquet(target)
-                # params unchanged by a compact, but every published
-                # version must be self-describing (snapshot_meta)
-                carry_version_meta(src, target, META_NAME)
-            else:
-                df.coalesce(1).write.mode("overwrite").parquet(target)
-            rows = spark.read.parquet(target).count()
-            publish(live, target)
-            out[sub] = {
-                "files_before": n_before,
-                "files_after": parquet_file_count(live),
-                "rows": rows,
-            }
+        bands_live = os.path.join(path, "bands")
+        sh_live = os.path.join(path, "shash")
+        heal(bands_live)
+        heal(sh_live)
+        m = read_lsh_meta(path)
+        # shash first: the new bands meta must NAME the new shash
+        # version so the bands flip commits both tables atomically
+        sh_before = parquet_file_count(sh_live)
+        sh_df = spark.read.parquet(_shash_dir(path, m)).dropDuplicates(["doc_id"])
+        sh_target = init_versioned(sh_live)
+        sh_df.coalesce(1).write.mode("overwrite").parquet(sh_target)
+        sh_rows = spark.read.parquet(sh_target).count()
+
+        bands_before = parquet_file_count(bands_live)
+        bands_src = current_version_dir(bands_live)
+        bands_df = spark.read.parquet(bands_src).dropDuplicates(
+            ["band_idx", "band_key", "doc_id"]
+        )
+        bands_target = init_versioned(bands_live)
+        # repartition BY the partition column: one task holds each
+        # band -> one file per band directory
+        bands_df.repartition("band_idx").write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(bands_target)
+        # params unchanged by a compact, but every published version
+        # must be self-describing (snapshot_meta) — with the pairing
+        # re-pointed at the compacted shash version
+        write_version_meta(
+            bands_target, META_NAME,
+            {**{k: v for k, v in m.items() if k != "shash_dir"},
+             "shash_dir": os.path.basename(sh_target)},
+        )
+        bands_rows = spark.read.parquet(bands_target).count()
+        publish(sh_live, sh_target)
+        publish(bands_live, bands_target)
+        out["bands"] = {
+            "files_before": bands_before,
+            "files_after": parquet_file_count(bands_live),
+            "rows": bands_rows,
+        }
+        out["shash"] = {
+            "files_before": sh_before,
+            "files_after": parquet_file_count(sh_live),
+            "rows": sh_rows,
+        }
     _refresh(spark, path)
     return out
 
@@ -397,9 +447,10 @@ def _query_signed(
             "id_b",
             "left_anti",
         )
-    idx_sh = spark.read.parquet(
-        current_version_dir(os.path.join(path, "shash"))
-    )
+    # the shash version PAIRED with this bands snapshot (named by its
+    # meta — one pointer flip covers both tables; legacy metas fall
+    # back to the live pointer)
+    idx_sh = spark.read.parquet(_shash_dir(path, m))
     # Duplicate-tolerant: an at-least-once append replay leaves
     # duplicate shash rows until compact_lsh_index runs; the verify
     # join would then emit the SAME pair once per copy. jaccard is a
@@ -443,27 +494,31 @@ def rebuild_lsh_index(
         heal(sh_live)
         heal(bands_live)
         stored = (
-            spark.read.parquet(current_version_dir(sh_live))
+            spark.read.parquet(_shash_dir(path, m))
             .dropDuplicates([id_col])
         )
         signed = stored.withColumn(
             "signature", _signature_udf(n_perm, sd)(F.col("shash"))
         )
         bk = band_keys(signed, id_col, n_bands, n_perm // n_bands)
-        meta = {**m, "num_perm": n_perm, "bands": n_bands, "seed": sd}
+        # shash first so the new bands meta can name it (single-flip
+        # commit, same as build/compact)
+        sh_target = init_versioned(sh_live)
+        stored.coalesce(1).write.mode("overwrite").parquet(sh_target)
+        meta = {**m, "num_perm": n_perm, "bands": n_bands, "seed": sd,
+                "shash_dir": os.path.basename(sh_target)}
         bands_target = init_versioned(bands_live)
         bk.repartition("band_idx").write.mode("overwrite").partitionBy(
             "band_idx"
         ).parquet(bands_target)
         # the NEW parameters ride inside the new bands version: the
-        # pointer flip below publishes re-banded tables + params
-        # atomically, so no reader can pair them with the old
-        # num_perm/bands (the silent-zero-matches hazard)
+        # pointer flip below publishes re-banded tables + params +
+        # the named shash version atomically, so no reader can pair
+        # them with the old num_perm/bands (the silent-zero-matches
+        # hazard) or a different build's shash
         write_version_meta(bands_target, META_NAME, meta)
-        sh_target = init_versioned(sh_live)
-        stored.coalesce(1).write.mode("overwrite").parquet(sh_target)
-        publish(bands_live, bands_target)
         publish(sh_live, sh_target)
+        publish(bands_live, bands_target)
         # root copy is informational only; readers use snapshot_meta
         with open(os.path.join(path, META_NAME), "w") as fh:
             json.dump(meta, fh)

@@ -146,6 +146,30 @@ def _py_tokens(s: str) -> list[str]:
     return re.findall(TOKEN_RE, s.lower())
 
 
+def _sum_scores_deterministic(per_term: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc score = fold of per-term partials in SORTED-TERM order —
+    bit-deterministic under any partitioning. A plain groupBy-sum adds
+    a doc's partials in shuffle-arrival order, so two docs with
+    IDENTICAL (tf, dl) per query term — exactly tied true scores — can
+    come out a last-ulp apart and flip the (score, id) tie-break
+    between runs and between the exact/wand/champions paths (found by
+    the wand exactness property test). The fold matches the fixed
+    ``+``-chain shape the single-projection scorer (`bm25_topk`) and
+    the DuckDB oracles evaluate: identical inputs → identical float →
+    the id tie-break decides, everywhere. Input: (id_col, term, _s);
+    output: (id_col, _score). Per-doc state is ≤ |query terms| structs."""
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_s"],
+            ).alias("_score")
+        )
+    )
+
+
 def bm25_topk_from_index(
     postings: DataFrame,
     corpus_stats: tuple[int, float],
@@ -178,11 +202,10 @@ def bm25_topk_from_index(
     tf = F.col("tf").cast("double")
     norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     per_term = scored.select(
-        F.col(id_col), (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
+        F.col(id_col), "term", (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
     )
     return (
-        per_term.groupBy(id_col)
-        .agg(F.sum("_s").alias("_score"))
+        _sum_scores_deterministic(per_term, id_col)
         .orderBy(F.col("_score").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
@@ -283,8 +306,39 @@ def bm25_score_scalar(
 # text CHANGED is caller error (dedup keeps an arbitrary variant).
 
 BM25_META = "_bm25_meta.json"
+POSTINGS_META = "_bm25_postings_meta.json"
 CHAMP_META = "_bm25_champ_meta.json"
 WAND_META = "_bm25_wand_meta.json"
+
+
+def _postings_snapshot(path: str) -> tuple[str, str]:
+    """(postings version dir, doclens dir) resolved as ONE couple: the
+    postings version meta NAMES the doclens version it was written
+    with, so the postings pointer flip is the single atomic commit for
+    the two-table pair (same round-10 pattern as the LSH bands meta,
+    the IVF cid manifest, and the champions _termstats — two
+    independent flips would let a crash or a reader racing a full
+    rebuild pair postings with a different build's doclens: stats and
+    scores silently wrong). Pre-round-10 indexes have no postings
+    version meta and fall back to the two live pointers; a named
+    doclens version already reclaimed fails loudly on first file
+    access unless the layout was externally flattened (legacy
+    migration), in which case the flat live directory IS the table."""
+    import json
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    postings_dir = current_version_dir(os.path.join(path, "postings"))
+    live = os.path.join(path, "doclens")
+    pm_path = os.path.join(postings_dir, POSTINGS_META)
+    if os.path.exists(pm_path):
+        with open(pm_path) as fh:
+            named = os.path.join(path, json.load(fh)["doclens_dir"])
+        if not os.path.isdir(named) and os.path.isdir(live) and not os.path.islink(live):
+            return postings_dir, live
+        return postings_dir, named
+    return postings_dir, current_version_dir(live)
 
 
 def build_postings_index(
@@ -347,25 +401,40 @@ def _write_postings(
         heal,
         init_versioned,
         publish,
+        write_version_meta,
     )
 
     postings = build_inverted_index(docs, text_col, id_col).repartitionByRange(
         "term"
     ).sortWithinPartitions("term")
     doclens = docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl"))
-    for sub, df in (("postings", postings), ("doclens", doclens)):
-        live = os.path.join(path, sub)
-        if fresh:
-            heal(live)
-            target = init_versioned(live)
-            df.write.mode("overwrite").parquet(target)
-            publish(live, target)
-        else:
-            # appends are additive (new files only) into the RESOLVED
-            # current version (the lock pins the pointer) — readers
-            # racing one see a prefix, the standard parquet-append
-            # visibility
-            df.write.mode("append").parquet(current_version_dir(live))
+    p_live = os.path.join(path, "postings")
+    d_live = os.path.join(path, "doclens")
+    if fresh:
+        heal(p_live)
+        heal(d_live)
+        # doclens first so the postings version meta can NAME it — the
+        # postings pointer flip is then the single atomic commit for
+        # the two-table pair (_postings_snapshot)
+        d_target = init_versioned(d_live)
+        doclens.write.mode("overwrite").parquet(d_target)
+        p_target = init_versioned(p_live)
+        postings.write.mode("overwrite").parquet(p_target)
+        write_version_meta(
+            p_target, POSTINGS_META,
+            {"id_col": id_col, "text_col": text_col,
+             "doclens_dir": os.path.basename(d_target)},
+        )
+        publish(d_live, d_target)
+        publish(p_live, p_target)
+    else:
+        # appends are additive (new files only) into the RESOLVED
+        # current pair (the lock pins the pointer; doclens goes into
+        # the version the postings snapshot NAMES) — readers racing
+        # one see a prefix, the standard parquet-append visibility
+        p_dir, d_dir = _postings_snapshot(path)
+        postings.write.mode("append").parquet(p_dir)
+        doclens.write.mode("append").parquet(d_dir)
     # invalidate cached file listings (same stale-snapshot class as
     # dedup/index.py _refresh)
     for sub in ("postings", "doclens"):
@@ -416,12 +485,9 @@ def _refresh_champions(
         write_version_meta,
     )
 
-    postings = spark.read.parquet(
-        current_version_dir(os.path.join(path, "postings"))
-    ).dropDuplicates(["term", id_col])
-    doclens = spark.read.parquet(
-        current_version_dir(os.path.join(path, "doclens"))
-    ).dropDuplicates([id_col])
+    p_dir, d_dir = _postings_snapshot(path)
+    postings = spark.read.parquet(p_dir).dropDuplicates(["term", id_col])
+    doclens = spark.read.parquet(d_dir).dropDuplicates([id_col])
     row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -512,12 +578,9 @@ def _refresh_wand(
         write_version_meta,
     )
 
-    postings = spark.read.parquet(
-        current_version_dir(os.path.join(path, "postings"))
-    ).dropDuplicates(["term", id_col])
-    doclens = spark.read.parquet(
-        current_version_dir(os.path.join(path, "doclens"))
-    ).dropDuplicates([id_col])
+    p_dir, d_dir = _postings_snapshot(path)
+    postings = spark.read.parquet(p_dir).dropDuplicates(["term", id_col])
+    doclens = spark.read.parquet(d_dir).dropDuplicates([id_col])
     row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -580,39 +643,62 @@ def compact_postings_index(spark, path: str) -> dict:
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
-        current_version_dir,
         heal,
         init_versioned,
         parquet_file_count,
         publish,
+        write_version_meta,
         writer_lock,
     )
 
     with open(os.path.join(path, BM25_META)) as fh:
-        id_col = json.load(fh)["id_col"]
+        bm = json.load(fh)
+    id_col = bm["id_col"]
     out: dict = {}
     with writer_lock(path):
-        for sub, key_cols in (("postings", ["term", id_col]), ("doclens", [id_col])):
-            live = os.path.join(path, sub)
-            heal(live)
-            df = spark.read.parquet(current_version_dir(live)).dropDuplicates(
-                key_cols
-            )
-            if sub == "postings":
-                df = df.repartitionByRange("term").sortWithinPartitions("term")
-            else:
-                df = df.coalesce(1)
-            n_before = parquet_file_count(live)
-            target = init_versioned(live)
-            df.write.mode("overwrite").parquet(target)
-            rows = spark.read.parquet(target).count()
-            publish(live, target)
-            out[sub] = {
-                "files_before": n_before,
-                "files_after": parquet_file_count(live),
-                "rows": rows,
-            }
-            spark.catalog.refreshByPath(live)
+        p_live = os.path.join(path, "postings")
+        d_live = os.path.join(path, "doclens")
+        heal(p_live)
+        heal(d_live)
+        src_p, src_d = _postings_snapshot(path)
+        # doclens first: the compacted postings' version meta NAMES the
+        # compacted doclens version, so the postings flip commits the
+        # pair atomically (_postings_snapshot)
+        d_before = parquet_file_count(d_live)
+        d_df = spark.read.parquet(src_d).dropDuplicates([id_col]).coalesce(1)
+        d_target = init_versioned(d_live)
+        d_df.write.mode("overwrite").parquet(d_target)
+        d_rows = spark.read.parquet(d_target).count()
+
+        p_before = parquet_file_count(p_live)
+        p_df = (
+            spark.read.parquet(src_p)
+            .dropDuplicates(["term", id_col])
+            .repartitionByRange("term")
+            .sortWithinPartitions("term")
+        )
+        p_target = init_versioned(p_live)
+        p_df.write.mode("overwrite").parquet(p_target)
+        write_version_meta(
+            p_target, POSTINGS_META,
+            {"id_col": id_col, "text_col": bm["text_col"],
+             "doclens_dir": os.path.basename(d_target)},
+        )
+        p_rows = spark.read.parquet(p_target).count()
+        publish(d_live, d_target)
+        publish(p_live, p_target)
+        out["postings"] = {
+            "files_before": p_before,
+            "files_after": parquet_file_count(p_live),
+            "rows": p_rows,
+        }
+        out["doclens"] = {
+            "files_before": d_before,
+            "files_after": parquet_file_count(d_live),
+            "rows": d_rows,
+        }
+        spark.catalog.refreshByPath(p_live)
+        spark.catalog.refreshByPath(d_live)
         # the champions / block-max tiers are opt-in: refresh each
         # (params carried from the current tier) only where the build
         # created one — this is the tier-merge step that makes appends
@@ -736,7 +822,6 @@ def query_postings_index(
 
     with open(os.path.join(path, BM25_META)) as fh:
         m = json.load(fh)
-    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
 
     if mode == "champions":
         return _query_champions(spark, path, query, k, k1, b, m["id_col"])
@@ -749,18 +834,19 @@ def query_postings_index(
     k1 = 1.2 if k1 is None else k1
     b = 0.75 if b is None else b
 
-    # Bind both scans to the RESOLVED version directories: the snapshot
-    # stays complete across one subsequent compact (indexio retention),
-    # so a query planned pre-compact evaluates correctly post-compact.
+    # Bind both scans to the RESOLVED version pair (the postings meta
+    # names its doclens version — one flip covers both tables): the
+    # snapshot stays complete across one subsequent compact (indexio
+    # retention), so a query planned pre-compact evaluates correctly
+    # post-compact and can never pair tables from different builds.
+    p_dir, d_dir = _postings_snapshot(path)
     row = (
-        spark.read.parquet(current_version_dir(os.path.join(path, "doclens")))
+        spark.read.parquet(d_dir)
         .dropDuplicates([m["id_col"]])
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    postings = spark.read.parquet(
-        current_version_dir(os.path.join(path, "postings"))
-    )
+    postings = spark.read.parquet(p_dir)
     terms = sorted(set(_py_tokens(query)))
     if terms:  # pre-filter BEFORE the dedup shuffle: only query-term
         # postings pay it (the same pushed IN-filter the scorer applies)
@@ -838,11 +924,10 @@ def _query_champions(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(cm["avgdl"])
     )
     per_term = scored.select(
-        F.col(id_col), (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
+        F.col(id_col), "term", (idf * tf * F.lit(k1 + 1.0) / norm).alias("_s")
     )
     return (
-        per_term.groupBy(id_col)
-        .agg(F.sum("_s").alias("_score"))
+        _sum_scores_deterministic(per_term, id_col)
         .orderBy(F.col("_score").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
@@ -1052,11 +1137,12 @@ def _score_hits(hits: DataFrame, plan: dict) -> DataFrame:
     norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     per_term = hits.select(
         F.col(id_col),
+        "term",
         (F.element_at(idf_map, F.col("term")) * tf * F.lit(k1 + 1.0) / norm).alias(
             "_s"
         ),
     )
-    return per_term.groupBy(id_col).agg(F.sum("_s").alias("_score"))
+    return _sum_scores_deterministic(per_term, id_col)
 
 
 def _query_wand(

@@ -234,3 +234,71 @@ def test_champions_staleness_contract_and_compact_refresh(spark, tmp_path):
         for r in query_postings_index(spark, path, "spark", k=3, mode="champions").collect()
     ]
     assert ch == ex
+
+
+def test_postings_meta_names_its_doclens_version(spark, tmp_path):
+    """Single-flip cross-table atomicity (round 10): the postings
+    version meta NAMES the doclens version it pairs with, and exact
+    queries read THAT version — moving the live doclens pointer to a
+    foreign table (the state a crashed or racing full rebuild would
+    expose) must not change a query's stats or scores."""
+    import os
+
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _postings_snapshot,
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffles data w{i}") for i in range(12)],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path)
+    p_dir, d_dir = _postings_snapshot(path)
+    assert os.path.basename(d_dir) == "doclens.v0"
+    want = [tuple(r) for r in query_postings_index(spark, path, "spark w3", k=5).collect()]
+
+    # foreign doclens version under the live pointer: EMPTY table —
+    # would zero out N/avgdl and silently wreck every score
+    foreign = os.path.join(path, "doclens.v9")
+    spark.read.parquet(d_dir).limit(0).write.parquet(foreign, mode="overwrite")
+    live = os.path.join(path, "doclens")
+    os.remove(live)
+    os.symlink("doclens.v9", live)
+    spark.catalog.refreshByPath(live)
+
+    assert _postings_snapshot(path)[1].endswith("doclens.v0")
+    got = [tuple(r) for r in query_postings_index(spark, path, "spark w3", k=5).collect()]
+    assert got == want  # the meta-named version answered, not the pointer
+
+
+def test_tied_docs_break_by_id_in_every_mode(spark, tmp_path):
+    """Two docs with IDENTICAL (tf, dl) per query term have exactly
+    equal true scores; the deterministic term-ordered score fold
+    (similarity/bm25.py _sum_scores_deterministic) makes their floats
+    bit-equal under any partitioning, so the (score, id) tie-break
+    always picks the smaller id — in exact, champions, and wand modes
+    alike (a plain groupBy-sum could flip them a last-ulp apart)."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        query_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (2, "gamma alpha gamma delta beta filler2"),
+            (6, "alpha gamma delta gamma beta filler6"),
+            (9, "gamma filler9"),
+            (11, "delta filler11"),
+        ],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, champion_n=10, wand_buckets=3)
+    for mode in ("exact", "champions", "wand"):
+        rows = query_postings_index(
+            spark, path, "gamma delta alpha", k=1, mode=mode
+        ).collect()
+        assert [r["doc_id"] for r in rows] == [2], mode

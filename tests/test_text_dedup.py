@@ -822,3 +822,58 @@ def test_lsh_query_planned_before_rebuild_completes_on_its_snapshot(spark, tmp_p
         (r.id_a, r.id_b)
         for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
     } == want
+
+
+def test_lsh_bands_meta_names_its_shash_version(spark, tmp_path):
+    """Single-flip cross-table atomicity (round 10): the bands version
+    meta NAMES the shash version it pairs with, and queries read THAT
+    version — moving the live shash pointer to a different table (the
+    state a crashed or racing full rebuild would expose) must not
+    change a query's answer."""
+    import os
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        query_lsh_index,
+        read_lsh_meta,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again tonight")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "idx")
+    meta = build_lsh_index(corpus, path, num_perm=32, bands=8, seed=7)
+    assert meta["shash_dir"] == "shash.v0"
+    want = {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
+    }
+    assert want == {(10, 1)}
+
+    # simulate the torn state: a foreign shash version (EMPTY table —
+    # would silently verify nothing) published under the live pointer
+    # while bands still carry the old snapshot's meta
+    foreign = os.path.join(path, "shash.v9")
+    os.makedirs(foreign)
+    src = os.path.join(path, meta["shash_dir"])
+    # an empty-but-valid parquet table: same schema, zero rows
+    spark.read.parquet(src).limit(0).write.parquet(foreign, mode="overwrite")
+    live = os.path.join(path, "shash")
+    os.remove(live)
+    os.symlink("shash.v9", live)
+    spark.catalog.refreshByPath(live)
+
+    assert read_lsh_meta(path)["shash_dir"] == "shash.v0"
+    got = {
+        (r.id_a, r.id_b)
+        for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()
+    }
+    assert got == want  # the meta-named version answered, not the pointer
