@@ -479,6 +479,175 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cluster-safe re-split (VERDICT r10 directive #3): act on what
+# split_leakage_audit reports. Split key = the near-dup COMPONENT's
+# canonical id (min doc_id reachable through the verified-pair graph,
+# dedup/components.py), so every member of a near-dup cluster lands in
+# the same split BY CONSTRUCTION — the md5 hash can no longer separate
+# a pair. Tolerance on the realized fractions vs (0.8, 0.1, 0.1):
+# binomial 3σ at the gate corpus (500 docs) is ~0.054 on the train
+# share; observed deviations are ≤0.011 at every test SF.
+SPLIT_TOL = 0.05
+CLUSTER_SPLIT_SALT = "cluster-split-v1"
+
+_CLUSTER_SPLIT_CASE = """CASE
+        WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || '{salt}'), 1, 8)) AS BIGINT)
+             / 4294967296.0 < 0.8 THEN 'train'
+        WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || '{salt}'), 1, 8)) AS BIGINT)
+             / 4294967296.0 < 0.9 THEN 'val'
+        ELSE 'test' END"""
+
+
+@register(
+    "cluster_safe_split_audit",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    r(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN r ON e.b = r.node
+    ),
+    reach AS (SELECT node, min(lbl) AS comp FROM r GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, coalesce(rc.comp, d.doc_id) AS ck,
+             rc.comp IS NOT NULL AS clustered
+      FROM documents d LEFT JOIN reach rc ON d.doc_id = rc.node
+    ),
+    labeled AS (
+      SELECT doc_id, clustered,
+             {_CLUSTER_SPLIT_CASE.format(id='ck', salt=CLUSTER_SPLIT_SALT)} AS split
+      FROM keyed
+    ),
+    leaks AS (
+      SELECT count(*) AS n FROM pairs p
+      JOIN labeled la ON p.id_a = la.doc_id
+      JOIN labeled lb ON p.id_b = lb.doc_id
+      WHERE la.split <> lb.split
+    ),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    per AS (
+      SELECT s.split, s.target,
+             coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+             round(coalesce(c.n_docs, 0) / t.n, 6) AS frac,
+             coalesce(c.cd, 0)::BIGINT AS clustered_docs
+      FROM (VALUES ('train', 0.8), ('val', 0.1), ('test', 0.1)) s(split, target)
+      LEFT JOIN (SELECT split, count(*) AS n_docs,
+                        sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS cd
+                 FROM labeled GROUP BY split) c USING (split)
+      CROSS JOIN tot t
+    )
+    SELECT p.split, p.n_docs, p.frac, p.clustered_docs,
+           abs(p.frac - p.target) <= {SPLIT_TOL} AS within_tol,
+           l.n::BIGINT AS leak_pairs
+    FROM per p CROSS JOIN leaks l
+    ORDER BY p.split
+    """,
+)
+def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-safe train/val/test re-split + proof audit — the FIX for
+    what split_leakage_audit reports (its is_leak rows demand splitting
+    by CLUSTER rather than by doc): every doc's split key becomes its
+    near-dup component's canonical id (min doc_id reachable through the
+    verified-pair graph — `dedup/components.py:29`'s label), singleton
+    docs keep their own id, and the deterministic md5 split
+    (`operators/sampling.py:16`) runs over that key. Same cluster ⇒
+    same key ⇒ same split, so the audit's leak count is ZERO by
+    construction — and the oracle re-derives the entire chain
+    (quadratic-join exact near-dup pairs → recursive-CTE connected
+    components → cluster-keyed md5 split) independently, so equality
+    proves the Spark components and hash assignment, not just the
+    zero. Per split the report pins: doc count, realized fraction
+    (within SPLIT_TOL of the 0.8/0.1/0.1 targets — re-keying by
+    cluster leaves the hash uniform over keys, so fractions hold),
+    docs that belong to a multi-doc cluster, and the global post-split
+    cross-split near-dup pair count.
+
+    Scale shape: pairs come from the banded LSH bucket-join (never
+    all-pairs — the oracle's quadratic join is the gate-SF truth
+    kernel, not the plan); components run the bounded hybrid CC
+    (driver union-find under 2M edges, distributed min-label loop
+    above); the split itself is one hash expression — no shuffle; the
+    report is 3 rows. At 100 TB the only shuffles are LSH banding and
+    the CC label loop, both near-dup-edge-sized, not corpus-sized."""
+    from pyspark import StorageLevel
+
+    from lakehouse_dba_tools_spark.dedup.components import connected_components
+    from lakehouse_dba_tools_spark.dedup.minhash import verified_near_dups
+    from lakehouse_dba_tools_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Two consumers (CC edge build + the post-split leak join) — persist
+    # so the LSH candidates→verify pipeline runs once. MEMORY_AND_DISK:
+    # pair rows are two ids, evictable either way.
+    pairs = verified_near_dups(docs, threshold=0.5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_key"),
+            F.col("comp").isNotNull().alias("clustered"),
+        )
+    )
+    labeled = train_val_test_split(
+        keyed, "cluster_key", (0.8, 0.1, 0.1), salt=CLUSTER_SPLIT_SALT
+    )
+    leaks = (
+        pairs.join(
+            labeled.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            labeled.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("leak_pairs"))
+    )
+    tot = labeled.agg(F.count("*").cast("double").alias("n_total"))
+    counts = labeled.groupBy("split").agg(
+        F.count("*").alias("nd"),
+        F.sum(F.col("clustered").cast("long")).alias("cd"),
+    )
+    targets = spark.createDataFrame(
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)], "split string, target double"
+    )
+    per = (
+        targets.join(counts, "split", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
+            F.round(F.coalesce("nd", F.lit(0)) / F.col("n_total"), 6).alias("frac"),
+            F.coalesce("cd", F.lit(0)).cast("long").alias("clustered_docs"),
+            "target",
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "frac",
+            "clustered_docs",
+            (F.abs(F.col("frac") - F.col("target")) <= SPLIT_TOL).alias("within_tol"),
+            F.col("leak_pairs").cast("long").alias("leak_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
 TRAIN_ORDER_SEED = "epoch0"
 SHUFFLE_BUCKETS = 256
 

@@ -8993,23 +8993,27 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Rotating checked window over the extended corpus (VERDICT r7
-# directive #5): a bench-bounded ~20-text slice of CORPUS_EXT carries
-# hard driver signal each round; the window SHIFTS each round so the
-# whole 72-text tail cycles through checked status. Chosen off the
-# heavy composites (q04/q14/q23/q64/q67/q74/q78/q95 stay trailing-only
-# — their SEMANTICS already carry checked rows via the DataFrame
-# tier's folded forms; these texts' parser shapes run once per
-# diffcheck at the gate SF).
+# directive #5): a bench-bounded slice of CORPUS_EXT carries hard
+# driver signal each round; the window SHIFTS each round so the whole
+# 72-text tail cycles through checked status.
 # Window history: R8 = q28..q53 (banked green in CORRECTNESS_r08);
 # R9 = q54..q83 (banked green in CORRECTNESS_r09); R10 = the q85..q99
-# tail + the wrap into the front of the corpus. The full sweep schedule
-# lives in registry.py: after this window, exactly 12 texts have never
-# carried a driver row — the heavy-composite set
-# (q04,q14,q18,q21,q22,q23,q24,q64,q67,q74,q78,q95) — and round 11
-# checks them to complete 72/72.
+# tail + the wrap into the front (banked green in CORRECTNESS_r10);
+# R11 (this window) = the final 12 never-checked texts — the
+# heavy-composite set whose DataFrame-tier folded forms already hold
+# checked rows (tpcds_q4/q14/q64/q67 composites etc.) but whose
+# official TEXTS had only diffcheck coverage. With this window green,
+# every one of the 72 extended texts has carried a hard driver row:
+# the 72/72 sweep is COMPLETE (VERDICT r10 directive #1; reference
+# anchor `evaluation_tools/dbstress__Current.py:93-103` loads ALL of
+# queries/tpcds_2.13/*.sql).
 EXT_CHECKED_R10: tuple[str, ...] = (
     "q01", "q02", "q05", "q06", "q08", "q09", "q10", "q11", "q16", "q17",
     "q85", "q86", "q87", "q89", "q90", "q92", "q93", "q97", "q98", "q99",
+)
+EXT_CHECKED_R11: tuple[str, ...] = (
+    "q04", "q14", "q18", "q21", "q22", "q23", "q24",
+    "q64", "q67", "q74", "q78", "q95",
 )
 
 
@@ -9022,31 +9026,31 @@ def _sqltext_ext_checked_oracle() -> str:
 
     units = ",\n".join(
         f"u_{name} AS (SELECT count(*) AS c FROM (\n{CORPUS_EXT[name]}\n) t_{name})"
-        for name in sorted(EXT_CHECKED_R10)
+        for name in sorted(EXT_CHECKED_R11)
     )
     selects = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS unit_name, CAST(c AS BIGINT) AS n_rows FROM u_{name}"
-        for name in sorted(EXT_CHECKED_R10)
+        for name in sorted(EXT_CHECKED_R11)
     )
     return with_tables(f"WITH {units}\n{selects}\nORDER BY unit_name", *CORE_TABLES)
 
 
 @register("tpcds_sqltext_extended_checked", _sqltext_ext_checked_oracle())
 def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-10 checked window of the extended official-SQL-text
-    corpus (EXT_CHECKED_R10 — the q85..q99 tail plus the wrap into the
-    front, completing 60 of the 72 extended texts; the final 12 are
-    scheduled for round 11, see registry.py): correlated returns/web
-    probes (q85/q92/q93), am-pm and store-hours profiles (q90),
-    customer-total CTEs and rollup hierarchies (q86/q89/q98/q99,
-    q01/q02), promotion/channel spreads (q05/q06/q08/q10/q16/q17), and
-    the year-over-year customer-county pair (q09/q11). Each text runs
-    ONCE through the concurrent workload harness (unit_parallel=16 —
-    20 sequential texts cost 47s at sf0.1 where the overlapped run
-    costs ~a third: planning/codegen and scan stages interleave),
-    retry-once on transient failures — the dbstress posture
-    (`evaluation_tools/dbstress__Current.py:93-103`); the remaining 52
-    texts stay diffchecked via the trailing tpcds_sqltext_extended."""
+    """The round-11 checked window of the extended official-SQL-text
+    corpus (EXT_CHECKED_R11 — the final 12 never-checked texts, the
+    heavy-composite set, COMPLETING the 72/72 sweep): the three-channel
+    year-total CTEs (q04/q74), cross-channel INTERSECT item sets (q14),
+    the cross-sales self-join composite (q64), rollup-rank over store
+    hierarchies (q67), inventory/order latency probes
+    (q18/q21/q22/q23/q24), the web-returns ratio composite (q78), and
+    the supplier-on-time anti/semi pair (q95). Each text runs ONCE
+    through the concurrent workload harness (unit_parallel=16 —
+    heavy composites overlap their scan/codegen stages), retry-once on
+    transient failures — the dbstress posture
+    (`evaluation_tools/dbstress__Current.py:93-103`); the other 60
+    texts hold banked green rows (R8-R10 windows) and stay diffchecked
+    via the trailing tpcds_sqltext_extended."""
     from lakehouse_dba_tools_spark.datagen.export import CORE_TABLES, ensure_export
     from lakehouse_dba_tools_spark.workload.harness import (
         SqlUnit,
@@ -9069,7 +9073,7 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
     ):
         units = [
             SqlUnit(name, CORPUS_EXT[name], parallel=1, repeats=1)
-            for name in sorted(EXT_CHECKED_R10)
+            for name in sorted(EXT_CHECKED_R11)
         ]
         results = run_workload(spark, units, unit_parallel=16, retries=1)
         out = (

@@ -149,3 +149,66 @@ def test_training_corpus_e2e_invariants(spark, sf_dir):
         for r in rows[:-1]:
             assert r.n_tokens == PACK_CAP, (shard, r.chunk)
         assert 0 < rows[-1].n_tokens <= PACK_CAP
+
+
+def test_cluster_safe_split_has_zero_leaks_and_tolerant_fracs(spark, sf_dir):
+    """The re-split's contract: no verified near-dup pair may span two
+    splits (the property split_leakage_audit shows doc-keyed splitting
+    lacks), fractions stay within SPLIT_TOL of (0.8, 0.1, 0.1), and the
+    3-row report always carries all three splits."""
+    from lakehouse_dba_tools_spark.queries_curation import (
+        SPLIT_TOL,
+        cluster_safe_split_audit,
+    )
+
+    out = cluster_safe_split_audit(spark, sf_dir).collect()
+    assert [r.split for r in out] == ["test", "train", "val"]
+    for r in out:
+        assert r.leak_pairs == 0
+        assert r.within_tol
+        assert r.n_docs >= r.clustered_docs >= 0
+    targets = {"train": 0.8, "val": 0.1, "test": 0.1}
+    for r in out:
+        assert abs(r.frac - targets[r.split]) <= SPLIT_TOL
+    # the audit is a fix for a real problem: the doc-keyed split DOES
+    # leak on the same corpus (otherwise this operator proves nothing)
+    from lakehouse_dba_tools_spark.queries_curation import split_leakage_audit
+
+    leaky = split_leakage_audit(spark, sf_dir)
+    n_cross = leaky.filter(F.col("is_leak")).agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("n")
+    ).collect()[0].n
+    assert n_cross > 0
+
+
+def test_cluster_safe_split_members_share_split(spark, sf_dir):
+    """Direct structural check (not via the report): every near-dup
+    pair's two members carry the SAME split label after re-keying."""
+    from lakehouse_dba_tools_spark.dedup.components import connected_components
+    from lakehouse_dba_tools_spark.dedup.minhash import verified_near_dups
+    from lakehouse_dba_tools_spark.operators.sampling import train_val_test_split
+    from lakehouse_dba_tools_spark.queries_curation import CLUSTER_SPLIT_SALT
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(docs, threshold=0.5)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_key"))
+    )
+    labeled = train_val_test_split(
+        keyed, "cluster_key", (0.8, 0.1, 0.1), salt=CLUSTER_SPLIT_SALT
+    )
+    joined = (
+        pairs.join(
+            labeled.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            labeled.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+    )
+    assert joined.count() > 0  # fixture has near-dups
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
