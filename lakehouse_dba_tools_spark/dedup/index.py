@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,6 +182,21 @@ def _shash_dir(path: str, m: dict) -> str:
     if "shash_dir" in m:
         named = os.path.join(path, m["shash_dir"])
         if not os.path.isdir(named) and os.path.isdir(live) and not os.path.islink(live):
+            # Loud, not silent: if an external actor both reclaimed
+            # the named version AND placed a DIFFERENT build's table
+            # at the flat path, the single-flip pairing guarantee is
+            # void — the warning makes that migration assumption
+            # auditable instead of invisible.
+            warnings.warn(
+                f"LSH index at {path!r}: paired shash version "
+                f"{m['shash_dir']!r} is gone and a flat live directory "
+                f"exists — assuming an external layout migration and "
+                f"reading the flat table. If anything other than a "
+                f"flatten-in-place produced this state, bands and "
+                f"shash may come from different builds.",
+                UserWarning,
+                stacklevel=3,
+            )
             return live
         return named
     return current_version_dir(live)

@@ -87,9 +87,15 @@ def scoped_confs(spark: SparkSession, confs: dict[str, str]):
     so the engine's form is a scope: workload-sized knobs (shuffle
     partitions for a small-query corpus, ``maxRecordsPerFile`` for a
     sink's file-size contract) apply exactly as long as the workload
-    runs. Restore uses ``unset`` for keys with no prior value so the
-    session falls back to its builder/cluster default rather than a
-    frozen copy of it.
+    runs. Restore prefers ``unset`` so the session genuinely falls
+    back to its builder/cluster default rather than a frozen copy of
+    it: on exit every key is unset first, and the snapshotted prior
+    value is re-``set`` only if the post-unset read differs — i.e.
+    only when the prior value was a real explicit override.
+    ``conf.get`` cannot distinguish "explicitly set to X" from
+    "defaulting to X", so a key that was explicitly set to exactly
+    its registered default is restored as defaulted — every reader
+    sees the same value either way.
     """
     prior: dict[str, object] = {}
     for k in confs:
@@ -103,7 +109,15 @@ def scoped_confs(spark: SparkSession, confs: dict[str, str]):
         yield spark
     finally:
         for k, old in prior.items():
-            if old is _UNSET:
+            try:
                 spark.conf.unset(k)
-            else:
+            except Exception:
+                pass  # restore via set below still runs
+            if old is _UNSET:
+                continue
+            try:
+                cur: object = spark.conf.get(k)
+            except Exception:
+                cur = _UNSET
+            if cur != old:
                 spark.conf.set(k, old)

@@ -329,13 +329,30 @@ def _postings_snapshot(path: str) -> tuple[str, str]:
 
     from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
 
+    import warnings
+
     postings_dir = current_version_dir(os.path.join(path, "postings"))
     live = os.path.join(path, "doclens")
     pm_path = os.path.join(postings_dir, POSTINGS_META)
     if os.path.exists(pm_path):
         with open(pm_path) as fh:
-            named = os.path.join(path, json.load(fh)["doclens_dir"])
+            named_base = json.load(fh)["doclens_dir"]
+        named = os.path.join(path, named_base)
         if not os.path.isdir(named) and os.path.isdir(live) and not os.path.islink(live):
+            # Loud, not silent (same contract as dedup._shash_dir): the
+            # flat fallback exists for external flatten-in-place
+            # migrations only; any other path to this state could pair
+            # postings with a different build's doclens.
+            warnings.warn(
+                f"BM25 index at {path!r}: paired doclens version "
+                f"{named_base!r} is gone and a flat live directory "
+                f"exists — assuming an external layout migration and "
+                f"reading the flat table. If anything other than a "
+                f"flatten-in-place produced this state, postings and "
+                f"doclens may come from different builds.",
+                UserWarning,
+                stacklevel=3,
+            )
             return postings_dir, live
         return postings_dir, named
     return postings_dir, current_version_dir(live)
@@ -935,6 +952,13 @@ def _query_champions(
 
 
 WAND_COLLECT_MAX = 4096
+# One extra θ-refinement round (multi-term only) triggers when the
+# kept set is this many times larger than the scored seed — at that
+# ratio the two bounded extra jobs (a limit-collect + an ≤|seed|-bucket
+# scoring pass) are guaranteed cheap relative to the final scan they
+# shrink. Below it, θ is already within noise of the true k-th score
+# (the seed covers every bucket that could hold a top-k doc).
+WAND_REFINE_FACTOR = 4
 
 
 def _wand_plan(
@@ -954,21 +978,36 @@ def _wand_plan(
     one row per candidate bucket — ub(B) = Σ_t idf_t · max_imp(t, B),
     an exact per-doc score bound because a doc's postings all share
     its hash bucket. Every driver collect is bounded by k or |terms|,
-    never by bucket or corpus count: the SEED is the top max(k, 8k)
-    buckets by ub (a limit-collect — each holds ≥1 matching doc, so
-    they provably cover ≥ max(k, 8k) docs; the 8× overshoot buys a
-    tight threshold for pennies), scored exactly so its k-th score
-    becomes the threshold θ — a lower bound on the true k-th score,
-    since seed scores are true scores. Pruning then happens
-    DISTRIBUTED: kept = buckets with ub ≥ θ - 1e-9, reduced to a
-    2-scalar stats row; the id list is collected only when
+    never by bucket or corpus count: the SEED is the FULL top
+    max(k, 8k) buckets by ub (a limit-collect), scored exactly so its
+    k-th score becomes the threshold θ — a lower bound on the true
+    k-th score, since seed scores are true scores. Scoring all
+    max(k, 8k) seed buckets (never early-stopping once they cover k
+    docs — the round-10 planner did, and its θ sat measurably under
+    the true k-th score on multi-term queries, keeping ~2.7× more
+    postings than a perfect θ would) matters because every bucket
+    holding a true top-k doc has ub ≥ that doc's score ≥ θ*, i.e. the
+    true winners' buckets sort INTO the top of the ub order: a
+    max(k,8k)-wide seed recovers θ = θ* exactly whenever fewer than
+    max(k,8k) buckets have ub ≥ θ*. Pruning then happens DISTRIBUTED
+    over ONE persisted per-bucket frame (the same materialization
+    later feeds the large-kept-set scorer, so plan stats always
+    describe the executed scan): kept = buckets with ub ≥ θ - 1e-9,
+    reduced to a 2-scalar stats row. If the kept set still dwarfs the
+    seed (multi-term at extreme scale, where >max(k,8k) buckets clear
+    θ*), ONE refinement round scores the next max(k, 8k) kept buckets
+    by ub, merges true top-k scores driver-side, raises θ, and
+    re-prunes — two more bounded jobs, still nothing proportional to
+    bucket or corpus count. The id list is collected only when
     kept_count ≤ WAND_COLLECT_MAX (small lists keep the pushed
     bucket-IN filter and its row-group skipping), otherwise
     ``kept`` is None and the scorer broadcast-joins the kept-bucket
     frame instead (`_score_kept_join`).
     Exactness: any doc with true score ≥ θ lives in a bucket with
-    ub ≥ score ≥ θ, hence unpruned. The float-margin guard (1e-9)
-    keeps a bound-achieving doc on a boundary bucket safe from
+    ub ≥ score ≥ θ, hence unpruned — and θ only ever moves up to
+    another true score's value, so refinement cannot overshoot the
+    true k-th score. The float-margin guard (1e-9) keeps a
+    bound-achieving doc on a boundary bucket safe from
     summation-order jitter in θ or ub."""
     import json
     import math
@@ -1011,50 +1050,101 @@ def _wand_plan(
              "candidate_buckets": 0, "postings_kept": 0}
         )
         return plan
-    per_bucket = _wand_per_bucket(bmax, idf)
-    # SEED: ub-descending until the buckets provably hold ≥ max(k, 8k)
-    # matching docs. docs_lb ≥ 1 per candidate bucket, so the top
-    # max(k, 8k) rows always suffice — a k-bounded limit-collect.
+    from pyspark import StorageLevel
+
+    # ONE materialization feeds the seed limit-collect, both prune
+    # stats passes, and (for large kept sets) the scorer's semi-join —
+    # the plan's kept_count/postings_kept therefore describe exactly
+    # the scan the scorer executes (no float re-summation drift
+    # between a stats job and a separate scoring job). Rows are ≤ one
+    # per candidate bucket (4 narrow columns), evictable either way.
+    per_bucket = _wand_per_bucket(bmax, idf).persist(StorageLevel.MEMORY_AND_DISK)
+    # SEED: the FULL top max(k, 8k) buckets by ub — see the docstring
+    # for why scoring all of them (not stopping once k docs are
+    # covered) is what makes θ reach the true k-th score.
     need = max(k, 8 * k)
     top = (
         per_bucket.orderBy(F.col("ub").desc(), "bucket").limit(need).collect()
     )
-    seed, have = [], 0
-    for r in top:
-        seed.append(int(r["bucket"]))
-        have += int(r["docs_lb"])
-        if have >= need:
-            break
+    seed = [int(r["bucket"]) for r in top]
+    have = sum(int(r["docs_lb"]) for r in top)
+    plan["seed"] = seed
     theta = None
+    seed_topk: list[float] = []
     if have >= k:
-        seed_scores = (
-            _score_buckets(spark, plan, seed)
+        seed_topk = [
+            float(r["_score"])
+            for r in _score_buckets(spark, plan, seed)
             .orderBy(F.col("_score").desc())
             .limit(k)
             .collect()
-        )
-        if len(seed_scores) >= k:
-            theta = float(seed_scores[-1]["_score"])
-    plan["seed"] = seed
+        ]
+        if len(seed_topk) >= k:
+            theta = seed_topk[-1]
     plan["theta"] = theta
+
     # PRUNE, distributed: no collect is ever proportional to bucket
     # count. theta None (fewer than k matching docs) keeps everything.
+    def _kept_stats(pred):
+        row = per_bucket.agg(
+            F.count("*").alias("cand"),
+            F.sum(pred.cast("long")).alias("kept_n"),
+            F.sum(F.when(pred, F.col("postings")).otherwise(0)).alias(
+                "kept_postings"
+            ),
+        ).collect()[0]
+        return (
+            int(row["cand"] or 0),
+            int(row["kept_n"] or 0),
+            int(row["kept_postings"] or 0),
+        )
+
     kept_pred = (
         F.lit(True) if theta is None else F.col("ub") >= F.lit(theta - 1e-9)
     )
-    stats = per_bucket.agg(
-        F.count("*").alias("cand"),
-        F.sum(kept_pred.cast("long")).alias("kept_n"),
-        F.sum(F.when(kept_pred, F.col("postings")).otherwise(0)).alias(
-            "kept_postings"
-        ),
-    ).collect()[0]
-    kept_count = int(stats["kept_n"] or 0)
+    cand, kept_count, postings_kept = _kept_stats(kept_pred)
+
+    # REFINEMENT (multi-term only): when more than max(k,8k) buckets
+    # clear θ*, the seed provably cannot have scored every potential
+    # winner — score the next tranche of kept buckets by ub, merge
+    # true top-k scores driver-side (buckets are disjoint, so no doc
+    # repeats), raise θ, re-prune. θ stays a true-score lower bound.
+    plan["refined"] = False
+    if (
+        theta is not None
+        and len(terms) > 1
+        and kept_count > WAND_REFINE_FACTOR * max(1, len(seed))
+    ):
+        tranche = [
+            int(r["bucket"])
+            for r in per_bucket.filter(
+                kept_pred & ~F.col("bucket").isin(seed)
+            )
+            .orderBy(F.col("ub").desc(), "bucket")
+            .limit(need)
+            .collect()
+        ]
+        if tranche:
+            tranche_topk = [
+                float(r["_score"])
+                for r in _score_buckets(spark, plan, tranche)
+                .orderBy(F.col("_score").desc())
+                .limit(k)
+                .collect()
+            ]
+            merged = sorted(seed_topk + tranche_topk, reverse=True)[:k]
+            if len(merged) >= k and merged[-1] > theta:
+                theta = merged[-1]
+                plan["theta"] = theta
+                plan["refined"] = True
+                kept_pred = F.col("ub") >= F.lit(theta - 1e-9)
+                cand, kept_count, postings_kept = _kept_stats(kept_pred)
+
     plan.update(
         {
             "kept_count": kept_count,
-            "candidate_buckets": int(stats["cand"] or 0),
-            "postings_kept": int(stats["kept_postings"] or 0),
+            "candidate_buckets": cand,
+            "postings_kept": postings_kept,
         }
     )
     if kept_count <= WAND_COLLECT_MAX:
@@ -1065,8 +1155,13 @@ def _wand_plan(
             .collect()
         )
         plan["kept"] = [int(r["bucket"]) for r in kept_rows]
+        per_bucket.unpersist()
     else:
-        plan["kept"] = None  # scorer joins the distributed kept frame
+        # scorer joins the SAME persisted frame — stats cannot drift
+        # from the executed scan; the cache stays live for the lazy
+        # consumer and is evicted by Spark when dropped
+        plan["kept"] = None
+        plan["_kept_frame"] = per_bucket.filter(kept_pred)
     return plan
 
 
@@ -1102,22 +1197,27 @@ def _score_buckets(spark, plan: dict, buckets: list[int]) -> DataFrame:
 
 def _score_kept_join(spark, plan: dict) -> DataFrame:
     """Exact BM25 over the kept buckets when their id list is too
-    large to collect/inline (plan["kept"] is None): re-derive the
-    kept-bucket frame distributed from the SAME pinned blockmax slice
-    (ub ≥ θ - 1e-9 — the margin makes recomputed float sums agree
-    with the planner's stats pass) and broadcast-semi-join it onto
-    the postings scan. The term IN-filter still pushes into parquet;
+    large to collect/inline (plan["kept"] is None): broadcast-semi-join
+    the planner's OWN persisted kept-bucket frame (plan["_kept_frame"]
+    — the same materialization its stats pass aggregated, so
+    kept_count/postings_kept describe exactly this scan) onto the
+    postings scan. The term IN-filter still pushes into parquet;
     bucket pruning becomes a join-side filter — at this kept density
     row-group skipping had no bite anyway, and nothing bucket-shaped
-    ever reaches the driver."""
+    ever reaches the driver. Hand-built plans without the frame (the
+    forced-path test, external tooling) re-derive it from the pinned
+    blockmax slice; the ub ≥ θ - 1e-9 margin keeps recomputed float
+    sums agreeing with the planner's prune on that fallback path."""
     import os
 
-    bmax = spark.read.parquet(
-        os.path.join(plan["blocked_dir"], "_blockmax")
-    ).filter(F.col("term").isin(plan["terms"]))
-    kept = _wand_per_bucket(bmax, plan["idf"])
-    if plan["theta"] is not None:
-        kept = kept.filter(F.col("ub") >= F.lit(plan["theta"] - 1e-9))
+    kept = plan.get("_kept_frame")
+    if kept is None:
+        bmax = spark.read.parquet(
+            os.path.join(plan["blocked_dir"], "_blockmax")
+        ).filter(F.col("term").isin(plan["terms"]))
+        kept = _wand_per_bucket(bmax, plan["idf"])
+        if plan["theta"] is not None:
+            kept = kept.filter(F.col("ub") >= F.lit(plan["theta"] - 1e-9))
     hits = (
         spark.read.parquet(plan["blocked_dir"])
         .filter(F.col("term").isin(plan["terms"]))

@@ -307,3 +307,79 @@ def test_wand_large_kept_set_joins_distributed(spark, tmp_path, monkeypatch):
     ]
     assert joined == inline == exact
     docs.unpersist()
+
+
+def test_wand_theta_reaches_true_kth_on_zipf(spark, tmp_path):
+    """The round-11 seed fix's contract: scoring the FULL max(k, 8k)
+    top-ub seed (never early-stopping on covered-doc count) recovers
+    θ == the true k-th score whenever fewer than max(k,8k) buckets
+    have ub ≥ θ* — which holds on the Zipf fixture at this scale. The
+    round-10 planner's early stop left θ measurably below θ* and kept
+    ~2.7× more postings than a perfect threshold."""
+    docs = _zipf_docs(spark, 2000)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=512)
+    for q in ("t1", "t1 t3 t9"):
+        plan = _wand_plan(spark, path, q, 10, None, None)
+        exact = query_postings_index(spark, path, q, k=10).collect()
+        assert plan["theta"] == pytest.approx(
+            float(exact[-1]["bm25_score"]), abs=1e-3
+        ), q
+    docs.unpersist()
+
+
+def test_wand_refinement_round_preserves_exactness(spark, tmp_path, monkeypatch):
+    """Force the θ-refinement round (factor 0 → any multi-term query
+    with kept buckets refines) and pin that (a) the plan reports it,
+    (b) θ never overshoots the true k-th score, and (c) answers stay
+    hash-identical to exact mode."""
+    import lakehouse_dba_tools_spark.similarity.bm25 as bm25
+
+    docs = _zipf_docs(spark, 2000)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=512)
+    monkeypatch.setattr(bm25, "WAND_REFINE_FACTOR", 0)
+    q = "t1 t3 t9"
+    plan = _wand_plan(spark, path, q, 10, None, None)
+    exact = [tuple(r) for r in query_postings_index(spark, path, q, k=10).collect()]
+    wand = [
+        tuple(r)
+        for r in query_postings_index(spark, path, q, k=10, mode="wand").collect()
+    ]
+    assert wand == exact
+    # θ is a true-score lower bound even after refinement
+    assert plan["theta"] <= exact[-1][1] + 1e-4
+    docs.unpersist()
+
+
+def test_score_kept_join_fallback_rederives_without_frame(spark, tmp_path, monkeypatch):
+    """_score_kept_join's compat path: a plan stripped of the
+    planner's persisted kept frame (hand-built plans, external
+    tooling) re-derives the kept buckets from the pinned blockmax
+    slice and still scores exactly."""
+    import lakehouse_dba_tools_spark.similarity.bm25 as bm25
+    from lakehouse_dba_tools_spark.similarity.bm25 import _score_kept_join
+
+    docs = _zipf_docs(spark, 1000)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=256)
+    monkeypatch.setattr(bm25, "WAND_COLLECT_MAX", 0)
+    q = "t1 t3 t9"
+    plan = _wand_plan(spark, path, q, 10, None, None)
+    assert plan["kept"] is None and "_kept_frame" in plan
+    exact = [tuple(r) for r in query_postings_index(spark, path, q, k=10).collect()]
+    from pyspark.sql import functions as F
+
+    def topk(scored):
+        return [
+            (r[0], round(r["_score"], 4))
+            for r in scored.orderBy(F.col("_score").desc(), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+
+    with_frame = topk(_score_kept_join(spark, plan))
+    plan.pop("_kept_frame")
+    without_frame = topk(_score_kept_join(spark, plan))
+    assert with_frame == without_frame == exact
+    docs.unpersist()

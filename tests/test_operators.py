@@ -234,8 +234,11 @@ def test_scoped_confs_set_restore_unset(spark):
     from lakehouse_dba_tools_spark.session import scoped_confs
 
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # maxRecordsPerFile: defaulted key — readable before, so restore
-    # goes through conf.set of the snapshot value
+    # maxRecordsPerFile: defaulted-but-never-set key — round-11 restore
+    # semantics leave it DEFAULTED on exit (unset, post-unset read
+    # matches the snapshot, no re-set) instead of freezing a copy of
+    # the default as an explicit value; the readable value is
+    # identical either way, which is what this asserts
     prior_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile")
     with scoped_confs(
         spark,

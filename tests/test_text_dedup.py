@@ -779,7 +779,13 @@ def test_lsh_index_migrates_legacy_flat_layout_end_to_end(spark, tmp_path):
         shutil.rmtree(resolved)
     assert not os.path.islink(os.path.join(path, "bands"))
 
-    want = {(r.id_a, r.id_b) for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()}
+    # the flat fallback is assumed-migration territory — it must be
+    # LOUD (round-10 ADVICE: a wrong flat table silently standing in
+    # for the named version would void the single-flip pairing)
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="layout migration"):
+        want = {(r.id_a, r.id_b) for r in query_lsh_index(spark, batch, path, threshold=0.5).collect()}
     assert want == {(10, 1)}
     compact_lsh_index(spark, path)  # first locked writer migrates
     assert os.path.islink(os.path.join(path, "bands"))
