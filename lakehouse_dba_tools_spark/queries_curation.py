@@ -390,6 +390,116 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch materialization: EXECUTE the repeat-factor recipe the planners
+# report (temperature_mixture_plan's `epochs` column — ">1 means the
+# recipe repeats that source"). Per-source planned epochs come from the
+# same deterministic weight convention as corpus_mixture_sample
+# (srcN → N % 4 + 1, scaled by EPOCH_BUDGET), so floor-epochs 0..3 AND
+# the fractional top-up are all exercised on the fixture; production
+# callers inject the planner's epochs instead.
+EPOCH_BUDGET = 0.8
+EPOCH_SALT = "epoch-up-v1"
+
+
+@register(
+    "mixture_epoch_materialize",
+    f"""
+    WITH per_doc AS (
+      SELECT source, doc_id, len({_D_TOKS}) AS n_tok,
+             ((CAST(substr(source, 4) AS BIGINT) % 4 + 1)::DOUBLE
+              * {EPOCH_BUDGET}) AS pe
+      FROM documents
+    ),
+    inst AS (
+      SELECT source, doc_id, n_tok, pe,
+             CAST(floor(pe) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || '{EPOCH_SALT}'), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < pe - floor(pe)
+                    THEN 1 ELSE 0 END AS n_inst
+      FROM per_doc
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(any_value(pe), 6) AS planned_epochs,
+           sum(n_inst)::BIGINT AS n_instances,
+           round(sum(n_inst)::DOUBLE / count(*), 6) AS realized_epochs,
+           sum(n_inst * n_tok)::BIGINT AS instance_tokens
+    FROM inst
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-replication EXECUTOR for mixture upsampling — the step
+    after temperature_mixture_plan/corpus_mixture_sample's planning:
+    each doc materializes floor(epochs) training instances plus one
+    more when its md5-uniform draw falls under the fractional part
+    (deterministic: the same doc always gets the same extra-epoch
+    decision, so retries/backfills reproduce the multiset exactly).
+    The report pins, per source, planned vs REALIZED epochs from the
+    exploded instance frame — realized converges on planned at the
+    law-of-large-numbers rate, and instance_tokens is what a trainer
+    actually consumes.
+
+    Scale shape: the plan is a broadcast-sized expression (here the
+    deterministic weight convention; in production the planner's
+    20-row output), the per-doc epoch count is column algebra, and the
+    explode materializes (doc_id, epoch) MANIFEST rows — never
+    duplicated text; a 100 TB pipeline joins text lazily at pack time
+    by doc_id, so the exploded frame is two ints per instance. No
+    shuffle until the per-source rollup (20 groups)."""
+    from lakehouse_dba_tools_spark.functions.text import token_count
+    from lakehouse_dba_tools_spark.operators.sampling import hash_uniform
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    planned = (
+        (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double")
+        * EPOCH_BUDGET
+    )
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        planned.alias("pe"),
+        (
+            F.floor(planned).cast("long")
+            + (
+                hash_uniform(F.col("doc_id"), EPOCH_SALT)
+                < (planned - F.floor(planned))
+            ).cast("long")
+        ).alias("n_inst"),
+    )
+    instances = per_doc.filter(F.col("n_inst") > 0).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("n_inst")))
+    )
+    roll = instances.groupBy("source").agg(
+        F.count("*").alias("n_instances"),
+        F.sum("n_tok").alias("instance_tokens"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.first("pe").alias("pe")
+    )
+    return (
+        base.join(roll, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("pe", 6).alias("planned_epochs"),
+            F.coalesce("n_instances", F.lit(0)).cast("long").alias("n_instances"),
+            F.round(
+                F.coalesce("n_instances", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("realized_epochs"),
+            F.coalesce("instance_tokens", F.lit(0))
+            .cast("long")
+            .alias("instance_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 _SPLIT_CASE = """CASE
         WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || 'split-v1'), 1, 8)) AS BIGINT)
              / 4294967296.0 < 0.8 THEN 'train'

@@ -212,3 +212,30 @@ def test_cluster_safe_split_members_share_split(spark, sf_dir):
     )
     assert joined.count() > 0  # fixture has near-dups
     assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+def test_mixture_epoch_materialize_replication_law(spark, sf_dir):
+    """The executor's contract: n_instances ∈ [floor, ceil]·n_docs per
+    source, realized == n_instances/n_docs, zero-epoch docs only where
+    planned < 1, and the materialization is deterministic (re-running
+    yields the identical multiset counts)."""
+    import math
+
+    from lakehouse_dba_tools_spark.queries_curation import (
+        mixture_epoch_materialize,
+    )
+
+    out = {r.source: r for r in mixture_epoch_materialize(spark, sf_dir).collect()}
+    assert len(out) > 0
+    for src, r in out.items():
+        lo = math.floor(r.planned_epochs) * r.n_docs
+        hi = math.ceil(r.planned_epochs) * r.n_docs
+        assert lo <= r.n_instances <= hi, src
+        assert r.realized_epochs == round(r.n_instances / r.n_docs, 6)
+        assert r.instance_tokens >= r.n_instances  # every doc has ≥1 token
+    # the weight convention spans floor 0..3 → both the fractional-only
+    # and multi-epoch replication paths actually ran
+    floors = {math.floor(r.planned_epochs) for r in out.values()}
+    assert 0 in floors and max(floors) >= 2
+    again = {r.source: r.n_instances for r in mixture_epoch_materialize(spark, sf_dir).collect()}
+    assert again == {s: r.n_instances for s, r in out.items()}
