@@ -36,7 +36,9 @@ def register(name: str, oracle: str | None = None):
 #         carried a hard driver row.
 # Round-12 rotation candidates (locally green, banked hard rows):
 # index_family_describe, streaming_ingest_ann, bm25_index_topk, plus
-# every earlier swap-out — all still diffchecked every round.
+# every earlier swap-out — all still diffchecked every round; and the
+# round-11 trailing addition mixture_epoch_materialize (the epoch-
+# replication executor, diffcheck-green since r11) for a first row.
 #
 # The driver's differential gate checks the FIRST 50 registered queries
 # (registration order = dict order). This list pins those 50 explicitly:
