@@ -595,9 +595,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup/components.py), so every member of a near-dup cluster lands in
 # the same split BY CONSTRUCTION — the md5 hash can no longer separate
 # a pair. Tolerance on the realized fractions vs (0.8, 0.1, 0.1):
-# binomial 3σ at the gate corpus (500 docs) is ~0.054 on the train
-# share; observed deviations are ≤0.011 at every test SF.
-SPLIT_TOL = 0.05
+# binomial 3σ on the train share is ~0.054 over the gate corpus's 500
+# doc draws — and cluster-keying reduces the independent draws further
+# (~460 keys at the gate SF → 3σ ≈ 0.056) — so the tolerance sits
+# ABOVE the 3σ envelope (≈4σ), never inside it; observed deviations
+# are ≤0.011 at every test SF.
+SPLIT_TOL = 0.08
 CLUSTER_SPLIT_SALT = "cluster-split-v1"
 
 _CLUSTER_SPLIT_CASE = """CASE
@@ -744,7 +747,7 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target",
         )
     )
-    return (
+    out = (
         per.crossJoin(F.broadcast(leaks))
         .select(
             "split",
@@ -756,6 +759,13 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+    # materialize the 3-row report, then RELEASE the pairs cache —
+    # persist holds a strong CacheManager reference, and this query
+    # runs every driver round; a lazy return would leak one cached
+    # pair frame per invocation for the session's lifetime
+    rows = out.collect()
+    pairs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 TRAIN_ORDER_SEED = "epoch0"

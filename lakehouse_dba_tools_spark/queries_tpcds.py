@@ -9007,10 +9007,6 @@ def tpcds_sqltext_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 72/72 sweep is COMPLETE (VERDICT r10 directive #1; reference
 # anchor `evaluation_tools/dbstress__Current.py:93-103` loads ALL of
 # queries/tpcds_2.13/*.sql).
-EXT_CHECKED_R10: tuple[str, ...] = (
-    "q01", "q02", "q05", "q06", "q08", "q09", "q10", "q11", "q16", "q17",
-    "q85", "q86", "q87", "q89", "q90", "q92", "q93", "q97", "q98", "q99",
-)
 EXT_CHECKED_R11: tuple[str, ...] = (
     "q04", "q14", "q18", "q21", "q22", "q23", "q24",
     "q64", "q67", "q74", "q78", "q95",

@@ -112,7 +112,19 @@ def scoped_confs(spark: SparkSession, confs: dict[str, str]):
             try:
                 spark.conf.unset(k)
             except Exception:
-                pass  # restore via set below still runs
+                if old is _UNSET:
+                    # no compensating set follows — the scoped value
+                    # would silently survive the scope, the exact leak
+                    # this context manager exists to prevent; be loud
+                    import warnings
+
+                    warnings.warn(
+                        f"scoped_confs could not unset {k!r} on exit; "
+                        f"the scoped value remains active for the "
+                        f"session",
+                        UserWarning,
+                        stacklevel=3,
+                    )
             if old is _UNSET:
                 continue
             try:

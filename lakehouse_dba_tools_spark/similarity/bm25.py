@@ -1047,7 +1047,7 @@ def _wand_plan(
     if not df_t:  # no query term occurs in the corpus
         plan.update(
             {"seed": [], "kept": [], "kept_count": 0, "theta": None,
-             "candidate_buckets": 0, "postings_kept": 0}
+             "candidate_buckets": 0, "postings_kept": 0, "refined": False}
         )
         return plan
     from pyspark import StorageLevel
@@ -1057,7 +1057,12 @@ def _wand_plan(
     # the plan's kept_count/postings_kept therefore describe exactly
     # the scan the scorer executes (no float re-summation drift
     # between a stats job and a separate scoring job). Rows are ≤ one
-    # per candidate bucket (4 narrow columns), evictable either way.
+    # per candidate bucket (4 narrow columns). The inline-kept path
+    # unpersists before returning; the large-kept path hands the
+    # persisted frame to the caller under plan["_per_bucket"] —
+    # _query_wand unpersists it after materializing the top-k (persist
+    # registers a strong CacheManager reference, so "evictable" alone
+    # would still leak one entry per large-kept query).
     per_bucket = _wand_per_bucket(bmax, idf).persist(StorageLevel.MEMORY_AND_DISK)
     # SEED: the FULL top max(k, 8k) buckets by ub — see the docstring
     # for why scoring all of them (not stopping once k docs are
@@ -1157,11 +1162,15 @@ def _wand_plan(
         plan["kept"] = [int(r["bucket"]) for r in kept_rows]
         per_bucket.unpersist()
     else:
-        # scorer joins the SAME persisted frame — stats cannot drift
-        # from the executed scan; the cache stays live for the lazy
-        # consumer and is evicted by Spark when dropped
+        # scorer joins a filter OVER the same persisted frame — stats
+        # cannot drift from the executed scan (the filter re-evaluates
+        # on the cached partitions, identical floats). The persisted
+        # parent rides along for the consumer to unpersist once the
+        # result is materialized (_query_wand does; direct planner
+        # callers that never score should unpersist it themselves).
         plan["kept"] = None
         plan["_kept_frame"] = per_bucket.filter(kept_pred)
+        plan["_per_bucket"] = per_bucket
     return plan
 
 
@@ -1274,8 +1283,18 @@ def _query_wand(
         scored = _score_buckets(spark, plan, plan["kept"])
     else:  # kept set too large to inline — distributed semi-join prune
         scored = _score_kept_join(spark, plan)
-    return (
+    out = (
         scored.orderBy(F.col("_score").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_score", 4).alias("bm25_score"))
     )
+    per_bucket = plan.pop("_per_bucket", None)
+    if per_bucket is not None:
+        # materialize the ≤k-row answer, then release the planner's
+        # cached per-bucket frame — persist holds a strong CacheManager
+        # reference, so a lazy return would leak one entry per
+        # large-kept query for the session's lifetime
+        rows = out.collect()
+        per_bucket.unpersist()
+        return spark.createDataFrame(rows, out.schema)
+    return out
