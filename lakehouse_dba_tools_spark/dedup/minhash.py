@@ -305,6 +305,7 @@ def verified_near_dups(
     bands: int = 16,
     seed: int = 42,
     threshold: float = 0.5,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -313,12 +314,24 @@ def verified_near_dups(
     and without the persist Spark's lazy evaluation would re-shingle
     the corpus for each. MEMORY_AND_DISK so a corpus bigger than the
     cache spills instead of failing; blocks are evictable either way.
+
+    The persist is a strong CacheManager reference (never GC'd), and
+    the returned pair frame is lazy, so the cache must outlive the
+    caller's materialization: pass ``caches`` (a list) and the shingle
+    frame is appended for the CALLER to unpersist once the pairs are
+    materialized — a long-running session calling this per round would
+    otherwise accumulate one corpus-sized cache entry per call (the
+    round-11 ADVICE leak). With ``caches=None`` the handle is simply
+    not exported; one-shot callers (tests, notebooks) may accept the
+    session-lifetime entry, every in-repo query caller passes a list.
     """
     from pyspark import StorageLevel
 
     shingled = with_shingle_set(df, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(shingled)
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, k, num_perm, bands, seed, shingled=shingled
     )

@@ -266,7 +266,7 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     ).withColumn(
-        "w", (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double")
+        "w", (F.expr("substring(source, 4)").cast("long") % 4 + 1).cast("double")
     )
     tot = stats.agg(
         F.sum("w").alias("sum_w"),
@@ -456,7 +456,7 @@ def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").alias("n_tok")
     )
     planned = (
-        (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double")
+        (F.expr("substring(source, 4)").cast("long") % 4 + 1).cast("double")
         * EPOCH_BUDGET
     )
     per_doc = docs.select(
@@ -554,7 +554,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_dba_tools_spark.operators.sampling import train_val_test_split
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = verified_near_dups(docs, threshold=0.5)
+    caches: list[DataFrame] = []
+    pairs = verified_near_dups(docs, threshold=0.5, caches=caches)
     split = train_val_test_split(
         docs.select("doc_id"), "doc_id", (0.8, 0.1, 0.1), salt="split-v1"
     ).select("doc_id", "split")
@@ -576,7 +577,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("sa", "sb").alias("split_b"),
         )
     )
-    return (
+    out = (
         labeled.groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))
         .select(
@@ -587,6 +588,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+    # materialize the ≤6-row rollup, then RELEASE the shingle cache the
+    # near-dup pipeline pinned (verified_near_dups exports it via
+    # `caches`) — this query runs every driver round, and a lazy return
+    # would leak one corpus-sized cache entry per invocation (the
+    # round-11 ADVICE leak class; same eager-report pattern as
+    # cluster_safe_split_audit, restricted to O(1)-row reports)
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # Cluster-safe re-split (VERDICT r10 directive #3): act on what
@@ -699,8 +710,11 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Two consumers (CC edge build + the post-split leak join) — persist
     # so the LSH candidates→verify pipeline runs once. MEMORY_AND_DISK:
-    # pair rows are two ids, evictable either way.
-    pairs = verified_near_dups(docs, threshold=0.5).persist(
+    # pair rows are two ids, evictable either way. The shingle cache
+    # verified_near_dups pins internally is exported via `caches` and
+    # released below with the pairs cache (round-11 ADVICE leak fix).
+    caches: list[DataFrame] = []
+    pairs = verified_near_dups(docs, threshold=0.5, caches=caches).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
@@ -765,6 +779,8 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair frame per invocation for the session's lifetime
     rows = out.collect()
     pairs.unpersist()
+    for c in caches:
+        c.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1160,7 +1176,7 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_tokr").alias("n_tokens"))
             .withColumn(
                 "w",
-                (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("double"),
+                (F.expr("substring(source, 4)").cast("long") % 4 + 1).cast("double"),
             )
         )
         tot = stats.agg(

@@ -362,7 +362,18 @@ def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute all-pairs answer at recall 1.0 (16 bands × 4 rows on this
     corpus), so the exact SQL oracle applies digit-for-digit."""
     docs = load_table(spark, sf_dir, "documents")
-    return verified_near_dups(docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5)
+    caches: list[DataFrame] = []
+    out = verified_near_dups(
+        docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5, caches=caches
+    )
+    # materialize the bounded pair frame (verified near-dups — edge-
+    # sized, never corpus-sized), then release the shingle cache the
+    # pipeline pinned (round-11 ADVICE leak class; the lazy return
+    # would strand one corpus-sized cache entry per invocation)
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # with_simhash / simhash_near_dups stay exported as library operators
@@ -673,8 +684,19 @@ def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_dba_tools_spark.dedup.components import canonicalize_near_dups
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = verified_near_dups(docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5)
-    return canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))
+    caches: list[DataFrame] = []
+    pairs = verified_near_dups(
+        docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5, caches=caches
+    )
+    out = canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))
+    # connected_components has ALREADY materialized the pair graph by
+    # the time canonicalize returns (bounded driver union-find under 2M
+    # edges; checkpoint-truncated label rounds above it), so the
+    # returned frame no longer references the shingle lineage — release
+    # the cache verified_near_dups pinned (round-11 ADVICE leak class)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 _BM25_QUERY = "spark merge window join"

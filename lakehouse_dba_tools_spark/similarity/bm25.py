@@ -1064,6 +1064,23 @@ def _wand_plan(
     # registers a strong CacheManager reference, so "evictable" alone
     # would still leak one entry per large-kept query).
     per_bucket = _wand_per_bucket(bmax, idf).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _wand_plan_body(spark, plan, per_bucket, terms, k)
+    except Exception:
+        # a failure in the seed scoring / refinement / stats collects
+        # must not strand the cached frame for the session lifetime —
+        # persist registers a strong CacheManager reference (round-11
+        # ADVICE); the documented handoff of plan["_per_bucket"] applies
+        # only to the successful large-kept return inside the body
+        per_bucket.unpersist()
+        raise
+
+
+def _wand_plan_body(spark, plan: dict, per_bucket, terms: list[str], k: int) -> dict:
+    """Planning body over the persisted per-bucket frame — split out so
+    `_wand_plan` can release the cache on ANY exception path while the
+    successful large-kept return still hands the persisted frame to the
+    caller under plan["_per_bucket"] (see the docstring above)."""
     # SEED: the FULL top max(k, 8k) buckets by ub — see the docstring
     # for why scoring all of them (not stopping once k docs are
     # covered) is what makes θ reach the true k-th score.

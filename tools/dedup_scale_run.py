@@ -64,9 +64,12 @@ def main() -> None:
 
         best = None
         for _ in range(passes):
+            caches: list = []
             t0 = time.time()
-            n_dups = verified_near_dups(docs, threshold=0.5).count()
+            n_dups = verified_near_dups(docs, threshold=0.5, caches=caches).count()
             best = min(best or 1e9, time.time() - t0)
+            for c in caches:  # one pinned shingle frame per pass (ADVICE)
+                c.unpersist()
         tier["verified_near_dups"] = {
             "sec": round(best, 2), "pairs": n_dups,
             "us_per_doc": round(best / n * 1e6, 1),

@@ -367,6 +367,13 @@ def run_bm25_wand_scale(spark, n: int, passes: int) -> dict:
             out["common_postings_total"] = pc["postings_total"]
             out["multi_postings_kept"] = pm["postings_kept"]
             out["multi_postings_total"] = pm["postings_total"]
+            # direct-planner-caller contract (bm25.py): large-kept plans
+            # hand back their persisted per-bucket frame — release it,
+            # or each measurement pass leaks one cached frame (ADVICE)
+            for plan in (pc, pm):
+                pb = plan.pop("_per_bucket", None)
+                if pb is not None:
+                    pb.unpersist()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     out.update(
