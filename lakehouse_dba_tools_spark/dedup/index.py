@@ -381,6 +381,86 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def forget_from_lsh_index(
+    spark: SparkSession, path: str, forget_ids: DataFrame
+) -> dict:
+    """Right-to-be-forgotten DELETE for the LSH index — the lifecycle
+    verb `operators/forget.py:41`'s table cascade was missing for the
+    stored-index family: a forgotten document's band rows and
+    shingle-hash rows otherwise survive in the version directories and
+    keep matching future ingest batches. ``forget_ids`` is a
+    one-column DataFrame of doc ids (tiny next to the index — the
+    GDPR-request shape), applied as a BROADCAST anti-join to both
+    tables; the filtered tables publish as new versions behind the
+    usual single atomic pointer flip (shash first, the new bands meta
+    NAMES it — the same two-table commit as build/compact, so a reader
+    racing the forget sees the complete pre- or post-forget snapshot,
+    never a mix). Content-wise the published snapshot equals an index
+    FRESHLY BUILT from the corpus minus the forgotten docs: band keys
+    and shingle hashes are per-doc functions of the stored permutation
+    family, so removing a doc's rows is exactly what rebuilding
+    without the doc produces (pinned by tests/test_skew_forget.py and
+    the index_forget_audit carrier's oracle). Idempotent: a replayed
+    forget removes 0 rows and republishes identical content.
+    Replay-duplicate rows of SURVIVING docs pass through untouched —
+    folding them stays `compact_lsh_index`'s job; the two verbs
+    compose in either order. Returns {table: {rows_before,
+    rows_removed, rows_after}}."""
+    id_col_alias = "_forget_id"
+    with writer_lock(path):
+        bands_live = os.path.join(path, "bands")
+        sh_live = os.path.join(path, "shash")
+        heal(bands_live)
+        heal(sh_live)
+        m = read_lsh_meta(path)
+        ids = F.broadcast(
+            forget_ids.select(
+                F.col(forget_ids.columns[0]).alias(id_col_alias)
+            ).distinct()
+        )
+        out: dict = {}
+        # shash first so the new bands meta can name it (single-flip
+        # commit for the two-table index, same as build/compact)
+        sh_src = spark.read.parquet(_shash_dir(path, m))
+        sh_kept = sh_src.join(
+            ids, sh_src[m["id_col"]] == ids[id_col_alias], "left_anti"
+        )
+        sh_target = init_versioned(sh_live)
+        sh_kept.coalesce(1).write.mode("overwrite").parquet(sh_target)
+        sh_before = sh_src.count()
+        sh_after = spark.read.parquet(sh_target).count()
+
+        bands_src = spark.read.parquet(current_version_dir(bands_live))
+        b_kept = bands_src.join(
+            ids, bands_src[m["id_col"]] == ids[id_col_alias], "left_anti"
+        )
+        bands_target = init_versioned(bands_live)
+        b_kept.repartition("band_idx").write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(bands_target)
+        write_version_meta(
+            bands_target, META_NAME,
+            {**{k: v for k, v in m.items() if k != "shash_dir"},
+             "shash_dir": os.path.basename(sh_target)},
+        )
+        b_before = bands_src.count()
+        b_after = spark.read.parquet(bands_target).count()
+        publish(sh_live, sh_target)
+        publish(bands_live, bands_target)
+        out["bands"] = {
+            "rows_before": b_before,
+            "rows_removed": b_before - b_after,
+            "rows_after": b_after,
+        }
+        out["shash"] = {
+            "rows_before": sh_before,
+            "rows_removed": sh_before - sh_after,
+            "rows_after": sh_after,
+        }
+    _refresh(spark, path)
+    return out
+
+
 def query_lsh_index(
     spark: SparkSession,
     batch: DataFrame,

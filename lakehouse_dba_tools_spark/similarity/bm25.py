@@ -737,6 +737,118 @@ def compact_postings_index(spark, path: str) -> dict:
     return out
 
 
+def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
+    """Right-to-be-forgotten DELETE for the postings index — extends
+    `operators/forget.py:41`'s table cascade into the stored lexical
+    index: a forgotten document's (term, doc_id, tf, dl) postings and
+    its doclens row otherwise survive every version directory (and keep
+    shifting N/avgdl/df, i.e. the doc keeps influencing OTHER docs'
+    scores). ``forget_ids`` is a one-column DataFrame of doc ids (tiny
+    — the GDPR-request shape), applied as a BROADCAST anti-join;
+    postings and doclens publish as new versions behind the single
+    atomic pointer flip (doclens first, the new postings meta NAMES it
+    — the same two-table commit as build/compact). The champions and
+    block-max tiers, where built, are then REFRESHED from the filtered
+    snapshot (`_refresh_champions` / `_refresh_wand`, still under the
+    writer lock): tier contents are NOT per-doc-filterable — champion
+    selection, block maxima, and the (n_docs, avgdl) stats sidecars all
+    change when docs leave — so the refresh is what makes the published
+    index equal an index FRESHLY BUILT from the corpus minus the
+    forgotten docs, postings rows AND tiers AND stats (postings rows
+    are per-(term, doc) functions of the doc alone, so the filtered
+    table is literally the fresh-build table; pinned by
+    tests/test_skew_forget.py and the index_forget_audit carrier's
+    oracle). Idempotent: a replayed forget removes 0 rows and
+    republishes identical content. Surviving docs' replay-duplicate
+    rows pass through; folding them stays `compact_postings_index`'s
+    job. Returns {table: {rows_before, rows_removed, rows_after}}."""
+    import json
+    import os
+
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
+        heal,
+        init_versioned,
+        publish,
+        write_version_meta,
+        writer_lock,
+    )
+
+    with open(os.path.join(path, BM25_META)) as fh:
+        bm = json.load(fh)
+    id_col = bm["id_col"]
+    out: dict = {}
+    with writer_lock(path):
+        p_live = os.path.join(path, "postings")
+        d_live = os.path.join(path, "doclens")
+        heal(p_live)
+        heal(d_live)
+        src_p, src_d = _postings_snapshot(path)
+        ids = F.broadcast(
+            forget_ids.select(
+                F.col(forget_ids.columns[0]).alias("_forget_id")
+            ).distinct()
+        )
+        # doclens first: the filtered postings' version meta NAMES the
+        # filtered doclens version (single-flip pair commit)
+        d_src = spark.read.parquet(src_d)
+        d_kept = d_src.join(
+            ids, d_src[id_col] == ids["_forget_id"], "left_anti"
+        )
+        d_target = init_versioned(d_live)
+        d_kept.coalesce(1).write.mode("overwrite").parquet(d_target)
+        d_before = d_src.count()
+        d_after = spark.read.parquet(d_target).count()
+
+        p_src = spark.read.parquet(src_p)
+        p_kept = (
+            p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
+            .repartitionByRange("term")
+            .sortWithinPartitions("term")
+        )
+        p_target = init_versioned(p_live)
+        p_kept.write.mode("overwrite").parquet(p_target)
+        write_version_meta(
+            p_target, POSTINGS_META,
+            {"id_col": id_col, "text_col": bm["text_col"],
+             "doclens_dir": os.path.basename(d_target)},
+        )
+        p_before = p_src.count()
+        p_after = spark.read.parquet(p_target).count()
+        publish(d_live, d_target)
+        publish(p_live, p_target)
+        out["postings"] = {
+            "rows_before": p_before,
+            "rows_removed": p_before - p_after,
+            "rows_after": p_after,
+        }
+        out["doclens"] = {
+            "rows_before": d_before,
+            "rows_removed": d_before - d_after,
+            "rows_after": d_after,
+        }
+        spark.catalog.refreshByPath(p_live)
+        spark.catalog.refreshByPath(d_live)
+        spark.catalog.refreshByPath(current_version_dir(p_live))
+        spark.catalog.refreshByPath(current_version_dir(d_live))
+        # tier refresh = the fresh-build equality step (see docstring)
+        try:
+            _, cm = _champ_snapshot(path)
+        except FileNotFoundError:
+            cm = None
+        if cm is not None:
+            _refresh_champions(
+                spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+            )
+        try:
+            _, wm = _wand_snapshot(path)
+        except FileNotFoundError:
+            wm = None
+        if wm is not None:
+            _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
+    return out
+
+
 def _champ_snapshot(path: str) -> tuple[str, dict]:
     """(champions version dir, champ meta) — resolved as one couple."""
     import os

@@ -222,6 +222,54 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     return out
 
 
+def forget_from_ivf_index(
+    spark: SparkSession, path: str, forget_ids: DataFrame
+) -> dict:
+    """Right-to-be-forgotten DELETE for the IVF index — extends
+    `operators/forget.py:41`'s table cascade into the stored vector
+    index: a forgotten document's (cid, neighbor_id, vec) rows
+    otherwise survive the version directories and keep surfacing as
+    neighbors. ``forget_ids`` is a one-column DataFrame of ids (tiny —
+    the GDPR-request shape), applied as a BROADCAST anti-join; the
+    filtered lists publish as a new version with a refreshed cid
+    manifest behind the single atomic pointer flip. The coarse
+    quantizer stays FIXED — the same contract as appends (assignments
+    are a pure function of the stored centroids), so the published
+    lists are row-identical to assigning the surviving corpus under
+    the stored quantizer; re-training because the distribution moved
+    is `rebuild_ivf_index`'s job, and full-probe answers are quantizer-
+    invariant anyway (what the index_forget_audit oracle checks).
+    Idempotent: a replayed forget removes 0 rows and republishes
+    identical content. Returns {rows_before, rows_removed, rows_after}."""
+    live = os.path.join(path, "lists")
+    with writer_lock(path):
+        heal(live)
+        m = read_ivf_meta(path)
+        ids = F.broadcast(
+            forget_ids.select(
+                F.col(forget_ids.columns[0]).alias("_forget_id")
+            ).distinct()
+        )
+        src = spark.read.parquet(current_version_dir(live))
+        kept = src.join(
+            ids, src["neighbor_id"] == ids["_forget_id"], "left_anti"
+        ).repartition("cid")
+        target = init_versioned(live)
+        kept.write.mode("overwrite").partitionBy("cid").parquet(target)
+        write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
+        n_before = src.count()
+        n_after = spark.read.parquet(target).count()
+        publish(live, target)
+        out = {
+            "rows_before": n_before,
+            "rows_removed": n_before - n_after,
+            "rows_after": n_after,
+        }
+    spark.catalog.refreshByPath(live)
+    spark.catalog.refreshByPath(current_version_dir(live))
+    return out
+
+
 def query_ivf_index(
     spark: SparkSession,
     queries: DataFrame,

@@ -211,3 +211,182 @@ def test_pagerank_run_invariant(spark):
         tuple(r) for r in pagerank(edges.repartition(13), iterations=4).collect()
     )
     assert a == b
+
+
+# ---- forget cascade into the persisted index family (round-12) ----
+
+
+def _rowset(df, float_cols=(), ndigits=9):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        for c in float_cols:
+            d[c] = round(d[c], ndigits)
+        for k, v in d.items():
+            if isinstance(v, list):
+                d[k] = tuple(sorted(v))
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+def test_lsh_forget_equals_fresh_build_and_replays(spark, sf_dir, tmp_path):
+    """Post-forget LSH tables == an index freshly built from the
+    filtered corpus (band keys / shingle hashes are per-doc functions
+    of the stored permutation family), and a replayed forget is a
+    no-op republish."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    forget = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_lsh_index(docs, a)
+    rep = forget_from_lsh_index(spark, a, forget)
+    assert rep["shash"]["rows_removed"] == forget.count()
+    assert rep["bands"]["rows_removed"] == 16 * forget.count()
+    build_lsh_index(docs.join(forget, "doc_id", "left_anti"), b)
+    for table in ("bands", "shash"):
+        got = spark.read.parquet(current_version_dir(f"{a}/{table}"))
+        want = spark.read.parquet(current_version_dir(f"{b}/{table}"))
+        assert _rowset(got) == _rowset(want)
+    # replay: idempotent (0 removed, content unchanged, version advances)
+    before = _rowset(spark.read.parquet(current_version_dir(f"{a}/bands")))
+    rep2 = forget_from_lsh_index(spark, a, forget)
+    assert rep2["bands"]["rows_removed"] == 0
+    assert rep2["shash"]["rows_removed"] == 0
+    assert _rowset(spark.read.parquet(current_version_dir(f"{a}/bands"))) == before
+
+
+def test_bm25_forget_equals_fresh_build_tiers_and_queries(spark, sf_dir, tmp_path):
+    """Post-forget postings/doclens AND the refreshed champions +
+    block-max tiers == a fresh build from the filtered corpus; queries
+    in all three modes answer identically; replay is a no-op."""
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _champ_snapshot,
+        _postings_snapshot,
+        _wand_snapshot,
+        build_postings_index,
+        forget_from_postings_index,
+        query_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    forget = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    kept_docs = docs.join(forget, "doc_id", "left_anti")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    n_kept = kept_docs.count()
+    build_postings_index(docs, a, champion_n=n_kept + 10, wand_buckets=8)
+    rep = forget_from_postings_index(spark, a, forget)
+    assert rep["doclens"]["rows_removed"] == forget.count()
+    assert rep["postings"]["rows_removed"] > 0
+    build_postings_index(kept_docs, b, champion_n=n_kept + 10, wand_buckets=8)
+
+    pa, da = _postings_snapshot(a)
+    pb, db = _postings_snapshot(b)
+    assert _rowset(spark.read.parquet(pa)) == _rowset(spark.read.parquet(pb))
+    assert _rowset(spark.read.parquet(da)) == _rowset(spark.read.parquet(db))
+    ca, cma = _champ_snapshot(a)
+    cb, cmb = _champ_snapshot(b)
+    assert cma["n_docs"] == cmb["n_docs"] == n_kept
+    assert round(cma["avgdl"], 9) == round(cmb["avgdl"], 9)
+    assert _rowset(spark.read.parquet(ca)) == _rowset(spark.read.parquet(cb))
+    assert _rowset(spark.read.parquet(f"{ca}/_termstats")) == _rowset(
+        spark.read.parquet(f"{cb}/_termstats")
+    )
+    wa, wma = _wand_snapshot(a)
+    wb, wmb = _wand_snapshot(b)
+    assert wma["n_docs"] == wmb["n_docs"] == n_kept
+    assert _rowset(spark.read.parquet(wa)) == _rowset(spark.read.parquet(wb))
+    assert _rowset(
+        spark.read.parquet(f"{wa}/_blockmax"), float_cols=("max_imp",)
+    ) == _rowset(spark.read.parquet(f"{wb}/_blockmax"), float_cols=("max_imp",))
+
+    q = "spark merge window join"
+    for mode in ("exact", "champions", "wand"):
+        got = [tuple(r) for r in query_postings_index(spark, a, q, k=10, mode=mode).collect()]
+        want = [tuple(r) for r in query_postings_index(spark, b, q, k=10, mode=mode).collect()]
+        assert got == want, mode
+
+    rep2 = forget_from_postings_index(spark, a, forget)
+    assert rep2["postings"]["rows_removed"] == 0
+    assert rep2["doclens"]["rows_removed"] == 0
+    got = [tuple(r) for r in query_postings_index(spark, a, q, k=10).collect()]
+    want = [tuple(r) for r in query_postings_index(spark, b, q, k=10).collect()]
+    assert got == want
+
+
+def test_ivf_forget_matches_survivor_assignment_and_brute(spark, sf_dir, tmp_path):
+    """Post-forget lists == assigning the surviving vectors under the
+    STORED quantizer (the append contract), and full-probe queries
+    equal brute force over the filtered corpus; replay is a no-op."""
+    import numpy as np
+
+    from lakehouse_dba_tools_spark.similarity.index import (
+        _assigned_rows,
+        build_ivf_index,
+        forget_from_ivf_index,
+        query_ivf_index,
+        read_ivf_meta,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+    from lakehouse_dba_tools_spark.similarity.search import brute_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    forget = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    a = str(tmp_path / "a")
+    build_ivf_index(emb, a, n_centroids=8)
+    m = read_ivf_meta(a)
+    rep = forget_from_ivf_index(spark, a, forget)
+    assert rep["rows_removed"] == forget.count()
+    survivors = emb.join(forget, "vec_id", "left_anti")
+    want = _assigned_rows(survivors, np.asarray(m["centroids"]), "vec_id", "embedding")
+    got = spark.read.parquet(current_version_dir(f"{a}/lists"))
+    assert _rowset(got.select("cid", "neighbor_id")) == _rowset(
+        want.select("cid", "neighbor_id")
+    )
+    # manifest matches the surviving lists
+    assert read_ivf_meta(a)["cids"] == sorted(
+        r["cid"] for r in got.select("cid").distinct().collect()
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_q = query_ivf_index(spark, queries, a, k=3, nprobe=8)
+    want_q = brute_topk(survivors, queries, k=3)
+    assert _rowset(got_q, float_cols=("sim",), ndigits=6) == _rowset(
+        want_q, float_cols=("sim",), ndigits=6
+    )
+    rep2 = forget_from_ivf_index(spark, a, forget)
+    assert rep2["rows_removed"] == 0
+
+
+def test_forget_from_indexes_audit_frame(spark, sf_dir, tmp_path):
+    """The cascade aggregator drives all three verbs and reports one
+    deletion_audit-shaped frame."""
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
+    from lakehouse_dba_tools_spark.operators.forget import forget_from_indexes
+    from lakehouse_dba_tools_spark.similarity.bm25 import build_postings_index
+    from lakehouse_dba_tools_spark.similarity.index import build_ivf_index
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    lsh, bm, ivf = (str(tmp_path / n) for n in ("lsh", "bm", "ivf"))
+    build_lsh_index(docs, lsh)
+    build_postings_index(docs, bm)
+    build_ivf_index(emb, ivf, n_centroids=4)
+    forget = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
+    audit = forget_from_indexes(
+        spark, forget, lsh_path=lsh, bm25_path=bm, ivf_path=ivf
+    )
+    rows = {(r["index_name"], r["table_name"]): r for r in audit.collect()}
+    assert set(rows) == {
+        ("lsh", "bands"), ("lsh", "shash"),
+        ("bm25", "postings"), ("bm25", "doclens"),
+        ("ivf", "lists"),
+    }
+    for r in rows.values():
+        assert r["rows_before"] == r["rows_removed"] + r["rows_after"]
+        assert r["rows_removed"] > 0
