@@ -1165,3 +1165,255 @@ def index_family_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("index_name", "table_name")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _forget_audit_oracle() -> str:
+    """Oracle for index_forget_audit: DuckDB re-derives, from the
+    FILTERED corpus alone (slice minus the forget set), everything the
+    post-forget indexes are asked to produce — full-formula BM25 top-10
+    (the answer all three read modes must give), exact-Jaccard probe
+    pairs (forgotten docs vs survivors), brute-force full-probe cosine
+    top-3, and the relational row counts of every rewritten table —
+    plus literal zeros for the residual scans. Hash equality therefore
+    proves the post-forget index answers AS IF freshly built from the
+    filtered corpus (the fresh build is definitionally what these SQL
+    recomputations model), which is the round-11 VERDICT's done
+    criterion for the forget cascade."""
+    bm_feat = ", ".join(
+        f"len(list_filter({_D_BM_TOKS}, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    bm_df = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    bm_score = " + ".join(
+        f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * tf_{i} * 2.2"
+        f" / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    bm_parts = "\n    UNION ALL\n".join(
+        f"SELECT '{part}' AS part, rnk AS a, doc_id AS b, CAST(-1 AS BIGINT) AS c,"
+        f" s AS val FROM bmr"
+        for part in ("bm25_champ", "bm25_exact")
+    )
+    return f"""
+    WITH surv AS (SELECT * FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0),
+    forg AS (SELECT * FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+    esurv AS (SELECT * FROM embeddings WHERE vec_id % 4 = 1 AND vec_id % 3 <> 0),
+    feat AS (SELECT doc_id, len({_D_BM_TOKS}) AS dl, {bm_feat} FROM surv),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {bm_df} FROM feat),
+    bm AS (
+      SELECT doc_id, round(score, 4) AS s FROM (
+        SELECT f.doc_id, {bm_score} AS score FROM feat f CROSS JOIN stats s
+      ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    bmr AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rnk,
+                   doc_id, s FROM bm),
+    shs AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM surv),
+    shf AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM forg),
+    lshp AS (
+      SELECT f.doc_id AS id_a, s.doc_id AS id_b,
+             round(len(list_intersect(f.s, s.s))::DOUBLE
+                   / len(list_distinct(list_concat(f.s, s.s)))::DOUBLE, 6) AS j
+      FROM shf f JOIN shs s ON
+        len(list_intersect(f.s, s.s))::DOUBLE
+          / len(list_distinct(list_concat(f.s, s.s)))::DOUBLE >= 0.5
+    ),
+    eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM esurv WHERE vec_id < 40),
+    escored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 9) AS sim
+      FROM esurv c CROSS JOIN eq q
+    ),
+    etop AS (
+      SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+             CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM escored)
+      WHERE rank <= 3
+    ),
+    cnt AS (
+      SELECT (SELECT count(*) FROM surv) AS ns,
+             (SELECT count(*) FROM forg) AS nf,
+             (SELECT count(*) FROM esurv) AS nes,
+             (SELECT count(*) FROM embeddings
+              WHERE vec_id % 4 = 1 AND vec_id % 3 = 0) AS nef,
+             (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM
+                (SELECT doc_id, unnest({_D_BM_TOKS}) AS term FROM surv))) AS ps,
+             (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM
+                (SELECT doc_id, unnest({_D_BM_TOKS}) AS term FROM forg))) AS pf
+    )
+    {bm_parts}
+    UNION ALL
+    SELECT 'ivf_topk', query_id, rank, neighbor_id, sim FROM etop
+    UNION ALL
+    SELECT 'lsh_pairs', id_a, id_b, CAST(-1 AS BIGINT), j FROM lshp
+    UNION ALL
+    SELECT 'residual_bm25', -1, -1, -1, CAST(0 AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'residual_ivf', -1, -1, -1, CAST(0 AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'residual_lsh', -1, -1, -1, CAST(0 AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_bm25_champions', -1, -1, ps, CAST(0 AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_bm25_doclens', -1, -1, ns, CAST(nf AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_bm25_postings', -1, -1, ps, CAST(pf AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_ivf_lists', -1, -1, nes, CAST(nef AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_lsh_bands', -1, -1, 16 * ns, CAST(16 * nf AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'rows_lsh_shash', -1, -1, ns, CAST(nf AS DOUBLE) FROM cnt
+    ORDER BY part, a, b, c
+    """
+
+
+@register("index_forget_audit", _forget_audit_oracle())
+def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten across the WHOLE persisted-index family
+    (round-11 VERDICT directive #2 — the one structural 100 TB gap):
+    build all three stored indexes from a deterministic 25% fixture
+    slice (id % 4 == 1; the contract proven is slice-invariant, the
+    index_family_describe precedent), then FORGET the id % 3 == 0 third
+    through the new locked lifecycle verbs (`operators/forget.py
+    forget_from_indexes` → `dedup/index.py forget_from_lsh_index`,
+    `similarity/bm25.py forget_from_postings_index` incl. champions +
+    block-max tier refresh, `similarity/index.py forget_from_ivf_index`
+    — filtered-version publish under the same single-flip semantics as
+    append/compact), and prove the result four ways in one frame:
+
+    - the post-forget BM25 index answers the standard query through
+      the exact AND champions read modes with the scores a FRESH build
+      from the filtered corpus gives (the oracle is the full formula
+      over survivors; the wand tier's forget path — same refresh code —
+      is row-level-pinned against a fresh build in
+      tests/test_skew_forget.py, and its read mode keeps its checked
+      carrier in bm25_wand_topk);
+    - the post-forget LSH index, probed with the forgotten docs
+      themselves, matches exactly the surviving near-dups (and can no
+      longer match any forgotten doc — self-rows are physically gone);
+    - the post-forget IVF index at full probe equals brute-force
+      cosine over the surviving vectors (quantizer-invariant, so the
+      frozen-centroid contract costs nothing here);
+    - the deletion audit: per-table rows_after/rows_removed match the
+      relational derivation, and a residual scan of every rewritten
+      table for forgotten ids counts ZERO rows per family.
+
+    Replay idempotence (a second forget removes 0 rows and republishes
+    identical content) is pinned in tests/test_skew_forget.py.
+
+    Scale shape: the forget set rides BROADCAST anti-joins; each index
+    pays one filtered rewrite — the same cost class as its compact
+    cadence, nothing corpus-quadratic anywhere; queries afterward are
+    the family's ordinary bounded read paths. Reference parity: the
+    reference's only deletion surface is MERGE point-deletes
+    (`tasks/Query History API to Delta_withmetrics.py:244-250`) and
+    VACUUM (`resources/TPC-datagen-notebook.scala:2076-2092`); this is
+    the index-aware generalization a GDPR-obligated 100 TB lakehouse
+    needs."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.forget import forget_from_indexes
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+    from lakehouse_dba_tools_spark.session import scoped_confs
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _champ_snapshot,
+        _postings_snapshot,
+        build_postings_index,
+        query_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 1)
+    forget_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    forget_vecs = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    tmp = tempfile.mkdtemp(prefix="idx_forget_")
+    rows: list[tuple] = []
+    # the slice tables are KBs: 8 shuffle partitions sizes the index
+    # exchanges to the data (the EXT-window fixture-sizing precedent);
+    # at 100 TB the same lifecycle runs under the session default
+    try:
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            lsh, bm, ivf = f"{tmp}/lsh", f"{tmp}/bm25", f"{tmp}/ivf"
+            build_lsh_index(docs, lsh)
+            # champion_n = slice size covers every survivor df → the
+            # tier is provably exact for any query over this corpus
+            build_postings_index(docs, bm, champion_n=int(docs.count()))
+            build_ivf_index(emb, ivf, n_centroids=8)
+            audit = forget_from_indexes(
+                spark, forget_docs.select("doc_id"), lsh_path=lsh, bm25_path=bm
+            ).unionByName(forget_from_indexes(spark, forget_vecs, ivf_path=ivf))
+            for r in audit.collect():  # ≤5 rows
+                rows.append(
+                    (f"rows_{r['index_name']}_{r['table_name']}", -1, -1,
+                     int(r["rows_after"]), float(r["rows_removed"]))
+                )
+
+            for part, mode in (
+                ("bm25_exact", "exact"),
+                ("bm25_champ", "champions"),
+            ):
+                res = query_postings_index(spark, bm, _BM25_QUERY, k=10, mode=mode)
+                for rnk, r in enumerate(res.collect(), 1):  # ≤k rows, ordered
+                    rows.append(
+                        (part, rnk, int(r["doc_id"]), -1, float(r["bm25_score"]))
+                    )
+
+            probe = query_lsh_index(spark, forget_docs, lsh, threshold=0.5)
+            for r in probe.select("id_a", "id_b", "jaccard").collect():
+                rows.append(("lsh_pairs", int(r["id_a"]), int(r["id_b"]), -1,
+                             float(r["jaccard"])))
+
+            q = emb.filter(
+                (F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 40)
+            ).select(F.col("vec_id").alias("query_id"), "embedding")
+            for r in query_ivf_index(spark, q, ivf, k=3, nprobe=8).collect():
+                rows.append(("ivf_topk", int(r["query_id"]), int(r["rank"]),
+                             int(r["neighbor_id"]), float(r["sim"])))
+
+            # champions row count + residual scans over the published
+            # snapshots — ONE job per family (the id columns union)
+            p_dir, d_dir = _postings_snapshot(bm)
+            champ_dir, _ = _champ_snapshot(bm)
+            fd = F.broadcast(forget_docs.select("doc_id").distinct())
+            fv = F.broadcast(forget_vecs.distinct())
+            champs = spark.read.parquet(champ_dir)
+            rows.append(("rows_bm25_champions", -1, -1, champs.count(), 0.0))
+
+            def _resid(frames, col, ids):
+                u = frames[0].select(F.col(col).alias("_rid"))
+                for f in frames[1:]:
+                    u = u.unionByName(f.select(F.col(col).alias("_rid")))
+                return u.join(
+                    ids.select(F.col(ids.columns[0]).alias("_rid")), "_rid",
+                    "left_semi",
+                ).count()
+
+            bands = spark.read.parquet(current_version_dir(f"{lsh}/bands"))
+            shash = spark.read.parquet(current_version_dir(f"{lsh}/shash"))
+            rows.append(
+                ("residual_lsh", -1, -1, -1, float(_resid([bands, shash], "doc_id", fd)))
+            )
+            rows.append((
+                "residual_bm25", -1, -1, -1,
+                float(_resid(
+                    [spark.read.parquet(p_dir), spark.read.parquet(d_dir), champs],
+                    "doc_id", fd,
+                )),
+            ))
+            lists = spark.read.parquet(current_version_dir(f"{ivf}/lists"))
+            rows.append(
+                ("residual_ivf", -1, -1, -1,
+                 float(_resid([lists], "neighbor_id", fv)))
+            )
+        return spark.createDataFrame(
+            rows, "part string, a bigint, b bigint, c bigint, val double"
+        ).orderBy("part", "a", "b", "c")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
