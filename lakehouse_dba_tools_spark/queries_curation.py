@@ -907,6 +907,157 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "epoch_pack_manifest",
+    f"""
+    WITH per_doc AS (
+      SELECT source, doc_id, len({_D_TOKS}) AS n_tok,
+             ((CAST(substr(source, 4) AS BIGINT) % 4 + 1)::DOUBLE
+              * {EPOCH_BUDGET}) AS pe
+      FROM documents
+    ),
+    inst0 AS (
+      SELECT doc_id, n_tok,
+             CAST(floor(pe) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || '{EPOCH_SALT}'), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < pe - floor(pe)
+                    THEN 1 ELSE 0 END AS n_inst
+      FROM per_doc
+    ),
+    inst AS (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(1, n_inst)) AS epoch
+      FROM inst0 WHERE n_inst > 0 AND n_tok > 0
+    ),
+    c AS (
+      SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, epoch, n_tok,
+             sum(n_tok) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                              ORDER BY doc_id, epoch
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM inst
+    ),
+    e AS (
+      SELECT shard, doc_id, cum - n_tok AS strt, cum,
+             unnest(generate_series(CAST((cum - n_tok) // {PACK_CAP} AS BIGINT),
+                                    CAST((cum - 1) // {PACK_CAP} AS BIGINT))) AS chunk
+      FROM c
+    ),
+    m AS (
+      SELECT shard::BIGINT AS shard, chunk::BIGINT AS chunk,
+             count(*)::BIGINT AS n_instances,
+             CAST(sum(least(cum, (chunk+1)*{PACK_CAP})
+                      - greatest(strt, chunk*{PACK_CAP})) AS BIGINT) AS n_tokens,
+             min(doc_id)::BIGINT AS first_doc
+      FROM e GROUP BY shard, chunk
+    ),
+    tot AS (
+      SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), count(*)::BIGINT,
+             coalesce(sum(n_tok), 0)::BIGINT, CAST(-1 AS BIGINT) FROM inst
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM tot
+    ORDER BY shard, chunk
+    """,
+)
+def epoch_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan → materialize → PACK as one chain (VERDICT r11 directive
+    #3): the epoch-replication executor's (doc_id, epoch) instance
+    manifest (`mixture_epoch_materialize` — floor(epochs) plus the
+    deterministic md5-fractional top-up) feeds straight into
+    `corpus_pack_chunks`' sharded packer, so the training windows a
+    trainer actually reads contain each doc exactly its materialized
+    epoch count times. Output = the pack manifest per (shard, chunk) —
+    instance count, token fill, first doc — plus one (-1, -1) TOTAL row
+    carrying the full instance count and token sum; the DuckDB oracle
+    re-derives the ENTIRE chain (weights → epochs → md5 top-up →
+    explode → sharded cumsum → window overlap split) from the raw
+    corpus, so hash equality proves token conservation end-to-end:
+    every upsampled instance's tokens land in exactly one window
+    accumulation, Σ manifest n_tokens ≡ the TOTAL row's instance
+    tokens by construction on both engines.
+
+    Scale shape: the instance frame carries (doc_id, epoch, n_tok) ints
+    only — text joins lazily at shard-write time in a real pipeline;
+    the cumsum is PARTITIONED by shard ({PACK_SHARDS} reducers here,
+    thousands at 100 TB), never a global window; window-boundary docs
+    ride sequence+explode as offset rows. One corpus scan, one
+    shard-keyed exchange, one manifest-sized rollup."""
+    from lakehouse_dba_tools_spark.functions.text import token_count
+    from lakehouse_dba_tools_spark.operators.sampling import hash_uniform
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    planned = (
+        (F.expr("substring(source, 4)").cast("long") % 4 + 1).cast("double")
+        * EPOCH_BUDGET
+    )
+    inst = (
+        docs.select(
+            "doc_id",
+            "n_tok",
+            (
+                F.floor(planned).cast("long")
+                + (
+                    hash_uniform(F.col("doc_id"), EPOCH_SALT)
+                    < (planned - F.floor(planned))
+                ).cast("long")
+            ).alias("n_inst"),
+        )
+        .filter((F.col("n_inst") > 0) & (F.col("n_tok") > 0))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("n_inst"))))
+        .select(
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            "doc_id",
+            "epoch",
+            "n_tok",
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = inst.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "strt", F.col("cum") - F.col("n_tok")
+    )
+    e = c.select(
+        "shard",
+        "doc_id",
+        "strt",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("strt") / PACK_CAP),
+                F.floor((F.col("cum") - 1) / PACK_CAP),
+            )
+        ).alias("chunk"),
+    )
+    manifest = e.groupBy("shard", "chunk").agg(
+        F.count("*").alias("n_instances"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("chunk") + 1) * PACK_CAP)
+            - F.greatest(F.col("strt"), F.col("chunk") * PACK_CAP)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    total = inst.agg(
+        F.count("*").alias("n_instances"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit(-1).cast("long").alias("shard"),
+        F.lit(-1).cast("long").alias("chunk"),
+        "n_instances",
+        "n_tokens",
+        F.lit(-1).cast("long").alias("first_doc"),
+    )
+    return (
+        manifest.select("shard", "chunk", "n_instances", "n_tokens", "first_doc")
+        .unionByName(total)
+        .orderBy("shard", "chunk")
+    )
+
+
 def _e2e_oracle() -> str:
     """End-to-end corpus-build oracle: DuckDB re-derives the surviving
     doc set through every stage — cross-batch streaming dedup (exact
