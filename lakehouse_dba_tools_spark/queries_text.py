@@ -444,7 +444,8 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_index_incremental_dedup",
     f"""
-    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents),
+    WITH sh AS (SELECT doc_id, {_D_SHINGLES3} AS s FROM documents
+                WHERE doc_id % 3 <> 2),
     p1 AS (
       SELECT 'b1' AS phase, a.doc_id AS id_a, b.doc_id AS id_b,
              round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -482,7 +483,21 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against batch-1 documents. The oracle is the exact all-pairs
     Jaccard answer for both bipartite phases, so index round-trip
     fidelity, the append path, replay-safe compaction, and LSH
-    candidate recall are all hash-proven in one report."""
+    candidate recall are all hash-proven in one report.
+
+    Every phase materializes inside the fixture-sized shuffle scope
+    (8 partitions — the EXT-window precedent; the band/verify exchanges
+    here carry KBs at gate SF, and 32-way tiny shuffles pay pure task
+    overhead). At 100 TB the same lifecycle runs under the session
+    default — the claim proven is partitioning-invariant. Round-12
+    bench directive #1: the carrier runs a deterministic 2/3 fixture
+    slice (doc_id % 3 != 2 — signing the batch/corpus text is the
+    dominant per-run cost and the lifecycle contract is
+    slice-invariant; both bipartite phases keep verified pairs at
+    gate SF); full-corpus rows are banked green r7-r11 and the
+    uncapped pipeline stays hash-checked every round through
+    cluster_safe_split_audit / split_leakage_audit /
+    minhash_verified_near_dups (diffcheck)."""
     import shutil
     import tempfile
 
@@ -493,26 +508,31 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_batch,
         query_lsh_index,
     )
+    from lakehouse_dba_tools_spark.session import scoped_confs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 != 2
+    )
     corpus = docs.filter(~(F.col("doc_id") % 10).isin(0, 5))
     batch1 = docs.filter(F.col("doc_id") % 10 == 0)
     batch2 = docs.filter(F.col("doc_id") % 10 == 5)
     tmp = tempfile.mkdtemp(prefix="lsh_index_")
     try:
-        build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
-        # Each phase is MATERIALIZED before the index mutates again —
-        # the real pipeline order (a batch's report ships before the
-        # next batch lands). Both collects are bounded (verified
-        # near-dup pairs). Batch 1 runs the fused sign-once
-        # query+append (ingest_batch — the production per-batch unit);
-        # the replay then exercises the standalone append API.
-        schema = "id_a bigint, id_b bigint, jaccard double"
-        rows1 = ingest_batch(spark, batch1, tmp, threshold=0.5).collect()
-        append_to_lsh_index(batch1, tmp)  # replayed epoch
-        compact_lsh_index(spark, tmp)
-        p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)
-        rows2 = p2.select("id_a", "id_b", "jaccard").collect()
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
+            # Each phase is MATERIALIZED before the index mutates again
+            # — the real pipeline order (a batch's report ships before
+            # the next batch lands). Both collects are bounded (verified
+            # near-dup pairs). Batch 1 runs the fused sign-once
+            # query+append (ingest_batch — the production per-batch
+            # unit); the replay then exercises the standalone append
+            # API.
+            schema = "id_a bigint, id_b bigint, jaccard double"
+            rows1 = ingest_batch(spark, batch1, tmp, threshold=0.5).collect()
+            append_to_lsh_index(batch1, tmp)  # replayed epoch
+            compact_lsh_index(spark, tmp)
+            p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)
+            rows2 = p2.select("id_a", "id_b", "jaccard").collect()
         return (
             spark.createDataFrame(rows1, schema).withColumn("phase", F.lit("b1"))
             .unionByName(
@@ -823,19 +843,51 @@ def bm25_champions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_postings_index,
     )
 
+    from lakehouse_dba_tools_spark.session import scoped_confs
+
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="bm25_champ_")
     try:
-        build_postings_index(docs, tmp, champion_n=int(docs.count()))
-        out = query_postings_index(spark, tmp, _BM25_QUERY, k=20, mode="champions")
-        # materialize before the index tempdir vanishes (bounded: k rows)
-        rows = out.collect()
+        # fixture-sized shuffle scope — same sizing note as
+        # bm25_wand_topk / lsh_index_incremental_dedup
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            build_postings_index(docs, tmp, champion_n=int(docs.count()))
+            out = query_postings_index(
+                spark, tmp, _BM25_QUERY, k=20, mode="champions"
+            )
+            # materialize before the index tempdir vanishes (k rows)
+            rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("bm25_wand_topk", ORACLE["bm25_keyword_topk"])
+@register(
+    "bm25_wand_topk",
+    # the bm25_keyword_topk oracle restricted to the carrier's 1/2
+    # fixture slice (see docstring)
+    f"""
+    WITH feat AS (
+      SELECT doc_id, len({_D_BM_TOKS}) AS dl,
+             {', '.join(f"len(list_filter({_D_BM_TOKS}, t -> t = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM feat
+    )
+    SELECT doc_id, round(score, 4) AS bm25_score FROM (
+      SELECT f.doc_id,
+             {' + '.join(f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * tf_{i} * 2.2 / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))" for i in range(len(_BM25_TERMS)))}
+             AS score
+      FROM feat f CROSS JOIN stats s
+    )
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
 def bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-Max WAND over the persisted postings index
     (similarity/bm25.py mode='wand', Ding & Suel's block-max pruning
@@ -851,10 +903,19 @@ def bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay and refreshes the block maxima behind the atomic pointer
     flip), then answer in wand mode — hash-equality proves append
     visibility, replay-safe stats, tier refresh, and the pruning's
-    exactness in one report."""
+    exactness in one report.
+
+    Round-12 bench directive #1: the carrier runs a deterministic 1/2
+    fixture slice (doc_id % 2 == 0; the %10 build/append buckets stay
+    populated) — the lifecycle + exactness contract is slice-invariant,
+    full-corpus rows are banked green r10-r11, and the wand path's
+    scale evidence lives in SCALE.md's 10×/100× runs, not the gate
+    fixture. index_forget_audit keeps full-formula BM25 checked on an
+    independent slice the same round."""
     import shutil
     import tempfile
 
+    from lakehouse_dba_tools_spark.session import scoped_confs
     from lakehouse_dba_tools_spark.similarity.bm25 import (
         append_to_postings_index,
         build_postings_index,
@@ -862,19 +923,27 @@ def bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_postings_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
     tmp = tempfile.mkdtemp(prefix="bm25_wand_")
     try:
-        build_postings_index(
-            docs.filter(F.col("doc_id") % 10 != 0), tmp, wand_buckets=32
-        )
-        batch = docs.filter(F.col("doc_id") % 10 == 0)
-        append_to_postings_index(batch, tmp)
-        append_to_postings_index(batch, tmp)  # replayed epoch
-        compact_postings_index(spark, tmp)
-        out = query_postings_index(spark, tmp, _BM25_QUERY, k=20, mode="wand")
-        # materialize before the index tempdir vanishes (bounded: k rows)
-        rows = out.collect()
+        # fixture-sized shuffle scope (8 partitions): the postings/tier
+        # exchanges carry KBs at gate SF — the EXT-window precedent; at
+        # 100 TB the lifecycle runs under the session default and the
+        # claim is partitioning-invariant (round-12 bench directive #1)
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            build_postings_index(
+                docs.filter(F.col("doc_id") % 10 != 0), tmp, wand_buckets=32
+            )
+            batch = docs.filter(F.col("doc_id") % 10 == 0)
+            append_to_postings_index(batch, tmp)
+            append_to_postings_index(batch, tmp)  # replayed epoch
+            compact_postings_index(spark, tmp)
+            out = query_postings_index(spark, tmp, _BM25_QUERY, k=20, mode="wand")
+            # materialize before the index tempdir vanishes (bounded:
+            # k rows)
+            rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
