@@ -383,3 +383,39 @@ def test_score_kept_join_fallback_rederives_without_frame(spark, tmp_path, monke
     without_frame = topk(_score_kept_join(spark, plan))
     assert with_frame == without_frame == exact
     docs.unpersist()
+
+
+def test_wand_refinement_fires_organically_and_stays_exact(spark, tmp_path):
+    """VERDICT r11 directive #4: the θ-refinement round occurs WITHOUT
+    monkeypatching in its natural regime — a many-common-term query
+    with k small relative to the bucket count over the moderate-skew
+    Zipf corpus. 8 head terms sum 8 per-term block maxima into every
+    bucket's bound, the maxima come from DIFFERENT docs (head terms
+    rarely co-peak in one doc), so ub clears the seed θ for far more
+    than 4×|seed| buckets AND a non-seed bucket holds a true score
+    above the seed's k-th — θ provably rises (refined=True is set only
+    on a raise). Pins: organic refined=True, the kept/seed trigger
+    ratio, θ ≤ the true k-th score (lower-bound contract), and
+    wand == exact on the same snapshot."""
+    import lakehouse_dba_tools_spark.similarity.bm25 as bm25
+    from lakehouse_dba_tools_spark.similarity.bm25 import _wand_plan
+
+    docs = _zipf_docs(spark, 4000)
+    path = str(tmp_path / "bm25")
+    build_postings_index(docs, path, wand_buckets=512)
+    q = "t1 t2 t3 t4 t5 t6 t7 t8"
+    k = 5
+    plan = _wand_plan(spark, path, q, k, None, None)
+    pb = plan.pop("_per_bucket", None)
+    if pb is not None:
+        pb.unpersist()
+    assert plan["refined"] is True  # no monkeypatch anywhere
+    assert plan["kept_count"] > bm25.WAND_REFINE_FACTOR * len(plan["seed"])
+    exact = [tuple(r) for r in query_postings_index(spark, path, q, k=k).collect()]
+    wand = [
+        tuple(r)
+        for r in query_postings_index(spark, path, q, k=k, mode="wand").collect()
+    ]
+    assert wand == exact
+    assert plan["theta"] <= exact[-1][1] + 1e-4
+    docs.unpersist()
