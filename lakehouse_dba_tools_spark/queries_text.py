@@ -1179,10 +1179,10 @@ def index_family_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DETERMINISTIC 20% fixture slice (id % 5 == 0; build = the odd
     half, append = the ids % 10 == 0 half) — the round-9 VERDICT's
     fixture-fraction note: the contract proven is slice-invariant, and
-    the heavy full-corpus lifecycles keep their own carriers
-    (lsh_index_incremental_dedup, ivf_rebuild_invariance_topk,
-    bm25_wand_topk). Checked in round 9 (full corpus); the compaction
-    row for all three indexes."""
+    the heavier lifecycles keep their own checked carriers (round 12:
+    lsh_index_incremental_dedup and bm25_wand_topk on larger slices,
+    index_forget_audit across all three families). Checked in round 9
+    (full corpus); the compaction row for all three indexes."""
     import shutil
     import tempfile
 

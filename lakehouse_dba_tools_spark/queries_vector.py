@@ -108,9 +108,11 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL persisted-index IVF lifecycle (similarity/index.py) in
     the exact setting (rotated to trailing in round 9, r8 row banked —
-    the IVF row's checked carriers are ivf_rebuild_invariance_topk,
-    streaming_ingest_ann, and index_family_describe, which covers the
-    compact leg): build the index from 90% of the corpus (vec_id
+    since round 12 the IVF row's checked carriers are
+    index_forget_audit's IVF leg (build→forget→full-probe vs the brute
+    oracle) and pq_rerank_recall; ivf_rebuild_invariance_topk,
+    streaming_ingest_ann, and index_family_describe hold banked rows
+    and stay diffchecked): build the index from 90% of the corpus (vec_id
     % 10 != 0), APPEND the remaining 10% with the stored quantizer,
     REPLAY that append (the at-least-once foreachBatch failure mode —
     duplicate list rows land on disk), COMPACT (folds the replay,
@@ -719,10 +721,10 @@ def streaming_ingest_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer exact, so the oracle is brute-force top-k restricted to
     earlier batches: batch ordering, append visibility, quantizer
     placement, and rank determinism are all hash-proven on the bounded
-    replay. Checked since round 9 (with ivf_rebuild_invariance_topk and
-    index_family_describe it carries the IVF lifecycle row;
-    ivf_index_incremental_topk rotated to trailing with its r8 row
-    banked)."""
+    replay. Checked in round 9 (row banked; rotated to trailing r10 —
+    since round 12 the IVF lifecycle row's checked carriers are
+    index_forget_audit's IVF leg and pq_rerank_recall; this
+    composition stays diffchecked every round)."""
     from lakehouse_dba_tools_spark.streaming.ingest_ann import stream_ingest_ann
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

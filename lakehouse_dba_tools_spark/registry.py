@@ -322,14 +322,16 @@ CHECKED_FIRST: tuple[str, ...] = (
     "endpoint_lifecycle_control",
     # Round-12 cheap back-promotions (the swap arithmetic frees slots;
     # both ≤1s, both long-diffcheck-green with banked rows):
-    # endpoint_poll_snapshot back IN (banked green r1-r10, re-verified
-    # by the r11 judge) — P5/F2's deterministic poll-stamp branch
-    # regains a hard row at ~0.3s.
+    # endpoint_poll_snapshot back IN (banked green r4-r10 in the
+    # CORRECTNESS files, diffcheck-green since r1, re-verified by the
+    # r11 judge) — P5/F2's deterministic poll-stamp branch regains a
+    # hard row at ~0.3s.
     "endpoint_poll_snapshot",
     # doc_repetition_scores gets its FIRST hard row: the Gopher-style
     # intra-doc repetition filters (dup token/bigram fractions) are a
     # first-class curation operator that until now only trailed the
-    # checked set (diffcheck-green since r2).
+    # checked set (registered since the early rounds, diffcheck-green
+    # every round it has run, re-passed this round).
     "doc_repetition_scores",
     # time_travel_changes out (green r2-r6) — D8's commit-log read-back
     # keeps its checked carrier in parquet_table_history (which also
