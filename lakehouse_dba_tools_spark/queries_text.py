@@ -366,10 +366,14 @@ def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = verified_near_dups(
         docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5, caches=caches
     )
-    # materialize the bounded pair frame (verified near-dups — edge-
-    # sized, never corpus-sized), then release the shingle cache the
+    # materialize the pair frame, then release the shingle cache the
     # pipeline pinned (round-11 ADVICE leak class; the lazy return
-    # would strand one corpus-sized cache entry per invocation)
+    # would strand one corpus-sized cache entry per invocation).
+    # Boundary note: this collect is PAIR-FRAME-sized — fine for this
+    # trailing gate-SF carrier (≤ a few hundred rows), not the 100 TB
+    # shape; production callers use verified_near_dups(caches=...)
+    # directly and release after their own distributed materialization
+    # (the cluster_safe_split_audit pattern).
     rows = out.collect()
     for c in caches:
         c.unpersist()
