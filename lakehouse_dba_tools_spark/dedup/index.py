@@ -77,6 +77,7 @@ from lakehouse_dba_tools_spark.operators.indexio import (
     parquet_file_count,
     publish,
     snapshot_meta,
+    write_snapshot_table,
     write_version_meta,
     writer_lock,
 )
@@ -420,31 +421,33 @@ def forget_from_lsh_index(
         )
         out: dict = {}
         # shash first so the new bands meta can name it (single-flip
-        # commit for the two-table index, same as build/compact)
+        # commit for the two-table index, same as build/compact);
+        # write_snapshot_table handles the forget-everything edge (an
+        # empty partitionBy write would publish an unreadable dir)
         sh_src = spark.read.parquet(_shash_dir(path, m))
         sh_kept = sh_src.join(
             ids, sh_src[m["id_col"]] == ids[id_col_alias], "left_anti"
         )
-        sh_target = init_versioned(sh_live)
-        sh_kept.coalesce(1).write.mode("overwrite").parquet(sh_target)
         sh_before = sh_src.count()
-        sh_after = spark.read.parquet(sh_target).count()
+        sh_after = sh_kept.count()
+        sh_target = init_versioned(sh_live)
+        write_snapshot_table(sh_kept, sh_target, single_file=True, n_rows=sh_after)
 
         bands_src = spark.read.parquet(current_version_dir(bands_live))
         b_kept = bands_src.join(
             ids, bands_src[m["id_col"]] == ids[id_col_alias], "left_anti"
         )
+        b_before = bands_src.count()
+        b_after = b_kept.count()
         bands_target = init_versioned(bands_live)
-        b_kept.repartition("band_idx").write.mode("overwrite").partitionBy(
-            "band_idx"
-        ).parquet(bands_target)
+        write_snapshot_table(
+            b_kept, bands_target, partition_by="band_idx", n_rows=b_after
+        )
         write_version_meta(
             bands_target, META_NAME,
             {**{k: v for k, v in m.items() if k != "shash_dir"},
              "shash_dir": os.path.basename(sh_target)},
         )
-        b_before = bands_src.count()
-        b_after = spark.read.parquet(bands_target).count()
         publish(sh_live, sh_target)
         publish(bands_live, bands_target)
         out["bands"] = {
@@ -467,6 +470,7 @@ def query_lsh_index(
     path: str,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs (id_a = batch doc, id_b = indexed doc,
     jaccard) between a new batch and the stored corpus. The corpus
@@ -475,14 +479,19 @@ def query_lsh_index(
     an already-indexed document does not match itself.
 
     The returned DataFrame is lazy and its plan references a persisted
-    shingle pass (evaluated when the caller materializes it); callers
-    running MANY batches should prefer ``ingest_batch``, which cleans
-    its caches per batch — SQL-cache entries are not GC'd, so a
-    long-running loop over this function accumulates them."""
+    shingle pass (evaluated when the caller materializes it); pass
+    ``caches`` (a list) and the pinned frame is appended for the
+    CALLER to unpersist once the pairs are materialized — SQL-cache
+    entries are not GC'd, so a session querying per round (the driver
+    shape) accumulates one batch-shingle entry per call without the
+    release. Callers running MANY batches should prefer
+    ``ingest_batch``, which cleans its caches per batch."""
     bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
-    bk, batch_sh, _pinned = _index_rows(
+    bk, batch_sh, pinned = _index_rows(
         batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
+    if caches is not None:
+        caches.append(pinned)
     return _query_signed(
         spark, bk, batch_sh, path, m, threshold, max_bucket_size,
         bands_dir=bands_dir,

@@ -116,6 +116,7 @@ def forget_from_indexes(
     lsh_path: str | None = None,
     bm25_path: str | None = None,
     ivf_path: str | None = None,
+    vector_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Extend the forget cascade into the PERSISTED INDEX family — the
     round-11 verdict's one structural 100 TB gap: `cascade_delete`
@@ -129,6 +130,19 @@ def forget_from_indexes(
     single-flip semantics as append/compact, `operators/indexio.py`)
     and returns one audit frame in `deletion_audit`'s shape:
     (index_name, table_name, rows_before, rows_removed, rows_after).
+
+    ID-SPACE contract: ``forget_ids`` keys the DOC-keyed indexes (LSH
+    bands/shash and BM25 postings/doclens match on the stored
+    ``id_col``). The IVF index is keyed by ``neighbor_id`` — pass
+    ``vector_ids`` when the vector id space differs from the document
+    id space; it defaults to ``forget_ids`` ONLY because pipelines in
+    this repo index documents and their embeddings under one shared id
+    (the fixture family's doc_id == vec_id convention). Passing doc
+    ids against a foreign vector id space would silently delete
+    nothing (or wrong rows on numeric collision) — the audit frame's
+    ivf rows_removed is the tell, and callers with split id spaces
+    must supply both frames.
+
     Scale shape: the forget set is broadcast into every anti-join; the
     only full-table work is the rewrite each index pays anyway on its
     compact cadence. Idempotent end-to-end (each verb is)."""
@@ -148,7 +162,9 @@ def forget_from_indexes(
         ):
             rows.append(("bm25", table, r["rows_before"], r["rows_removed"], r["rows_after"]))
     if ivf_path is not None:
-        r = forget_from_ivf_index(spark, ivf_path, forget_ids)
+        r = forget_from_ivf_index(
+            spark, ivf_path, vector_ids if vector_ids is not None else forget_ids
+        )
         rows.append(("ivf", "lists", r["rows_before"], r["rows_removed"], r["rows_after"]))
     return spark.createDataFrame(
         rows,

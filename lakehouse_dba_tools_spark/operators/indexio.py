@@ -263,6 +263,37 @@ def _reclaim(live: str, retain: int) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def write_snapshot_table(
+    df,
+    target: str,
+    partition_by: str | None = None,
+    single_file: bool = False,
+    n_rows: int | None = None,
+) -> None:
+    """Write one index table's new version directory with the layout
+    its readers expect — shared by the forget verbs so the one
+    empty-table hazard is handled in ONE place: a partitionBy write of
+    an EMPTY frame emits only _SUCCESS (no schema-bearing footer), and
+    every subsequent read of the published version dies with
+    UNABLE_TO_INFER_SCHEMA — the tenant-offboarding shape (forget set
+    covers every indexed row). An empty snapshot therefore writes
+    non-partitioned: the partition column rides as an ordinary data
+    column of the 0-row schema-bearing file, so readers plan normally
+    and see zero rows. ``n_rows`` is the caller's already-computed
+    count (callers need it for their audit report anyway — no extra
+    job)."""
+    if n_rows is None:
+        n_rows = df.count()
+    if partition_by is not None and n_rows > 0:
+        df.repartition(partition_by).write.mode("overwrite").partitionBy(
+            partition_by
+        ).parquet(target)
+    elif single_file or n_rows == 0:
+        df.coalesce(1).write.mode("overwrite").parquet(target)
+    else:
+        df.write.mode("overwrite").parquet(target)
+
+
 def write_version_meta(version_dir: str, name: str, meta: dict) -> None:
     """Write an index's parameter sidecar INSIDE a version directory,
     BEFORE it is published: the pointer flip then publishes data and

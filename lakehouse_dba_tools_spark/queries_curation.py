@@ -593,10 +593,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `caches`) — this query runs every driver round, and a lazy return
     # would leak one corpus-sized cache entry per invocation (the
     # round-11 ADVICE leak class; same eager-report pattern as
-    # cluster_safe_split_audit, restricted to O(1)-row reports)
-    rows = out.collect()
-    for c in caches:
-        c.unpersist()
+    # cluster_safe_split_audit, restricted to O(1)-row reports).
+    # try/finally: a failed collect must not strand the cache either.
+    try:
+        rows = out.collect()
+    finally:
+        for c in caches:
+            c.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -776,11 +779,14 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 3-row report, then RELEASE the pairs cache —
     # persist holds a strong CacheManager reference, and this query
     # runs every driver round; a lazy return would leak one cached
-    # pair frame per invocation for the session's lifetime
-    rows = out.collect()
-    pairs.unpersist()
-    for c in caches:
-        c.unpersist()
+    # pair frame per invocation for the session's lifetime.
+    # try/finally: a failed collect must not strand the caches either.
+    try:
+        rows = out.collect()
+    finally:
+        pairs.unpersist()
+        for c in caches:
+            c.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

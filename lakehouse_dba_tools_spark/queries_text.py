@@ -373,10 +373,13 @@ def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing gate-SF carrier (≤ a few hundred rows), not the 100 TB
     # shape; production callers use verified_near_dups(caches=...)
     # directly and release after their own distributed materialization
-    # (the cluster_safe_split_audit pattern).
-    rows = out.collect()
-    for c in caches:
-        c.unpersist()
+    # (the cluster_safe_split_audit pattern). try/finally: a failed
+    # collect must not strand the cache either.
+    try:
+        rows = out.collect()
+    finally:
+        for c in caches:
+            c.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -521,6 +524,7 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch1 = docs.filter(F.col("doc_id") % 10 == 0)
     batch2 = docs.filter(F.col("doc_id") % 10 == 5)
     tmp = tempfile.mkdtemp(prefix="lsh_index_")
+    caches: list[DataFrame] = []
     try:
         with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
             build_lsh_index(corpus, tmp, num_perm=64, bands=16, seed=42)
@@ -530,12 +534,14 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # near-dup pairs). Batch 1 runs the fused sign-once
             # query+append (ingest_batch — the production per-batch
             # unit); the replay then exercises the standalone append
-            # API.
+            # API. query_lsh_index exports its pinned batch-shingle
+            # frame via `caches`; the finally releases it (r12 review —
+            # the same non-GC'd-cache class as the r11 ADVICE leak).
             schema = "id_a bigint, id_b bigint, jaccard double"
             rows1 = ingest_batch(spark, batch1, tmp, threshold=0.5).collect()
             append_to_lsh_index(batch1, tmp)  # replayed epoch
             compact_lsh_index(spark, tmp)
-            p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5)
+            p2 = query_lsh_index(spark, batch2, tmp, threshold=0.5, caches=caches)
             rows2 = p2.select("id_a", "id_b", "jaccard").collect()
         return (
             spark.createDataFrame(rows1, schema).withColumn("phase", F.lit("b1"))
@@ -546,6 +552,8 @@ def lsh_index_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("phase", "id_a", "id_b")
         )
     finally:
+        for c in caches:
+            c.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -712,14 +720,17 @@ def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verified_near_dups(
         docs, k=3, num_perm=64, bands=16, seed=42, threshold=0.5, caches=caches
     )
-    out = canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))
-    # connected_components has ALREADY materialized the pair graph by
-    # the time canonicalize returns (bounded driver union-find under 2M
-    # edges; checkpoint-truncated label rounds above it), so the
-    # returned frame no longer references the shingle lineage — release
-    # the cache verified_near_dups pinned (round-11 ADVICE leak class)
-    for c in caches:
-        c.unpersist()
+    # connected_components (inside canonicalize) materializes the pair
+    # graph before returning (bounded driver union-find under 2M edges;
+    # checkpoint-truncated label rounds above it), so the returned
+    # frame no longer references the shingle lineage — release the
+    # cache verified_near_dups pinned (round-11 ADVICE leak class);
+    # try/finally so a failed CC run cannot strand it either
+    try:
+        out = canonicalize_near_dups(docs, pairs.select("id_a", "id_b"))
+    finally:
+        for c in caches:
+            c.unpersist()
     return out
 
 
@@ -1408,6 +1419,7 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     forget_vecs = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
     tmp = tempfile.mkdtemp(prefix="idx_forget_")
     rows: list[tuple] = []
+    caches: list[DataFrame] = []
     # the slice tables are KBs: 8 shuffle partitions sizes the index
     # exchanges to the data (the EXT-window fixture-sizing precedent);
     # at 100 TB the same lifecycle runs under the session default
@@ -1420,8 +1432,13 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_postings_index(docs, bm, champion_n=int(docs.count()))
             build_ivf_index(emb, ivf, n_centroids=8)
             audit = forget_from_indexes(
-                spark, forget_docs.select("doc_id"), lsh_path=lsh, bm25_path=bm
-            ).unionByName(forget_from_indexes(spark, forget_vecs, ivf_path=ivf))
+                spark,
+                forget_docs.select("doc_id"),
+                lsh_path=lsh,
+                bm25_path=bm,
+                ivf_path=ivf,
+                vector_ids=forget_vecs,
+            )
             for r in audit.collect():  # ≤5 rows
                 rows.append(
                     (f"rows_{r['index_name']}_{r['table_name']}", -1, -1,
@@ -1438,7 +1455,9 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (part, rnk, int(r["doc_id"]), -1, float(r["bm25_score"]))
                     )
 
-            probe = query_lsh_index(spark, forget_docs, lsh, threshold=0.5)
+            probe = query_lsh_index(
+                spark, forget_docs, lsh, threshold=0.5, caches=caches
+            )
             for r in probe.select("id_a", "id_b", "jaccard").collect():
                 rows.append(("lsh_pairs", int(r["id_a"]), int(r["id_b"]), -1,
                              float(r["jaccard"])))
@@ -1489,4 +1508,6 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "part string, a bigint, b bigint, c bigint, val double"
         ).orderBy("part", "a", "b", "c")
     finally:
+        for c in caches:  # the LSH probe's pinned batch shingles
+            c.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)

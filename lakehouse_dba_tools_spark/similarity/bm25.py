@@ -770,6 +770,7 @@ def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
         heal,
         init_versioned,
         publish,
+        write_snapshot_table,
         write_version_meta,
         writer_lock,
     )
@@ -790,31 +791,34 @@ def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
             ).distinct()
         )
         # doclens first: the filtered postings' version meta NAMES the
-        # filtered doclens version (single-flip pair commit)
+        # filtered doclens version (single-flip pair commit);
+        # write_snapshot_table handles the forget-everything edge
         d_src = spark.read.parquet(src_d)
         d_kept = d_src.join(
             ids, d_src[id_col] == ids["_forget_id"], "left_anti"
         )
-        d_target = init_versioned(d_live)
-        d_kept.coalesce(1).write.mode("overwrite").parquet(d_target)
         d_before = d_src.count()
-        d_after = spark.read.parquet(d_target).count()
+        d_after = d_kept.count()
+        d_target = init_versioned(d_live)
+        write_snapshot_table(d_kept, d_target, single_file=True, n_rows=d_after)
 
         p_src = spark.read.parquet(src_p)
-        p_kept = (
-            p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
-            .repartitionByRange("term")
-            .sortWithinPartitions("term")
-        )
+        p_kept = p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
+        p_before = p_src.count()
+        p_after = p_kept.count()
         p_target = init_versioned(p_live)
-        p_kept.write.mode("overwrite").parquet(p_target)
+        write_snapshot_table(
+            p_kept.repartitionByRange("term").sortWithinPartitions("term")
+            if p_after
+            else p_kept,
+            p_target,
+            n_rows=p_after,
+        )
         write_version_meta(
             p_target, POSTINGS_META,
             {"id_col": id_col, "text_col": bm["text_col"],
              "doclens_dir": os.path.basename(d_target)},
         )
-        p_before = p_src.count()
-        p_after = spark.read.parquet(p_target).count()
         publish(d_live, d_target)
         publish(p_live, p_target)
         out["postings"] = {

@@ -57,6 +57,7 @@ from lakehouse_dba_tools_spark.operators.indexio import (
     parquet_file_count,
     publish,
     snapshot_meta,
+    write_snapshot_table,
     write_version_meta,
     writer_lock,
 )
@@ -253,12 +254,14 @@ def forget_from_ivf_index(
         src = spark.read.parquet(current_version_dir(live))
         kept = src.join(
             ids, src["neighbor_id"] == ids["_forget_id"], "left_anti"
-        ).repartition("cid")
-        target = init_versioned(live)
-        kept.write.mode("overwrite").partitionBy("cid").parquet(target)
-        write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
+        )
         n_before = src.count()
-        n_after = spark.read.parquet(target).count()
+        n_after = kept.count()
+        target = init_versioned(live)
+        # write_snapshot_table handles the forget-everything edge (an
+        # empty partitionBy write would publish an unreadable dir)
+        write_snapshot_table(kept, target, partition_by="cid", n_rows=n_after)
+        write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
         publish(live, target)
         out = {
             "rows_before": n_before,

@@ -390,3 +390,52 @@ def test_forget_from_indexes_audit_frame(spark, sf_dir, tmp_path):
     for r in rows.values():
         assert r["rows_before"] == r["rows_removed"] + r["rows_after"]
         assert r["rows_removed"] > 0
+
+
+def test_forget_everything_leaves_readable_empty_indexes(spark, sf_dir, tmp_path):
+    """Tenant-offboarding edge: a forget set covering EVERY indexed row
+    must publish readable zero-row tables, not the unreadable
+    _SUCCESS-only directory an empty partitionBy write produces
+    (indexio.write_snapshot_table guards this in one place for all
+    three families)."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _postings_snapshot,
+        build_postings_index,
+        forget_from_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        forget_from_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    lsh, bm, ivf = (str(tmp_path / n) for n in ("lsh", "bm", "ivf"))
+    build_lsh_index(docs, lsh)
+    build_postings_index(docs, bm)
+    build_ivf_index(emb, ivf, n_centroids=4)
+
+    rep = forget_from_lsh_index(spark, lsh, docs.select("doc_id"))
+    assert rep["shash"]["rows_after"] == 0 and rep["bands"]["rows_after"] == 0
+    for t in ("bands", "shash"):
+        df = spark.read.parquet(current_version_dir(f"{lsh}/{t}"))
+        assert df.count() == 0  # readable, schema-bearing, zero rows
+    assert "band_idx" in spark.read.parquet(
+        current_version_dir(f"{lsh}/bands")
+    ).columns
+
+    rep = forget_from_postings_index(spark, bm, docs.select("doc_id"))
+    assert rep["postings"]["rows_after"] == 0
+    p_dir, d_dir = _postings_snapshot(bm)
+    assert spark.read.parquet(p_dir).count() == 0
+    assert spark.read.parquet(d_dir).count() == 0
+
+    rep = forget_from_ivf_index(spark, ivf, emb.select("vec_id"))
+    assert rep["rows_after"] == 0
+    lists = spark.read.parquet(current_version_dir(f"{ivf}/lists"))
+    assert lists.count() == 0 and "cid" in lists.columns
