@@ -104,6 +104,29 @@ def main() -> None:
 
     passes = int(os.environ.get("SCALE_RUN_PASSES", "2"))
     spark = get_session(app_name="index-scale-run")
+    if os.environ.get("SCALE_RUN_FORGET_ONLY"):
+        # round-12 forget-vs-compact evidence without re-running the
+        # whole battery
+        forget = [run_forget_scale(spark, 5_000, passes),
+                  run_forget_scale(spark, 50_000, passes)]
+        a, b = forget
+        summary = {
+            "forget": forget,
+            "forget_over_compact": {
+                "lsh_1x": round(a["lsh_forget_sec"] / a["lsh_compact_sec"], 2),
+                "lsh_10x": round(b["lsh_forget_sec"] / b["lsh_compact_sec"], 2),
+                "bm25_1x": round(a["bm25_forget_sec"] / a["bm25_compact_sec"], 2),
+                "bm25_10x": round(b["bm25_forget_sec"] / b["bm25_compact_sec"], 2),
+                "ivf_1x": round(a["ivf_forget_sec"] / a["ivf_compact_sec"], 2),
+                "ivf_10x": round(b["ivf_forget_sec"] / b["ivf_compact_sec"], 2),
+            },
+        }
+        line = json.dumps(summary)
+        print(line)
+        if len(sys.argv) > 1:
+            with open(sys.argv[1], "w") as fh:
+                fh.write(line + "\n")
+        return
     results = [run_scale(spark, n, passes) for n in (5_000, 50_000)]
     a, b = results
     ivf = [run_ivf_scale(spark, 5_000, 16, passes),
@@ -314,6 +337,84 @@ def run_bm25_scale(spark, n: int, passes: int) -> dict:
     out["rare_query_sec"] = round(best["rare"], 2)
     out["common_query_sec"] = round(best["common"], 2)
     out["common_champions_query_sec"] = round(best["champ"], 2)
+    return out
+
+
+def run_forget_scale(spark, n: int, passes: int) -> dict:
+    """Right-to-be-forgotten wall at corpus n for all three families,
+    with a FIXED 500-id forget set (the GDPR-request shape: requests
+    do not grow with the corpus) — benchmarked against the SAME
+    index's compact wall, the claimed cost class: both verbs are one
+    locked full-table rewrite (filtered vs folded) behind a
+    single-flip publish, so forget ≈ compact at every scale is the
+    evidence that the verb survives 100 TB on the compact cadence.
+    BM25 builds with the champions tier so the forget wall INCLUDES
+    the tier refresh (the fresh-build-equality step); IVF holds list
+    size constant (nlist ∝ N, the production law)."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        build_postings_index,
+        compact_postings_index,
+        forget_from_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        compact_ivf_index,
+        forget_from_ivf_index,
+    )
+
+    docs = synth_docs(spark, n)
+    stride = max(1, n // 500)
+    doc_ids = spark.range(500).select((F.col("id") * stride).alias("doc_id"))
+    vecs = synth_vectors(spark, n)
+    vec_ids = spark.range(500).select((F.col("id") * stride).alias("vec_id"))
+    n_cents = max(16, (n // 5_000) * 16)
+
+    out: dict = {"n_docs": n, "forget_ids": 500, "n_centroids": n_cents}
+    best: dict = {}
+
+    def _best(key, fn):
+        t = time.time()
+        r = fn()
+        el = time.time() - t
+        best[key] = el if best.get(key) is None else min(best[key], el)
+        return r
+
+    for _ in range(passes):
+        tmp = tempfile.mkdtemp(prefix="forget_scale_")
+        try:
+            lsh = os.path.join(tmp, "lsh")
+            build_lsh_index(docs, lsh)
+            _best("lsh_compact", lambda: compact_lsh_index(spark, lsh))
+            rep = _best(
+                "lsh_forget", lambda: forget_from_lsh_index(spark, lsh, doc_ids)
+            )
+            out["lsh_removed"] = rep["shash"]["rows_removed"]
+
+            bm = os.path.join(tmp, "bm25")
+            build_postings_index(docs, bm, champion_n=64)
+            _best("bm25_compact", lambda: compact_postings_index(spark, bm))
+            rep = _best(
+                "bm25_forget",
+                lambda: forget_from_postings_index(spark, bm, doc_ids),
+            )
+            out["bm25_removed"] = rep["postings"]["rows_removed"]
+
+            ivf = os.path.join(tmp, "ivf")
+            build_ivf_index(vecs, ivf, n_centroids=n_cents, seed=42)
+            _best("ivf_compact", lambda: compact_ivf_index(spark, ivf))
+            rep = _best(
+                "ivf_forget", lambda: forget_from_ivf_index(spark, ivf, vec_ids)
+            )
+            out["ivf_removed"] = rep["rows_removed"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    for k, v in best.items():
+        out[f"{k}_sec"] = round(v, 2)
     return out
 
 
