@@ -219,6 +219,7 @@ def verify_pairs_exact_jaccard(
     shingled: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, scale-shaped.
 
@@ -241,7 +242,12 @@ def verify_pairs_exact_jaccard(
     hashed = hashed_shingles(shingled, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     # Persisted: three consumers below (size prefilter + both join
     # sides); without it each re-shingles the corpus. Evictable blocks,
-    # ids+longs only.
+    # ids+longs only — but the CacheManager reference is strong, so
+    # callers that materialize lazily should pass ``caches`` and
+    # unpersist the exported handle afterwards (same contract as
+    # verified_near_dups; r12 leak audit).
+    if caches is not None:
+        caches.append(hashed)
     return verify_pairs_exact_jaccard_hashed(pairs, hashed, hashed, id_col, threshold)
 
 
@@ -315,15 +321,17 @@ def verified_near_dups(
     the corpus for each. MEMORY_AND_DISK so a corpus bigger than the
     cache spills instead of failing; blocks are evictable either way.
 
-    The persist is a strong CacheManager reference (never GC'd), and
-    the returned pair frame is lazy, so the cache must outlive the
-    caller's materialization: pass ``caches`` (a list) and the shingle
-    frame is appended for the CALLER to unpersist once the pairs are
-    materialized — a long-running session calling this per round would
-    otherwise accumulate one corpus-sized cache entry per call (the
-    round-11 ADVICE leak). With ``caches=None`` the handle is simply
-    not exported; one-shot callers (tests, notebooks) may accept the
-    session-lifetime entry, every in-repo query caller passes a list.
+    The persists are strong CacheManager references (never GC'd), and
+    the returned pair frame is lazy, so the caches must outlive the
+    caller's materialization: pass ``caches`` (a list) and BOTH pinned
+    frames (the shingle pass here and the hashed verify payloads
+    inside verify_pairs_exact_jaccard) are appended for the CALLER to
+    unpersist once the pairs are materialized — a long-running session
+    calling this per round would otherwise accumulate corpus-sized
+    cache entries per call (the round-11 ADVICE leak). With
+    ``caches=None`` the handles are simply not exported; one-shot
+    callers (tests, notebooks) may accept the session-lifetime
+    entries, every in-repo query caller passes a list.
     """
     from pyspark import StorageLevel
 
@@ -335,4 +343,6 @@ def verified_near_dups(
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, k, num_perm, bands, seed, shingled=shingled
     )
-    return verify_pairs_exact_jaccard(pairs, shingled, id_col, threshold)
+    return verify_pairs_exact_jaccard(
+        pairs, shingled, id_col, threshold, caches=caches
+    )

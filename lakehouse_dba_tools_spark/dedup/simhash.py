@@ -193,14 +193,20 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidates verified by Hamming distance ≤ max_hamming.
 
     The fingerprint frame is persisted across its two consumers
-    (bucketing + Hamming join) — the bit-fold UDF must run once."""
+    (bucketing + Hamming join) — the bit-fold UDF must run once. Pass
+    ``caches`` (a list) and the pinned frame is appended for the
+    caller to unpersist after materializing (the strong-CacheManager-
+    reference contract shared with minhash.verified_near_dups)."""
     from pyspark import StorageLevel
 
     fp = with_simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(fp)
     pairs = simhash_candidate_pairs(df, text_col, id_col, chunks, fp=fp)
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
@@ -220,6 +226,7 @@ def simhash_verified_near_dups(
     max_hamming: int = 12,
     chunks: int = 6,
     threshold: float = 0.5,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SimHash-pruned exact near-dups: Hamming-ball candidates verified
     with exact shingle-set Jaccard ≥ threshold — the same
@@ -229,6 +236,8 @@ def simhash_verified_near_dups(
     set is the cheap prune, the verify step restores exactness).
 
     Output: (id_a, id_b, jaccard) — comparable with ngram.jaccard_pairs.
+    ``caches`` exports the verify step's pinned hashed-shingle frame
+    for the caller to release (minhash.verified_near_dups contract).
     """
     from lakehouse_dba_tools_spark.dedup.minhash import (
         verify_pairs_exact_jaccard,
@@ -238,4 +247,4 @@ def simhash_verified_near_dups(
     fp = with_simhash(df, text_col, id_col)
     ball = simhash_ball_pairs(fp, id_col, chunks, max_hamming)
     sh = with_shingle_set(df, text_col, id_col, k)
-    return verify_pairs_exact_jaccard(ball, sh, id_col, threshold)
+    return verify_pairs_exact_jaccard(ball, sh, id_col, threshold, caches=caches)

@@ -407,7 +407,19 @@ def simhash_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a recomputed stage — further cuts would change the
     (chunks, max_hamming) contract the oracle equality depends on."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_verified_near_dups(docs, k=3, max_hamming=12, chunks=6, threshold=0.5)
+    caches: list[DataFrame] = []
+    out = simhash_verified_near_dups(
+        docs, k=3, max_hamming=12, chunks=6, threshold=0.5, caches=caches
+    )
+    # eager-release: the verify step pins a hashed-shingle frame (r12
+    # leak audit; same gate-SF pair-frame boundary note as
+    # minhash_verified_near_dups above)
+    try:
+        rows = out.collect()
+    finally:
+        for c in caches:
+            c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
@@ -445,7 +457,19 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs_bipartite(
         batch_sh, corpus_sh, num_perm=64, bands=16, seed=42
     )
-    return verify_pairs_exact_jaccard(pairs, sh, threshold=0.5)
+    caches: list[DataFrame] = []
+    out = verify_pairs_exact_jaccard(pairs, sh, threshold=0.5, caches=caches)
+    # materialize the pair frame, then RELEASE the shingle cache AND
+    # the verify-side hashed cache — the lazy return leaked
+    # corpus-sized entries per invocation (r12 leak audit; same
+    # gate-SF boundary note as minhash_verified_near_dups above)
+    try:
+        rows = out.collect()
+    finally:
+        sh.unpersist()
+        for c in caches:
+            c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

@@ -712,7 +712,14 @@ def tpcds_q88_time_slot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(slot(11, False, "h11_30_to_12"))
         .crossJoin(slot(12, True, "h12_to_12_30"))
     )
-    return out
+    # materialize the 1-row matrix, then RELEASE the shared fact cache
+    # — a lazy return referencing the persisted base leaks one cache
+    # entry per invocation (the round-11 ADVICE class; r12 leak audit)
+    try:
+        rows = out.collect()
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
