@@ -439,3 +439,44 @@ def test_forget_everything_leaves_readable_empty_indexes(spark, sf_dir, tmp_path
     assert rep["rows_after"] == 0
     lists = spark.read.parquet(current_version_dir(f"{ivf}/lists"))
     assert lists.count() == 0 and "cid" in lists.columns
+
+
+def test_forget_then_ingest_composes(spark, sf_dir, tmp_path):
+    """Lifecycle composition: after a forget, the index keeps serving
+    the continuous-ingest path — a new batch queries against the
+    POST-forget corpus (no forgotten doc can match), appends, and a
+    re-query finds the batch indexed; a follow-up compact folds
+    normally. Pins that forget's filtered-version publish leaves every
+    downstream verb working."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        forget_from_lsh_index,
+        ingest_batch,
+        query_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    forget = corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(corpus, path)
+    forget_from_lsh_index(spark, path, forget)
+    pairs = ingest_batch(spark, batch, path, threshold=0.5)
+    forgotten = {r["doc_id"] for r in forget.collect()}
+    got_b = {r["id_b"] for r in pairs.collect()}
+    assert not (got_b & forgotten)  # no forgotten doc matches
+    # the batch is now indexed: a probe that IS a batch doc must match
+    # itself-as-indexed when re-signed under a new id
+    probe = batch.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    caches: list = []
+    hits = query_lsh_index(spark, probe, path, threshold=0.5, caches=caches)
+    ids_b = {r["id_b"] for r in hits.collect()}
+    for c in caches:
+        c.unpersist()
+    assert ids_b & {r["doc_id"] for r in batch.limit(1).collect()}
+    rep = compact_lsh_index(spark, path)
+    assert rep["shash"]["rows"] > 0
