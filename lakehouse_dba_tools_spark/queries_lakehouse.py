@@ -247,6 +247,130 @@ def forget_keys_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gdpr_erasure_e2e",
+    """
+    WITH fk AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7),
+         dord AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM fk)),
+         sdocs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 2),
+         fdocs AS (SELECT doc_id FROM sdocs WHERE doc_id % 50 = 7)
+    SELECT 'customer' AS entity,
+           (SELECT count(*) FROM customer)::BIGINT AS rows_before,
+           (SELECT count(*) FROM fk)::BIGINT AS rows_removed,
+           ((SELECT count(*) FROM customer)
+            - (SELECT count(*) FROM fk))::BIGINT AS rows_after
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dord)),
+           (SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+    UNION ALL
+    SELECT 'lsh_bands',
+           16 * (SELECT count(*) FROM sdocs),
+           16 * (SELECT count(*) FROM fdocs),
+           16 * ((SELECT count(*) FROM sdocs) - (SELECT count(*) FROM fdocs))
+    UNION ALL
+    SELECT 'lsh_residual', 0, 0, 0
+    UNION ALL
+    SELECT 'lsh_shash',
+           (SELECT count(*) FROM sdocs),
+           (SELECT count(*) FROM fdocs),
+           (SELECT count(*) FROM sdocs) - (SELECT count(*) FROM fdocs)
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM dord),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM dord)
+    ORDER BY entity
+    """,
+)
+def gdpr_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE right-to-be-forgotten flow in one audit frame
+    (round 12; trailing — diffcheck-only, its verbs carry checked rows
+    via forget_keys_cascade and index_forget_audit): one erasure
+    request set (customers with c_custkey % 50 == 7) cascades through
+    the TABLE DAG (customer → orders → lineitem,
+    `operators/forget.py::cascade_delete` — broadcast semi-joins, keys
+    only) AND through the PERSISTED INDEX family for the documents the
+    same subjects own (the fixture's doc_id % 50 == 7 convention over
+    a 20% slice; `forget_from_indexes` → filtered-version publish),
+    plus a residual scan proving zero forgotten rows survive the
+    index. This is the operational composition a GDPR pipeline runs as
+    ONE job: tables AND derived retrieval structures forget together —
+    the surface the reference only covers with MERGE point-deletes
+    (`tasks/Query History API to Delta_withmetrics.py:244-250`).
+
+    Scale shape: the request set is broadcast everywhere; the table
+    legs never shuffle facts; the index leg is one compact-class
+    rewrite (forget-vs-compact ratios measured flat at 10×,
+    SCALE.md)."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
+    from lakehouse_dba_tools_spark.operators.forget import (
+        Edge,
+        cascade_delete,
+        deletion_audit,
+        forget_from_indexes,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    _, deleted = cascade_delete(
+        tables,
+        root="customer",
+        root_condition=F.col("c_custkey") % 50 == 7,
+        edges=[
+            Edge("customer", "c_custkey", "orders", "o_custkey"),
+            Edge("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+    )
+    table_audit = deletion_audit(tables, deleted).select(
+        F.col("table_name").alias("entity"),
+        "rows_before",
+        F.col("rows_deleted").alias("rows_removed"),
+        "rows_after",
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    fdocs = docs.filter(F.col("doc_id") % 50 == 7).select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="gdpr_e2e_")
+    try:
+        lsh = f"{tmp}/lsh"
+        build_lsh_index(docs, lsh)
+        idx_audit = forget_from_indexes(spark, fdocs, lsh_path=lsh)
+        rows = [
+            (f"lsh_{r['table_name']}", int(r["rows_before"]),
+             int(r["rows_removed"]), int(r["rows_after"]))
+            for r in idx_audit.collect()
+        ]
+        # residual scan: zero forgotten ids survive either index table
+        fb = F.broadcast(fdocs)
+        resid = 0
+        for t in ("bands", "shash"):
+            df = spark.read.parquet(current_version_dir(f"{lsh}/{t}"))
+            resid += df.join(fb, "doc_id", "left_semi").count()
+        rows.append(("lsh_residual", 0, 0, int(resid)))
+        idx_frame = spark.createDataFrame(
+            rows, "entity string, rows_before long, rows_removed long, rows_after long"
+        )
+        out = table_audit.unionByName(idx_frame).orderBy("entity")
+        # table legs are lazy aggregates over in-memory frames; the
+        # index tempdir vanishes below, so materialize first
+        data = out.collect()
+        return spark.createDataFrame(data, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "incremental_rollup_refresh",
     """
     SELECT event_type, count(*) AS n_rows,
