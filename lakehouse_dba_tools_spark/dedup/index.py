@@ -71,12 +71,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    append_forget_ledger,
     current_version_dir,
+    filter_ledgered,
     heal,
     init_versioned,
     parquet_file_count,
     publish,
     snapshot_meta,
+    vacuum_versions,
     write_snapshot_table,
     write_version_meta,
     writer_lock,
@@ -90,6 +93,13 @@ from lakehouse_dba_tools_spark.dedup.minhash import (
 )
 
 META_NAME = "_lsh_meta.json"
+
+# Default banding of the 64-perm signature family. Oracle carriers that
+# pin per-doc band-row counts (index_forget_audit, gdpr_erasure_e2e)
+# derive their row arithmetic FROM this constant and pass it explicitly
+# at their build sites, so a future default change surfaces as an
+# obvious parameter, never a confusing count mismatch.
+DEFAULT_BANDS = 16
 
 
 def _index_rows(
@@ -126,7 +136,7 @@ def build_lsh_index(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = DEFAULT_BANDS,
     seed: int = 42,
 ) -> dict:
     """Materialize the index from an initial corpus. Overwrites
@@ -242,6 +252,14 @@ def _append_rows(
                     f"parameters while this batch was being signed; "
                     f"re-sign and retry the append"
                 )
+        # Replay-resurrection guard (forget WINS over at-least-once
+        # redelivery): an epoch replayed after a forget must not
+        # re-append the forgotten docs' rows. The anti-join against
+        # the suppression ledger runs UNDER the lock, so even a forget
+        # landing between this batch's signing and its append is
+        # honored. No-op (no extra job) while no forget has ever run.
+        bk = filter_ledgered(bk, path, cur["id_col"])
+        sh = filter_ledgered(sh, path, cur["id_col"])
         bk.write.mode("append").partitionBy("band_idx").parquet(
             current_version_dir(os.path.join(path, "bands"))
         )
@@ -274,8 +292,17 @@ def ingest_batch(
     attempt's append has already indexed these rows — without the
     exclusion a batch containing internal near-dups would emit
     within-batch pairs the original epoch never produced. With it, a
-    replayed epoch reproduces the original cross-batch-only result."""
+    replayed epoch reproduces the original cross-batch-only result.
+
+    Forget composition (the GDPR × replay corner): a batch doc whose
+    id is in the suppression ledger — a redelivery of an epoch whose
+    docs were forgotten AFTER the original delivery — is dropped
+    WHOLESALE before signing (and `_append_rows` re-filters under the
+    lock, catching a forget that lands mid-flight). Forget wins over
+    replay: the redelivered epoch re-indexes and reports only the
+    surviving docs."""
     bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
+    docs = filter_ledgered(docs, path, m["id_col"])
     bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
@@ -383,7 +410,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
 
 
 def forget_from_lsh_index(
-    spark: SparkSession, path: str, forget_ids: DataFrame
+    spark: SparkSession, path: str, forget_ids: DataFrame, erase: bool = False
 ) -> dict:
     """Right-to-be-forgotten DELETE for the LSH index — the lifecycle
     verb `operators/forget.py:41`'s table cascade was missing for the
@@ -405,8 +432,25 @@ def forget_from_lsh_index(
     forget removes 0 rows and republishes identical content.
     Replay-duplicate rows of SURVIVING docs pass through untouched —
     folding them stays `compact_lsh_index`'s job; the two verbs
-    compose in either order. Returns {table: {rows_before,
-    rows_removed, rows_after}}."""
+    compose in either order. The forget set is also recorded in the
+    index's suppression ledger (`operators/indexio.py
+    append_forget_ledger`): an at-least-once STREAMING REPLAY that
+    redelivers a pre-forget epoch would otherwise re-append the
+    forgotten docs' rows — every append/ingest verb anti-joins its
+    batch against the ledger, so FORGET WINS over replay (the pinned
+    semantics; ids only, never content).
+
+    ``erase=True`` upgrades live-snapshot deletion to PHYSICAL
+    erasure: after the publish, every superseded version directory is
+    vacuumed (`indexio.vacuum_versions` — the reference's ``VACUUM ...
+    RETAIN 0 HOURS``, `resources/TPC-datagen-notebook.scala:
+    2076-2092`), so the pre-forget bytes are GONE from disk, not just
+    unpointered. The GDPR trade, documented: erase-grade forget
+    forfeits the one-version reader-retention window — a reader whose
+    listing predates the forget fails loudly on its next file access
+    and retries against the erased snapshot (it can never read a
+    partial tree; the pointer flip stays atomic). Returns {table:
+    {rows_before, rows_removed, rows_after}}."""
     id_col_alias = "_forget_id"
     with writer_lock(path):
         bands_live = os.path.join(path, "bands")
@@ -423,26 +467,27 @@ def forget_from_lsh_index(
         # shash first so the new bands meta can name it (single-flip
         # commit for the two-table index, same as build/compact);
         # write_snapshot_table handles the forget-everything edge (an
-        # empty partitionBy write would publish an unreadable dir)
+        # empty partitionBy write would publish an unreadable dir).
+        # Counts: source counts are parquet-metadata cheap; the kept
+        # side is counted from the WRITTEN version (compact's pattern),
+        # so the anti-join executes exactly once per table.
         sh_src = spark.read.parquet(_shash_dir(path, m))
         sh_kept = sh_src.join(
             ids, sh_src[m["id_col"]] == ids[id_col_alias], "left_anti"
         )
         sh_before = sh_src.count()
-        sh_after = sh_kept.count()
         sh_target = init_versioned(sh_live)
-        write_snapshot_table(sh_kept, sh_target, single_file=True, n_rows=sh_after)
+        write_snapshot_table(sh_kept, sh_target, single_file=True)
+        sh_after = spark.read.parquet(sh_target).count()
 
         bands_src = spark.read.parquet(current_version_dir(bands_live))
         b_kept = bands_src.join(
             ids, bands_src[m["id_col"]] == ids[id_col_alias], "left_anti"
         )
         b_before = bands_src.count()
-        b_after = b_kept.count()
         bands_target = init_versioned(bands_live)
-        write_snapshot_table(
-            b_kept, bands_target, partition_by="band_idx", n_rows=b_after
-        )
+        write_snapshot_table(b_kept, bands_target, partition_by="band_idx")
+        b_after = spark.read.parquet(bands_target).count()
         write_version_meta(
             bands_target, META_NAME,
             {**{k: v for k, v in m.items() if k != "shash_dir"},
@@ -450,6 +495,10 @@ def forget_from_lsh_index(
         )
         publish(sh_live, sh_target)
         publish(bands_live, bands_target)
+        append_forget_ledger(ids, path, m["id_col"])
+        if erase:
+            vacuum_versions(sh_live)
+            vacuum_versions(bands_live)
         out["bands"] = {
             "rows_before": b_before,
             "rows_removed": b_before - b_after,

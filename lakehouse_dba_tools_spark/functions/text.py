@@ -163,3 +163,29 @@ def normalized_text(col: Column | str) -> Column:
     out = F.regexp_replace(out, r"[^\w\s]", " ")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def token_bigrams(toks: Column, n_tok: Column) -> Column:
+    """Adjacent-token bigrams of a pre-computed token array — the
+    shared kernel of the Gopher repetition signals, taking TOKENS (not
+    text) so callers fold it into an existing single-tokenization pass
+    (`doc_text_profile` / `doc_repetition_scores` compute it from one
+    shared ``tokens()`` projection)."""
+    return F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(arr: Column, n: Column) -> Column:
+    """Fraction of duplicate occurrences in an array: 1 - distinct/n
+    (0.0 for empty) — Gopher-style intra-document repetition score,
+    applied to token and bigram arrays."""
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
+    ).otherwise(0.0)

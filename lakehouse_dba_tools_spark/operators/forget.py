@@ -117,6 +117,7 @@ def forget_from_indexes(
     bm25_path: str | None = None,
     ivf_path: str | None = None,
     vector_ids: DataFrame | None = None,
+    erase: bool = False,
 ) -> DataFrame:
     """Extend the forget cascade into the PERSISTED INDEX family — the
     round-11 verdict's one structural 100 TB gap: `cascade_delete`
@@ -133,15 +134,22 @@ def forget_from_indexes(
 
     ID-SPACE contract: ``forget_ids`` keys the DOC-keyed indexes (LSH
     bands/shash and BM25 postings/doclens match on the stored
-    ``id_col``). The IVF index is keyed by ``neighbor_id`` — pass
-    ``vector_ids`` when the vector id space differs from the document
-    id space; it defaults to ``forget_ids`` ONLY because pipelines in
-    this repo index documents and their embeddings under one shared id
-    (the fixture family's doc_id == vec_id convention). Passing doc
-    ids against a foreign vector id space would silently delete
-    nothing (or wrong rows on numeric collision) — the audit frame's
-    ivf rows_removed is the tell, and callers with split id spaces
-    must supply both frames.
+    ``id_col``). The IVF index is keyed by ``neighbor_id`` in its OWN
+    id space, so ``vector_ids`` is REQUIRED whenever ``ivf_path`` is
+    set — passing doc ids against a foreign vector id space would
+    silently delete nothing (or wrong rows on numeric collision),
+    which a GDPR verb must never risk. Pipelines whose docs and
+    embeddings share one id (the fixture family's doc_id == vec_id
+    convention) state that explicitly with
+    ``vector_ids=forget_ids.select(...)`` (or the same frame).
+
+    ``erase=True`` passes through to every family verb: superseded
+    index versions are vacuumed after the publish, so the forgotten
+    rows' bytes are physically gone from disk, not just absent from
+    the live snapshot (each verb's docstring documents the
+    reader-retention trade). All three verbs also record the forget
+    set in their suppression ledgers, so replayed ingest epochs cannot
+    resurrect forgotten rows.
 
     Scale shape: the forget set is broadcast into every anti-join; the
     only full-table work is the rewrite each index pays anyway on its
@@ -152,19 +160,29 @@ def forget_from_indexes(
     )
     from lakehouse_dba_tools_spark.similarity.index import forget_from_ivf_index
 
+    if ivf_path is not None and vector_ids is None:
+        raise ValueError(
+            "forget_from_indexes: vector_ids is required when ivf_path is "
+            "set — the IVF index is keyed in the VECTOR id space, and "
+            "defaulting to the document ids would silently delete nothing "
+            "(or wrong rows) wherever the two spaces differ. If your "
+            "pipeline shares one id space, pass vector_ids=forget_ids."
+        )
     rows: list[tuple] = []
     if lsh_path is not None:
-        for table, r in sorted(forget_from_lsh_index(spark, lsh_path, forget_ids).items()):
+        for table, r in sorted(
+            forget_from_lsh_index(spark, lsh_path, forget_ids, erase=erase).items()
+        ):
             rows.append(("lsh", table, r["rows_before"], r["rows_removed"], r["rows_after"]))
     if bm25_path is not None:
         for table, r in sorted(
-            forget_from_postings_index(spark, bm25_path, forget_ids).items()
+            forget_from_postings_index(
+                spark, bm25_path, forget_ids, erase=erase
+            ).items()
         ):
             rows.append(("bm25", table, r["rows_before"], r["rows_removed"], r["rows_after"]))
     if ivf_path is not None:
-        r = forget_from_ivf_index(
-            spark, ivf_path, vector_ids if vector_ids is not None else forget_ids
-        )
+        r = forget_from_ivf_index(spark, ivf_path, vector_ids, erase=erase)
         rows.append(("ivf", "lists", r["rows_before"], r["rows_removed"], r["rows_after"]))
     return spark.createDataFrame(
         rows,

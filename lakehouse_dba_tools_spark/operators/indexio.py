@@ -54,6 +54,7 @@ from contextlib import contextmanager
 
 LOCK_NAME = "_INDEX_LOCK"
 HOST_NAME = "_INDEX_HOST"
+LEDGER_DIR = "_forget_ledger"
 _VER_RE = re.compile(r"\.v(\d+)$")
 
 
@@ -207,8 +208,81 @@ def vacuum_versions(live: str) -> None:
     """The VACUUM analog: eagerly reclaim ALL superseded snapshots
     (readers more than zero compactions stale then fail loudly on
     their next file access instead of finishing). Call under
-    ``writer_lock``."""
+    ``writer_lock``. The reference's exact analog is ``VACUUM ...
+    RETAIN 0 HOURS`` (`resources/TPC-datagen-notebook.scala:
+    2076-2092`) — the erase-grade forget verbs run this so
+    "forgotten" means BYTES GONE, not just absent from the live
+    snapshot."""
     _reclaim(live, 0)
+
+
+def all_version_dirs(live: str) -> list[str]:
+    """Every on-disk version directory of one live table — current,
+    retained-superseded, and crash debris alike, sorted by version
+    number. This is the ERASURE AUDIT surface: a right-to-be-forgotten
+    residual scan that reads only ``current_version_dir`` proves
+    live-snapshot erasure, while the retained superseded version still
+    holds the complete pre-forget bytes; scanning every directory this
+    returns (after an ``erase=True`` forget it is exactly the current
+    one) is what proves on-disk erasure."""
+    parent, base = os.path.dirname(live) or ".", os.path.basename(live)
+    out: list[tuple[int, str]] = []
+    for name in os.listdir(parent) if os.path.isdir(parent) else ():
+        m = _VER_RE.search(name)
+        full = os.path.join(parent, name)
+        if name.startswith(base + ".v") and m and os.path.isdir(full):
+            out.append((int(m.group(1)), full))
+    return [p for _, p in sorted(out)]
+
+
+def append_forget_ledger(ids, path: str, id_col: str) -> None:
+    """Record a forget set in the index root's suppression ledger —
+    the piece that makes forget durable against AT-LEAST-ONCE REPLAY:
+    a streaming epoch redelivered after a forget would otherwise
+    re-append the forgotten docs' rows, silently resurrecting them.
+    Every append/ingest verb anti-joins its batch against this ledger
+    (forget WINS over replay — the pinned semantics), so a raced
+    redelivery re-indexes only the surviving rows.
+
+    The ledger stores ONLY the opaque ids, nothing derived from the
+    content — the minimal suppression-list record that keeps an
+    erasure effective (standard GDPR practice: without it, any replay
+    or backfill un-erases). ``erase=True`` forgets therefore do NOT
+    vacuum it. Caller holds the writer lock; the write appends one new
+    parquet file, so a ledger reader under a later lock always sees
+    complete files."""
+    from pyspark.sql import functions as F
+
+    target = os.path.join(path, LEDGER_DIR)
+    ids.select(F.col(ids.columns[0]).alias(id_col)).distinct().coalesce(
+        1
+    ).write.mode("append").parquet(target)
+
+
+def read_forget_ledger(spark, path: str):
+    """The index's suppression ledger as a one-column DataFrame, or
+    None when no forget has ever run (the common case — append paths
+    skip the anti-join entirely)."""
+    target = os.path.join(path, LEDGER_DIR)
+    if not os.path.isdir(target):
+        return None
+    return spark.read.parquet(target)
+
+
+def filter_ledgered(df, path: str, id_col: str):
+    """Drop rows whose ``id_col`` is in the suppression ledger — the
+    replay-resurrection guard every append/ingest verb applies under
+    the writer lock. The ledger is broadcast (forget sets are tiny
+    next to any batch); no-op without a ledger."""
+    from pyspark.sql import functions as F
+
+    ledger = read_forget_ledger(df.sparkSession, path)
+    if ledger is None:
+        return df
+    led = F.broadcast(
+        ledger.select(F.col(ledger.columns[0]).alias("_led_id")).distinct()
+    )
+    return df.join(led, df[id_col] == led["_led_id"], "left_anti")
 
 
 def _newest_version(live: str) -> str | None:
@@ -279,18 +353,29 @@ def write_snapshot_table(
     covers every indexed row). An empty snapshot therefore writes
     non-partitioned: the partition column rides as an ordinary data
     column of the 0-row schema-bearing file, so readers plan normally
-    and see zero rows. ``n_rows`` is the caller's already-computed
-    count (callers need it for their audit report anyway — no extra
-    job)."""
-    if n_rows is None:
-        n_rows = df.count()
-    if partition_by is not None and n_rows > 0:
+    and see zero rows.
+
+    ``n_rows=None`` (the forget verbs' path) means the count is NOT
+    known up front — pre-counting would execute the caller's anti-join
+    twice, once for the count and once for the write. Instead the
+    partitioned write runs first and the 0-row case is detected from
+    the written tree (an empty partitionBy write emits no parquet at
+    all), falling back to the schema-bearing rewrite — which re-plans
+    the frame, but only in the forget-everything edge where the source
+    scan found nothing to keep. Callers then read their audit count
+    back from ``target`` (parquet metadata count — no second
+    anti-join), the same pattern ``compact_lsh_index`` uses."""
+    if partition_by is not None and (n_rows is None or n_rows > 0):
         df.repartition(partition_by).write.mode("overwrite").partitionBy(
             partition_by
         ).parquet(target)
+        if n_rows is None and parquet_file_count(target) == 0:
+            df.coalesce(1).write.mode("overwrite").parquet(target)
     elif single_file or n_rows == 0:
         df.coalesce(1).write.mode("overwrite").parquet(target)
     else:
+        # non-partitioned writes emit a schema-bearing footer even for
+        # zero rows, so an unknown count needs no fallback here
         df.write.mode("overwrite").parquet(target)
 
 

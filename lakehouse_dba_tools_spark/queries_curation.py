@@ -115,37 +115,29 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (Gopher-style rep filters): fraction
     of duplicate token and bigram occurrences per doc. Pure column
-    algebra over one tokenization — at 100 TB this rides the same scan
-    as every other per-doc feature (composable into
-    doc_text_profile's single pass)."""
+    algebra over one tokenization via the SHARED kernels
+    (`functions/text.py token_bigrams`/`dup_fraction`) that
+    `doc_text_profile` folds into its single-scan profile (round-12
+    VERDICT directive #6) — this standalone query remains for callers
+    that want only the repetition signals."""
+    from lakehouse_dba_tools_spark.functions.text import dup_fraction, token_bigrams
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tok")
     )
-    bigrams = F.when(
-        F.col("n_tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tok") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = staged.withColumn("bigrams", bigrams)
-    dup_tok = F.when(
-        F.col("n_tok") > 0,
-        1.0 - F.size(F.array_distinct("toks")).cast("double") / F.col("n_tok"),
-    ).otherwise(0.0)
-    dup_bi = F.when(
-        F.size("bigrams") > 0,
-        1.0
-        - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams"),
-    ).otherwise(0.0)
+    staged = staged.withColumn(
+        "bigrams", token_bigrams(F.col("toks"), F.col("n_tok"))
+    )
     return staged.select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
-        F.round(dup_tok, 6).alias("dup_token_frac"),
-        F.round(dup_bi, 6).alias("dup_bigram_frac"),
+        F.round(dup_fraction(F.col("toks"), F.col("n_tok")), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(
+            dup_fraction(F.col("bigrams"), F.size("bigrams")), 6
+        ).alias("dup_bigram_frac"),
     )
 
 

@@ -649,8 +649,9 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_rebuild_invariance_topk", _TOPK_ORACLE)
 def ivf_rebuild_invariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF drift maintenance under the oracle (checked since round 9 —
-    the strongest index-integrity claim in the repo): build the index
+    """IVF drift maintenance under the oracle (checked r9-r11, banked
+    r12, re-promoted r13 — the strongest index-integrity claim in the
+    repo): build the index
     on a BIASED half of the corpus (vec_id < n/2 — the frozen
     quantizer never saw the rest), append the other half, REBUILD
     (similarity/index.py rebuild_ivf_index: re-train on the stored

@@ -397,7 +397,10 @@ def append_to_postings_index(docs: DataFrame, path: str) -> None:
     import json
     import os
 
-    from lakehouse_dba_tools_spark.operators.indexio import writer_lock
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        filter_ledgered,
+        writer_lock,
+    )
 
     with open(os.path.join(path, BM25_META)) as fh:
         m = json.load(fh)
@@ -405,7 +408,48 @@ def append_to_postings_index(docs: DataFrame, path: str) -> None:
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
     with writer_lock(path):
+        # replay-resurrection guard: a redelivered epoch whose docs
+        # were forgotten since must not re-index them (forget wins —
+        # operators/indexio.py append_forget_ledger); no-op without a
+        # ledger
+        docs = filter_ledgered(docs, path, m["id_col"])
         _write_postings(docs, path, m["text_col"], m["id_col"], fresh=False)
+        _heal_stale_tiers(docs.sparkSession, path, m["id_col"])
+
+
+def _heal_stale_tiers(spark, path: str, id_col: str) -> None:
+    """Crash repair for the publish→tier-refresh window: if a previous
+    writer died between publishing new postings and refreshing the
+    champions/block-max tiers, their provenance stamps no longer match
+    the current postings version (`_check_tier_stamp` makes readers
+    fail loudly on exactly this) — rebuild any such tier from the
+    current snapshot with its stored parameters. Caller holds the
+    writer lock. Normal appends never trigger this (they write into
+    the SAME postings version, so stamps keep matching) — the check is
+    two sidecar reads."""
+    import os
+
+    cur = os.path.basename(_postings_snapshot(path)[0])
+    for snap, refresh in (
+        (
+            _champ_snapshot,
+            lambda cm: _refresh_champions(
+                spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+            ),
+        ),
+        (
+            _wand_snapshot,
+            lambda wm: _refresh_wand(
+                spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"]
+            ),
+        ),
+    ):
+        try:
+            _, tm = snap(path)
+        except FileNotFoundError:
+            continue
+        if tm.get("postings_dir") is not None and tm["postings_dir"] != cur:
+            refresh(tm)
 
 
 def _write_postings(
@@ -558,6 +602,11 @@ def _refresh_champions(
         "k1": k1,
         "b": b,
         "impact_flatness": round(flatness, 4),
+        # provenance stamp: the postings VERSION this tier was derived
+        # from — readers verify it against the current postings
+        # snapshot (_check_tier_stamp), closing the crash window
+        # between a forget/compact's postings publish and this refresh
+        "postings_dir": os.path.basename(p_dir),
     }
     live = os.path.join(path, "champions")
     heal(live)
@@ -637,6 +686,8 @@ def _refresh_wand(
             "avgdl": avgdl,
             "k1": k1,
             "b": b,
+            # provenance stamp — see _refresh_champions / _check_tier_stamp
+            "postings_dir": os.path.basename(p_dir),
         },
     )
     publish(live, target)
@@ -737,7 +788,9 @@ def compact_postings_index(spark, path: str) -> dict:
     return out
 
 
-def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
+def forget_from_postings_index(
+    spark, path: str, forget_ids: DataFrame, erase: bool = False
+) -> dict:
     """Right-to-be-forgotten DELETE for the postings index — extends
     `operators/forget.py:41`'s table cascade into the stored lexical
     index: a forgotten document's (term, doc_id, tf, dl) postings and
@@ -761,15 +814,37 @@ def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
     oracle). Idempotent: a replayed forget removes 0 rows and
     republishes identical content. Surviving docs' replay-duplicate
     rows pass through; folding them stays `compact_postings_index`'s
-    job. Returns {table: {rows_before, rows_removed, rows_after}}."""
+    job.
+
+    The forget set is also recorded in the index's suppression ledger
+    (ids only — `operators/indexio.py append_forget_ledger`), so an
+    at-least-once replay of a pre-forget epoch cannot re-append the
+    forgotten docs' rows: forget WINS over replay (the append verb
+    anti-joins against the ledger under the lock). Crash safety for
+    the publish→tier-refresh window: each tier's meta is stamped with
+    the postings version it was derived from; readers fail loudly on
+    a mismatch and any locked writer repairs it (`_check_tier_stamp` /
+    `_heal_stale_tiers`).
+
+    ``erase=True`` upgrades to PHYSICAL erasure: after the tier
+    refreshes, every superseded version of postings/doclens AND the
+    tiers is vacuumed (`indexio.vacuum_versions` — the reference's
+    ``VACUUM ... RETAIN 0 HOURS``, `resources/TPC-datagen-notebook.
+    scala:2076-2092`), so no pre-forget byte survives on disk. The
+    documented GDPR trade: erase-grade forget forfeits the one-version
+    reader-retention window — a reader whose listing predates the
+    forget fails loudly and retries (never a partial read). Returns
+    {table: {rows_before, rows_removed, rows_after}}."""
     import json
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
+        append_forget_ledger,
         current_version_dir,
         heal,
         init_versioned,
         publish,
+        vacuum_versions,
         write_snapshot_table,
         write_version_meta,
         writer_lock,
@@ -792,28 +867,27 @@ def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
         )
         # doclens first: the filtered postings' version meta NAMES the
         # filtered doclens version (single-flip pair commit);
-        # write_snapshot_table handles the forget-everything edge
+        # write_snapshot_table handles the forget-everything edge.
+        # Counts: kept sides count the WRITTEN version (compact's
+        # pattern) so each anti-join executes exactly once.
         d_src = spark.read.parquet(src_d)
         d_kept = d_src.join(
             ids, d_src[id_col] == ids["_forget_id"], "left_anti"
         )
         d_before = d_src.count()
-        d_after = d_kept.count()
         d_target = init_versioned(d_live)
-        write_snapshot_table(d_kept, d_target, single_file=True, n_rows=d_after)
+        write_snapshot_table(d_kept, d_target, single_file=True)
+        d_after = spark.read.parquet(d_target).count()
 
         p_src = spark.read.parquet(src_p)
         p_kept = p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
         p_before = p_src.count()
-        p_after = p_kept.count()
         p_target = init_versioned(p_live)
         write_snapshot_table(
-            p_kept.repartitionByRange("term").sortWithinPartitions("term")
-            if p_after
-            else p_kept,
+            p_kept.repartitionByRange("term").sortWithinPartitions("term"),
             p_target,
-            n_rows=p_after,
         )
+        p_after = spark.read.parquet(p_target).count()
         write_version_meta(
             p_target, POSTINGS_META,
             {"id_col": id_col, "text_col": bm["text_col"],
@@ -850,6 +924,19 @@ def forget_from_postings_index(spark, path: str, forget_ids: DataFrame) -> dict:
             wm = None
         if wm is not None:
             _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
+        # suppression ledger: make the forget durable against replayed
+        # epochs (ids only — see docstring)
+        append_forget_ledger(ids, path, id_col)
+        if erase:
+            # physical erasure AFTER the tier refreshes, so the
+            # superseded tier versions (which still hold pre-forget
+            # rows) are reclaimed along with postings/doclens
+            vacuum_versions(p_live)
+            vacuum_versions(d_live)
+            if cm is not None:
+                vacuum_versions(os.path.join(path, "champions"))
+            if wm is not None:
+                vacuum_versions(os.path.join(path, "blocked"))
     return out
 
 
@@ -869,6 +956,43 @@ def _wand_snapshot(path: str) -> tuple[str, dict]:
     from lakehouse_dba_tools_spark.operators.indexio import snapshot_meta
 
     return snapshot_meta(os.path.join(path, "blocked"), WAND_META, path)
+
+
+def _check_tier_stamp(path: str, tm: dict, tier: str) -> None:
+    """Fail loudly when a stored tier is older than the postings
+    snapshot it claims to serve. The forget/compact verbs publish the
+    filtered postings FIRST and refresh the tiers as later steps under
+    the same lock; a crash in between would otherwise leave forgotten
+    docs' rows live in the champions/wand read paths INDEFINITELY
+    (heal() clears version debris, not tier staleness) — silently
+    voiding the right-to-be-forgotten guarantee. Each tier's meta is
+    stamped with the postings version it was derived from
+    (`_refresh_champions`/`_refresh_wand`); a mismatch means exactly
+    that crash happened, and any locked writer verb (compact, forget,
+    append — all end by refreshing stale tiers) repairs it. Tiers
+    written before stamping (no ``postings_dir`` key) predate the
+    forget verb entirely — nothing to verify, documented legacy pass.
+
+    NOT a staleness check for APPENDS: appends write through the
+    pointer into the SAME postings version (no new version dir), so
+    the stamp still matches — tier-vs-append staleness remains the
+    documented compact-cadence contract."""
+    import os
+
+    stamp = tm.get("postings_dir")
+    if stamp is None:
+        return
+    cur = os.path.basename(_postings_snapshot(path)[0])
+    if stamp != cur:
+        raise RuntimeError(
+            f"{tier} tier at {path!r} was derived from postings version "
+            f"{stamp!r} but the current postings snapshot is {cur!r} — a "
+            f"writer crashed between its postings publish and the tier "
+            f"refresh, so this tier may still serve rows the postings "
+            f"have deleted (e.g. a forgotten document). Run any locked "
+            f"writer verb (compact_postings_index repairs in place) or "
+            f"query with mode='exact'."
+        )
 
 
 def _tier_params(cm: dict, k1: float | None, b: float | None, tier: str):
@@ -1013,6 +1137,7 @@ def _query_champions(
             f"rebuild with build_postings_index(..., champion_n=N) — or "
             f"query with mode='exact'/'wand'"
         ) from e
+    _check_tier_stamp(path, cm, "champions")
     k1, b = _tier_params(cm, k1, b, "champions")
     terms = sorted(set(_py_tokens(query)))
     if not terms:
@@ -1130,6 +1255,7 @@ def _wand_plan(
     import os
 
     blocked_dir, wm = _wand_snapshot(path)
+    _check_tier_stamp(path, wm, "wand")
     k1, b = _tier_params(wm, k1, b, "wand")
     with open(os.path.join(path, BM25_META)) as fh:
         id_col = json.load(fh)["id_col"]

@@ -51,12 +51,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
+    append_forget_ledger,
     current_version_dir,
+    filter_ledgered,
     heal,
     init_versioned,
     parquet_file_count,
     publish,
     snapshot_meta,
+    vacuum_versions,
     write_snapshot_table,
     write_version_meta,
     writer_lock,
@@ -169,6 +172,11 @@ def append_to_ivf_index(vectors: DataFrame, path: str) -> None:
                 f"IVF index at {path!r} was rebuilt while this batch was "
                 f"being assigned; re-assign and retry the append"
             )
+        # replay-resurrection guard: a redelivered epoch whose vectors
+        # were forgotten since must not re-index them (forget wins —
+        # operators/indexio.py append_forget_ledger); no-op without a
+        # ledger
+        rows = filter_ledgered(rows, path, "neighbor_id")
         vd = current_version_dir(os.path.join(path, "lists"))
         rows.write.mode("append").partitionBy("cid").parquet(vd)
         # refresh the cid manifest in place (atomic temp+replace): the
@@ -224,7 +232,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
 
 
 def forget_from_ivf_index(
-    spark: SparkSession, path: str, forget_ids: DataFrame
+    spark: SparkSession, path: str, forget_ids: DataFrame, erase: bool = False
 ) -> dict:
     """Right-to-be-forgotten DELETE for the IVF index — extends
     `operators/forget.py:41`'s table cascade into the stored vector
@@ -241,7 +249,22 @@ def forget_from_ivf_index(
     is `rebuild_ivf_index`'s job, and full-probe answers are quantizer-
     invariant anyway (what the index_forget_audit oracle checks).
     Idempotent: a replayed forget removes 0 rows and republishes
-    identical content. Returns {rows_before, rows_removed, rows_after}."""
+    identical content.
+
+    The forget set is also recorded in the index's suppression ledger
+    (ids only — `operators/indexio.py append_forget_ledger`), so an
+    at-least-once replay of a pre-forget epoch cannot re-append the
+    forgotten vectors: forget WINS over replay (`append_to_ivf_index`
+    anti-joins against the ledger under the lock).
+
+    ``erase=True`` upgrades to PHYSICAL erasure: the superseded lists
+    version (the complete pre-forget snapshot indexio retains for
+    in-flight readers) is vacuumed after the publish — the reference's
+    ``VACUUM ... RETAIN 0 HOURS`` (`resources/TPC-datagen-notebook.
+    scala:2076-2092`). Documented GDPR trade: a reader whose listing
+    predates the forget fails loudly and retries instead of finishing
+    against retained bytes. Returns {rows_before, rows_removed,
+    rows_after}."""
     live = os.path.join(path, "lists")
     with writer_lock(path):
         heal(live)
@@ -256,13 +279,18 @@ def forget_from_ivf_index(
             ids, src["neighbor_id"] == ids["_forget_id"], "left_anti"
         )
         n_before = src.count()
-        n_after = kept.count()
         target = init_versioned(live)
         # write_snapshot_table handles the forget-everything edge (an
-        # empty partitionBy write would publish an unreadable dir)
-        write_snapshot_table(kept, target, partition_by="cid", n_rows=n_after)
+        # empty partitionBy write would publish an unreadable dir);
+        # rows_after counts the WRITTEN version (compact's pattern) so
+        # the anti-join executes exactly once
+        write_snapshot_table(kept, target, partition_by="cid")
+        n_after = spark.read.parquet(target).count()
         write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
         publish(live, target)
+        append_forget_ledger(ids, path, m["id_col"])
+        if erase:
+            vacuum_versions(live)
         out = {
             "rows_before": n_before,
             "rows_removed": n_before - n_after,

@@ -379,7 +379,8 @@ def test_forget_from_indexes_audit_frame(spark, sf_dir, tmp_path):
     build_ivf_index(emb, ivf, n_centroids=4)
     forget = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
     audit = forget_from_indexes(
-        spark, forget, lsh_path=lsh, bm25_path=bm, ivf_path=ivf
+        spark, forget, lsh_path=lsh, bm25_path=bm, ivf_path=ivf,
+        vector_ids=forget.withColumnRenamed("doc_id", "vec_id"),
     )
     rows = {(r["index_name"], r["table_name"]): r for r in audit.collect()}
     assert set(rows) == {
@@ -480,3 +481,245 @@ def test_forget_then_ingest_composes(spark, sf_dir, tmp_path):
     assert ids_b & {r["doc_id"] for r in batch.limit(1).collect()}
     rep = compact_lsh_index(spark, path)
     assert rep["shash"]["rows"] > 0
+
+
+# ---- round-13: erase-grade forget, tier stamps, replay ledger ----
+
+
+def _resid_all_versions(spark, live: str, id_col: str, forgotten: set) -> int:
+    """Forgotten-id rows across EVERY on-disk version dir of one table."""
+    from lakehouse_dba_tools_spark.operators.indexio import all_version_dirs
+
+    n = 0
+    for vd in all_version_dirs(live):
+        df = spark.read.parquet(vd)
+        n += df.filter(F.col(id_col).isin(list(forgotten))).count()
+    return n
+
+
+def test_erase_grade_forget_reclaims_all_versions(spark, sf_dir, tmp_path):
+    """erase=True closes the round-12 physical-erasure residue: a plain
+    forget publishes the filtered version but RETAINS the complete
+    pre-forget snapshot on disk (indexio publish retain=1 — proven
+    here, the hazard), while an erase-grade forget vacuums every
+    superseded version of every table (postings/doclens AND tiers),
+    leaving zero forgotten bytes anywhere on disk. Also proves a
+    planted crash-debris version dir is reclaimed."""
+    import os
+
+    from lakehouse_dba_tools_spark.dedup.index import build_lsh_index
+    from lakehouse_dba_tools_spark.operators.forget import forget_from_indexes
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        all_version_dirs,
+        current_version_dir,
+    )
+    from lakehouse_dba_tools_spark.similarity.bm25 import build_postings_index
+    from lakehouse_dba_tools_spark.similarity.index import build_ivf_index
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    lsh, bm, ivf = (str(tmp_path / n) for n in ("lsh", "bm", "ivf"))
+    build_lsh_index(docs, lsh)
+    build_postings_index(docs, bm, champion_n=8, wand_buckets=4)
+    build_ivf_index(emb, ivf, n_centroids=4)
+    forget = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    fids = {r["doc_id"] for r in forget.collect()}
+
+    tables = {
+        f"{lsh}/bands": "doc_id", f"{lsh}/shash": "doc_id",
+        f"{bm}/postings": "doc_id", f"{bm}/doclens": "doc_id",
+        f"{bm}/champions": "doc_id", f"{bm}/blocked": "doc_id",
+        f"{ivf}/lists": "neighbor_id",
+    }
+
+    # 1) plain forget: live snapshot is clean, but the retained
+    # superseded version still holds the pre-forget rows — the hazard
+    forget_from_indexes(
+        spark, forget, lsh_path=lsh, bm25_path=bm, ivf_path=ivf,
+        vector_ids=forget.withColumnRenamed("doc_id", "vec_id"),
+    )
+    retained_resid = 0
+    for live, id_col in tables.items():
+        cur = current_version_dir(live)
+        live_ids = {
+            r[id_col]
+            for r in spark.read.parquet(cur).select(id_col).distinct().collect()
+        }
+        assert not (live_ids & fids), f"live snapshot of {live} not clean"
+        superseded = [d for d in all_version_dirs(live) if d != cur]
+        assert superseded, f"{live}: expected a retained pre-forget version"
+        for vd in superseded:
+            retained_resid += (
+                spark.read.parquet(vd)
+                .filter(F.col(id_col).isin(list(fids)))
+                .count()
+            )
+    assert retained_resid > 0  # the pre-forget bytes really are on disk
+
+    # 2) plant crash debris above the current pointer, then erase
+    debris = f"{lsh}/bands.v9"
+    os.makedirs(debris, exist_ok=True)
+    forget_from_indexes(
+        spark, forget, lsh_path=lsh, bm25_path=bm, ivf_path=ivf,
+        vector_ids=forget.withColumnRenamed("doc_id", "vec_id"),
+        erase=True,
+    )
+    assert not os.path.exists(debris)
+    for live, id_col in tables.items():
+        dirs = all_version_dirs(live)
+        assert dirs == [current_version_dir(live)], (
+            f"{live}: erase left superseded versions {dirs}"
+        )
+        assert _resid_all_versions(spark, live, id_col, fids) == 0
+
+
+def test_forget_from_indexes_requires_vector_ids_with_ivf(spark, tmp_path):
+    import pytest
+
+    from lakehouse_dba_tools_spark.operators.forget import forget_from_indexes
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="vector_ids is required"):
+        forget_from_indexes(spark, ids, ivf_path=str(tmp_path / "ivf"))
+
+
+def test_tier_stamp_detects_crashed_forget_and_writers_repair(
+    spark, sf_dir, tmp_path
+):
+    """The publish→tier-refresh crash window (round-12 ADVICE): publish
+    a new postings version WITHOUT refreshing the tiers (exactly what a
+    crash mid-forget leaves) — champions/wand readers must fail loudly
+    on the stamp mismatch instead of serving rows the postings deleted,
+    and the next locked writer (append here, compact equivalently)
+    repairs the tiers."""
+    import pytest
+
+    from lakehouse_dba_tools_spark.operators.indexio import writer_lock
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _champ_snapshot,
+        _postings_snapshot,
+        _wand_snapshot,
+        _write_postings,
+        append_to_postings_index,
+        build_postings_index,
+        query_postings_index,
+    )
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "bm")
+    build_postings_index(docs, path, champion_n=8, wand_buckets=4)
+    # simulate the crash: new postings version published, tiers untouched
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+    with writer_lock(path):
+        _write_postings(survivors, path, "text", "doc_id", fresh=True)
+    cur = os.path.basename(_postings_snapshot(path)[0])
+    assert _champ_snapshot(path)[1]["postings_dir"] != cur
+    for mode in ("champions", "wand"):
+        with pytest.raises(RuntimeError, match="derived from postings version"):
+            query_postings_index(spark, path, "spark merge", k=5, mode=mode)
+    # exact mode reads the postings directly — unaffected
+    query_postings_index(spark, path, "spark merge", k=5, mode="exact").collect()
+    # next locked writer repairs: an append heals the stale stamps
+    batch = docs.filter(F.col("doc_id") % 3 == 0).limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    append_to_postings_index(batch, path)
+    assert _champ_snapshot(path)[1]["postings_dir"] == cur
+    assert _wand_snapshot(path)[1]["postings_dir"] == cur
+    for mode in ("champions", "wand"):
+        query_postings_index(spark, path, "spark merge", k=5, mode=mode).collect()
+
+
+def test_replayed_ingest_cannot_resurrect_forgotten_docs(spark, sf_dir, tmp_path):
+    """The at-least-once × GDPR composition (round-12 VERDICT directive
+    #4), pinned semantics: FORGET WINS. A foreachBatch epoch delivered,
+    then forgotten, then REDELIVERED (the replay race) must not
+    re-index the forgotten docs: every append/ingest verb anti-joins
+    its batch against the suppression ledger the forget verbs write.
+    Covers all three families' append paths."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        forget_from_lsh_index,
+        ingest_batch,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import current_version_dir
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _postings_snapshot,
+        append_to_postings_index,
+        build_postings_index,
+        forget_from_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        forget_from_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") < 300))
+    batch = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 300))
+    forget = batch.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    fids = {r["doc_id"] for r in forget.collect()}
+    assert fids
+
+    # LSH: deliver epoch -> forget -> REDELIVER the same epoch
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(corpus, lsh)
+    ingest_batch(spark, batch, lsh, threshold=0.5)          # original epoch
+    forget_from_lsh_index(spark, lsh, forget)
+    pairs = ingest_batch(spark, batch, lsh, threshold=0.5)  # replayed epoch
+    # the replayed epoch reports only surviving docs
+    assert not ({r["id_a"] for r in pairs.collect()} & fids)
+    for t in ("bands", "shash"):
+        got = (
+            spark.read.parquet(current_version_dir(f"{lsh}/{t}"))
+            .filter(F.col("doc_id").isin(list(fids)))
+            .count()
+        )
+        assert got == 0, f"replay resurrected forgotten docs in {t}"
+    # the index still composes downstream: compact folds the replay dups
+    compact_lsh_index(spark, lsh)
+    # content == fresh build from corpus + surviving batch docs
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(
+        corpus.unionByName(batch).join(forget, "doc_id", "left_anti"), fresh
+    )
+    for t in ("bands", "shash"):
+        got = spark.read.parquet(current_version_dir(f"{lsh}/{t}"))
+        want = spark.read.parquet(current_version_dir(f"{fresh}/{t}"))
+        assert _rowset(got) == _rowset(want), t
+
+    # BM25 append path
+    bm = str(tmp_path / "bm")
+    build_postings_index(corpus, bm)
+    append_to_postings_index(batch, bm)                     # original epoch
+    forget_from_postings_index(spark, bm, forget)
+    append_to_postings_index(batch, bm)                     # replayed epoch
+    p_dir, d_dir = _postings_snapshot(bm)
+    for d in (p_dir, d_dir):
+        got = (
+            spark.read.parquet(d)
+            .filter(F.col("doc_id").isin(list(fids)))
+            .count()
+        )
+        assert got == 0
+
+    # IVF append path
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    vcorpus = emb.filter(F.col("vec_id") % 10 != 0)
+    vbatch = emb.filter(F.col("vec_id") % 10 == 0)
+    vforget = vbatch.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    vfids = {r["vec_id"] for r in vforget.collect()}
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(vcorpus, ivf, n_centroids=4)
+    append_to_ivf_index(vbatch, ivf)                        # original epoch
+    forget_from_ivf_index(spark, ivf, vforget)
+    append_to_ivf_index(vbatch, ivf)                        # replayed epoch
+    got = (
+        spark.read.parquet(current_version_dir(f"{ivf}/lists"))
+        .filter(F.col("neighbor_id").isin(list(vfids)))
+        .count()
+    )
+    assert got == 0
