@@ -72,6 +72,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
     append_forget_ledger,
+    compact_forget_ledger,
     current_version_dir,
     filter_ledgered,
     heal,
@@ -405,6 +406,8 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
             "files_after": parquet_file_count(sh_live),
             "rows": sh_rows,
         }
+        # same cadence folds the suppression ledger's per-forget files
+        compact_forget_ledger(spark, path)
     _refresh(spark, path)
     return out
 

@@ -262,11 +262,55 @@ def append_forget_ledger(ids, path: str, id_col: str) -> None:
 def read_forget_ledger(spark, path: str):
     """The index's suppression ledger as a one-column DataFrame, or
     None when no forget has ever run (the common case — append paths
-    skip the anti-join entirely)."""
+    skip the anti-join entirely). The cached file listing is
+    invalidated first: a batch that read the ledger BEFORE a forget
+    appended to it would otherwise anti-join against the stale listing
+    and silently resurrect the newly-forgotten docs — the same shared
+    FileStatusCache hazard dedup/index.py `_refresh` documents."""
     target = os.path.join(path, LEDGER_DIR)
     if not os.path.isdir(target):
         return None
+    spark.catalog.refreshByPath(target)
     return spark.read.parquet(target)
+
+
+def compact_forget_ledger(spark, path: str) -> int:
+    """Fold the suppression ledger's per-forget files into one distinct
+    file — without this the ledger grows one small parquet file per
+    forget request forever, and every append's anti-join pays the
+    listing. Runs inside each index family's compact verb (the same
+    cadence that folds replay duplicates); caller holds the writer
+    lock, and every ledger reader/writer also runs under it.
+
+    Crash-safe BY CONSTRUCTION, not by atomicity: the consolidated
+    file is APPENDED beside the old ones first, then the old files are
+    removed. A crash after the append leaves duplicate ids (harmless —
+    every consumer distincts before the anti-join); a crash mid-removal
+    leaves a subset of duplicates. Forgotten ids can never be LOST,
+    which is the invariant that matters: losing one would let a
+    replayed epoch resurrect the doc. Returns the ledger file count
+    after folding (0 = no ledger)."""
+    target = os.path.join(path, LEDGER_DIR)
+    if not os.path.isdir(target):
+        return 0
+    old = [
+        os.path.join(target, f)
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    ]
+    if len(old) <= 1:
+        return len(old)
+    spark.catalog.refreshByPath(target)
+    spark.read.parquet(target).distinct().coalesce(1).write.mode(
+        "append"
+    ).parquet(target)
+    for f in old:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    spark.catalog.refreshByPath(target)
+    return sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
 
 
 def filter_ledgered(df, path: str, id_col: str):

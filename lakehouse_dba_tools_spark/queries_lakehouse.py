@@ -358,36 +358,47 @@ def gdpr_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdocs = docs.filter(F.col("doc_id") % 50 == 7).select("doc_id")
     tmp = tempfile.mkdtemp(prefix="gdpr_e2e_")
     try:
-        lsh = f"{tmp}/lsh"
-        # bands explicit: the oracle's band-row arithmetic derives from
-        # the SAME DEFAULT_BANDS constant (round-12 ADVICE)
-        build_lsh_index(docs, lsh, bands=DEFAULT_BANDS)
-        idx_audit = forget_from_indexes(spark, fdocs, lsh_path=lsh, erase=True)
-        rows = [
-            (f"lsh_{r['table_name']}", int(r["rows_before"]),
-             int(r["rows_removed"]), int(r["rows_after"]))
-            for r in idx_audit.collect()
-        ]
-        # erasure-grade residual: zero forgotten ids in EVERY on-disk
-        # version dir of either index table (post-vacuum that is one
-        # per table — pinned by the lsh_versions row)
-        fb = F.broadcast(fdocs)
-        resid, n_versions = 0, 0
-        for t in ("bands", "shash"):
-            dirs = all_version_dirs(f"{lsh}/{t}")
-            n_versions += len(dirs)
-            for vd in dirs:
-                df = spark.read.parquet(vd)
-                resid += df.join(fb, "doc_id", "left_semi").count()
-        rows.append(("lsh_residual", 0, 0, int(resid)))
-        rows.append(("lsh_versions", 0, 0, int(n_versions)))
-        idx_frame = spark.createDataFrame(
-            rows, "entity string, rows_before long, rows_removed long, rows_after long"
-        )
-        out = table_audit.unionByName(idx_frame).orderBy("entity")
-        # table legs are lazy aggregates over in-memory frames; the
-        # index tempdir vanishes below, so materialize first
-        data = out.collect()
+        # everything inside materializes eagerly (collects below), so
+        # the scoped shuffle width sizes the KB-scale index exchanges
+        # to the fixture (the checked-carrier precedent from
+        # index_forget_audit); at 100 TB the same flow runs under the
+        # session default
+        from lakehouse_dba_tools_spark.session import scoped_confs
+
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            lsh = f"{tmp}/lsh"
+            # bands explicit: the oracle's band-row arithmetic derives
+            # from the SAME DEFAULT_BANDS constant (round-12 ADVICE)
+            build_lsh_index(docs, lsh, bands=DEFAULT_BANDS)
+            idx_audit = forget_from_indexes(
+                spark, fdocs, lsh_path=lsh, erase=True
+            )
+            rows = [
+                (f"lsh_{r['table_name']}", int(r["rows_before"]),
+                 int(r["rows_removed"]), int(r["rows_after"]))
+                for r in idx_audit.collect()
+            ]
+            # erasure-grade residual: zero forgotten ids in EVERY
+            # on-disk version dir of either index table (post-vacuum
+            # that is one per table — pinned by the lsh_versions row)
+            fb = F.broadcast(fdocs)
+            resid, n_versions = 0, 0
+            for t in ("bands", "shash"):
+                dirs = all_version_dirs(f"{lsh}/{t}")
+                n_versions += len(dirs)
+                for vd in dirs:
+                    df = spark.read.parquet(vd)
+                    resid += df.join(fb, "doc_id", "left_semi").count()
+            rows.append(("lsh_residual", 0, 0, int(resid)))
+            rows.append(("lsh_versions", 0, 0, int(n_versions)))
+            idx_frame = spark.createDataFrame(
+                rows,
+                "entity string, rows_before long, rows_removed long, rows_after long",
+            )
+            out = table_audit.unionByName(idx_frame).orderBy("entity")
+            # table legs are lazy aggregates over in-memory frames; the
+            # index tempdir vanishes below, so materialize first
+            data = out.collect()
         return spark.createDataFrame(data, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -9034,6 +9034,13 @@ EXT_CHECKED_R11: tuple[str, ...] = (
 # (q98) — operator-diverse, each individually sub-second at gate SF.
 EXT_CHECKED_R12: tuple[str, ...] = ("q32", "q41", "q86", "q92", "q98")
 
+# R13 slice (rotation continues; R12's five texts bank their rows):
+# the household-size bucket probe (q34), the geo IN/OR zip rollup
+# (q45), the manager-series deviation window (q63), the
+# inventory-window item probe (q82), and the am/pm time-bucket ratio
+# (q90) — operator-diverse, each light at gate SF.
+EXT_CHECKED_R13: tuple[str, ...] = ("q34", "q45", "q63", "q82", "q90")
+
 
 def _sqltext_ext_checked_oracle() -> str:
     """DuckDB executes the SAME checked-window texts over the exported
@@ -9044,11 +9051,11 @@ def _sqltext_ext_checked_oracle() -> str:
 
     units = ",\n".join(
         f"u_{name} AS (SELECT count(*) AS c FROM (\n{CORPUS_EXT[name]}\n) t_{name})"
-        for name in sorted(EXT_CHECKED_R12)
+        for name in sorted(EXT_CHECKED_R13)
     )
     selects = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS unit_name, CAST(c AS BIGINT) AS n_rows FROM u_{name}"
-        for name in sorted(EXT_CHECKED_R12)
+        for name in sorted(EXT_CHECKED_R13)
     )
     return with_tables(f"WITH {units}\n{selects}\nORDER BY unit_name", *CORE_TABLES)
 
@@ -9056,7 +9063,7 @@ def _sqltext_ext_checked_oracle() -> str:
 @register("tpcds_sqltext_extended_checked", _sqltext_ext_checked_oracle())
 def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rotating checked MAINTENANCE slice of the extended
-    official-SQL-text corpus (EXT_CHECKED_R12 — see the rotation note
+    official-SQL-text corpus (EXT_CHECKED_R13 — see the rotation note
     at its definition). The 72/72 sweep COMPLETED in round 11 (every
     extended text holds a banked hard driver row, R8-R11 windows), so
     per VERDICT r11 directive #1 this window shrinks from the 12-text
@@ -9089,7 +9096,7 @@ def tpcds_sqltext_extended_checked(spark: SparkSession, sf_dir: str) -> DataFram
     ):
         units = [
             SqlUnit(name, CORPUS_EXT[name], parallel=1, repeats=1)
-            for name in sorted(EXT_CHECKED_R12)
+            for name in sorted(EXT_CHECKED_R13)
         ]
         results = run_workload(spark, units, unit_parallel=16, retries=1)
         out = (

@@ -785,6 +785,12 @@ def compact_postings_index(spark, path: str) -> dict:
             wm = None
         if wm is not None:
             _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
+        # same cadence folds the suppression ledger's per-forget files
+        from lakehouse_dba_tools_spark.operators.indexio import (
+            compact_forget_ledger,
+        )
+
+        compact_forget_ledger(spark, path)
     return out
 
 

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_dba_tools_spark.operators.indexio import (
     append_forget_ledger,
+    compact_forget_ledger,
     current_version_dir,
     filter_ledgered,
     heal,
@@ -227,6 +228,8 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
             "files_after": parquet_file_count(live),
             "rows": rows,
         }
+        # same cadence folds the suppression ledger's per-forget files
+        compact_forget_ledger(spark, path)
     spark.catalog.refreshByPath(live)
     return out
 

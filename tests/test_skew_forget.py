@@ -723,3 +723,48 @@ def test_replayed_ingest_cannot_resurrect_forgotten_docs(spark, sf_dir, tmp_path
         .count()
     )
     assert got == 0
+
+
+def test_forget_ledger_folds_on_compact_and_keeps_suppressing(
+    spark, sf_dir, tmp_path
+):
+    """compact_forget_ledger: successive forgets leave one ledger file
+    each; the family's compact folds them into one distinct file and
+    the suppression contract survives — a post-compact replay of a
+    forgotten doc is still dropped."""
+    import os
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        LEDGER_DIR,
+        current_version_dir,
+        read_forget_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path)
+    f1 = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    f2 = docs.filter(F.col("doc_id") % 11 == 3).select("doc_id")
+    forget_from_lsh_index(spark, path, f1)
+    forget_from_lsh_index(spark, path, f2)
+    ledger_dir = os.path.join(path, LEDGER_DIR)
+    n_files = lambda: sum(
+        1 for f in os.listdir(ledger_dir) if f.endswith(".parquet")
+    )
+    assert n_files() == 2
+    want_ids = {r["doc_id"] for r in f1.union(f2).collect()}
+    compact_lsh_index(spark, path)
+    assert n_files() == 1
+    got_ids = {r["doc_id"] for r in read_forget_ledger(spark, path).collect()}
+    assert got_ids == want_ids  # folding loses no forgotten id
+    # suppression still holds after the fold
+    replay = docs.join(f1, "doc_id", "left_semi").limit(3)
+    append_to_lsh_index(replay, path)
+    bands = spark.read.parquet(current_version_dir(f"{path}/bands"))
+    assert bands.filter(F.col("doc_id").isin(list(want_ids))).count() == 0

@@ -106,21 +106,21 @@ def main() -> None:
     spark = get_session(app_name="index-scale-run")
     if os.environ.get("SCALE_RUN_FORGET_ONLY"):
         # round-12 forget-vs-compact evidence without re-running the
-        # whole battery
-        forget = [run_forget_scale(spark, 5_000, passes),
-                  run_forget_scale(spark, 50_000, passes)]
-        a, b = forget
-        summary = {
-            "forget": forget,
-            "forget_over_compact": {
-                "lsh_1x": round(a["lsh_forget_sec"] / a["lsh_compact_sec"], 2),
-                "lsh_10x": round(b["lsh_forget_sec"] / b["lsh_compact_sec"], 2),
-                "bm25_1x": round(a["bm25_forget_sec"] / a["bm25_compact_sec"], 2),
-                "bm25_10x": round(b["bm25_forget_sec"] / b["bm25_compact_sec"], 2),
-                "ivf_1x": round(a["ivf_forget_sec"] / a["ivf_compact_sec"], 2),
-                "ivf_10x": round(b["ivf_forget_sec"] / b["ivf_compact_sec"], 2),
-            },
-        }
+        # whole battery. SCALE_RUN_FORGET_100X adds the 500k-doc tier
+        # (round-13 VERDICT directive #3): builds are minutes there, so
+        # the default stops at 10×.
+        tiers = [5_000, 50_000]
+        if os.environ.get("SCALE_RUN_FORGET_100X"):
+            tiers.append(500_000)
+        forget = [run_forget_scale(spark, n, passes) for n in tiers]
+        labels = ["1x", "10x", "100x"][: len(forget)]
+        ratios: dict = {}
+        for fam in ("lsh", "bm25", "ivf"):
+            for lab, tier in zip(labels, forget):
+                ratios[f"{fam}_{lab}"] = round(
+                    tier[f"{fam}_forget_sec"] / tier[f"{fam}_compact_sec"], 2
+                )
+        summary = {"forget": forget, "forget_over_compact": ratios}
         line = json.dumps(summary)
         print(line)
         if len(sys.argv) > 1:
