@@ -377,3 +377,26 @@ def test_reclaim_refuses_without_pointer(tmp_path):
         fh.write("maybe-the-only-copy")
     _reclaim(live, retain=0)
     assert os.path.exists(os.path.join(live + ".v0", "data.parquet"))
+
+
+def test_all_version_dirs_enumerates_and_vacuum_shrinks_to_current(tmp_path):
+    """all_version_dirs is the erasure-audit surface: it must see the
+    current version, retained superseded versions, AND never-published
+    debris; vacuum_versions must shrink it to exactly the current."""
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        all_version_dirs,
+        vacuum_versions,
+    )
+
+    live = str(tmp_path / "tbl")
+    v0 = _mk_version(live, "v0")
+    publish(live, v0)
+    v1 = _mk_version(live, "v1")
+    publish(live, v1)  # retains v0
+    debris = live + ".v9"
+    os.makedirs(debris)
+    got = all_version_dirs(live)
+    assert got == [v0, v1, debris]
+    vacuum_versions(live)
+    assert all_version_dirs(live) == [os.path.realpath(live)]
+    assert os.path.basename(os.path.realpath(live)) == "tbl.v1"
