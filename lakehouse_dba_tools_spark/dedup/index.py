@@ -75,6 +75,7 @@ from lakehouse_dba_tools_spark.operators.indexio import (
     compact_forget_ledger,
     current_version_dir,
     filter_ledgered,
+    read_forget_ledger,
     heal,
     init_versioned,
     parquet_file_count,
@@ -141,7 +142,12 @@ def build_lsh_index(
     seed: int = 42,
 ) -> dict:
     """Materialize the index from an initial corpus. Overwrites
-    ``path``. Returns the meta dict."""
+    ``path``. Builds honor the suppression ledger like appends do: a
+    periodic full REBUILD over the same path, fed a corpus snapshot
+    that predates an erasure, must not re-index the forgotten docs (a
+    backfill un-erasing is exactly what the ledger exists to prevent —
+    the scrubbed source of truth is the cascade's job, the ledger is
+    the index-side backstop). Returns the meta dict."""
     bk, sh, pinned = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
     meta: dict = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
                   "id_col": id_col, "text_col": text_col}
@@ -150,6 +156,11 @@ def build_lsh_index(
         sh_live = os.path.join(path, "shash")
         heal(bands_live)
         heal(sh_live)
+        # backfill-resurrection guard, under the lock (one ledger read
+        # filters both frames; no-op on a path with no forget history)
+        ledger = read_forget_ledger(docs.sparkSession, path)
+        bk = filter_ledgered(bk, path, id_col, ledger=ledger)
+        sh = filter_ledgered(sh, path, id_col, ledger=ledger)
         # shash is written FIRST so the bands version meta can NAME it
         # — the bands pointer flip is then the single atomic commit for
         # the two-table index (a crash or racing reader before that
@@ -258,9 +269,11 @@ def _append_rows(
         # re-append the forgotten docs' rows. The anti-join against
         # the suppression ledger runs UNDER the lock, so even a forget
         # landing between this batch's signing and its append is
-        # honored. No-op (no extra job) while no forget has ever run.
-        bk = filter_ledgered(bk, path, cur["id_col"])
-        sh = filter_ledgered(sh, path, cur["id_col"])
+        # honored. ONE ledger read filters both frames; no-op (no
+        # extra job) while no forget has ever run.
+        ledger = read_forget_ledger(spark, path)
+        bk = filter_ledgered(bk, path, cur["id_col"], ledger=ledger)
+        sh = filter_ledgered(sh, path, cur["id_col"], ledger=ledger)
         bk.write.mode("append").partitionBy("band_idx").parquet(
             current_version_dir(os.path.join(path, "bands"))
         )
@@ -298,10 +311,14 @@ def ingest_batch(
     Forget composition (the GDPR × replay corner): a batch doc whose
     id is in the suppression ledger — a redelivery of an epoch whose
     docs were forgotten AFTER the original delivery — is dropped
-    WHOLESALE before signing (and `_append_rows` re-filters under the
-    lock, catching a forget that lands mid-flight). Forget wins over
-    replay: the redelivered epoch re-indexes and reports only the
-    surviving docs."""
+    WHOLESALE before signing, so the redelivered epoch re-indexes and
+    reports only the surviving docs. A forget that lands MID-FLIGHT
+    (between this signing and the append taking the lock) is honored
+    where it matters — `_append_rows` re-filters under the lock, so
+    the INDEX can never resurrect — but the already-signed pair
+    report reflects the batch as of signing; callers that persist
+    pair reports re-scrub them on their own forget cadence like any
+    other derived table (`operators/forget.py cascade_delete`)."""
     bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
     docs = filter_ledgered(docs, path, m["id_col"])
     bk, sh, pinned = _index_rows(
@@ -496,9 +513,13 @@ def forget_from_lsh_index(
             {**{k: v for k, v in m.items() if k != "shash_dir"},
              "shash_dir": os.path.basename(sh_target)},
         )
+        # ledger BEFORE the pointer flips (indexio ordering contract):
+        # a published forget without a ledger entry would let a
+        # replayed epoch silently resurrect; the reverse crash is
+        # harmless (ids being deleted, retried forget completes)
+        append_forget_ledger(ids, path, m["id_col"])
         publish(sh_live, sh_target)
         publish(bands_live, bands_target)
-        append_forget_ledger(ids, path, m["id_col"])
         if erase:
             vacuum_versions(sh_live)
             vacuum_versions(bands_live)

@@ -248,9 +248,21 @@ def append_forget_ledger(ids, path: str, id_col: str) -> None:
     content — the minimal suppression-list record that keeps an
     erasure effective (standard GDPR practice: without it, any replay
     or backfill un-erases). ``erase=True`` forgets therefore do NOT
-    vacuum it. Caller holds the writer lock; the write appends one new
-    parquet file, so a ledger reader under a later lock always sees
-    complete files."""
+    vacuum it. Suppression is deliberately PERMANENT until an explicit
+    operator action: re-publishing content under a forgotten (or
+    recycled) id requires ``remove_from_forget_ledger`` first — the
+    conservative default for an erasure ledger, where silently
+    honoring a re-appearing id is the dangerous direction. Caller
+    holds the writer lock; the write appends one new parquet file, so
+    a ledger reader under a later lock always sees complete files.
+
+    ORDERING contract for the forget verbs: the ledger append runs
+    BEFORE the filtered version's pointer flip. A crash between the
+    two leaves a ledger entry whose forget never published — harmless
+    (the ids were being deleted; the retried forget completes it) —
+    whereas the reverse order would leave a PUBLISHED forget with no
+    replay protection: a redelivered pre-forget epoch would silently
+    resurrect the docs."""
     from pyspark.sql import functions as F
 
     target = os.path.join(path, LEDGER_DIR)
@@ -262,13 +274,21 @@ def append_forget_ledger(ids, path: str, id_col: str) -> None:
 def read_forget_ledger(spark, path: str):
     """The index's suppression ledger as a one-column DataFrame, or
     None when no forget has ever run (the common case — append paths
-    skip the anti-join entirely). The cached file listing is
-    invalidated first: a batch that read the ledger BEFORE a forget
-    appended to it would otherwise anti-join against the stale listing
-    and silently resurrect the newly-forgotten docs — the same shared
-    FileStatusCache hazard dedup/index.py `_refresh` documents."""
+    skip the anti-join entirely). A ledger DIRECTORY with no committed
+    parquet file (a write that died after mkdir but before commit —
+    only ``_temporary`` debris inside) also reads as None instead of
+    failing schema inference, so crash debris can never wedge every
+    subsequent verb on the index; the interrupted forget never
+    published, so there is nothing the debris was suppressing. The
+    cached file listing is invalidated before reading: a batch that
+    read the ledger BEFORE a forget appended to it would otherwise
+    anti-join against the stale listing and silently resurrect the
+    newly-forgotten docs — the same shared FileStatusCache hazard
+    dedup/index.py `_refresh` documents."""
     target = os.path.join(path, LEDGER_DIR)
-    if not os.path.isdir(target):
+    if not os.path.isdir(target) or not any(
+        f.endswith(".parquet") for f in os.listdir(target)
+    ):
         return None
     spark.catalog.refreshByPath(target)
     return spark.read.parquet(target)
@@ -313,14 +333,58 @@ def compact_forget_ledger(spark, path: str) -> int:
     return sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
 
 
-def filter_ledgered(df, path: str, id_col: str):
-    """Drop rows whose ``id_col`` is in the suppression ledger — the
-    replay-resurrection guard every append/ingest verb applies under
-    the writer lock. The ledger is broadcast (forget sets are tiny
-    next to any batch); no-op without a ledger."""
+def remove_from_forget_ledger(spark, path: str, ids) -> int:
+    """Re-consent / id-recycling verb: drop ``ids`` from the
+    suppression ledger so FUTURE appends of those ids index normally —
+    the explicit operator action a subject's re-published content
+    requires (suppression is otherwise permanent BY DESIGN: without an
+    explicit un-forget, every replayed or backfilled epoch must keep
+    losing to the erasure). Caller holds the writer lock.
+
+    Fails CLOSED under crashes, the safe direction for an erasure
+    ledger: the filtered consolidation is appended first, old files
+    removed after — until every old file is gone the union still
+    contains the id, so a crash leaves the id SUPPRESSED (retry
+    completes the removal), never un-suppressed by accident. Returns
+    the number of ledger rows remaining."""
     from pyspark.sql import functions as F
 
-    ledger = read_forget_ledger(df.sparkSession, path)
+    ledger = read_forget_ledger(spark, path)
+    if ledger is None:
+        return 0
+    target = os.path.join(path, LEDGER_DIR)
+    old = [
+        os.path.join(target, f)
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    ]
+    drop = F.broadcast(
+        ids.select(F.col(ids.columns[0]).alias("_led_id")).distinct()
+    )
+    kept = ledger.join(
+        drop, ledger[ledger.columns[0]] == drop["_led_id"], "left_anti"
+    ).distinct()
+    kept.coalesce(1).write.mode("append").parquet(target)
+    for f in old:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    spark.catalog.refreshByPath(target)
+    return spark.read.parquet(target).count()
+
+
+def filter_ledgered(df, path: str, id_col: str, ledger=None):
+    """Drop rows whose ``id_col`` is in the suppression ledger — the
+    replay-resurrection guard every append/ingest/build verb applies
+    under the writer lock. The ledger is broadcast (forget sets are
+    tiny next to any batch); no-op without a ledger. Pass a
+    pre-fetched ``ledger`` frame to filter several frames against ONE
+    read (the per-append pattern)."""
+    from pyspark.sql import functions as F
+
+    if ledger is None:
+        ledger = read_forget_ledger(df.sparkSession, path)
     if ledger is None:
         return df
     led = F.broadcast(
@@ -330,16 +394,12 @@ def filter_ledgered(df, path: str, id_col: str):
 
 
 def _newest_version(live: str) -> str | None:
-    """Highest-numbered sibling version directory of ``live``, or None."""
-    parent, base = os.path.dirname(live) or ".", os.path.basename(live)
-    best: tuple[int, str] | None = None
-    for name in os.listdir(parent) if os.path.isdir(parent) else ():
-        m = _VER_RE.search(name)
-        full = os.path.join(parent, name)
-        if name.startswith(base + ".v") and m and os.path.isdir(full):
-            if best is None or int(m.group(1)) > best[0]:
-                best = (int(m.group(1)), full)
-    return best[1] if best else None
+    """Highest-numbered sibling version directory of ``live``, or None
+    (one enumerator — all_version_dirs — owns the version-dir matching
+    rules, so the heal machinery and the erasure-audit surface can
+    never disagree about what counts as a version)."""
+    dirs = all_version_dirs(live)
+    return dirs[-1] if dirs else None
 
 
 def _reclaim(live: str, retain: int) -> None:

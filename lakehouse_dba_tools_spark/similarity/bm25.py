@@ -408,11 +408,8 @@ def append_to_postings_index(docs: DataFrame, path: str) -> None:
     # snapshot→publish window (it would otherwise be silently dropped
     # with the superseded version directory).
     with writer_lock(path):
-        # replay-resurrection guard: a redelivered epoch whose docs
-        # were forgotten since must not re-index them (forget wins —
-        # operators/indexio.py append_forget_ledger); no-op without a
-        # ledger
-        docs = filter_ledgered(docs, path, m["id_col"])
+        # replay/backfill-resurrection guard lives in _write_postings
+        # (one place for append AND fresh-build paths)
         _write_postings(docs, path, m["text_col"], m["id_col"], fresh=False)
         _heal_stale_tiers(docs.sparkSession, path, m["id_col"])
 
@@ -459,12 +456,22 @@ def _write_postings(
 
     from lakehouse_dba_tools_spark.operators.indexio import (
         current_version_dir,
+        filter_ledgered,
         heal,
         init_versioned,
         publish,
+        read_forget_ledger,
         write_version_meta,
     )
 
+    # Replay/backfill-resurrection guard for BOTH paths, under the
+    # caller's lock (operators/indexio.py append_forget_ledger): a
+    # redelivered epoch must not re-APPEND forgotten docs, and a full
+    # re-BUILD fed a corpus snapshot that predates an erasure must not
+    # re-index them. One ledger read filters both frames; no-op while
+    # the path has no forget history.
+    ledger = read_forget_ledger(docs.sparkSession, path)
+    docs = filter_ledgered(docs, path, id_col, ledger=ledger)
     postings = build_inverted_index(docs, text_col, id_col).repartitionByRange(
         "term"
     ).sortWithinPartitions("term")
@@ -899,6 +906,11 @@ def forget_from_postings_index(
             {"id_col": id_col, "text_col": bm["text_col"],
              "doclens_dir": os.path.basename(d_target)},
         )
+        # ledger BEFORE the pointer flips (indexio ordering contract):
+        # a published forget without a ledger entry would let a
+        # replayed epoch silently resurrect; the reverse crash is
+        # harmless (ids being deleted, retried forget completes)
+        append_forget_ledger(ids, path, id_col)
         publish(d_live, d_target)
         publish(p_live, p_target)
         out["postings"] = {
@@ -930,9 +942,6 @@ def forget_from_postings_index(
             wm = None
         if wm is not None:
             _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
-        # suppression ledger: make the forget durable against replayed
-        # epochs (ids only — see docstring)
-        append_forget_ledger(ids, path, id_col)
         if erase:
             # physical erasure AFTER the tier refreshes, so the
             # superseded tier versions (which still hold pre-forget

@@ -131,6 +131,10 @@ def build_ivf_index(
     with writer_lock(path):
         live = os.path.join(path, "lists")
         heal(live)
+        # backfill-resurrection guard, under the lock: a full rebuild
+        # fed a pre-erasure corpus snapshot must not re-index
+        # forgotten vectors (operators/indexio.py append_forget_ledger)
+        rows = filter_ledgered(rows, path, "neighbor_id")
         target = init_versioned(live)
         rows.write.mode("overwrite").partitionBy("cid").parquet(target)
         # the quantizer + cid manifest ride INSIDE the lists version
@@ -290,8 +294,9 @@ def forget_from_ivf_index(
         write_snapshot_table(kept, target, partition_by="cid")
         n_after = spark.read.parquet(target).count()
         write_version_meta(target, META_NAME, {**m, "cids": _list_cids(target)})
-        publish(live, target)
+        # ledger BEFORE the pointer flip (indexio ordering contract)
         append_forget_ledger(ids, path, m["id_col"])
+        publish(live, target)
         if erase:
             vacuum_versions(live)
         out = {

@@ -768,3 +768,97 @@ def test_forget_ledger_folds_on_compact_and_keeps_suppressing(
     append_to_lsh_index(replay, path)
     bands = spark.read.parquet(current_version_dir(f"{path}/bands"))
     assert bands.filter(F.col("doc_id").isin(list(want_ids))).count() == 0
+
+
+def test_builds_honor_ledger_and_reconsent_reopens(spark, sf_dir, tmp_path):
+    """Backfill-resurrection guard + the explicit un-forget: a full
+    REBUILD over the same path, fed a corpus snapshot that predates
+    the erasure, must not re-index forgotten docs (all three families'
+    build verbs anti-join the ledger under the lock); after the
+    explicit remove_from_forget_ledger (re-consent / id recycling),
+    the same build indexes them again."""
+    import os
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        current_version_dir,
+        read_forget_ledger,
+        remove_from_forget_ledger,
+        writer_lock,
+    )
+    from lakehouse_dba_tools_spark.similarity.bm25 import (
+        _postings_snapshot,
+        build_postings_index,
+        forget_from_postings_index,
+    )
+    from lakehouse_dba_tools_spark.similarity.index import (
+        build_ivf_index,
+        forget_from_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    forget = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id")
+    fids = {r["doc_id"] for r in forget.collect()}
+
+    lsh, bm, ivf = (str(tmp_path / n) for n in ("lsh", "bm", "ivf"))
+    build_lsh_index(docs, lsh)
+    build_postings_index(docs, bm)
+    build_ivf_index(emb, ivf, n_centroids=4)
+    forget_from_lsh_index(spark, lsh, forget)
+    forget_from_postings_index(spark, bm, forget)
+    forget_from_ivf_index(
+        spark, ivf, forget.withColumnRenamed("doc_id", "vec_id")
+    )
+
+    # the backfill: rebuild each index from the PRE-erasure corpus
+    build_lsh_index(docs, lsh)
+    build_postings_index(docs, bm)
+    build_ivf_index(emb, ivf, n_centroids=4)
+    bands = spark.read.parquet(current_version_dir(f"{lsh}/bands"))
+    assert bands.filter(F.col("doc_id").isin(list(fids))).count() == 0
+    p_dir, _ = _postings_snapshot(bm)
+    assert (
+        spark.read.parquet(p_dir).filter(F.col("doc_id").isin(list(fids))).count()
+        == 0
+    )
+    lists = spark.read.parquet(current_version_dir(f"{ivf}/lists"))
+    assert lists.filter(F.col("neighbor_id").isin(list(fids))).count() == 0
+
+    # re-consent: explicit removal reopens the ids for indexing
+    with writer_lock(lsh):
+        remaining = remove_from_forget_ledger(spark, lsh, forget)
+    assert remaining == 0
+    assert read_forget_ledger(spark, lsh) is None or (
+        read_forget_ledger(spark, lsh).count() == 0
+    )
+    build_lsh_index(docs, lsh)
+    bands = spark.read.parquet(current_version_dir(f"{lsh}/bands"))
+    assert bands.filter(F.col("doc_id").isin(list(fids))).count() > 0
+
+
+def test_empty_ledger_debris_does_not_wedge_the_index(spark, sf_dir, tmp_path):
+    """A ledger directory with no committed parquet (a write that died
+    after mkdir) must read as 'no ledger', not wedge every subsequent
+    verb on schema inference."""
+    import os
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        LEDGER_DIR,
+        read_forget_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs.filter(F.col("doc_id") < 20), path)
+    os.makedirs(os.path.join(path, LEDGER_DIR, "_temporary"), exist_ok=True)
+    assert read_forget_ledger(spark, path) is None
+    # append still works through the debris
+    append_to_lsh_index(docs.filter(F.col("doc_id") >= 20), path)
