@@ -374,6 +374,24 @@ def remove_from_forget_ledger(spark, path: str, ids) -> int:
     return spark.read.parquet(target).count()
 
 
+def describe_forget_ledger(spark, path: str) -> dict:
+    """DESCRIBE DETAIL analog for the suppression ledger: distinct
+    suppressed ids and on-disk file count (the fold-cadence signal —
+    compact folds to 1). {n_ids: 0, n_files: 0} when no forget has
+    ever run. Reads only; no lock (ledger files are append-complete
+    by the writer-lock discipline)."""
+    ledger = read_forget_ledger(spark, path)
+    if ledger is None:
+        return {"n_ids": 0, "n_files": 0}
+    target = os.path.join(path, LEDGER_DIR)
+    return {
+        "n_ids": ledger.distinct().count(),
+        "n_files": sum(
+            1 for f in os.listdir(target) if f.endswith(".parquet")
+        ),
+    }
+
+
 def filter_ledgered(df, path: str, id_col: str, ledger=None):
     """Drop rows whose ``id_col`` is in the suppression ledger — the
     replay-resurrection guard every append/ingest/build verb applies

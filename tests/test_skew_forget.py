@@ -862,3 +862,30 @@ def test_empty_ledger_debris_does_not_wedge_the_index(spark, sf_dir, tmp_path):
     assert read_forget_ledger(spark, path) is None
     # append still works through the debris
     append_to_lsh_index(docs.filter(F.col("doc_id") >= 20), path)
+
+
+def test_describe_forget_ledger_reports_ids_and_fold_state(
+    spark, sf_dir, tmp_path
+):
+    from lakehouse_dba_tools_spark.dedup.index import (
+        build_lsh_index,
+        compact_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        describe_forget_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path)
+    assert describe_forget_ledger(spark, path) == {"n_ids": 0, "n_files": 0}
+    f1 = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    f2 = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    forget_from_lsh_index(spark, path, f1)
+    forget_from_lsh_index(spark, path, f2)
+    d = describe_forget_ledger(spark, path)
+    assert d["n_files"] == 2 and d["n_ids"] == f1.count() + f2.count()
+    compact_lsh_index(spark, path)
+    d = describe_forget_ledger(spark, path)
+    assert d["n_files"] == 1 and d["n_ids"] == f1.count() + f2.count()
