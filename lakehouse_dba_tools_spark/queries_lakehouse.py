@@ -405,6 +405,114 @@ def gdpr_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ledger_reconsent_audit",
+    """
+    WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2),
+         a AS (SELECT doc_id FROM s WHERE doc_id % 30 = 2),
+         b AS (SELECT doc_id FROM s WHERE doc_id % 30 = 8)
+    SELECT 'built_rows' AS check_name,
+           (SELECT count(*) FROM s)::BIGINT AS value
+    UNION ALL
+    SELECT 'ledger_after_forget',
+           ((SELECT count(*) FROM a) + (SELECT count(*) FROM b))::BIGINT
+    UNION ALL
+    SELECT 'ledger_after_reconsent', (SELECT count(*) FROM a)::BIGINT
+    UNION ALL
+    SELECT 'post_forget_rows',
+           ((SELECT count(*) FROM s) - (SELECT count(*) FROM a)
+            - (SELECT count(*) FROM b))::BIGINT
+    UNION ALL
+    SELECT 'rebuilt_rows',
+           ((SELECT count(*) FROM s) - (SELECT count(*) FROM a))::BIGINT
+    UNION ALL
+    SELECT 'reindexed_b', (SELECT count(*) FROM b)::BIGINT
+    UNION ALL
+    SELECT 'residual_a', CAST(0 AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def ledger_reconsent_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suppression-ledger lifecycle under an oracle (round 13;
+    trailing — the verbs carry checked rows via index_forget_audit /
+    gdpr_erasure_e2e, and remove_from_forget_ledger is unit-pinned in
+    tests/test_skew_forget.py): forget two subject sets A and B
+    erase-grade, re-consent B (`indexio.remove_from_forget_ledger` —
+    the explicit un-forget a re-publishing subject or recycled id
+    space requires), then run the BACKFILL that makes the ledger earn
+    its keep — a full rebuild from the PRE-erasure corpus snapshot.
+    The audit pins: the rebuild re-indexes B (re-consented) while A
+    stays suppressed with zero residual rows across EVERY on-disk
+    version directory, and the ledger's distinct-id count steps
+    |A|+|B| → |A| through the re-consent. Scale shape: ledger counts
+    are tiny-frame aggregates; the rebuild is the ordinary build path
+    (ledger anti-join broadcast under the writer lock)."""
+    import shutil
+    import tempfile
+
+    from lakehouse_dba_tools_spark.dedup.index import (
+        DEFAULT_BANDS as _BANDS,
+        build_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        all_version_dirs,
+        current_version_dir,
+        describe_forget_ledger,
+        remove_from_forget_ledger,
+        writer_lock,
+    )
+    from lakehouse_dba_tools_spark.session import scoped_confs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 2)
+    set_a = docs.filter(F.col("doc_id") % 30 == 2).select("doc_id")
+    set_b = docs.filter(F.col("doc_id") % 30 == 8).select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="ledger_rc_")
+    try:
+        with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            lsh = f"{tmp}/lsh"
+            build_lsh_index(docs, lsh, bands=_BANDS)
+            shash = lambda: spark.read.parquet(
+                current_version_dir(f"{lsh}/shash")
+            )
+            rows = [("built_rows", shash().count())]
+            forget_from_lsh_index(
+                spark, lsh, set_a.unionByName(set_b), erase=True
+            )
+            rows.append(("post_forget_rows", shash().count()))
+            rows.append(
+                ("ledger_after_forget", describe_forget_ledger(spark, lsh)["n_ids"])
+            )
+            with writer_lock(lsh):
+                remove_from_forget_ledger(spark, lsh, set_b)
+            rows.append(
+                ("ledger_after_reconsent",
+                 describe_forget_ledger(spark, lsh)["n_ids"])
+            )
+            # the backfill: rebuild from the PRE-erasure corpus
+            build_lsh_index(docs, lsh, bands=_BANDS)
+            rows.append(("rebuilt_rows", shash().count()))
+            fa = F.broadcast(set_a)
+            resid = 0
+            for t in ("bands", "shash"):
+                for vd in all_version_dirs(f"{lsh}/{t}"):
+                    resid += (
+                        spark.read.parquet(vd)
+                        .join(fa, "doc_id", "left_semi")
+                        .count()
+                    )
+            rows.append(("residual_a", resid))
+            rows.append(
+                ("reindexed_b",
+                 shash().join(F.broadcast(set_b), "doc_id", "left_semi").count())
+            )
+        return spark.createDataFrame(
+            rows, "check_name string, value long"
+        ).orderBy("check_name")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "incremental_rollup_refresh",
     """
     SELECT event_type, count(*) AS n_rows,
