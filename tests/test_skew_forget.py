@@ -889,3 +889,53 @@ def test_describe_forget_ledger_reports_ids_and_fold_state(
     compact_lsh_index(spark, path)
     d = describe_forget_ledger(spark, path)
     assert d["n_files"] == 1 and d["n_ids"] == f1.count() + f2.count()
+
+
+def test_ledger_before_publish_crash_direction_is_harmless(
+    spark, sf_dir, tmp_path
+):
+    """The ordering contract's crash story (indexio
+    append_forget_ledger): the ledger append runs BEFORE the pointer
+    flip, so the only possible crash residue is a ledger entry whose
+    forget never published. Pin that this residue is harmless exactly
+    as documented — the ids are suppressed from appends immediately
+    (fail-closed, the safe direction), and the RETRIED forget
+    completes normally, leaving the index row-equal to a fresh build
+    from the survivors."""
+    from lakehouse_dba_tools_spark.dedup.index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        forget_from_lsh_index,
+    )
+    from lakehouse_dba_tools_spark.operators.indexio import (
+        append_forget_ledger,
+        current_version_dir,
+        writer_lock,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    forget = docs.filter(F.col("doc_id") % 9 == 4).select("doc_id")
+    fids = {r["doc_id"] for r in forget.collect()}
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path)
+    # simulate the crash: ledger written under the lock, publish never
+    # happened (the forget verb died right after the ledger append)
+    with writer_lock(path):
+        append_forget_ledger(forget, path, "doc_id")
+    # rows are still live (the forget never published) ...
+    bands = spark.read.parquet(current_version_dir(f"{path}/bands"))
+    assert bands.filter(F.col("doc_id").isin(list(fids))).count() > 0
+    # ... but appends already fail CLOSED against the residue
+    append_to_lsh_index(docs.filter(F.col("doc_id").isin(list(fids))).limit(2), path)
+    bands = spark.read.parquet(current_version_dir(f"{path}/bands"))
+    n_live = bands.filter(F.col("doc_id").isin(list(fids))).count()
+    assert n_live == 16 * len(fids)  # nothing re-appended on top
+    # the retried forget completes and equals a fresh survivor build
+    rep = forget_from_lsh_index(spark, path, forget)
+    assert rep["shash"]["rows_removed"] == len(fids)
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(docs.join(forget, "doc_id", "left_anti"), fresh)
+    for t in ("bands", "shash"):
+        got = spark.read.parquet(current_version_dir(f"{path}/{t}"))
+        want = spark.read.parquet(current_version_dir(f"{fresh}/{t}"))
+        assert _rowset(got) == _rowset(want), t
