@@ -6,10 +6,13 @@ pipeline (alongside dedup/quality/langid in queries_text.py): flag
 training docs that leak benchmark n-grams, score intra-document
 repetition (Gopher-style rep filters), scrub PII spans, and assign a
 seeded deterministic global shuffle order. All single-pass column
-algebra or broadcast joins — no UDFs. Each has a DuckDB oracle;
-registered after the checked-50 (their building blocks — shingling,
-regex extraction, window ranking — are carried by checked queries),
-verified by tools/diffcheck.py every round.
+algebra or broadcast joins — no UDFs. Each has a DuckDB oracle and is
+verified by tools/diffcheck.py every round; which members sit inside
+the checked 50 at any given round is registry.py's CHECKED_FIRST
+business (several promoted over rounds 11-12: decontamination, the
+split audits, the mixture planner, the epoch/pack chain, the e2e
+pipeline), and the rest trail with their building blocks — shingling,
+regex extraction, window ranking — carried by checked queries.
 """
 
 from __future__ import annotations
