@@ -459,6 +459,41 @@ def _reclaim(live: str, retain: int) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@contextmanager
+def pinned_for_write(*dfs):
+    """Pin frames that feed a range-clustered write (or any multi-job
+    writer verb).
+
+    ``repartitionByRange`` plans a SEPARATE bounds-sampling job over
+    its full child (Spark's RangePartitioner samples before the real
+    exchange), so an expensive child lineage — tokenize + explode +
+    aggregate, window chains, broadcast anti-joins — executes once for
+    the sample and AGAIN for the write; a frame additionally consumed
+    by a stats collect pays a third full pass. Pinning
+    (MEMORY_AND_DISK: spills, never OOMs) makes the first consumer
+    materialize the cache and every later consumer read it back — one
+    lineage execution per verb instead of two or three. The pins are
+    released when the block exits, so nothing outlives the writer verb
+    (the same cache-hygiene contract as the query carriers' ``caches``
+    lists; SQL-cache entries are not GC'd).
+
+    Scale note: the pinned frames are the index TABLES being written —
+    aggregated postings, champion slices, deduped lists — which are
+    orders of magnitude smaller than the corpus they derive from, and
+    each is written to disk immediately afterwards anyway; the pin
+    trades one transient spillable copy for a full recompute of the
+    lineage (at 100 TB: a second tokenize+shuffle pass over the batch).
+    """
+    from pyspark import StorageLevel
+
+    ps = [d.persist(StorageLevel.MEMORY_AND_DISK) for d in dfs]
+    try:
+        yield ps[0] if len(ps) == 1 else ps
+    finally:
+        for p in ps:
+            p.unpersist()
+
+
 def write_snapshot_table(
     df,
     target: str,

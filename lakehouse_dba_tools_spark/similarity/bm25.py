@@ -459,6 +459,7 @@ def _write_postings(
         filter_ledgered,
         heal,
         init_versioned,
+        pinned_for_write,
         publish,
         read_forget_ledger,
         write_version_meta,
@@ -472,37 +473,40 @@ def _write_postings(
     # the path has no forget history.
     ledger = read_forget_ledger(docs.sparkSession, path)
     docs = filter_ledgered(docs, path, id_col, ledger=ledger)
-    postings = build_inverted_index(docs, text_col, id_col).repartitionByRange(
-        "term"
-    ).sortWithinPartitions("term")
-    doclens = docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl"))
-    p_live = os.path.join(path, "postings")
-    d_live = os.path.join(path, "doclens")
-    if fresh:
-        heal(p_live)
-        heal(d_live)
-        # doclens first so the postings version meta can NAME it — the
-        # postings pointer flip is then the single atomic commit for
-        # the two-table pair (_postings_snapshot)
-        d_target = init_versioned(d_live)
-        doclens.write.mode("overwrite").parquet(d_target)
-        p_target = init_versioned(p_live)
-        postings.write.mode("overwrite").parquet(p_target)
-        write_version_meta(
-            p_target, POSTINGS_META,
-            {"id_col": id_col, "text_col": text_col,
-             "doclens_dir": os.path.basename(d_target)},
-        )
-        publish(d_live, d_target)
-        publish(p_live, p_target)
-    else:
-        # appends are additive (new files only) into the RESOLVED
-        # current pair (the lock pins the pointer; doclens goes into
-        # the version the postings snapshot NAMES) — readers racing
-        # one see a prefix, the standard parquet-append visibility
-        p_dir, d_dir = _postings_snapshot(path)
-        postings.write.mode("append").parquet(p_dir)
-        doclens.write.mode("append").parquet(d_dir)
+    # pin the aggregated postings: the range write's bounds-sampling
+    # job would otherwise run the tokenize+explode+aggregate lineage a
+    # second time (indexio.pinned_for_write)
+    with pinned_for_write(build_inverted_index(docs, text_col, id_col)) as agg:
+        postings = agg.repartitionByRange("term").sortWithinPartitions("term")
+        doclens = docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl"))
+        p_live = os.path.join(path, "postings")
+        d_live = os.path.join(path, "doclens")
+        if fresh:
+            heal(p_live)
+            heal(d_live)
+            # doclens first so the postings version meta can NAME it —
+            # the postings pointer flip is then the single atomic
+            # commit for the two-table pair (_postings_snapshot)
+            d_target = init_versioned(d_live)
+            doclens.write.mode("overwrite").parquet(d_target)
+            p_target = init_versioned(p_live)
+            postings.write.mode("overwrite").parquet(p_target)
+            write_version_meta(
+                p_target, POSTINGS_META,
+                {"id_col": id_col, "text_col": text_col,
+                 "doclens_dir": os.path.basename(d_target)},
+            )
+            publish(d_live, d_target)
+            publish(p_live, p_target)
+        else:
+            # appends are additive (new files only) into the RESOLVED
+            # current pair (the lock pins the pointer; doclens goes
+            # into the version the postings snapshot NAMES) — readers
+            # racing one see a prefix, the standard parquet-append
+            # visibility
+            p_dir, d_dir = _postings_snapshot(path)
+            postings.write.mode("append").parquet(p_dir)
+            doclens.write.mode("append").parquet(d_dir)
     # invalidate cached file listings (same stale-snapshot class as
     # dedup/index.py _refresh)
     for sub in ("postings", "doclens"):
@@ -569,61 +573,71 @@ def _refresh_champions(
         .drop("_rn", "_pid")
     )
     w2 = Window.partitionBy("term").orderBy(F.desc("_imp"), F.col(id_col))
-    champs_imp = pre.withColumn("_rn", F.row_number().over(w2)).filter(
-        F.col("_rn") <= champion_n
-    )
-    champs = (
-        champs_imp.drop("_rn", "_imp")
-        .repartitionByRange("term")
-        .sortWithinPartitions("term")
-    )
-    tstats = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .repartitionByRange("term")
-        .sortWithinPartitions("term")
-    )
-    # Regime gauge (one tiny agg over the kept slice): among terms the
-    # tier TRUNCATES (df > champion_n), what fraction have their
-    # champion_n-th impact equal to their 1st? Near 1.0 the ordering is
-    # tie-broken, not impact-driven — the multi-term approximation has
-    # no signal to keep, and the scorer warns (enforcing the measured
-    # SCALE.md flat-fixture honesty note as API behavior).
-    flat_row = (
-        champs_imp.groupBy("term")
-        .agg(F.max("_imp").alias("_mx"), F.min("_imp").alias("_mn"))
-        .join(F.broadcast(tstats), "term")
-        .filter(F.col("df") > champion_n)
-        .agg(
-            F.count("*").alias("trunc"),
-            F.sum((F.col("_mx") == F.col("_mn")).cast("long")).alias("flat"),
+    # pin the two frames consumed by several jobs each: champs_imp (the
+    # two-level window chain) feeds the flatness gauge, the range
+    # write's bounds sample, and the write itself; tstats (scan + agg)
+    # feeds the gauge's broadcast and its own sampled range write —
+    # without the pins the window chain executes 3× and the agg 3×
+    # per refresh (indexio.pinned_for_write)
+    from lakehouse_dba_tools_spark.operators.indexio import pinned_for_write
+
+    with pinned_for_write(
+        pre.withColumn("_rn", F.row_number().over(w2)).filter(
+            F.col("_rn") <= champion_n
+        ),
+        postings.groupBy("term").agg(F.count("*").alias("df")),
+    ) as (champs_imp, tstats):
+        champs = (
+            champs_imp.drop("_rn", "_imp")
+            .repartitionByRange("term")
+            .sortWithinPartitions("term")
         )
-        .collect()[0]
-    )
-    trunc = int(flat_row["trunc"] or 0)
-    flatness = float(flat_row["flat"] or 0) / trunc if trunc else 0.0
-    meta = {
-        "champion_n": champion_n,
-        "n_docs": n_docs,
-        "avgdl": avgdl,
-        "k1": k1,
-        "b": b,
-        "impact_flatness": round(flatness, 4),
-        # provenance stamp: the postings VERSION this tier was derived
-        # from — readers verify it against the current postings
-        # snapshot (_check_tier_stamp), closing the crash window
-        # between a forget/compact's postings publish and this refresh
-        "postings_dir": os.path.basename(p_dir),
-    }
-    live = os.path.join(path, "champions")
-    heal(live)
-    target = init_versioned(live)
-    champs.write.mode("overwrite").parquet(target)
-    # exact df + the ordering stats ride INSIDE the version dir — the
-    # single pointer flip below publishes tier + df + stats atomically
-    tstats.write.mode("overwrite").parquet(os.path.join(target, "_termstats"))
-    write_version_meta(target, CHAMP_META, meta)
-    publish(live, target)
+        # Regime gauge (one tiny agg over the kept slice): among terms
+        # the tier TRUNCATES (df > champion_n), what fraction have their
+        # champion_n-th impact equal to their 1st? Near 1.0 the ordering
+        # is tie-broken, not impact-driven — the multi-term
+        # approximation has no signal to keep, and the scorer warns
+        # (enforcing the measured SCALE.md flat-fixture honesty note as
+        # API behavior).
+        flat_row = (
+            champs_imp.groupBy("term")
+            .agg(F.max("_imp").alias("_mx"), F.min("_imp").alias("_mn"))
+            .join(F.broadcast(tstats), "term")
+            .filter(F.col("df") > champion_n)
+            .agg(
+                F.count("*").alias("trunc"),
+                F.sum((F.col("_mx") == F.col("_mn")).cast("long")).alias("flat"),
+            )
+            .collect()[0]
+        )
+        trunc = int(flat_row["trunc"] or 0)
+        flatness = float(flat_row["flat"] or 0) / trunc if trunc else 0.0
+        meta = {
+            "champion_n": champion_n,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "k1": k1,
+            "b": b,
+            "impact_flatness": round(flatness, 4),
+            # provenance stamp: the postings VERSION this tier was
+            # derived from — readers verify it against the current
+            # postings snapshot (_check_tier_stamp), closing the crash
+            # window between a forget/compact's postings publish and
+            # this refresh
+            "postings_dir": os.path.basename(p_dir),
+        }
+        live = os.path.join(path, "champions")
+        heal(live)
+        target = init_versioned(live)
+        champs.write.mode("overwrite").parquet(target)
+        # exact df + the ordering stats ride INSIDE the version dir —
+        # the single pointer flip below publishes tier + df + stats
+        # atomically
+        tstats.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(target, "_termstats"))
+        write_version_meta(target, CHAMP_META, meta)
+        publish(live, target)
     spark.catalog.refreshByPath(live)
     spark.catalog.refreshByPath(current_version_dir(live))
 
@@ -657,47 +671,58 @@ def _refresh_wand(
     row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
-    blocked = postings.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(wand_buckets)).cast("int")
-    )
-    # sort (term, bucket): the query's pushed term IN-filter prunes row
-    # groups exactly like the exact path, and within a term's range the
-    # surviving-bucket IN-filter prunes again — pruned buckets are
-    # skipped I/O, not just skipped compute
-    blocked_sorted = blocked.repartitionByRange(
-        "term", "bucket"
-    ).sortWithinPartitions("term", "bucket")
-    # ≤ one row per (term, bucket) pair with postings; term-sorted so
-    # the plan's term IN-filter row-group-skips it like the postings
-    # (at 100 TB this table is millions of rows, never collected whole
-    # — a query collects only its ≤ |terms| × wand_buckets slice)
-    bmax = (
-        blocked.withColumn("_imp", _impact(k1, b, avgdl))
-        .groupBy("term", "bucket")
-        .agg(F.max("_imp").alias("max_imp"), F.count("*").alias("n_docs"))
-        .repartitionByRange("term")
-        .sortWithinPartitions("term", "bucket")
-    )
+    from lakehouse_dba_tools_spark.operators.indexio import pinned_for_write
 
-    live = os.path.join(path, "blocked")
-    heal(live)
-    target = init_versioned(live)
-    blocked_sorted.write.mode("overwrite").parquet(target)
-    bmax.write.mode("overwrite").parquet(os.path.join(target, "_blockmax"))
-    write_version_meta(
-        target,
-        WAND_META,
-        {
-            "wand_buckets": wand_buckets,
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-            "k1": k1,
-            "b": b,
-            # provenance stamp — see _refresh_champions / _check_tier_stamp
-            "postings_dir": os.path.basename(p_dir),
-        },
-    )
-    publish(live, target)
+    # pin the bucketed postings: they feed two sampled range writes
+    # (the tier itself and the _blockmax sidecar's aggregate), each of
+    # which would otherwise re-run the dedup shuffle + scan lineage
+    # (indexio.pinned_for_write)
+    with pinned_for_write(
+        postings.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(wand_buckets)).cast("int"),
+        )
+    ) as blocked:
+        # sort (term, bucket): the query's pushed term IN-filter prunes
+        # row groups exactly like the exact path, and within a term's
+        # range the surviving-bucket IN-filter prunes again — pruned
+        # buckets are skipped I/O, not just skipped compute
+        blocked_sorted = blocked.repartitionByRange(
+            "term", "bucket"
+        ).sortWithinPartitions("term", "bucket")
+        # ≤ one row per (term, bucket) pair with postings; term-sorted
+        # so the plan's term IN-filter row-group-skips it like the
+        # postings (at 100 TB this table is millions of rows, never
+        # collected whole — a query collects only its ≤ |terms| ×
+        # wand_buckets slice)
+        bmax = (
+            blocked.withColumn("_imp", _impact(k1, b, avgdl))
+            .groupBy("term", "bucket")
+            .agg(F.max("_imp").alias("max_imp"), F.count("*").alias("n_docs"))
+            .repartitionByRange("term")
+            .sortWithinPartitions("term", "bucket")
+        )
+
+        live = os.path.join(path, "blocked")
+        heal(live)
+        target = init_versioned(live)
+        blocked_sorted.write.mode("overwrite").parquet(target)
+        bmax.write.mode("overwrite").parquet(os.path.join(target, "_blockmax"))
+        write_version_meta(
+            target,
+            WAND_META,
+            {
+                "wand_buckets": wand_buckets,
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "k1": k1,
+                "b": b,
+                # provenance stamp — see _refresh_champions /
+                # _check_tier_stamp
+                "postings_dir": os.path.basename(p_dir),
+            },
+        )
+        publish(live, target)
     spark.catalog.refreshByPath(live)
     spark.catalog.refreshByPath(current_version_dir(live))
 
@@ -746,14 +771,20 @@ def compact_postings_index(spark, path: str) -> dict:
         d_rows = spark.read.parquet(d_target).count()
 
         p_before = parquet_file_count(p_live)
-        p_df = (
-            spark.read.parquet(src_p)
-            .dropDuplicates(["term", id_col])
-            .repartitionByRange("term")
-            .sortWithinPartitions("term")
+        # pin the deduped postings: the range write's bounds sample
+        # would otherwise re-run the dropDuplicates shuffle
+        # (indexio.pinned_for_write)
+        from lakehouse_dba_tools_spark.operators.indexio import (
+            pinned_for_write,
         )
+
         p_target = init_versioned(p_live)
-        p_df.write.mode("overwrite").parquet(p_target)
+        with pinned_for_write(
+            spark.read.parquet(src_p).dropDuplicates(["term", id_col])
+        ) as p_dedup:
+            p_dedup.repartitionByRange("term").sortWithinPartitions(
+                "term"
+            ).write.mode("overwrite").parquet(p_target)
         write_version_meta(
             p_target, POSTINGS_META,
             {"id_col": id_col, "text_col": bm["text_col"],
@@ -893,13 +924,22 @@ def forget_from_postings_index(
         d_after = spark.read.parquet(d_target).count()
 
         p_src = spark.read.parquet(src_p)
-        p_kept = p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
         p_before = p_src.count()
         p_target = init_versioned(p_live)
-        write_snapshot_table(
-            p_kept.repartitionByRange("term").sortWithinPartitions("term"),
-            p_target,
+        # pin the anti-joined survivors: the range write's bounds
+        # sample would otherwise run the anti-join scan twice
+        # (indexio.pinned_for_write)
+        from lakehouse_dba_tools_spark.operators.indexio import (
+            pinned_for_write,
         )
+
+        with pinned_for_write(
+            p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
+        ) as p_kept:
+            write_snapshot_table(
+                p_kept.repartitionByRange("term").sortWithinPartitions("term"),
+                p_target,
+            )
         p_after = spark.read.parquet(p_target).count()
         write_version_meta(
             p_target, POSTINGS_META,
