@@ -168,22 +168,41 @@ def forget_from_indexes(
             "(or wrong rows) wherever the two spaces differ. If your "
             "pipeline shares one id space, pass vector_ids=forget_ids."
         )
-    rows: list[tuple] = []
+    # The family verbs are INDEPENDENT (separate paths, separate locks,
+    # shared-nothing writes): overlap them from driver threads so each
+    # family's job tail back-fills the others' idle executors instead
+    # of serializing three straggler tails (indexio.overlap_jobs). Row
+    # assembly below keeps the sequential form's deterministic order.
+    from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+    thunks, kinds = [], []
     if lsh_path is not None:
-        for table, r in sorted(
-            forget_from_lsh_index(spark, lsh_path, forget_ids, erase=erase).items()
-        ):
-            rows.append(("lsh", table, r["rows_before"], r["rows_removed"], r["rows_after"]))
+        thunks.append(
+            lambda: forget_from_lsh_index(spark, lsh_path, forget_ids, erase=erase)
+        )
+        kinds.append("lsh")
     if bm25_path is not None:
-        for table, r in sorted(
-            forget_from_postings_index(
+        thunks.append(
+            lambda: forget_from_postings_index(
                 spark, bm25_path, forget_ids, erase=erase
-            ).items()
-        ):
-            rows.append(("bm25", table, r["rows_before"], r["rows_removed"], r["rows_after"]))
+            )
+        )
+        kinds.append("bm25")
     if ivf_path is not None:
-        r = forget_from_ivf_index(spark, ivf_path, vector_ids, erase=erase)
-        rows.append(("ivf", "lists", r["rows_before"], r["rows_removed"], r["rows_after"]))
+        thunks.append(
+            lambda: forget_from_ivf_index(spark, ivf_path, vector_ids, erase=erase)
+        )
+        kinds.append("ivf")
+    results = overlap_jobs(*thunks) if thunks else []
+    rows: list[tuple] = []
+    for kind, res in zip(kinds, results):
+        if kind == "ivf":
+            rows.append(("ivf", "lists", res["rows_before"],
+                         res["rows_removed"], res["rows_after"]))
+        else:
+            for table, r in sorted(res.items()):
+                rows.append((kind, table, r["rows_before"],
+                             r["rows_removed"], r["rows_after"]))
     return spark.createDataFrame(
         rows,
         "index_name string, table_name string, rows_before long, "

@@ -494,6 +494,32 @@ def pinned_for_write(*dfs):
             p.unpersist()
 
 
+def overlap_jobs(*thunks):
+    """Run independent Spark-action thunks from driver threads and
+    return their results in call order.
+
+    Spark's scheduler runs jobs from several driver threads at once;
+    actions are only sequential because driver code calls them
+    sequentially. A lifecycle verb that touches several INDEPENDENT
+    index families (or proof queries over different tables) otherwise
+    leaves most executors idle during each job's straggler tail — the
+    next family's tasks back-fill the freed slots instead. FIFO
+    scheduling keeps the first job's resource priority, which is
+    exactly the back-fill behavior wanted; results are deterministic
+    because each thunk is (the thunks share no mutable state and each
+    family verb locks its own path). A thunk's exception propagates to
+    the caller like the sequential form's would — after the pool
+    drains, so no family is left mid-write by a sibling's failure.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def write_snapshot_table(
     df,
     target: str,

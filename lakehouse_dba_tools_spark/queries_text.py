@@ -1483,15 +1483,26 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB the same lifecycle runs under the session default
     try:
         with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
+            from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
             lsh, bm, ivf = f"{tmp}/lsh", f"{tmp}/bm25", f"{tmp}/ivf"
-            # bands passed explicitly: the oracle's band-row arithmetic
-            # derives from the SAME DEFAULT_BANDS constant, so the
-            # coupling is visible at both sites (round-12 ADVICE)
-            build_lsh_index(docs, lsh, bands=DEFAULT_BANDS)
-            # champion_n = slice size covers every survivor df → the
-            # tier is provably exact for any query over this corpus
-            build_postings_index(docs, bm, champion_n=int(docs.count()))
-            build_ivf_index(emb, ivf, n_centroids=8)
+            # The three family builds are independent (separate paths/
+            # locks) — overlap them from driver threads so each build's
+            # straggler tail back-fills the others (indexio.overlap_jobs;
+            # guide §2.6). champion_n's count runs first: it is
+            # metadata-cheap and keeps the bm25 thunk self-contained.
+            n_docs_slice = int(docs.count())
+            overlap_jobs(
+                # bands passed explicitly: the oracle's band-row
+                # arithmetic derives from the SAME DEFAULT_BANDS
+                # constant, so the coupling is visible at both sites
+                # (round-12 ADVICE)
+                lambda: build_lsh_index(docs, lsh, bands=DEFAULT_BANDS),
+                # champion_n = slice size covers every survivor df → the
+                # tier is provably exact for any query over this corpus
+                lambda: build_postings_index(docs, bm, champion_n=n_docs_slice),
+                lambda: build_ivf_index(emb, ivf, n_centroids=8),
+            )
             audit = forget_from_indexes(
                 spark,
                 forget_docs.select("doc_id"),
@@ -1507,27 +1518,40 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      int(r["rows_after"]), float(r["rows_removed"]))
                 )
 
-            for part, mode in (
-                ("bm25_exact", "exact"),
-                ("bm25_champ", "champions"),
-            ):
+            # The four post-forget proof queries read DISJOINT published
+            # snapshots — overlap their bounded collects (guide §2.6);
+            # rows are appended afterwards in the sequential order.
+            def _bm25_rows(mode):
                 res = query_postings_index(spark, bm, _BM25_QUERY, k=10, mode=mode)
-                for rnk, r in enumerate(res.collect(), 1):  # ≤k rows, ordered
+                return res.collect()  # ≤k rows, ordered
+
+            def _lsh_rows():
+                probe = query_lsh_index(
+                    spark, forget_docs, lsh, threshold=0.5, caches=caches
+                )
+                return probe.select("id_a", "id_b", "jaccard").collect()
+
+            def _ivf_rows():
+                q = emb.filter(
+                    (F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 40)
+                ).select(F.col("vec_id").alias("query_id"), "embedding")
+                return query_ivf_index(spark, q, ivf, k=3, nprobe=8).collect()
+
+            exact_r, champ_r, lsh_r, ivf_r = overlap_jobs(
+                lambda: _bm25_rows("exact"),
+                lambda: _bm25_rows("champions"),
+                _lsh_rows,
+                _ivf_rows,
+            )
+            for part, got in (("bm25_exact", exact_r), ("bm25_champ", champ_r)):
+                for rnk, r in enumerate(got, 1):
                     rows.append(
                         (part, rnk, int(r["doc_id"]), -1, float(r["bm25_score"]))
                     )
-
-            probe = query_lsh_index(
-                spark, forget_docs, lsh, threshold=0.5, caches=caches
-            )
-            for r in probe.select("id_a", "id_b", "jaccard").collect():
+            for r in lsh_r:
                 rows.append(("lsh_pairs", int(r["id_a"]), int(r["id_b"]), -1,
                              float(r["jaccard"])))
-
-            q = emb.filter(
-                (F.col("vec_id") % 3 != 0) & (F.col("vec_id") < 40)
-            ).select(F.col("vec_id").alias("query_id"), "embedding")
-            for r in query_ivf_index(spark, q, ivf, k=3, nprobe=8).collect():
+            for r in ivf_r:
                 rows.append(("ivf_topk", int(r["query_id"]), int(r["rank"]),
                              int(r["neighbor_id"]), float(r["sim"])))
 
@@ -1544,10 +1568,6 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             champ_dir, _ = _champ_snapshot(bm)
             fd = F.broadcast(forget_docs.select("doc_id").distinct())
             fv = F.broadcast(forget_vecs.distinct())
-            rows.append(
-                ("rows_bm25_champions", -1, -1,
-                 spark.read.parquet(champ_dir).count(), 0.0)
-            )
 
             def _resid(lives, col, ids):
                 frames = [
@@ -1566,16 +1586,18 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_lives = [f"{lsh}/bands", f"{lsh}/shash"]
             bm_lives = [f"{bm}/postings", f"{bm}/doclens", f"{bm}/champions"]
             ivf_lives = [f"{ivf}/lists"]
-            rows.append(
-                ("residual_lsh", -1, -1, -1, float(_resid(lsh_lives, "doc_id", fd)))
+            # the champions count + three per-family residual counts are
+            # independent bounded jobs — overlap them too (§2.6)
+            champ_n, r_lsh, r_bm, r_ivf = overlap_jobs(
+                lambda: spark.read.parquet(champ_dir).count(),
+                lambda: _resid(lsh_lives, "doc_id", fd),
+                lambda: _resid(bm_lives, "doc_id", fd),
+                lambda: _resid(ivf_lives, "neighbor_id", fv),
             )
-            rows.append(
-                ("residual_bm25", -1, -1, -1, float(_resid(bm_lives, "doc_id", fd)))
-            )
-            rows.append(
-                ("residual_ivf", -1, -1, -1,
-                 float(_resid(ivf_lives, "neighbor_id", fv)))
-            )
+            rows.append(("rows_bm25_champions", -1, -1, champ_n, 0.0))
+            rows.append(("residual_lsh", -1, -1, -1, float(r_lsh)))
+            rows.append(("residual_bm25", -1, -1, -1, float(r_bm)))
+            rows.append(("residual_ivf", -1, -1, -1, float(r_ivf)))
             for fam, lives in (
                 ("bm25", bm_lives), ("ivf", ivf_lives), ("lsh", lsh_lives)
             ):
