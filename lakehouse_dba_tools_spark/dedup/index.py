@@ -78,6 +78,7 @@ from lakehouse_dba_tools_spark.operators.indexio import (
     read_forget_ledger,
     heal,
     init_versioned,
+    overlap_jobs,
     parquet_file_count,
     publish,
     snapshot_meta,
@@ -161,26 +162,36 @@ def build_lsh_index(
         ledger = read_forget_ledger(docs.sparkSession, path)
         bk = filter_ledgered(bk, path, id_col, ledger=ledger)
         sh = filter_ledgered(sh, path, id_col, ledger=ledger)
-        # shash is written FIRST so the bands version meta can NAME it
-        # — the bands pointer flip is then the single atomic commit for
-        # the two-table index (a crash or racing reader before that
-        # flip still resolves the OLD bands meta, which names the OLD,
+        # the shash version is NAMED by the bands meta — the bands
+        # pointer flip is then the single atomic commit for the
+        # two-table index (a crash or racing reader before that flip
+        # still resolves the OLD bands meta, which names the OLD,
         # retained shash version; tables from different builds can
-        # never pair silently)
+        # never pair silently). Naming needs only the target PATH, so
+        # the two table writes are independent jobs — overlapped from
+        # driver threads (indexio.overlap_jobs): each write's straggler
+        # tail back-fills the other's idle executors, and both consume
+        # the same pinned shingle pass. Publishes stay ordered after
+        # both complete, so the commit semantics are unchanged (a crash
+        # mid-writes leaves orphan version dirs for heal, exactly as
+        # before).
         sh_target = init_versioned(sh_live)
-        sh.write.mode("overwrite").parquet(sh_target)
         bands_target = init_versioned(bands_live)
-        # cluster by band before the partitioned write (the Iceberg
-        # write.distribution-mode=hash analog): an unclustered
+        # bands clustered by band before the partitioned write (the
+        # Iceberg write.distribution-mode=hash analog): an unclustered
         # partitionBy write emits one file per (input task × band) —
         # measured 512 files for 624 KiB at gate SF, and every
         # subsequent query/forget/residual read pays the per-file open
         # cost. One exchange of (doc_id, band_idx, band_key) triples —
         # the payload the band table IS — buys the same one-file-per-
         # band layout compact_lsh_index publishes.
-        bk.repartition(F.col("band_idx")).write.mode("overwrite").partitionBy(
-            "band_idx"
-        ).parquet(bands_target)
+        overlap_jobs(
+            lambda: sh.write.mode("overwrite").parquet(sh_target),
+            lambda: bk.repartition(F.col("band_idx"))
+            .write.mode("overwrite")
+            .partitionBy("band_idx")
+            .parquet(bands_target),
+        )
         meta["shash_dir"] = os.path.basename(sh_target)
         write_version_meta(bands_target, META_NAME, meta)
         publish(sh_live, sh_target)
@@ -284,14 +295,20 @@ def _append_rows(
         ledger = read_forget_ledger(spark, path)
         bk = filter_ledgered(bk, path, cur["id_col"], ledger=ledger)
         sh = filter_ledgered(sh, path, cur["id_col"], ledger=ledger)
-        # clustered like the build/compact writes: one file per band
-        # per batch instead of (batch tasks × bands) splinters
-        bk.repartition(F.col("band_idx")).write.mode("append").partitionBy(
-            "band_idx"
-        ).parquet(current_version_dir(os.path.join(path, "bands")))
-        # append into the shash version the CURRENT bands snapshot
-        # names (not the live pointer) — the coupling readers resolve
-        sh.write.mode("append").parquet(_shash_dir(path, cur))
+        # the two appends target independent tables — overlapped
+        # (indexio.overlap_jobs); a reader racing either sees a prefix,
+        # the standard parquet-append visibility. bands clustered like
+        # the build/compact writes: one file per band per batch instead
+        # of (batch tasks × bands) splinters; shash appends into the
+        # version the CURRENT bands snapshot names (not the live
+        # pointer) — the coupling readers resolve
+        overlap_jobs(
+            lambda: bk.repartition(F.col("band_idx"))
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(current_version_dir(os.path.join(path, "bands"))),
+            lambda: sh.write.mode("append").parquet(_shash_dir(path, cur)),
+        )
     _refresh(spark, path)
 
 
@@ -395,25 +412,36 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
         heal(bands_live)
         heal(sh_live)
         m = read_lsh_meta(path)
-        # shash first: the new bands meta must NAME the new shash
-        # version so the bands flip commits both tables atomically
+        # The new bands meta NAMES the new shash version (needs only
+        # the target path), so each table's rewrite+count is an
+        # independent unit — overlapped from driver threads
+        # (indexio.overlap_jobs); publishes stay ordered after both, so
+        # the two-table commit semantics are unchanged.
         sh_before = parquet_file_count(sh_live)
-        sh_df = spark.read.parquet(_shash_dir(path, m)).dropDuplicates(["doc_id"])
-        sh_target = init_versioned(sh_live)
-        sh_df.coalesce(1).write.mode("overwrite").parquet(sh_target)
-        sh_rows = spark.read.parquet(sh_target).count()
-
         bands_before = parquet_file_count(bands_live)
-        bands_src = current_version_dir(bands_live)
-        bands_df = spark.read.parquet(bands_src).dropDuplicates(
-            ["band_idx", "band_key", "doc_id"]
-        )
+        sh_target = init_versioned(sh_live)
         bands_target = init_versioned(bands_live)
-        # repartition BY the partition column: one task holds each
-        # band -> one file per band directory
-        bands_df.repartition("band_idx").write.mode("overwrite").partitionBy(
-            "band_idx"
-        ).parquet(bands_target)
+
+        def _compact_shash() -> int:
+            sh_df = spark.read.parquet(_shash_dir(path, m)).dropDuplicates(
+                ["doc_id"]
+            )
+            sh_df.coalesce(1).write.mode("overwrite").parquet(sh_target)
+            return spark.read.parquet(sh_target).count()
+
+        def _compact_bands() -> int:
+            bands_src = current_version_dir(bands_live)
+            bands_df = spark.read.parquet(bands_src).dropDuplicates(
+                ["band_idx", "band_key", "doc_id"]
+            )
+            # repartition BY the partition column: one task holds each
+            # band -> one file per band directory
+            bands_df.repartition("band_idx").write.mode("overwrite").partitionBy(
+                "band_idx"
+            ).parquet(bands_target)
+            return spark.read.parquet(bands_target).count()
+
+        sh_rows, bands_rows = overlap_jobs(_compact_shash, _compact_bands)
         # params unchanged by a compact, but every published version
         # must be self-describing (snapshot_meta) — with the pairing
         # re-pointed at the compacted shash version
@@ -422,7 +450,6 @@ def compact_lsh_index(spark: SparkSession, path: str) -> dict:
             {**{k: v for k, v in m.items() if k != "shash_dir"},
              "shash_dir": os.path.basename(sh_target)},
         )
-        bands_rows = spark.read.parquet(bands_target).count()
         publish(sh_live, sh_target)
         publish(bands_live, bands_target)
         out["bands"] = {
@@ -496,30 +523,40 @@ def forget_from_lsh_index(
             ).distinct()
         )
         out: dict = {}
-        # shash first so the new bands meta can name it (single-flip
-        # commit for the two-table index, same as build/compact);
+        # The new bands meta NAMES the new shash version (single-flip
+        # commit for the two-table index, same as build/compact), and
+        # naming needs only the target path — so each table's
+        # count+anti-join-rewrite+count is an independent unit,
+        # overlapped from driver threads (indexio.overlap_jobs).
         # write_snapshot_table handles the forget-everything edge (an
         # empty partitionBy write would publish an unreadable dir).
         # Counts: source counts are parquet-metadata cheap; the kept
         # side is counted from the WRITTEN version (compact's pattern),
         # so the anti-join executes exactly once per table.
-        sh_src = spark.read.parquet(_shash_dir(path, m))
-        sh_kept = sh_src.join(
-            ids, sh_src[m["id_col"]] == ids[id_col_alias], "left_anti"
-        )
-        sh_before = sh_src.count()
         sh_target = init_versioned(sh_live)
-        write_snapshot_table(sh_kept, sh_target, single_file=True)
-        sh_after = spark.read.parquet(sh_target).count()
-
-        bands_src = spark.read.parquet(current_version_dir(bands_live))
-        b_kept = bands_src.join(
-            ids, bands_src[m["id_col"]] == ids[id_col_alias], "left_anti"
-        )
-        b_before = bands_src.count()
         bands_target = init_versioned(bands_live)
-        write_snapshot_table(b_kept, bands_target, partition_by="band_idx")
-        b_after = spark.read.parquet(bands_target).count()
+
+        def _forget_shash() -> tuple[int, int]:
+            sh_src = spark.read.parquet(_shash_dir(path, m))
+            sh_kept = sh_src.join(
+                ids, sh_src[m["id_col"]] == ids[id_col_alias], "left_anti"
+            )
+            before = sh_src.count()
+            write_snapshot_table(sh_kept, sh_target, single_file=True)
+            return before, spark.read.parquet(sh_target).count()
+
+        def _forget_bands() -> tuple[int, int]:
+            bands_src = spark.read.parquet(current_version_dir(bands_live))
+            b_kept = bands_src.join(
+                ids, bands_src[m["id_col"]] == ids[id_col_alias], "left_anti"
+            )
+            before = bands_src.count()
+            write_snapshot_table(b_kept, bands_target, partition_by="band_idx")
+            return before, spark.read.parquet(bands_target).count()
+
+        (sh_before, sh_after), (b_before, b_after) = overlap_jobs(
+            _forget_shash, _forget_bands
+        )
         write_version_meta(
             bands_target, META_NAME,
             {**{k: v for k, v in m.items() if k != "shash_dir"},

@@ -387,10 +387,22 @@ def build_postings_index(
         _write_postings(docs, path, text_col, id_col, fresh=True)
         with open(os.path.join(path, BM25_META), "w") as fh:
             json.dump({"id_col": id_col, "text_col": text_col}, fh)
+        # the two tiers derive from the SAME published postings pair
+        # and write disjoint live dirs — independent refresh jobs,
+        # overlapped from driver threads (indexio.overlap_jobs)
+        from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+        tier_jobs = []
         if champion_n is not None:
-            _refresh_champions(spark, path, id_col, champion_n, k1, b)
+            tier_jobs.append(
+                lambda: _refresh_champions(spark, path, id_col, champion_n, k1, b)
+            )
         if wand_buckets is not None:
-            _refresh_wand(spark, path, id_col, wand_buckets, k1, b)
+            tier_jobs.append(
+                lambda: _refresh_wand(spark, path, id_col, wand_buckets, k1, b)
+            )
+        if tier_jobs:
+            overlap_jobs(*tier_jobs)
 
 
 def append_to_postings_index(docs: DataFrame, path: str) -> None:
@@ -459,6 +471,7 @@ def _write_postings(
         filter_ledgered,
         heal,
         init_versioned,
+        overlap_jobs,
         pinned_for_write,
         publish,
         read_forget_ledger,
@@ -484,13 +497,18 @@ def _write_postings(
         if fresh:
             heal(p_live)
             heal(d_live)
-            # doclens first so the postings version meta can NAME it —
-            # the postings pointer flip is then the single atomic
-            # commit for the two-table pair (_postings_snapshot)
+            # the postings version meta NAMES the doclens version —
+            # naming needs only the target path, so the two table
+            # writes are independent jobs, overlapped from driver
+            # threads (indexio.overlap_jobs); the postings pointer
+            # flip stays the single atomic commit for the pair
+            # (_postings_snapshot), ordered after both writes
             d_target = init_versioned(d_live)
-            doclens.write.mode("overwrite").parquet(d_target)
             p_target = init_versioned(p_live)
-            postings.write.mode("overwrite").parquet(p_target)
+            overlap_jobs(
+                lambda: doclens.write.mode("overwrite").parquet(d_target),
+                lambda: postings.write.mode("overwrite").parquet(p_target),
+            )
             write_version_meta(
                 p_target, POSTINGS_META,
                 {"id_col": id_col, "text_col": text_col,
@@ -503,10 +521,12 @@ def _write_postings(
             # current pair (the lock pins the pointer; doclens goes
             # into the version the postings snapshot NAMES) — readers
             # racing one see a prefix, the standard parquet-append
-            # visibility
+            # visibility; the two appends overlap like the fresh writes
             p_dir, d_dir = _postings_snapshot(path)
-            postings.write.mode("append").parquet(p_dir)
-            doclens.write.mode("append").parquet(d_dir)
+            overlap_jobs(
+                lambda: postings.write.mode("append").parquet(p_dir),
+                lambda: doclens.write.mode("append").parquet(d_dir),
+            )
     # invalidate cached file listings (same stale-snapshot class as
     # dedup/index.py _refresh)
     for sub in ("postings", "doclens"):
@@ -761,36 +781,45 @@ def compact_postings_index(spark, path: str) -> dict:
         heal(p_live)
         heal(d_live)
         src_p, src_d = _postings_snapshot(path)
-        # doclens first: the compacted postings' version meta NAMES the
-        # compacted doclens version, so the postings flip commits the
-        # pair atomically (_postings_snapshot)
-        d_before = parquet_file_count(d_live)
-        d_df = spark.read.parquet(src_d).dropDuplicates([id_col]).coalesce(1)
-        d_target = init_versioned(d_live)
-        d_df.write.mode("overwrite").parquet(d_target)
-        d_rows = spark.read.parquet(d_target).count()
-
-        p_before = parquet_file_count(p_live)
-        # pin the deduped postings: the range write's bounds sample
-        # would otherwise re-run the dropDuplicates shuffle
-        # (indexio.pinned_for_write)
+        # The compacted postings' version meta NAMES the compacted
+        # doclens version — naming needs only the target path, so each
+        # table's dedup-rewrite+count is an independent unit,
+        # overlapped from driver threads (indexio.overlap_jobs); the
+        # postings flip still commits the pair atomically after both
+        # (_postings_snapshot)
         from lakehouse_dba_tools_spark.operators.indexio import (
+            overlap_jobs,
             pinned_for_write,
         )
 
+        d_before = parquet_file_count(d_live)
+        p_before = parquet_file_count(p_live)
+        d_target = init_versioned(d_live)
         p_target = init_versioned(p_live)
-        with pinned_for_write(
-            spark.read.parquet(src_p).dropDuplicates(["term", id_col])
-        ) as p_dedup:
-            p_dedup.repartitionByRange("term").sortWithinPartitions(
-                "term"
-            ).write.mode("overwrite").parquet(p_target)
+
+        def _compact_doclens() -> int:
+            d_df = spark.read.parquet(src_d).dropDuplicates([id_col]).coalesce(1)
+            d_df.write.mode("overwrite").parquet(d_target)
+            return spark.read.parquet(d_target).count()
+
+        def _compact_postings() -> int:
+            # pin the deduped postings: the range write's bounds sample
+            # would otherwise re-run the dropDuplicates shuffle
+            # (indexio.pinned_for_write)
+            with pinned_for_write(
+                spark.read.parquet(src_p).dropDuplicates(["term", id_col])
+            ) as p_dedup:
+                p_dedup.repartitionByRange("term").sortWithinPartitions(
+                    "term"
+                ).write.mode("overwrite").parquet(p_target)
+            return spark.read.parquet(p_target).count()
+
+        d_rows, p_rows = overlap_jobs(_compact_doclens, _compact_postings)
         write_version_meta(
             p_target, POSTINGS_META,
             {"id_col": id_col, "text_col": bm["text_col"],
              "doclens_dir": os.path.basename(d_target)},
         )
-        p_rows = spark.read.parquet(p_target).count()
         publish(d_live, d_target)
         publish(p_live, p_target)
         out["postings"] = {
@@ -813,16 +842,26 @@ def compact_postings_index(spark, path: str) -> dict:
             _, cm = _champ_snapshot(path)
         except FileNotFoundError:
             cm = None
-        if cm is not None:
-            _refresh_champions(
-                spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
-            )
         try:
             _, wm = _wand_snapshot(path)
         except FileNotFoundError:
             wm = None
+        # disjoint tier dirs off the same published pair — overlap
+        tier_jobs = []
+        if cm is not None:
+            tier_jobs.append(
+                lambda: _refresh_champions(
+                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+                )
+            )
         if wm is not None:
-            _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
+            tier_jobs.append(
+                lambda: _refresh_wand(
+                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"]
+                )
+            )
+        if tier_jobs:
+            overlap_jobs(*tier_jobs)
         # same cadence folds the suppression ledger's per-forget files
         from lakehouse_dba_tools_spark.operators.indexio import (
             compact_forget_ledger,
@@ -909,38 +948,49 @@ def forget_from_postings_index(
                 F.col(forget_ids.columns[0]).alias("_forget_id")
             ).distinct()
         )
-        # doclens first: the filtered postings' version meta NAMES the
-        # filtered doclens version (single-flip pair commit);
+        # The filtered postings' version meta NAMES the filtered
+        # doclens version (single-flip pair commit) — naming needs only
+        # the target path, so each table's anti-join-rewrite+count is
+        # an independent unit, overlapped from driver threads
+        # (indexio.overlap_jobs); publishes stay ordered after both.
         # write_snapshot_table handles the forget-everything edge.
         # Counts: kept sides count the WRITTEN version (compact's
         # pattern) so each anti-join executes exactly once.
-        d_src = spark.read.parquet(src_d)
-        d_kept = d_src.join(
-            ids, d_src[id_col] == ids["_forget_id"], "left_anti"
-        )
-        d_before = d_src.count()
-        d_target = init_versioned(d_live)
-        write_snapshot_table(d_kept, d_target, single_file=True)
-        d_after = spark.read.parquet(d_target).count()
-
-        p_src = spark.read.parquet(src_p)
-        p_before = p_src.count()
-        p_target = init_versioned(p_live)
-        # pin the anti-joined survivors: the range write's bounds
-        # sample would otherwise run the anti-join scan twice
-        # (indexio.pinned_for_write)
         from lakehouse_dba_tools_spark.operators.indexio import (
+            overlap_jobs,
             pinned_for_write,
         )
 
-        with pinned_for_write(
-            p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
-        ) as p_kept:
-            write_snapshot_table(
-                p_kept.repartitionByRange("term").sortWithinPartitions("term"),
-                p_target,
+        d_target = init_versioned(d_live)
+        p_target = init_versioned(p_live)
+
+        def _forget_doclens() -> tuple[int, int]:
+            d_src = spark.read.parquet(src_d)
+            d_kept = d_src.join(
+                ids, d_src[id_col] == ids["_forget_id"], "left_anti"
             )
-        p_after = spark.read.parquet(p_target).count()
+            before = d_src.count()
+            write_snapshot_table(d_kept, d_target, single_file=True)
+            return before, spark.read.parquet(d_target).count()
+
+        def _forget_postings() -> tuple[int, int]:
+            p_src = spark.read.parquet(src_p)
+            before = p_src.count()
+            # pin the anti-joined survivors: the range write's bounds
+            # sample would otherwise run the anti-join scan twice
+            # (indexio.pinned_for_write)
+            with pinned_for_write(
+                p_src.join(ids, p_src[id_col] == ids["_forget_id"], "left_anti")
+            ) as p_kept:
+                write_snapshot_table(
+                    p_kept.repartitionByRange("term").sortWithinPartitions("term"),
+                    p_target,
+                )
+            return before, spark.read.parquet(p_target).count()
+
+        (d_before, d_after), (p_before, p_after) = overlap_jobs(
+            _forget_doclens, _forget_postings
+        )
         write_version_meta(
             p_target, POSTINGS_META,
             {"id_col": id_col, "text_col": bm["text_col"],
@@ -967,21 +1017,31 @@ def forget_from_postings_index(
         spark.catalog.refreshByPath(d_live)
         spark.catalog.refreshByPath(current_version_dir(p_live))
         spark.catalog.refreshByPath(current_version_dir(d_live))
-        # tier refresh = the fresh-build equality step (see docstring)
+        # tier refresh = the fresh-build equality step (see docstring);
+        # disjoint tier dirs off the same published pair — overlap
         try:
             _, cm = _champ_snapshot(path)
         except FileNotFoundError:
             cm = None
-        if cm is not None:
-            _refresh_champions(
-                spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
-            )
         try:
             _, wm = _wand_snapshot(path)
         except FileNotFoundError:
             wm = None
+        tier_jobs = []
+        if cm is not None:
+            tier_jobs.append(
+                lambda: _refresh_champions(
+                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+                )
+            )
         if wm is not None:
-            _refresh_wand(spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"])
+            tier_jobs.append(
+                lambda: _refresh_wand(
+                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"]
+                )
+            )
+        if tier_jobs:
+            overlap_jobs(*tier_jobs)
         if erase:
             # physical erasure AFTER the tier refreshes, so the
             # superseded tier versions (which still hold pre-forget
