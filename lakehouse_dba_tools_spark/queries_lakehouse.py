@@ -382,13 +382,27 @@ def gdpr_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             # on-disk version dir of either index table (post-vacuum
             # that is one per table — pinned by the lsh_versions row)
             fb = F.broadcast(fdocs)
-            resid, n_versions = 0, 0
-            for t in ("bands", "shash"):
+            # the per-table residual counts are independent bounded
+            # jobs — overlap them (indexio.overlap_jobs; guide §2.6)
+            from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+            def _table_resid(t):
                 dirs = all_version_dirs(f"{lsh}/{t}")
-                n_versions += len(dirs)
-                for vd in dirs:
-                    df = spark.read.parquet(vd)
-                    resid += df.join(fb, "doc_id", "left_semi").count()
+                return (
+                    len(dirs),
+                    sum(
+                        spark.read.parquet(vd)
+                        .join(fb, "doc_id", "left_semi")
+                        .count()
+                        for vd in dirs
+                    ),
+                )
+
+            per_table = overlap_jobs(
+                lambda: _table_resid("bands"), lambda: _table_resid("shash")
+            )
+            n_versions = sum(nv for nv, _ in per_table)
+            resid = sum(rc for _, rc in per_table)
             rows.append(("lsh_residual", 0, 0, int(resid)))
             rows.append(("lsh_versions", 0, 0, int(n_versions)))
             idx_frame = spark.createDataFrame(

@@ -617,16 +617,25 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = N_QUERY * TOP_K
     configs = ((16, 16, 100, 0.85), (8, 16, 100, 0.65))
     try:
-        tagged = [
-            pq_topk_rerank(
-                emb, q, k=TOP_K, shortlist=shortlist, m=m, k_codes=kc
-            ).select(
-                F.lit(m).alias("m_subspaces"),
-                "query_id",
-                "neighbor_id",
-            )
-            for m, kc, shortlist, _ in configs
-        ]
+        # pq_topk_rerank trains its codebooks EAGERLY (a driver-sample
+        # job) before returning the lazy pipeline — the two configs'
+        # trainings are independent, so overlap them (guide §2.6;
+        # indexio.overlap_jobs). The returned plans still union into
+        # one downstream job, unchanged.
+        from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+        tagged = overlap_jobs(
+            *[
+                lambda m=m, kc=kc, shortlist=shortlist: pq_topk_rerank(
+                    emb, q, k=TOP_K, shortlist=shortlist, m=m, k_codes=kc
+                ).select(
+                    F.lit(m).alias("m_subspaces"),
+                    "query_id",
+                    "neighbor_id",
+                )
+                for m, kc, shortlist, _ in configs
+            ]
+        )
         hits = {
             r["m_subspaces"]: r["n_hits"]
             for r in tagged[0].unionByName(tagged[1])

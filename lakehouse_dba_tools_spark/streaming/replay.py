@@ -45,16 +45,25 @@ def replay_in_batches(
         )  # bounded: row_count / batch_size values
         first, rest = batch_ids[0], batch_ids[1:]
         seed_fn(batched.filter(F.col("_b") == first).drop("_b"))
-        # Stage the remaining slices as single files with increasing
-        # mtimes; the file source (maxFilesPerTrigger=1, oldest-first)
-        # then replays them as deterministic micro-batches.
+        # Stage ALL remaining slices in ONE partitioned write (one scan
+        # of the source instead of one scan+write job per slice — the
+        # same clustered-write shape the index builds use): repartition
+        # by the slice id gives one task, therefore one file, per
+        # ``_b=`` directory; the partition column is dropped from file
+        # contents exactly like the per-slice ``.drop("_b")`` writes
+        # were. Then stamp each slice's file with increasing mtimes —
+        # the file source (maxFilesPerTrigger=1, oldest-first) replays
+        # them as deterministic micro-batches, ordered by slice id.
         t0 = 1_600_000_000
-        for i, b in enumerate(rest):
-            d = os.path.join(stage, f"b{i:05d}")
-            batched.filter(F.col("_b") == b).drop("_b").coalesce(1).write.parquet(d)
-            for name in os.listdir(d):
-                if name.endswith(".parquet"):
-                    os.utime(os.path.join(d, name), (t0 + i, t0 + i))
+        if rest:
+            batched.filter(F.col("_b") >= batch_ids[1]).repartition(
+                F.col("_b")
+            ).write.mode("overwrite").partitionBy("_b").parquet(stage)
+            for i, b in enumerate(rest):
+                d = os.path.join(stage, f"_b={b}")
+                for name in os.listdir(d):
+                    if name.endswith(".parquet"):
+                        os.utime(os.path.join(d, name), (t0 + i, t0 + i))
         q = (
             spark.readStream.schema(df.schema)
             .option("maxFilesPerTrigger", 1)
