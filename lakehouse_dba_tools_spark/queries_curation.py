@@ -1237,10 +1237,6 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline runs under the session default (round-12 directive #1)
     with scoped_confs(spark, {"spark.sql.shuffle.partitions": "8"}):
         n = docs.count()  # one count job, metadata-cheap
-        pairs = stream_ingest_dedup(
-            spark, docs, batch_size=(n + 2) // 3, threshold=0.5
-        )
-        dup = pairs.select(F.col("id_a").alias("doc_id")).distinct()
 
         base0 = fan_out(docs)
         shingled = base0.select(
@@ -1257,7 +1253,23 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(ev), "g", "left_semi")
             .select("doc_id")
             .distinct()
+        ).persist()
+        # The decontamination leg (holdout shingles -> contaminated-doc
+        # set) shares nothing with the streaming-dedup leg — overlap
+        # them (guide §2.6; indexio.overlap_jobs): cont's shuffle work
+        # back-fills the executor slots the fixture-sized micro-batches
+        # leave idle. cont is pinned so the overlap's materialization
+        # is the one the downstream anti-join consumes; released with
+        # the carrier's other caches below.
+        from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+        pairs, _ = overlap_jobs(
+            lambda: stream_ingest_dedup(
+                spark, docs, batch_size=(n + 2) // 3, threshold=0.5
+            ),
+            lambda: cont.count(),  # materialize the pin
         )
+        dup = pairs.select(F.col("id_a").alias("doc_id")).distinct()
 
         redacted = F.regexp_replace(
             F.regexp_replace(
@@ -1409,6 +1421,7 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             feat.unpersist()
+            cont.unpersist()
     rows = [
         ("00_raw", -1, -1, int(frow["n0"]), int(frow["t0"]), -1),
         ("10_crossbatch_dedup", -1, -1, int(frow["n1"]), int(frow["t1"]), -1),
