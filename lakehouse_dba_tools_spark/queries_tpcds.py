@@ -1834,10 +1834,19 @@ def tpcds_warehouse_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = ensure_gate_export(spark)
-    rows = [
-        (name, spark.read.parquet(f"{root}/{name}").count())
-        for name in sorted(CORE_TABLES)
-    ]
+    # 24 independent read-back counts (parquet-footer metadata jobs) —
+    # overlapped from driver threads instead of 24 sequential
+    # scheduler round-trips (guide §2.6; indexio.overlap_jobs)
+    from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+    names = sorted(CORE_TABLES)
+    counts = overlap_jobs(
+        *[
+            lambda name=name: spark.read.parquet(f"{root}/{name}").count()
+            for name in names
+        ]
+    )
+    rows = list(zip(names, counts))
     return spark.createDataFrame(rows, "table_name string, n_rows bigint").orderBy(
         "table_name"
     )
