@@ -612,8 +612,14 @@ def query_lsh_index(
     bk, batch_sh, pinned = _index_rows(
         batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
+    # pin the signed band keys too: _query_signed consumes them twice
+    # (the candidate-bucket key broadcast AND the pair join) — without
+    # the pin the signature UDF would run twice per query. Exported via
+    # ``caches`` like the shingle pin (same non-GC'd-cache contract).
+    bk = bk.persist()
     if caches is not None:
         caches.append(pinned)
+        caches.append(bk)
     return _query_signed(
         spark, bk, batch_sh, path, m, threshold, max_bucket_size,
         bands_dir=bands_dir,
@@ -647,11 +653,27 @@ def _query_signed(
     if bands_dir is None:
         bands_dir = current_version_dir(os.path.join(path, "bands"))
     idx_bands = spark.read.parquet(bands_dir)
+    # Candidate-bucket pruning BEFORE the sizing window: the batch's
+    # (band_idx, band_key) set is batch-bounded (|batch| × bands keys)
+    # — broadcast it and left-semi-join the index bands first, so the
+    # bucket-size window below shuffles only the buckets this batch
+    # can touch instead of the ENTIRE bands table per query (guide
+    # §2.3: at 100 TB the window otherwise re-shuffles the index per
+    # ingest batch; buckets the batch never probes can't produce pairs,
+    # and the semi-join keeps every row OF a touched bucket, so the
+    # per-bucket counts — and therefore the boilerplate filter — are
+    # unchanged). Callers persist ``bk`` (ingest_batch pins it;
+    # query_lsh_index pins + exports via ``caches``), so the key
+    # broadcast reads the pin rather than re-running the sign pass.
+    batch_keys = bk.select("band_idx", "band_key").distinct()
+    idx_cand = idx_bands.join(
+        F.broadcast(batch_keys), ["band_idx", "band_key"], "left_semi"
+    )
     # Boilerplate guard, same policy as the inline bipartite path: an
     # index bucket bigger than max_bucket_size is near-identical
     # boilerplate and belongs to exact dedup, not an LSH fan-out.
     idx_sized = (
-        idx_bands.withColumn(
+        idx_cand.withColumn(
             "_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
         )
         .filter(F.col("_n") <= max_bucket_size)
