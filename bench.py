@@ -36,6 +36,12 @@ def main() -> None:
             raise SystemExit(2)
         print(f"seal gate: {reason}", file=sys.stderr)
 
+    # Noise telemetry (round-14 VERDICT #2): the host is shared and its
+    # external load bursts 5-20, which round 13 proved can inflate every
+    # query 0.6-0.9x on UNTOUCHED code — record loadavg around the run
+    # so a round-over-round comparison is attributable after the fact.
+    loadavg_before = [round(v, 2) for v in os.getloadavg()]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -83,16 +89,24 @@ def main() -> None:
     # tail is exactly where one descheduled executor thread distorts a
     # round-over-round comparison the most.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {n: [] for n in QUERIES}
     for name in QUERIES:
-        timings[name] = run_once(name)
+        t = run_once(name)
+        passes[name].append(round(t, 2))
+        timings[name] = t
     for name in QUERIES:
-        timings[name] = best(timings[name], run_once(name))
+        t = run_once(name)
+        passes[name].append(round(t, 2))
+        timings[name] = best(timings[name], t)
     for name, t in list(timings.items()):
         if t > 2.0:
-            timings[name] = best(t, run_once(name))
+            t3 = run_once(name)
+            passes[name].append(round(t3, 2))
+            timings[name] = best(t, t3)
 
     timings = {n: round(v, 2) for n, v in timings.items()}
     total = sum(v for v in timings.values() if v >= 0)
+    loadavg_after = [round(v, 2) for v in os.getloadavg()]
 
     # The JSON line MUST be the last bytes on stdout: the driver parses a
     # 2000-char tail. Streaming queries leave state-store maintenance
@@ -107,6 +121,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
 
+    # Full per-pass detail goes to STDERR (one JSON line): the stdout
+    # contract stays one compact line — the driver parses a bounded
+    # ~2000-char stdout tail, and the measured full-telemetry line is
+    # 2002 chars at 53 queries, so stdout carries only the two scalar
+    # 1-minute loadavg fields (45 chars; the attributability signal)
+    # while per-pass times, the 3-tuple loadavgs, and per-query sample
+    # counts ride the stderr line.
+    print(
+        json.dumps({"bench_passes_sec": passes,
+                    "loadavg_before": loadavg_before,
+                    "loadavg_after": loadavg_after}),
+        file=sys.stderr,
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -115,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1_before": loadavg_before[0],
+                "load1_after": loadavg_after[0],
             }
         ),
         flush=True,

@@ -150,6 +150,12 @@ def build_lsh_index(
     the scrubbed source of truth is the cascade's job, the ledger is
     the index-side backstop). Returns the meta dict."""
     bk, sh, pinned = _index_rows(docs, text_col, id_col, k, num_perm, bands, seed)
+    # Materialize the shared shingle pin BEFORE the overlapped table
+    # writes consume it concurrently: Spark's cache dedupes per
+    # partition, but two jobs racing first materialization can compute
+    # some partitions twice (the training_corpus_e2e pattern — one
+    # cheap count, then every overlapped consumer reads the cache).
+    pinned.count()
     meta: dict = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
                   "id_col": id_col, "text_col": text_col}
     with writer_lock(path):
@@ -255,6 +261,10 @@ def append_to_lsh_index(docs: DataFrame, path: str) -> None:
     bk, sh, pinned = _index_rows(
         docs, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
+    # materialize the shared shingle pin before _append_rows overlaps
+    # the two table writes over it (first-materialization race — see
+    # build_lsh_index)
+    pinned.count()
     _append_rows(docs.sparkSession, path, bk, sh, signed_under=m)
     pinned.unpersist()
 
@@ -600,26 +610,29 @@ def query_lsh_index(
     payloads from ``shash/``. Self-pairs are dropped so re-ingesting
     an already-indexed document does not match itself.
 
-    The returned DataFrame is lazy and its plan references a persisted
-    shingle pass (evaluated when the caller materializes it); pass
-    ``caches`` (a list) and the pinned frame is appended for the
-    CALLER to unpersist once the pairs are materialized — SQL-cache
-    entries are not GC'd, so a session querying per round (the driver
-    shape) accumulates one batch-shingle entry per call without the
-    release. Callers running MANY batches should prefer
-    ``ingest_batch``, which cleans its caches per batch."""
+    The returned DataFrame is lazy; pass ``caches`` (a list) and the
+    batch's shingle pass + signed band keys are PINNED, with both
+    frames appended for the CALLER to unpersist once the pairs are
+    materialized — SQL-cache entries are not GC'd, so a session
+    querying per round (the driver shape) accumulates cache entries
+    per call without the release. Without ``caches`` there is no
+    release channel, so NOTHING is left pinned: the (batch-bounded)
+    sign pass recomputes per consumer instead of leaking one
+    unreleasable cache entry per call (loop-style callers should use
+    ``ingest_batch``, which pins AND cleans per batch)."""
     bands_dir, m = snapshot_meta(os.path.join(path, "bands"), META_NAME, path)
     bk, batch_sh, pinned = _index_rows(
         batch, m["text_col"], m["id_col"], m["k"], m["num_perm"], m["bands"], m["seed"]
     )
-    # pin the signed band keys too: _query_signed consumes them twice
-    # (the candidate-bucket key broadcast AND the pair join) — without
-    # the pin the signature UDF would run twice per query. Exported via
-    # ``caches`` like the shingle pin (same non-GC'd-cache contract).
-    bk = bk.persist()
     if caches is not None:
+        # pin the signed band keys too: _query_signed consumes them
+        # twice (the candidate-bucket key broadcast AND the pair join)
+        # — without the pin the signature UDF runs twice per query.
+        bk = bk.persist()
         caches.append(pinned)
         caches.append(bk)
+    else:
+        pinned.unpersist()
     return _query_signed(
         spark, bk, batch_sh, path, m, threshold, max_bucket_size,
         bands_dir=bands_dir,

@@ -510,12 +510,29 @@ def overlap_jobs(*thunks):
     family verb locks its own path). A thunk's exception propagates to
     the caller like the sequential form's would — after the pool
     drains, so no family is left mid-write by a sibling's failure.
+
+    In-flight jobs are BOUNDED (guide §2.6: "2-3 in flight is plenty —
+    enough to fill the tail, not so many that they fight"): the win is
+    back-filling each job's straggler tail, which saturates after a few
+    concurrent jobs, while N unbounded FIFO jobs contend for executors
+    and driver scheduling on a real cluster (the warehouse audit used
+    to launch 24 at once). Excess thunks queue in submission order.
+
+    Limitation (pinned-thread PySpark): jobs launched from these worker
+    threads do NOT inherit the driver thread's Spark local properties —
+    job group, description, scheduler pool set on the caller's thread
+    silently stop covering the overlapped jobs. Nothing in this repo
+    relies on job-group cancellation of overlapped work; a future
+    caller that does must propagate properties itself (e.g. via
+    ``pyspark.InheritableThread``).
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         return [f.result() for f in futures]
 

@@ -1263,12 +1263,19 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the carrier's other caches below.
         from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
 
-        pairs, _ = overlap_jobs(
-            lambda: stream_ingest_dedup(
-                spark, docs, batch_size=(n + 2) // 3, threshold=0.5
-            ),
-            lambda: cont.count(),  # materialize the pin
-        )
+        try:
+            pairs, _ = overlap_jobs(
+                lambda: stream_ingest_dedup(
+                    spark, docs, batch_size=(n + 2) // 3, threshold=0.5
+                ),
+                lambda: cont.count(),  # materialize the pin
+            )
+        except BaseException:
+            # the only Spark actions between cont's persist and the
+            # try/finally below run here — release the pin on failure
+            # (everything in between is lazy plan construction)
+            cont.unpersist()
+            raise
         dup = pairs.select(F.col("id_a").alias("doc_id")).distinct()
 
         redacted = F.regexp_replace(
