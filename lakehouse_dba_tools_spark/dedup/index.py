@@ -89,9 +89,7 @@ from lakehouse_dba_tools_spark.operators.indexio import (
 )
 from lakehouse_dba_tools_spark.dedup.minhash import (
     band_keys,
-    hashed_shingles,
     verify_pairs_exact_jaccard_hashed,
-    with_minhash_signature,
     with_shingle_set,
 )
 
@@ -114,22 +112,40 @@ def _index_rows(
     bands: int,
     seed: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(band rows, shash rows, pinned shingles) for a document set —
-    the only signature computation in the lifecycle; build and append
-    both route here so index contents cannot drift from the query
-    side's expectations. The shingle pass is persisted because both
-    outputs consume it (and SQL-cache entries are NOT garbage
-    collected); the caller MUST unpersist the third return once its
-    consumers are materialized, or a long-running ingest loop leaks
-    one cache entry per batch."""
+    """(band rows, shash rows, pinned shingle hashes) for a document
+    set — the only signature computation in the lifecycle; build and
+    append both route here so index contents cannot drift from the
+    query side's expectations. The pinned pass holds the xxhash64'd
+    shingles (8-byte longs), NOT the shingle strings: both outputs
+    consume the hashes — the signature min-fold folds them directly
+    (bit-identical to hashing inside the fold; rebuild_lsh_index
+    already recomputes signatures from stored hashes on that
+    guarantee) and shash is their distinct — so hashing once at the
+    pin makes the strings never persist and never recompute per
+    consumer. SQL-cache entries are NOT garbage collected: the caller
+    MUST unpersist the third return once its consumers are
+    materialized, or a long-running ingest loop leaks one cache entry
+    per batch."""
     from pyspark import StorageLevel
 
-    shingled = with_shingle_set(docs, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from lakehouse_dba_tools_spark.dedup.minhash import _signature_udf
+
+    hashed = (
+        with_shingle_set(docs, text_col, id_col, k)
+        .select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("_sh_hashes"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = with_minhash_signature(shingled, num_perm, seed)
+    signed = hashed.withColumn(
+        "signature", _signature_udf(num_perm, seed)(F.col("_sh_hashes"))
+    )
     bk = band_keys(signed, id_col, bands, num_perm // bands)
-    return bk, hashed_shingles(shingled, id_col), shingled
+    sh = hashed.select(
+        F.col(id_col), F.array_distinct("_sh_hashes").alias("shash")
+    )
+    return bk, sh, hashed
 
 
 def build_lsh_index(
@@ -678,7 +694,10 @@ def _query_signed(
     # unchanged). Callers persist ``bk`` (ingest_batch pins it;
     # query_lsh_index pins + exports via ``caches``), so the key
     # broadcast reads the pin rather than re-running the sign pass.
-    batch_keys = bk.select("band_idx", "band_key").distinct()
+    # no distinct: the semi-join ignores duplicate probe keys, and the
+    # frame is |batch|×bands rows of two longs — smaller than the
+    # dedup shuffle (one AQE job per query) the distinct used to cost
+    batch_keys = bk.select("band_idx", "band_key")
     idx_cand = idx_bands.join(
         F.broadcast(batch_keys), ["band_idx", "band_key"], "left_semi"
     )
@@ -704,8 +723,10 @@ def _query_signed(
         # verify join — an at-least-once replay finds the batch's own
         # rows already indexed; dropping them here reproduces the
         # original epoch's cross-batch-only pairs
+        # no distinct: left-anti ignores duplicate build keys, and the
+        # id set is batch-bounded — the dedup shuffle was pure cost
         pairs = pairs.join(
-            F.broadcast(exclude_ids.select(F.col(id_col).alias("id_b")).distinct()),
+            F.broadcast(exclude_ids.select(F.col(id_col).alias("id_b"))),
             "id_b",
             "left_anti",
         )

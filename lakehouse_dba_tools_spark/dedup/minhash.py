@@ -240,8 +240,8 @@ def verify_pairs_exact_jaccard(
     from pyspark import StorageLevel
 
     hashed = hashed_shingles(shingled, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    # Persisted: three consumers below (size prefilter + both join
-    # sides); without it each re-shingles the corpus. Evictable blocks,
+    # Persisted: both join sides below consume it; without it each
+    # re-shingles the corpus. Evictable blocks,
     # ids+longs only — but the CacheManager reference is strong, so
     # callers that materialize lazily should pass ``caches`` and
     # unpersist the exported handle afterwards (same contract as
@@ -275,29 +275,40 @@ def verify_pairs_exact_jaccard_hashed(
     incremental-index shape, where ``id_a`` rows come from the fresh
     batch and ``id_b`` rows from the stored index's shash table (never
     recomputed from corpus text). Same size-ratio prefilter and hashed
-    set algebra as ``verify_pairs_exact_jaccard``."""
-    a_n = hashed_a.select(
-        F.col(id_col).alias("id_a"), F.size("shash").alias("n_a")
+    set algebra as ``verify_pairs_exact_jaccard``.
+
+    Each side is scanned ONCE, carrying (id, size, payload) through a
+    single join per side. The earlier two-phase form (an ids+sizes
+    join to ratio-prune, then a second payload join) read ``hashed_b``
+    — the full stored index table on the incremental path — TWICE per
+    query; since ``size(shash)`` already reads the payload column,
+    the sizes pass saved nothing at the scan and doubled the index
+    I/O. The ratio prefilter keeps its job (pairs it rejects never
+    reach the set algebra); the pair side of both joins is the
+    LSH-bounded candidate set, so payloads still never shuffle — the
+    joins broadcast the pair side and stream the scans."""
+    a = hashed_a.select(
+        F.col(id_col).alias("id_a"),
+        F.size("shash").alias("n_a"),
+        F.col("shash").alias("sh_a"),
     )
-    b_n = hashed_b.select(
-        F.col(id_col).alias("id_b"), F.size("shash").alias("n_b")
+    b = hashed_b.select(
+        F.col(id_col).alias("id_b"),
+        F.size("shash").alias("n_b"),
+        F.col("shash").alias("sh_b"),
     )
     pruned = (
-        pairs.join(a_n, "id_a")
-        .join(b_n, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .filter(
             F.least("n_a", "n_b").cast("double")
             >= (threshold - 1e-9) * F.greatest("n_a", "n_b").cast("double")
         )
-        .select("id_a", "id_b")
     )
-    a = hashed_a.select(F.col(id_col).alias("id_a"), F.col("shash").alias("sh_a"))
-    b = hashed_b.select(F.col(id_col).alias("id_b"), F.col("shash").alias("sh_b"))
-    joined = pruned.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        joined.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        pruned.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
