@@ -392,14 +392,22 @@ def build_postings_index(
         # overlapped from driver threads (indexio.overlap_jobs)
         from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
 
+        # assume_deduped: a fresh build's postings are aggregated by
+        # (term, id) and its doclens projected from the (unique-id)
+        # corpus — the refreshes' replay-dedup shuffles have nothing to
+        # fold here
         tier_jobs = []
         if champion_n is not None:
             tier_jobs.append(
-                lambda: _refresh_champions(spark, path, id_col, champion_n, k1, b)
+                lambda: _refresh_champions(
+                    spark, path, id_col, champion_n, k1, b, assume_deduped=True
+                )
             )
         if wand_buckets is not None:
             tier_jobs.append(
-                lambda: _refresh_wand(spark, path, id_col, wand_buckets, k1, b)
+                lambda: _refresh_wand(
+                    spark, path, id_col, wand_buckets, k1, b, assume_deduped=True
+                )
             )
         if tier_jobs:
             overlap_jobs(*tier_jobs)
@@ -548,10 +556,17 @@ def _impact(k1: float, b: float, avgdl: float) -> Column:
 
 
 def _refresh_champions(
-    spark, path: str, id_col: str, champion_n: int, k1: float, b: float
+    spark, path: str, id_col: str, champion_n: int, k1: float, b: float,
+    assume_deduped: bool = False,
 ) -> None:
     """(Re)build the champions tier from the CURRENT postings/doclens
     snapshot. Caller holds the writer lock.
+
+    ``assume_deduped``: the dedup of replayed-append rows is a full
+    postings + doclens shuffle — callers whose snapshot is dup-free BY
+    CONSTRUCTION (a fresh build's aggregated postings; a compact's
+    just-folded publish) skip it. The crash-heal path keeps the dedup:
+    its snapshot state is whatever the dead writer left.
 
     Skew-safe top-N: a stopword's postings all share one term key, so a
     single per-term window would funnel its whole df through one task.
@@ -578,8 +593,11 @@ def _refresh_champions(
     )
 
     p_dir, d_dir = _postings_snapshot(path)
-    postings = spark.read.parquet(p_dir).dropDuplicates(["term", id_col])
-    doclens = spark.read.parquet(d_dir).dropDuplicates([id_col])
+    postings = spark.read.parquet(p_dir)
+    doclens = spark.read.parquet(d_dir)
+    if not assume_deduped:
+        postings = postings.dropDuplicates(["term", id_col])
+        doclens = doclens.dropDuplicates([id_col])
     row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -663,7 +681,8 @@ def _refresh_champions(
 
 
 def _refresh_wand(
-    spark, path: str, id_col: str, wand_buckets: int, k1: float, b: float
+    spark, path: str, id_col: str, wand_buckets: int, k1: float, b: float,
+    assume_deduped: bool = False,
 ) -> None:
     """(Re)build the block-max tier from the CURRENT postings/doclens
     snapshot. Caller holds the writer lock.
@@ -674,7 +693,9 @@ def _refresh_wand(
     buckets without losing exactness. One extra shuffle (the range
     repartition on (term, bucket)); the `_blockmax` sidecar table is a
     ≤ |vocab| × wand_buckets aggregate. Published like champions: one
-    pointer flip covers postings + maxima + stats."""
+    pointer flip covers postings + maxima + stats. ``assume_deduped``
+    as in ``_refresh_champions`` (skips the dedup shuffles when the
+    snapshot is dup-free by construction)."""
     import os
 
     from lakehouse_dba_tools_spark.operators.indexio import (
@@ -686,8 +707,11 @@ def _refresh_wand(
     )
 
     p_dir, d_dir = _postings_snapshot(path)
-    postings = spark.read.parquet(p_dir).dropDuplicates(["term", id_col])
-    doclens = spark.read.parquet(d_dir).dropDuplicates([id_col])
+    postings = spark.read.parquet(p_dir)
+    doclens = spark.read.parquet(d_dir)
+    if not assume_deduped:
+        postings = postings.dropDuplicates(["term", id_col])
+        doclens = doclens.dropDuplicates([id_col])
     row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -846,18 +870,23 @@ def compact_postings_index(spark, path: str) -> dict:
             _, wm = _wand_snapshot(path)
         except FileNotFoundError:
             wm = None
-        # disjoint tier dirs off the same published pair — overlap
+        # disjoint tier dirs off the same published pair — overlap.
+        # assume_deduped: the pair published above was dedup-folded by
+        # this very compact, so the refreshes' own dedup shuffles would
+        # re-fold an already-unique snapshot.
         tier_jobs = []
         if cm is not None:
             tier_jobs.append(
                 lambda: _refresh_champions(
-                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"],
+                    assume_deduped=True,
                 )
             )
         if wm is not None:
             tier_jobs.append(
                 lambda: _refresh_wand(
-                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"]
+                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"],
+                    assume_deduped=True,
                 )
             )
         if tier_jobs:
