@@ -494,7 +494,7 @@ def pinned_for_write(*dfs):
             p.unpersist()
 
 
-def overlap_jobs(*thunks):
+def overlap_jobs(*thunks, max_in_flight: int = 4):
     """Run independent Spark-action thunks from driver threads and
     return their results in call order.
 
@@ -511,12 +511,16 @@ def overlap_jobs(*thunks):
     the caller like the sequential form's would — after the pool
     drains, so no family is left mid-write by a sibling's failure.
 
-    In-flight jobs are BOUNDED (guide §2.6: "2-3 in flight is plenty —
-    enough to fill the tail, not so many that they fight"): the win is
-    back-filling each job's straggler tail, which saturates after a few
-    concurrent jobs, while N unbounded FIFO jobs contend for executors
-    and driver scheduling on a real cluster (the warehouse audit used
-    to launch 24 at once). Excess thunks queue in submission order.
+    In-flight jobs are BOUNDED by ``max_in_flight`` (default 4 — guide
+    §2.6: "2-3 in flight is plenty — enough to fill the tail, not so
+    many that they fight"): the win is back-filling each job's
+    straggler tail, which saturates after a few concurrent jobs, while
+    N unbounded FIFO jobs contend for executors and driver scheduling
+    on a real cluster. Excess thunks queue in submission order. A
+    caller whose thunks are tiny METADATA jobs (sub-second footer
+    counts that occupy one task each — latency-bound, not
+    capacity-bound) may raise the cap; the default protects the heavy
+    writer verbs.
 
     Limitation (pinned-thread PySpark): jobs launched from these worker
     threads do NOT inherit the driver thread's Spark local properties —
@@ -532,7 +536,7 @@ def overlap_jobs(*thunks):
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+    with ThreadPoolExecutor(max_workers=min(max_in_flight, len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         return [f.result() for f in futures]
 
