@@ -1511,6 +1511,10 @@ def index_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ivf_path=ivf,
                 vector_ids=forget_vecs,
                 erase=True,
+                # the indexes were built three lines up and never
+                # appended to — the champions refresh inside the BM25
+                # forget can skip its replay-dedup shuffles
+                assume_deduped=True,
             )
             for r in audit.collect():  # ≤5 rows
                 rows.append(

@@ -901,7 +901,8 @@ def compact_postings_index(spark, path: str) -> dict:
 
 
 def forget_from_postings_index(
-    spark, path: str, forget_ids: DataFrame, erase: bool = False
+    spark, path: str, forget_ids: DataFrame, erase: bool = False,
+    assume_deduped: bool = False,
 ) -> dict:
     """Right-to-be-forgotten DELETE for the postings index — extends
     `operators/forget.py:41`'s table cascade into the stored lexical
@@ -946,7 +947,14 @@ def forget_from_postings_index(
     documented GDPR trade: erase-grade forget forfeits the one-version
     reader-retention window — a reader whose listing predates the
     forget fails loudly and retries (never a partial read). Returns
-    {table: {rows_before, rows_removed, rows_after}}."""
+    {table: {rows_before, rows_removed, rows_after}}.
+
+    ``assume_deduped``: passed through to the tier refreshes — a forget
+    preserves the snapshot's dup state (the anti-join drops rows, never
+    folds them), so pass True ONLY when the index has seen no
+    un-compacted appends since its last build/compact (e.g. the
+    build-then-forget audit flows); each refresh then skips its full
+    postings+doclens dedup shuffle."""
     import json
     import os
 
@@ -1060,13 +1068,15 @@ def forget_from_postings_index(
         if cm is not None:
             tier_jobs.append(
                 lambda: _refresh_champions(
-                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"]
+                    spark, path, id_col, cm["champion_n"], cm["k1"], cm["b"],
+                    assume_deduped=assume_deduped,
                 )
             )
         if wm is not None:
             tier_jobs.append(
                 lambda: _refresh_wand(
-                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"]
+                    spark, path, id_col, wm["wand_buckets"], wm["k1"], wm["b"],
+                    assume_deduped=assume_deduped,
                 )
             )
         if tier_jobs:
