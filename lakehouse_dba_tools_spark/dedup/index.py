@@ -673,8 +673,6 @@ def _query_signed(
     co-published — indexio.snapshot_meta); ``exclude_ids`` drops
     candidates whose id_b is in the given id set (ingest_batch's
     replay-idempotence guard)."""
-    from pyspark.sql import Window
-
     id_col = m["id_col"]
     # Bind the scan to the RESOLVED version directory: the snapshot
     # stays complete across one subsequent compact (indexio retention),
@@ -704,12 +702,26 @@ def _query_signed(
     # Boilerplate guard, same policy as the inline bipartite path: an
     # index bucket bigger than max_bucket_size is near-identical
     # boilerplate and belongs to exact dedup, not an LSH fan-out.
-    idx_sized = (
-        idx_cand.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
-        )
+    # Sized via partial-aggregated counts + a broadcast semi-join back,
+    # NOT a count-over-window: the window form shuffled every candidate
+    # row by bucket key before counting — the one index-side exchange
+    # left in the query path, and the skew-prone one (a boilerplate
+    # bucket's rows all funnel through one task exactly so they can be
+    # thrown away, guide §2.5). The groupBy count ships only per-bucket
+    # partial counts (map-side aggregation), its qualifying-key frame
+    # is batch-bounded (≤ touched buckets ≤ |batch| × bands) so it
+    # broadcasts, and oversized buckets now die AT THE SCAN — zero
+    # candidate rows ever cross an exchange. Per-bucket counts are
+    # computed over the same idx_cand either way, so the filter —
+    # and every result — is unchanged.
+    sized_keys = (
+        idx_cand.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") <= max_bucket_size)
-        .drop("_n")
+        .select("band_idx", "band_key")
+    )
+    idx_sized = idx_cand.join(
+        F.broadcast(sized_keys), ["band_idx", "band_key"], "left_semi"
     )
     pairs = (
         bk.withColumnRenamed(id_col, "id_a")
