@@ -29,20 +29,29 @@ def test_queries_oracle_keys_align():
 
 
 def test_checked_first_is_exactly_the_driver_gate():
-    """The driver hash-checks the FIRST 50 registered queries.
-    CHECKED_FIRST must therefore hold exactly 50 unique names, every
-    one oracle-backed, and they must actually occupy the first 50
-    registry slots after load_all's reorder — a count or ordering
-    regression would silently change which queries carry hard
-    signal."""
+    """The driver hash-checks the FIRST 50 registered queries and
+    benches ALL of CHECKED_FIRST. Round 14 (VERDICT r13 #1) appended
+    the three restored bench queries at the TAIL (slots 51-53), so the
+    driver's 50-slot checked window is byte-identical to r13's while
+    the bench line regains the three names. This pins both halves: 53
+    unique oracle-backed names occupying the first registry slots, the
+    restorations exactly at the tail — a count or ordering regression
+    would silently change which queries carry hard signal."""
     from lakehouse_dba_tools_spark import registry
 
     registry.load_all()
     names = registry.CHECKED_FIRST
-    assert len(names) == 50
-    assert len(set(names)) == 50
-    assert list(registry.QUERIES)[:50] == list(names)
+    assert len(names) == 53
+    assert len(set(names)) == 53
+    assert list(registry.QUERIES)[:53] == list(names)
     assert all(n in registry.ORACLE for n in names)
+    # the driver's checked window (first 50) must not absorb the
+    # restorations — they ride at the tail, bench-only
+    assert names[50:] == (
+        "doc_repetition_scores",
+        "endpoint_poll_snapshot",
+        "nation_json_serialize",
+    )
 
 
 def test_all_queries_run_sf0001(spark, sf_dir):
