@@ -392,8 +392,31 @@ def ingest_batch(
         # (string doc ids) round-trip instead of failing a literal DDL
         sel = pairs.select("id_a", "id_b", "jaccard")
         out_schema = sel.schema
-        rows = sel.collect()
-        _append_rows(spark, path, bk, sh, signed_under=m)
+        # Materialize the signed pin with ONE action before the two
+        # halves consume it concurrently (the build/append-verb
+        # pattern): bk.count() fills bk AND its parent shingle pin, so
+        # neither overlapped job re-runs the signature pass racing the
+        # cache's first materialization.
+        bk.count()
+        # The query's collect and the batch's append are INDEPENDENT
+        # job sets — overlap them (guide §2.6; indexio.overlap_jobs):
+        # the sequential form left most executors idle through each
+        # half's straggler tail, and per-batch latency is the
+        # continuous-ingest hot path. Correctness is unchanged by
+        # construction: the pair plan above binds its scans to the
+        # pre-append snapshot listing, and even a racing listing that
+        # glimpses the in-flight append's files is exactly the replay
+        # shape the machinery already absorbs — appended rows carry
+        # this batch's own ids (dropped by ``exclude_ids``) and
+        # duplicate shash rows fold in the verify's dropDuplicates.
+        # Failure composition equals the sequential form's crash
+        # window: a failed collect beside a committed append is the
+        # at-least-once epoch-replay case (re-query excludes own ids,
+        # re-append folds at compaction).
+        rows, _ = overlap_jobs(
+            lambda: sel.collect(),
+            lambda: _append_rows(spark, path, bk, sh, signed_under=m),
+        )
         return spark.createDataFrame(rows, out_schema)
     finally:
         bk.unpersist()

@@ -44,21 +44,31 @@ def make_search_then_append_sink(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
         q = batch_df.select(F.col("vec_id").alias("query_id"), "embedding")
         # exclude the batch's own ids: on a replayed epoch the failed
         # attempt's append already indexed them, and without the
         # exclusion each query would return itself (sim 1.0) and its
         # same-batch neighbors — results the original epoch never
         # produced. First delivery: a no-op (batch not yet indexed).
-        found[int(epoch_id)] = (
-            query_ivf_index(
-                spark, q, idx, k=k, nprobe=nprobe,
-                exclude_ids=batch_df.select("vec_id"),
-            )
-            .select("query_id", "neighbor_id", "sim", "rank")
-            .collect()
-        )  # bounded collect: |batch| × k neighbor rows
-        append_to_ivf_index(batch_df, idx)
+        # Plan the query BEFORE the append (snapshot resolve + probe
+        # assignment bind to the pre-append lists), then overlap the
+        # bounded collect with the append — independent job sets, same
+        # correctness envelope as the sequential form (ingest_batch's
+        # overlap note): rows a racing listing could glimpse carry the
+        # batch's own ids (excluded) and duplicate rows fold in the
+        # query's dropDuplicates; a failed collect beside a committed
+        # append is the ordinary at-least-once epoch replay.
+        out = query_ivf_index(
+            spark, q, idx, k=k, nprobe=nprobe,
+            exclude_ids=batch_df.select("vec_id"),
+        ).select("query_id", "neighbor_id", "sim", "rank")
+        rows, _ = overlap_jobs(
+            lambda: out.collect(),  # bounded: |batch| × k neighbor rows
+            lambda: append_to_ivf_index(batch_df, idx),
+        )
+        found[int(epoch_id)] = rows
 
     return sink
 

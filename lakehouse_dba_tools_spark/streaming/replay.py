@@ -40,11 +40,18 @@ def replay_in_batches(
         batched = df.withColumn(
             "_b", F.floor(F.col(id_col) / batch_size).cast("long")
         )
-        batch_ids = sorted(
-            r[0] for r in batched.select("_b").distinct().collect()
-        )  # bounded: row_count / batch_size values
-        first, rest = batch_ids[0], batch_ids[1:]
-        seed_fn(batched.filter(F.col("_b") == first).drop("_b"))
+        # Only the FIRST slice id needs a Spark action (one partial-agg
+        # min — no shuffle); the remaining slice ids are read off the
+        # staged partition directories below, which the partitioned
+        # write materializes anyway. The previous distinct().collect()
+        # paid a full dedup shuffle for the same information.
+        first = batched.agg(F.min("_b")).collect()[0][0]
+        if first is None:
+            raise ValueError("replay_in_batches: empty input DataFrame")
+        # Seeding (user callback — e.g. an index build) and the staging
+        # write are independent job sets over the same bounded source —
+        # overlap them (indexio.overlap_jobs; guide §2.6) so the
+        # build's straggler tail back-fills the staging write's tasks.
         # Stage ALL remaining slices in ONE partitioned write (one scan
         # of the source instead of one scan+write job per slice — the
         # same clustered-write shape the index builds use): repartition
@@ -54,16 +61,27 @@ def replay_in_batches(
         # were. Then stamp each slice's file with increasing mtimes —
         # the file source (maxFilesPerTrigger=1, oldest-first) replays
         # them as deterministic micro-batches, ordered by slice id.
+        from lakehouse_dba_tools_spark.operators.indexio import overlap_jobs
+
+        overlap_jobs(
+            lambda: seed_fn(batched.filter(F.col("_b") == first).drop("_b")),
+            lambda: batched.filter(F.col("_b") > first)
+            .repartition(F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(stage),
+        )
+        rest = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(stage)
+            if d.startswith("_b=")
+        )
         t0 = 1_600_000_000
-        if rest:
-            batched.filter(F.col("_b") >= batch_ids[1]).repartition(
-                F.col("_b")
-            ).write.mode("overwrite").partitionBy("_b").parquet(stage)
-            for i, b in enumerate(rest):
-                d = os.path.join(stage, f"_b={b}")
-                for name in os.listdir(d):
-                    if name.endswith(".parquet"):
-                        os.utime(os.path.join(d, name), (t0 + i, t0 + i))
+        for i, b in enumerate(rest):
+            d = os.path.join(stage, f"_b={b}")
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    os.utime(os.path.join(d, name), (t0 + i, t0 + i))
         q = (
             spark.readStream.schema(df.schema)
             .option("maxFilesPerTrigger", 1)
